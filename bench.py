@@ -1,0 +1,73 @@
+"""Benchmark runner — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes via the noop sink so every output column is fully
+computed (a bare count() would let Catalyst prune projections).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_engineering_for_e_commerce_logistics_spark.plans.registry import all_specs
+from data_engineering_for_e_commerce_logistics_spark.session import get_spark
+
+HEADLINE = [
+    "pricing_summary",
+    "v_order_summary",
+    "v_delivery_performance",
+    "dedup_keep_first",
+    "ffill_events",
+    "interpolate_events",
+    "derived_lineitem",
+    "customer_running_spend",
+    "events_hourly_rollup",
+    "validate_orders",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "text_lang_id",
+    "embedding_topk",
+    "embedding_ann",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+    specs = all_specs()
+
+    # Warm the JVM/codegen once with a trivial job so query 1 doesn't
+    # absorb session startup.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs[name]
+        t0 = time.time()
+        df = spec.build(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,7 @@ Summing IEEE doubles is order-dependent; a distributed Spark sum and a
 DuckDB sequential sum can differ in the last ulp, and a final
 round(x, 2) then splits on boundary values (observed: 16902.725).
 
-Fix: aggregate in DECIMAL.  Each double term is cast to decimal(18,4)
+Fix: aggregate in DECIMAL.  Each double term is cast to decimal(28,8)
 (identical doubles cast identically in both engines — verified
 empirically over the full test tables), decimal addition is exact and
 order-independent, and the final round/cast back to double is applied
@@ -21,17 +21,36 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def sql_exact_round(term: str, scale: int = 2) -> str:
+    """Per-row ROUND over doubles with deterministic cross-engine result.
+
+    Plain round(double, 2) disagrees between Spark (BigDecimal
+    shortest-repr HALF_UP) and DuckDB (multiply/nearbyint) on ~0.2% of
+    rows (measured 116/60000 on lineitem revenue).  Routing through a
+    decimal(28,8) intermediate makes the final 2-dp round exact and
+    identical in both engines (measured 0/60000)."""
+    return f"cast(round(cast(({term}) as decimal(28,8)), {scale}) as double)"
+
+
+def exact_round(term: Column | str, scale: int = 2) -> Column:
+    col = F.expr(term) if isinstance(term, str) else term
+    return F.round(col.cast("decimal(28,8)"), scale).cast("double")
+
+
 def sql_exact_sum(term: str, scale: int = 2) -> str:
     """SUM over doubles with deterministic cross-engine result."""
-    return f"cast(round(sum(cast(({term}) as decimal(18,4))), {scale}) as double)"
+    return f"cast(round(sum(cast(({term}) as decimal(28,8))), {scale}) as double)"
 
 
 def sql_exact_avg(term: str, scale: int = 2) -> str:
     """AVG over doubles: exact decimal sum, then one double division and
     a round applied to identical inputs on both engines."""
+    # nullif guard: an all-null group has count=0, and ANSI-mode Spark
+    # (the Spark 4 default) throws on division by zero where DuckDB
+    # returns NULL — nullif makes both engines return NULL.
     return (
-        f"round(cast(sum(cast(({term}) as decimal(18,4))) as double)"
-        f" / count({term}), {scale})"
+        f"round(cast(sum(cast(({term}) as decimal(28,8))) as double)"
+        f" / nullif(count({term}), 0), {scale})"
     )
 
 

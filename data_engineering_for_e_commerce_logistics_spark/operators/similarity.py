@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (BASELINE.json north star):
+
+* brute-force top-k cosine — the exactness baseline: broadcast the
+  query set, score every (query, candidate) pair with a JVM-side
+  fold (zip_with + aggregate — no UDF, no Python), rank per query.
+  Linear scan of the corpus per query batch; at 100 TB this is the
+  "small query set × huge corpus" shape Spark handles by broadcast +
+  map-side scoring with zero shuffle until the final per-query top-k
+  (a k-row-per-partition partial followed by one tiny exchange).
+
+* sign-bucket ANN (IVF-flavored) — the scale path: quantize each
+  vector to the sign pattern of its leading dimensions (a fixed
+  hyperplane codebook), join query↔candidate on the bucket key, and
+  rank within buckets only.  Recall trades against the number of sign
+  bits; the join is a hash join on a short string key.
+
+Numerical determinism: the dot-product fold is a strict left fold
+starting at 0.0, matching DuckDB's list_reduce semantics, so scores
+are bitwise identical across engines and ranks never disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double_vec(col: Column | str = "embedding") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Strict left fold sum (0.0 + x1 + x2 + ...) — order-exact."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _as_double_vec(vec_col)
+    return df.withColumn("v", v).withColumn(
+        "norm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+
+
+def cosine(v_a: Column, v_b: Column, norm_a: Column, norm_b: Column) -> Column:
+    dot = _fold_sum(F.zip_with(v_a, v_b, lambda x, y: x * y))
+    # try_divide: zero-norm vectors give NULL (ranked last) in both
+    # engines instead of an ANSI-mode divide-by-zero throw.
+    return F.try_divide(dot, norm_a * norm_b)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    query_pred: Column | None = None,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Query side is broadcast (small by construction); candidates stream
+    through map-side scoring.  Ties break on candidate id, so results
+    are total-order deterministic."""
+    base = with_norm(df, vec_col)
+    if query_pred is None:
+        query_pred = F.col(id_col).isin(query_ids)
+    q = base.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            cosine(F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def sign_bucket(vec: Column, bits: int = 8) -> Column:
+    """IVF-ish coarse quantizer: '1'/'0' per sign of the first
+    ``bits`` dimensions.  Sign of a float is exact → engine-portable."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(bits)
+        ]
+    )
+
+
+def ann_sign_bucket_topk(
+    df: DataFrame,
+    query_ids: list[int] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    bits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign
+    bucket.  One hash join on the bucket key + per-bucket ranking —
+    the 100 TB path (bucket sizes ~ corpus/2^bits)."""
+    base = with_norm(df, vec_col).withColumn(
+        "bucket", sign_bucket(F.col("v"), bits)
+    )
+    q = base.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        "bucket",
+    )
+    c = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("norm").alias("cnorm"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, ["bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            cosine(F.col("qv"), F.col("cv"), F.col("qnorm"), F.col("cnorm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
+    )

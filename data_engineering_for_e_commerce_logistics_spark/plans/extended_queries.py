@@ -1,0 +1,294 @@
+"""Oracle-checked entries for the training-data-pipeline operators
+(dedup / text analysis / similarity search) over documents/embeddings.
+
+The MinHash oracle mirrors the engine's construction exactly: the
+hash family is lexicographic-min of md5('<seed>:'||shingle) hex
+strings, which is engine-portable (md5 hex is identical everywhere),
+so signatures, band buckets, candidate pairs, and verified Jaccards
+all match bitwise.  Cosine scores match bitwise because both sides
+use a strict left-fold sum (Spark aggregate(0.0, +) ≡ DuckDB
+list_reduce).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions import sql_exact_round
+from ..operators import dedup, similarity, text
+from ..operators.dedup import sql_shingles
+
+# --- Exact dedup ------------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.exact_duplicates(docs)
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       min(doc_id) AS kept_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+# --- MinHash + LSH near-dedup ----------------------------------------------
+
+NUM_HASHES, BANDS, SHINGLE_K, THRESHOLD = 16, 8, 3, 0.6
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.minhash_lsh_dedup(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=THRESHOLD,
+    )
+
+
+def _minhash_sql() -> str:
+    r = NUM_HASHES // BANDS
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM sig".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * r + j}" for j in range(r)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+sh AS (SELECT doc_id, unnest({sql_shingles('tok', SHINGLE_K)}) AS shingle
+       FROM tok),
+sig AS (SELECT doc_id,
+         {mins}
+        FROM sh GROUP BY doc_id),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+shl AS (SELECT doc_id, {sql_shingles('tok', SHINGLE_K)} AS ws FROM tok)
+SELECT id_a, id_b,
+       len(list_intersect(a.ws, b.ws))::DOUBLE /
+       (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+FROM cand
+JOIN shl a ON cand.id_a = a.doc_id
+JOIN shl b ON cand.id_b = b.doc_id
+WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= {THRESHOLD}
+"""
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.ngram_jaccard_pairs(
+        docs, shingle_k=SHINGLE_K, threshold=THRESHOLD
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+shl AS (SELECT doc_id, {sql_shingles('tok', SHINGLE_K)} AS ws FROM tok)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_intersect(a.ws, b.ws))::DOUBLE /
+       (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+FROM shl a JOIN shl b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= {THRESHOLD}
+"""
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures — rows-only check (64-bit hash assembly is
+    not portably expressible in DuckDB SQL)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.simhash(docs)
+
+
+# --- Text analysis ----------------------------------------------------------
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.token_stats(docs)
+
+
+TEXT_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       ceil(length(text) / 4.0)::BIGINT AS n_bpe_est,
+       {avg_tok} AS avg_token_len
+FROM documents
+""".format(
+    avg_tok=sql_exact_round(
+        "(length(text) - len(string_split(text, ' ')) + 1)"
+        " / len(string_split(text, ' '))",
+        4,
+    )
+)
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.quality_score(docs)
+
+
+_EN_STOP_SQL = "['" + "','".join(text.STOPWORDS["en"]) + "']"
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars,
+         list_distinct(string_split(text, ' ')) AS dtoks,
+         len(string_split(text, ' ')) AS ntoks
+  FROM documents
+)
+SELECT doc_id,
+       len(dtoks) AS n_distinct_tokens,
+       {sql_exact_round('len(dtoks) / ntoks', 4)} AS type_token_ratio,
+       len(list_intersect(dtoks, {_EN_STOP_SQL})) AS stopword_hits,
+       {sql_exact_round(
+           "length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))"
+           " / greatest(length(text), 1)", 4)} AS alpha_ratio,
+       {sql_exact_round(
+           "0.25 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000"
+           "            THEN 1.0 ELSE 0.5 END)"
+           " + 0.25 * least(len(list_intersect(dtoks, " + _EN_STOP_SQL + ")) / 3.0, 1.0)"
+           " + 0.25 * (len(dtoks) / ntoks)"
+           " + 0.25 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))"
+           "            / greatest(length(text), 1))", 4)} AS quality_score
+FROM t
+"""
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.lang_id(docs)
+
+
+def _lang_id_sql() -> str:
+    hits = {
+        code: (
+            "len(list_intersect(list_distinct(string_split(text, ' ')), ['"
+            + "','".join(text.STOPWORDS[code])
+            + "']))"
+        )
+        for code in sorted(text.STOPWORDS)
+    }
+    mx = "greatest(" + ", ".join(hits.values()) + ")"
+    cases = " ".join(
+        f"WHEN {hits[code]} = mx THEN '{code}'" for code in sorted(text.STOPWORDS)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, lang, text, {mx} AS mx FROM documents)
+SELECT doc_id, lang AS labeled_lang, mx AS best_hits,
+       CASE WHEN mx > 0 THEN (CASE {cases} END) ELSE 'unknown' END AS detected_lang
+FROM t
+"""
+
+
+TEXT_LANG_ID_SQL = _lang_id_sql()
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.fingerprint(docs)
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       length(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS n_chars_norm
+FROM documents
+"""
+
+# --- Similarity search ------------------------------------------------------
+
+QUERY_IDS = list(range(10))
+TOPK = 5
+ANN_BITS = 8
+
+
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.brute_force_topk(emb, query_ids=QUERY_IDS, k=TOPK)
+
+
+EMBEDDING_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+s AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]),
+                     (a, b) -> a + b) / (q.qnrm * c.nrm) AS cosine
+  FROM q, n c WHERE q.query_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {TOPK}
+"""
+
+
+def embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return similarity.ann_sign_bucket_topk(
+        emb, query_ids=QUERY_IDS, k=TOPK, bits=ANN_BITS
+    )
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN v[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(ANN_BITS)
+)
+
+EMBEDDING_ANN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm,
+         {_BUCKET_SQL} AS bucket
+  FROM e
+),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket FROM n
+      WHERE vec_id IN ({", ".join(map(str, QUERY_IDS))})),
+s AS (
+  SELECT q.query_id, q.bucket, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.qv, c.v), p -> p[1] * p[2]),
+                     (a, b) -> a + b) / (q.qnrm * c.nrm) AS cosine
+  FROM q JOIN n c ON q.bucket = c.bucket AND q.query_id <> c.vec_id
+)
+SELECT query_id, bucket, neighbor_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {TOPK}
+"""

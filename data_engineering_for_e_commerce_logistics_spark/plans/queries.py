@@ -6,6 +6,9 @@ the registry consumed by ``__spark_entry__`` and the pytest harness.
 
 from __future__ import annotations
 
+from . import cleaning_queries as cq
+from . import extended_queries as xq
+from . import relational_queries as rq
 from . import views
 from .registry import register
 
@@ -22,3 +25,100 @@ register(
     views.V_DELIVERY_PERFORMANCE_SQL,
     tags=("view", "join", "agg", "conditional-agg"),
 )
+
+# --- Dedup D1-D5 (deterministic keep-first/last/none) ------------------
+register("dedup_keep_first", cq.dedup_keep_first, cq.DEDUP_KEEP_FIRST_SQL, ("dedup",))
+register("dedup_keep_last", cq.dedup_keep_last, cq.DEDUP_KEEP_LAST_SQL, ("dedup",))
+register("dedup_drop_all", cq.dedup_drop_all, cq.DEDUP_DROP_ALL_SQL, ("dedup",))
+
+# --- Missing-value strategies P2-P6 ------------------------------------
+register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register(
+    "fill_constant_events", cq.fill_constant_events, cq.FILL_CONSTANT_SQL, ("nulls",)
+)
+register("fill_median_events", cq.fill_median_events, cq.FILL_MEDIAN_SQL, ("nulls",))
+register("ffill_events", cq.ffill_events, cq.FFILL_SQL, ("nulls", "window"))
+register(
+    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+)
+
+# --- Timestamp / string / derived P7-P11 -------------------------------
+register(
+    "coerce_timestamps_orders",
+    cq.coerce_timestamps_orders,
+    cq.COERCE_TIMESTAMPS_SQL,
+    ("timestamps",),
+)
+register(
+    "normalize_strings_customer",
+    cq.normalize_strings_customer,
+    cq.NORMALIZE_STRINGS_SQL,
+    ("strings",),
+)
+register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+
+# --- Validator rule engine (fused single-pass agg) ---------------------
+register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+
+# --- Profiler / aggregates / relational (S9, A3-A9, §2.6-2.7) ----------
+register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
+register(
+    "agg_cardinality_lineitem",
+    rq.agg_cardinality_lineitem,
+    rq.AGG_CARDINALITY_SQL,
+    ("agg",),
+)
+register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
+register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register(
+    "json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",)
+)
+register(
+    "explode_document_tokens",
+    rq.explode_document_tokens,
+    rq.EXPLODE_TOKENS_SQL,
+    ("explode",),
+)
+register(
+    "customer_running_spend",
+    rq.customer_running_spend,
+    rq.CUSTOMER_RUNNING_SPEND_SQL,
+    ("window",),
+)
+register(
+    "events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",)
+)
+register(
+    "sql_api_order_summary",
+    rq.sql_api_order_summary,
+    views.V_ORDER_SUMMARY_SQL,
+    ("sql", "view"),
+)
+register(
+    "struct_flatten_roundtrip",
+    rq.struct_flatten_roundtrip,
+    rq.STRUCT_FLATTEN_SQL,
+    ("struct",),
+)
+
+# --- Training-data pipeline: dedup / text / similarity -----------------
+register(
+    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
+)
+register(
+    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
+)
+register(
+    "dedup_ngram_jaccard",
+    xq.dedup_ngram_jaccard,
+    xq.DEDUP_NGRAM_JACCARD_SQL,
+    ("dedup",),
+)
+register("dedup_simhash", xq.dedup_simhash, None, ("dedup", "rows-only"))
+register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
+register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
+register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
+register("text_fingerprint", xq.text_fingerprint, xq.TEXT_FINGERPRINT_SQL, ("text",))
+register("embedding_topk", xq.embedding_topk, xq.EMBEDDING_TOPK_SQL, ("similarity",))
+register("embedding_ann", xq.embedding_ann, xq.EMBEDDING_ANN_SQL, ("similarity",))

@@ -1,0 +1,341 @@
+"""Relational / aggregate / profiling query entries (SURVEY §2.1
+S9/S13/S16-17, §2.5 A3-A9, §2.6 sorts+limits, §2.7 scalar families).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions import exact_avg, exact_round, sql_exact_avg, sql_exact_round
+
+# --- S9: data profiler ------------------------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile (row count, nulls, distincts, min/max/avg) in
+    long format.  Computed as ONE aggregation pass over the table (all
+    columns' stats in a single job), then unpivoted driver-side — the
+    profile is O(columns) scalars, so the unpivot costs nothing.
+
+    Ref: csv_loader.py:217-258 profile_data (dict-of-dicts shape)."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+            F.countDistinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("double").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}__max"),
+            exact_avg(c, 6).alias(f"{c}__avg"),
+        ]
+    row = li.agg(*aggs).first()
+    records = [
+        (
+            c,
+            int(row[f"{c}__rows"]),
+            int(row[f"{c}__nulls"]),
+            int(row[f"{c}__distinct"]),
+            float(row[f"{c}__min"]),
+            float(row[f"{c}__max"]),
+            float(row[f"{c}__avg"]),
+        )
+        for c in _PROFILE_COLS
+    ]
+    return spark.createDataFrame(
+        records,
+        "col_name string, n_rows long, n_nulls long, n_distinct long,"
+        " min_value double, max_value double, avg_value double",
+    )
+
+
+PROFILE_LINEITEM_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+       count(CASE WHEN {c} IS NULL THEN 1 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c})::DOUBLE AS min_value, max({c})::DOUBLE AS max_value,
+       {sql_exact_avg(c, 6)} AS avg_value
+FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+# --- A5/A6: distinct + duplicate counts ------------------------------------
+
+
+def agg_cardinality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct / duplicate accounting in one pass."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    key = F.struct("l_orderkey", "l_partkey")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct(key).alias("n_distinct_keys"),
+        (F.count(F.lit(1)) - F.countDistinct(key)).alias("n_duplicate_rows"),
+    )
+
+
+AGG_CARDINALITY_SQL = """
+SELECT count(*) AS n_rows,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT (l_orderkey, l_partkey)) AS n_distinct_keys,
+       count(*) - count(DISTINCT (l_orderkey, l_partkey)) AS n_duplicate_rows
+FROM lineitem
+"""
+
+# --- TPC-H Q1-style pricing summary (the bench headline aggregation) -------
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shaped rollup: full lineitem scan → 4-group hash aggregate.
+    Map-side partial aggregation collapses 60k→8 rows before shuffle."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.expr(
+                "cast(round(sum(cast((l_quantity) as decimal(28,8))), 2)"
+                " as double)"
+            ).alias("sum_qty"),
+            F.expr(
+                "cast(round(sum(cast((l_extendedprice) as decimal(28,8))), 2)"
+                " as double)"
+            ).alias("sum_base_price"),
+            F.expr(
+                "cast(round(sum(cast((l_extendedprice * (1 - l_discount))"
+                " as decimal(28,8))), 2) as double)"
+            ).alias("sum_disc_price"),
+            F.expr(
+                "cast(round(sum(cast((l_extendedprice * (1 - l_discount)"
+                " * (1 + l_tax)) as decimal(28,8))), 2) as double)"
+            ).alias("sum_charge"),
+            exact_avg("l_quantity", 6).alias("avg_qty"),
+            exact_avg("l_extendedprice", 6).alias("avg_price"),
+            exact_avg("l_discount", 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       cast(round(sum(cast((l_quantity) as decimal(28,8))), 2) as double)
+           AS sum_qty,
+       cast(round(sum(cast((l_extendedprice) as decimal(28,8))), 2) as double)
+           AS sum_base_price,
+       cast(round(sum(cast((l_extendedprice * (1 - l_discount)) as decimal(28,8))), 2)
+           as double) AS sum_disc_price,
+       cast(round(sum(cast((l_extendedprice * (1 - l_discount) * (1 + l_tax))
+           as decimal(28,8))), 2) as double) AS sum_charge,
+       {sql_exact_avg("l_quantity", 6)} AS avg_qty,
+       {sql_exact_avg("l_extendedprice", 6)} AS avg_price,
+       {sql_exact_avg("l_discount", 6)} AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+# --- Sort + limit (top-K) ---------------------------------------------------
+
+
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-25 by value: Spark plans this as per-partition
+    TakeOrdered (no full sort/shuffle of the table)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(
+        25
+    )
+
+
+TOP_ORDERS_SQL = """
+SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25
+"""
+
+# --- S13: MERGE-style upsert (join rewrite over immutable storage) ---------
+
+
+def upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on plain parquet: target rows not in the
+    update set survive (left_anti), updates win (union).  The
+    reference's row-by-row upsert loop (db_loader.py:347-387) becomes
+    one set-oriented join — SURVEY §4.2's required rewrite."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", exact_round(F.col("o_totalprice") * 1.1, 2)
+    )
+    merged = o.join(updates, "o_orderkey", "left_anti").unionByName(updates)
+    return merged
+
+
+UPSERT_ORDERS_SQL = f"""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         {sql_exact_round("o_totalprice * 1.1", 2)} AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT * FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT * FROM updates
+"""
+
+# --- JSON extraction (S2-S4 nested access over string payloads) ------------
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+"""
+
+# --- Explode / UNNEST (S3) --------------------------------------------------
+
+
+def explode_document_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST: one row per (doc, token) for a deterministic doc subset."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return docs.filter(F.col("doc_id") < 20).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+
+
+EXPLODE_TOKENS_SQL = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents WHERE doc_id < 20
+"""
+
+# --- Window: running totals & ranking (engine extension of §2.6) -----------
+
+
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend along order time — the canonical
+    window plan (one hash exchange on the partition key + sort)."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        exact_round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+    )
+
+
+CUSTOMER_RUNNING_SPEND_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       {sql_exact_round(
+           "sum(o_totalprice) OVER (PARTITION BY o_custkey"
+           " ORDER BY o_orderdate, o_orderkey"
+           " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)}
+           AS running_spend,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+# --- Tumbling-window rollup (batch twin of the streaming path) -------------
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling aggregate over the event stream table — the
+    exact batch semantics the Structured Streaming path produces per
+    window once the watermark closes it."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.expr(
+                "cast(round(sum(cast((value) as decimal(28,8))), 2) as double)"
+            ).alias("sum_value"),
+        )
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       cast(round(sum(cast((value) as decimal(28,8))), 2) as double) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+# --- S16: SQL passthrough (spark.sql over the named-table catalog) ---------
+
+
+def sql_api_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's query() path (db_loader.py:415-427): raw SQL in,
+    DataFrame out.  The SQL text is dialect-neutral — the *same string*
+    is compiled by Catalyst here and by DuckDB as the oracle, proving
+    the spark.sql surface end-to-end."""
+    from ..catalog import register_views
+    from .views import V_ORDER_SUMMARY_SQL
+
+    register_views(spark, sf_dir)
+    return spark.sql(V_ORDER_SUMMARY_SQL)
+
+
+# --- Struct flatten (S2/S4 shapes over relational data) --------------------
+
+
+def struct_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Builds the API connector's nested shape (rating struct, address
+    struct) from flat columns, then flattens it back with nested field
+    access — proving the S2/S4 plumbing on deterministic data."""
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    nested = p.select(
+        "p_partkey",
+        F.struct(
+            F.col("p_retailprice").alias("rate"), F.col("p_size").alias("count")
+        ).alias("rating"),
+        F.struct(
+            F.col("p_brand").alias("brand"),
+            F.struct(F.col("p_type").alias("type")).alias("geo"),
+        ).alias("address"),
+    )
+    return nested.select(
+        "p_partkey",
+        F.col("rating.rate").alias("rating_rate"),
+        F.col("rating.count").alias("rating_count"),
+        F.col("address.brand").alias("brand"),
+        F.col("address.geo.type").alias("type_name"),
+    )
+
+
+STRUCT_FLATTEN_SQL = """
+SELECT p_partkey,
+       p_retailprice AS rating_rate,
+       p_size        AS rating_count,
+       p_brand       AS brand,
+       p_type        AS type_name
+FROM part
+"""

@@ -1,0 +1,176 @@
+"""Sinks — SURVEY §2.1 S10-S19.
+
+The reference loads into SQLite/Postgres via SQLAlchemy with batched
+inserts and a row-at-a-time upsert loop (db_loader.py:225-389).
+Spark-native equivalents over immutable columnar storage:
+
+* parquet append/overwrite writes (the reference's CSV sinks S10/S11
+  upgraded to parquet per SURVEY §7.1),
+* MERGE-style upsert as a set-oriented join rewrite (left_anti ∪
+  updates) — the required replacement for the O(rows) upsert loop
+  (SURVEY §4.2),
+* audit-column stamping, sink-schema projection, run logging, view
+  DDL — engine code mirroring db_loader.py:84-212, 250-263, 443-474.
+
+JDBC paths are provided but import-guarded (no DB in this container);
+at scale the parquet/lakehouse path is the primary sink anyway.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S10/S11 upgraded: parquet with optional partition columns —
+    partitionBy is the Spark replacement for the reference's B-tree
+    indexes (partition pruning instead of index seeks)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def with_audit_columns(df: DataFrame) -> DataFrame:
+    """S14: stamp created_at/updated_at if absent (db_loader.py:250-253)."""
+    if "updated_at" not in df.columns:
+        df = df.withColumn("updated_at", F.current_timestamp())
+    if "created_at" not in df.columns:
+        df = df.withColumn("created_at", F.current_timestamp())
+    return df
+
+
+def project_to_schema(df: DataFrame, target_columns: list[str]) -> DataFrame:
+    """S15: drop columns the target table doesn't have
+    (db_loader.py:256-263) — kept explicit even though Catalyst prunes,
+    because it is a sink *contract*, not an optimization."""
+    keep = [c for c in df.columns if c in set(target_columns)]
+    return df.select(*keep)
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key_columns: list[str],
+) -> int:
+    """S13: MERGE semantics on plain parquet.
+
+    target ⟕anti updates ∪ updates, written back atomically via a temp
+    path swap.  Idempotent like the reference's re-runnable loads
+    (db_loader.py:274-290): re-applying the same updates is a no-op
+    change.  On Delta/Iceberg this becomes a real MERGE INTO with
+    file-level pruning; the join rewrite is the storage-agnostic form.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        target = spark.read.parquet(path)
+        merged = target.join(updates, key_columns, "left_anti").unionByName(
+            updates, allowMissingColumns=True
+        )
+    else:
+        merged = updates
+    tmp = f"{path}__tmp_upsert"
+    merged.write.mode("overwrite").parquet(tmp)
+    count = spark.read.parquet(tmp).count()
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+    return count
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 1000,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S12: JDBC batch-append (db_loader.py:225-317's to_sql slices →
+    one distributed write with per-partition batching)."""
+    writer = (
+        df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .mode(mode)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+# --- Run log (S18) ----------------------------------------------------------
+
+RUN_LOG_SCHEMA = (
+    "run_id string, source string, status string, started_at timestamp,"
+    " duration_seconds double, rows_extracted long, rows_transformed long,"
+    " rows_loaded long, validation_passed boolean, error_message string"
+)
+
+
+@dataclass
+class RunMetrics:
+    run_id: str
+    source: str
+    status: str = "success"
+    started_at: float = 0.0
+    duration_seconds: float = 0.0
+    rows_extracted: int = 0
+    rows_transformed: int = 0
+    rows_loaded: int = 0
+    validation_passed: bool = True
+    error_message: str | None = None
+
+
+def log_etl_run(spark: SparkSession, metrics: RunMetrics, path: str) -> None:
+    """S18: append one audit row per run (db_loader.py:443-474;
+    schema.sql:180-192)."""
+    import datetime
+
+    row = [
+        (
+            metrics.run_id,
+            metrics.source,
+            metrics.status,
+            datetime.datetime.fromtimestamp(metrics.started_at or time.time()),
+            float(metrics.duration_seconds),
+            metrics.rows_extracted,
+            metrics.rows_transformed,
+            metrics.rows_loaded,
+            metrics.validation_passed,
+            metrics.error_message,
+        )
+    ]
+    spark.createDataFrame(row, RUN_LOG_SCHEMA).write.mode("append").parquet(path)
+
+
+# --- Views / DDL (S19) ------------------------------------------------------
+
+
+def create_analytic_views(spark: SparkSession, sf_dir: str) -> None:
+    """S19: register the warehouse views (schema.sql:203-234) over the
+    catalog's temp views so spark.sql can query them by name."""
+    from ..catalog import register_views
+    from ..plans.views import V_DELIVERY_PERFORMANCE_SQL, V_ORDER_SUMMARY_SQL
+
+    register_views(spark, sf_dir)
+    spark.sql(
+        f"CREATE OR REPLACE TEMP VIEW v_order_summary AS {V_ORDER_SUMMARY_SQL}"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW v_delivery_performance AS "
+        + V_DELIVERY_PERFORMANCE_SQL
+    )

@@ -1,0 +1,143 @@
+"""Structured Streaming ingestion — SURVEY §2.8 (beyond-parity).
+
+The reference has no streaming implementation (Kafka is a commented
+dependency, requirements.txt:24; ingestion is a daily Airflow batch).
+The idiomatic Spark upgrade of its poll-and-batch design:
+
+    file source (parquet dir, new files picked up incrementally)
+      → event-time watermark (late-data bound)
+      → tumbling-window aggregates (the streaming twin of
+        plans/relational_queries.events_hourly_rollup — identical
+        results per window once the watermark closes it)
+      → foreachBatch upsert into the serving store (reusing the batch
+        MERGE rewrite, so batch and streaming share one sink path)
+
+At scale: the file source scales by listing parallelism, state is
+bounded by (windows in watermark horizon × event types), and
+foreachBatch writes are idempotent via the upsert key — giving
+effectively-exactly-once output on top of checkpointed offsets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Incremental file-source reader over an events directory."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-type rollup with late-data watermark.
+
+    Batch-equivalence: on a static frame this produces exactly
+    events_hourly_rollup's groups (window.start == date_trunc) —
+    the property the oracle-checked batch twin pins down.
+    approx_count_distinct replaces countDistinct because exact
+    distinct state is unbounded per window at stream scale."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "approx_users",
+            "sum_value",
+        )
+    )
+
+
+def start_rollup_stream(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = True,
+):
+    """Wire source → rollup → foreachBatch upsert and start the query.
+
+    availableNow processes the current backlog then stops — the batch
+    refresh mode; drop it for a continuously-running micro-batch job.
+    """
+    from ..sources.sinks import upsert_parquet
+
+    rollup = windowed_rollup(
+        read_event_stream(spark, source_path), window_duration, watermark
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(
+            batch_df.sparkSession,
+            batch_df,
+            sink_path,
+            key_columns=["window_start", "event_type"],
+        )
+
+    writer = (
+        rollup.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(upsert_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (gap-based) per user — the stateful-windowing
+    operator family the reference lacks entirely."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

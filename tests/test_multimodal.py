@@ -1,0 +1,62 @@
+"""Multimodal binary-column plumbing: schemas, Arrow batch shapes,
+fan-out — with the stubbed decoder injected (no media libs here)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_for_e_commerce_logistics_spark.catalog import read_parquet_table
+from data_engineering_for_e_commerce_logistics_spark.operators import multimodal
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = read_parquet_table(spark, f"{SF_DIR}/documents.parquet")
+    return multimodal.synthetic_media_table(spark, docs.limit(50))
+
+
+def test_media_schema(spark, media):
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    assert media.count() == 50
+
+
+def test_image_features_with_fake_decoder(spark, media):
+    out = multimodal.image_features(media, decoder=multimodal.fake_image_decoder)
+    rows = out.collect()
+    assert len(rows) == 50
+    r = rows[0]
+    assert r.n_bytes > 0 and len(r.sha_hex) == 64
+    assert r.width >= 64 and r.height >= 64 and r.n_channels == 3
+    # determinism: same payload → same fake dims
+    again = multimodal.image_features(media, decoder=multimodal.fake_image_decoder)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+
+
+def test_real_decoder_is_explicit_stub(spark, media):
+    with pytest.raises(Exception) as err:
+        multimodal.image_features(media).collect()
+    assert "Pillow" in str(err.value) or "NotImplementedError" in str(err.value)
+
+
+def test_frame_sampling_fanout(spark, media):
+    out = multimodal.sample_frames(media, every_n=10)
+    n_media = media.count()
+    assert out.count() >= n_media  # every blob yields ≥1 frame
+    assert out.select("media_id").distinct().count() == n_media
+    assert out.schema["frame_idx"].dataType.typeName() == "integer"
+
+
+def test_metadata_projection_prunes_payload(spark, media, tmp_path):
+    """Column pruning proof: reading metadata-only from parquet must
+    not read the payload column (ReadSchema excludes it)."""
+    p = str(tmp_path / "media")
+    media.write.parquet(p)
+    meta = multimodal.media_metadata_only(spark.read.parquet(p))
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    # length(payload) requires payload; project only mime/meta instead
+    meta2 = spark.read.parquet(p).select("media_id", "mime", "meta_json")
+    plan2 = meta2._jdf.queryExecution().executedPlan().toString()
+    assert "payload" not in plan2.split("ReadSchema")[1].split("\n")[0]

@@ -1,0 +1,177 @@
+"""Sources (API shapes, CSV, profiler) and sinks (upsert, audit,
+projection, run log) — reference coverage test_extract.py /
+test_load.py re-expressed for the Spark engine."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_for_e_commerce_logistics_spark.sources import api, readers, sinks
+
+# Canned payloads mirroring the reference's mocked JSON
+# (tests/test_extract.py:19-29, :50-59).
+PRODUCTS_FIXTURE = [
+    {
+        "id": 1,
+        "title": "Widget",
+        "price": 9.99,
+        "description": "d",
+        "category": "Tools",
+        "rating": {"rate": 4.5, "count": 120},
+    },
+    {
+        "id": 2,
+        "title": "Gadget",
+        "price": 19.99,
+        "description": "d2",
+        "category": "tools",
+        "rating": {"rate": 3.9, "count": 80},
+    },
+]
+
+CARTS_FIXTURE = [
+    {
+        "id": 1,
+        "userId": 7,
+        "date": "2020-03-02",
+        "products": [
+            {"productId": 1, "quantity": 4},
+            {"productId": 2, "quantity": 1},
+        ],
+    }
+]
+
+USERS_FIXTURE = [
+    {
+        "id": 7,
+        "email": "a@b.c",
+        "username": "ab",
+        "phone": "1",
+        "name": {"firstname": "ada", "lastname": "l"},
+        "address": {
+            "city": "x",
+            "street": "s",
+            "zipcode": "z",
+            "geolocation": {"lat": "1.5", "long": "-2.5"},
+        },
+    }
+]
+
+
+def fixture_fetcher(endpoint: str):
+    return {"products": PRODUCTS_FIXTURE, "carts": CARTS_FIXTURE, "users": USERS_FIXTURE}[
+        endpoint
+    ]
+
+
+def test_products_flatten(spark):
+    raw = api.read_endpoint(spark, "products", fixture_fetcher)
+    out = readers.flatten_products(raw)
+    rows = {r.product_id: r for r in out.collect()}
+    assert rows[1].rating_rate == 4.5 and rows[1].rating_count == 120
+    assert "rating" not in out.columns
+
+
+def test_carts_explode(spark):
+    raw = api.read_endpoint(spark, "carts", fixture_fetcher)
+    out = readers.explode_carts(raw)
+    rows = out.orderBy("product_id").collect()
+    assert len(rows) == 2  # one row per line item
+    assert rows[0].order_id == 1 and rows[0].user_id == 7
+    assert rows[0].quantity == 4 and rows[1].quantity == 1
+
+
+def test_users_deep_flatten(spark):
+    raw = api.read_endpoint(spark, "users", fixture_fetcher)
+    out = readers.flatten_users(raw)
+    r = out.first()
+    assert r.first_name == "ada" and r.lat == 1.5 and r.lng == -2.5
+
+
+def test_distributed_fetch(spark):
+    """mapInPandas page-fan-out path returns the same typed rows.
+
+    The fetcher must close over its data (pickled by value): executors
+    cannot import the tests module to resolve a module-level function.
+    """
+    payload = list(PRODUCTS_FIXTURE)
+    out = api.read_endpoint_distributed(
+        spark,
+        endpoint_for_page=lambda page: "products",
+        n_pages=2,
+        schema=api.PRODUCT_SCHEMA,
+        fetcher=lambda endpoint, _p=payload: _p,
+        parallelism=2,
+    )
+    assert out.count() == 4  # 2 pages × 2 products
+    assert out.schema["rating"].dataType.typeName() == "struct"
+
+
+def test_csv_roundtrip_and_multi_table(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    p = str(tmp_path / "t.csv")
+    df.write.mode("overwrite").option("header", "true").csv(p)
+    back = readers.load_csv(spark, p)
+    assert back.count() == 2
+    found = readers.load_multi_table(
+        spark, {"t": p, "missing": str(tmp_path / "nope.csv")}
+    )
+    assert set(found) == {"t"}  # missing skipped with tolerance
+
+
+def test_profile_table(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None), (2, 3.0)], "id int, v double"
+    )
+    prof = readers.profile_table(df)
+    assert prof["row_count"] == 3
+    assert prof["columns"]["v"]["null_count"] == 1
+    assert prof["columns"]["id"]["distinct_count"] == 2
+    assert prof["columns"]["v"]["min"] == 1.0
+
+
+def test_upsert_parquet_idempotent(spark, tmp_path):
+    path = str(tmp_path / "target")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k int, s string, v double"
+    )
+    base.write.parquet(path)
+    updates = spark.createDataFrame([(2, "b2", 9.0), (3, "c", 3.0)], "k int, s string, v double")
+    n = sinks.upsert_parquet(spark, updates, path, ["k"])
+    assert n == 3
+    got = {r.k: r.s for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    # idempotency: re-applying the same updates changes nothing
+    n2 = sinks.upsert_parquet(spark, updates, path, ["k"])
+    assert n2 == 3
+    got2 = {r.k: r.s for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+
+
+def test_audit_and_projection(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, junk string")
+    stamped = sinks.with_audit_columns(df)
+    assert {"created_at", "updated_at"} <= set(stamped.columns)
+    projected = sinks.project_to_schema(stamped, ["id", "created_at"])
+    assert projected.columns == ["id", "created_at"]
+
+
+def test_run_log_append(spark, tmp_path):
+    path = str(tmp_path / "runlog")
+    sinks.log_etl_run(
+        spark,
+        sinks.RunMetrics(run_id="r1", source="api", rows_loaded=10),
+        path,
+    )
+    sinks.log_etl_run(
+        spark,
+        sinks.RunMetrics(run_id="r2", source="csv", status="failed"),
+        path,
+    )
+    log = spark.read.parquet(path)
+    assert log.count() == 2
+    assert {r.run_id for r in log.collect()} == {"r1", "r2"}

@@ -1,0 +1,117 @@
+"""Structured Streaming ingestion: file source → watermark → tumbling
+windows → foreachBatch upsert, with batch-equivalence against the
+oracle-checked batch rollup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_for_e_commerce_logistics_spark.catalog import read_parquet_table
+from data_engineering_for_e_commerce_logistics_spark.streaming import ingest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Stage the events table as a parquet directory (the stream source)."""
+    path = str(tmp_path_factory.mktemp("stream") / "events")
+    read_parquet_table(spark, f"{SF_DIR}/events.parquet").write.parquet(path)
+    return path
+
+
+def test_stream_rollup_matches_batch(spark, events_dir, tmp_path):
+    sink = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest.start_rollup_stream(spark, events_dir, sink, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    batch = (
+        read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    # every (window, type) group agrees on count with the batch twin
+    j = got.select("window_start", "event_type", "n_events").join(
+        batch, ["window_start", "event_type"], "full_outer"
+    )
+    assert got.count() == batch.count()
+    mismatch = j.filter(
+        got["n_events"].isNull()
+        | batch["n_events"].isNull()
+        | (got["n_events"] != batch["n_events"])
+    )
+    assert mismatch.count() == 0
+
+
+def test_stream_incremental_and_watermark_drop(spark, events_dir, tmp_path):
+    """Second availableNow run picks up new files incrementally: a
+    fresh in-horizon event creates its window group, while an event
+    older than the advanced watermark is dropped (late-data bound)."""
+    sink = str(tmp_path / "rollup2")
+    ckpt = str(tmp_path / "ckpt2")
+    q = ingest.start_rollup_stream(spark, events_dir, sink, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(sink).count()
+
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).first()[0]
+    fresh_ts = (max_ts + __import__("datetime").timedelta(hours=3)).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    new_events = spark.createDataFrame(
+        [
+            (999999, fresh_ts, 1, "click", 1.0, "{}"),
+            # far older than watermark (stream has advanced weeks past) → dropped
+            (999998, "2024-01-01 00:30:00", 1, "click", 1.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id",
+        F.to_timestamp("ts").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    new_events.write.mode("append").parquet(events_dir)
+
+    q2 = ingest.start_rollup_stream(spark, events_dir, sink, ckpt)
+    q2.awaitTermination(120)
+    out = spark.read.parquet(sink)
+    # exactly one new group (the fresh event's window); the too-late
+    # event neither adds a group nor bumps an existing count
+    assert out.count() == n1 + 1
+    fresh_window = out.filter(F.col("window_start") > max_ts).first()
+    assert fresh_window is not None and fresh_window.n_events == 1
+    jan1 = out.filter(
+        (F.col("event_type") == "click")
+        & (F.col("window_start") == F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+    ).first()
+    old_count = (
+        spark.read.parquet(events_dir)
+        .filter(
+            (F.col("event_type") == "click")
+            & (F.date_trunc("hour", "ts") == F.to_timestamp(F.lit("2024-01-01 00:00:00")))
+            & (F.col("event_id") < 999000)
+        )
+        .count()
+    )
+    if jan1 is not None:
+        assert jan1.n_events == old_count  # late event not double-counted
+
+
+def test_sessionize_shape(spark, events_dir):
+    stream = ingest.read_event_stream(spark, events_dir)
+    sess = ingest.sessionize(stream)
+    assert set(sess.columns) == {
+        "session_start",
+        "session_end",
+        "user_id",
+        "n_events",
+        "sum_value",
+    }
+    assert sess.isStreaming
