@@ -90,6 +90,15 @@ register(
     "events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",)
 )
 register(
+    "events_sessionize",
+    rq.events_sessionize,
+    rq.EVENTS_SESSIONIZE_SQL,
+    ("window", "session"),
+)
+register(
+    "binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",)
+)
+register(
     "sql_api_order_summary",
     rq.sql_api_order_summary,
     views.V_ORDER_SUMMARY_SQL,

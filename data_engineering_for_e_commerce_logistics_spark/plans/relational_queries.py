@@ -304,6 +304,92 @@ def sql_api_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(V_ORDER_SUMMARY_SQL)
 
 
+# --- Session windows (batch twin of streaming.sessionize) ------------------
+
+SESSION_GAP_SEC = 1800
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user via Spark's session_window, run in
+    batch mode — the oracle proves it against the classic
+    gaps-and-islands SQL (lag → new-session flag → running sum →
+    group).  Session end = last event + gap (Spark's semantics)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SEC} seconds").alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr(
+                "cast(round(sum(cast((value) as decimal(28,8))), 2) as double)"
+            ).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR extract(epoch FROM ts)
+                  - extract(epoch FROM lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                  >= {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (
+      PARTITION BY user_id ORDER BY ts
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_SEC} SECOND AS session_end,
+       count(*) AS n_events,
+       cast(round(sum(cast((value) as decimal(28,8))), 2) as double) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+# --- Multimodal binary columns (oracle-checked plumbing) -------------------
+
+
+def binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column path: encode text → binary payload, then
+    byte-length + hex-prefix features, all JVM-side.  (The Pandas-UDF
+    decode stages are exercised in tests/test_multimodal.py; this entry
+    pins the binary schema + deterministic byte math with an oracle.)"""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return media.select(
+        "media_id",
+        F.expr("octet_length(payload)").alias("n_bytes"),
+        F.lower(F.substring(F.hex(F.col("payload")), 1, 16)).alias("head_hex"),
+    )
+
+
+BINARY_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       lower(substr(hex(encode(text)), 1, 16)) AS head_hex
+FROM documents
+"""
+
 # --- Struct flatten (S2/S4 shapes over relational data) --------------------
 
 
