@@ -38,6 +38,14 @@ HEADLINE = [
     "text_lang_id",
     "embedding_topk",
     "embedding_ann",
+    "events_sessionize",
+    "binary_features",
+    "quantiles_lineitem",
+    "top_orders",
+    "rollup_orders",
+    "pivot_orders",
+    "semi_anti_orders",
+    "upsert_orders",
 ]
 
 

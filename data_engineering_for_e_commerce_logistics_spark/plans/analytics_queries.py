@@ -1,0 +1,205 @@
+"""Analytics extensions beyond the reference's operator set (SURVEY
+§2.5-§2.6 notes them absent): grouping sets, pivot, semi/anti joins,
+multi-quantiles, backward fill, set operations.  A reference user
+gets the full relational surface, not just the subset the pandas code
+exercised — each entry oracle-checked like everything else.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions import sql_exact_sum
+from ..operators import cleaners
+
+# --- ROLLUP / CUBE (grouping sets) -----------------------------------------
+
+_SUM_TOTALPRICE = sql_exact_sum("o_totalprice", 2)
+
+
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals status → (status, priority) → grand total.
+    One pass; Spark expands grouping sets in the aggregate."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(_SUM_TOTALPRICE).alias("total_value"),
+    )
+
+
+ROLLUP_ORDERS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {_SUM_TOTALPRICE} AS total_value
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(_SUM_TOTALPRICE).alias("total_value"),
+    )
+
+
+CUBE_ORDERS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {_SUM_TOTALPRICE} AS total_value
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
+# --- PIVOT ------------------------------------------------------------------
+
+_STATUSES = ["P", "O", "F"]
+
+
+def pivot_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status columns per priority (explicit pivot values: no extra
+    distinct-values job, stable schema).  Absent combos → 0 to match
+    the conditional-count oracle."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    pivoted = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in _STATUSES
+        ],
+    )
+
+
+PIVOT_ORDERS_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'P') AS n_p,
+       count(*) FILTER (o_orderstatus = 'O') AS n_o,
+       count(*) FILTER (o_orderstatus = 'F') AS n_f
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+# --- Semi / anti joins ------------------------------------------------------
+
+
+def semi_anti_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as left_semi / left_anti joins, labeled."""
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    o, li = t["orders"], t["lineitem"]
+    keys = li.select("l_orderkey").distinct()
+    semi = (
+        o.join(keys, o.o_orderkey == keys.l_orderkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bucket", F.lit("with_items"))
+    )
+    anti = (
+        o.join(keys, o.o_orderkey == keys.l_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("bucket", F.lit("without_items"))
+    )
+    return semi.unionByName(anti).select("bucket", "n_orders")
+
+
+SEMI_ANTI_ORDERS_SQL = """
+SELECT 'with_items' AS bucket, count(*) AS n_orders FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'without_items' AS bucket, count(*) AS n_orders FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+# --- Multi-quantile profile (A8 beyond the median) -------------------------
+
+
+def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles (Spark percentile ≡ DuckDB
+    quantile_cont).  At 100 TB switch to approx_percentile — exact
+    percentile is a full sort per column."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    return li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("price_q25"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("price_q50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("price_q75"),
+        F.expr("percentile(l_quantity, 0.5)").alias("qty_q50"),
+    )
+
+
+QUANTILES_LINEITEM_SQL = """
+SELECT quantile_cont(l_extendedprice, 0.25) AS price_q25,
+       quantile_cont(l_extendedprice, 0.5)  AS price_q50,
+       quantile_cont(l_extendedprice, 0.75) AS price_q75,
+       quantile_cont(l_quantity, 0.5)       AS qty_q50
+FROM lineitem
+"""
+
+# --- Backward fill (P4's other direction) ----------------------------------
+
+
+def bfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return cleaners.fill_directional(
+        masked,
+        ["value"],
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        direction="backward",
+    )
+
+
+BFILL_EVENTS_SQL = """
+SELECT event_id, user_id, ts, event_type,
+       first_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value
+FROM (SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'view' THEN NULL ELSE value END AS value
+      FROM events)
+"""
+
+# --- Set operations ---------------------------------------------------------
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT over customer key sets by order status."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    f_cust = o.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    p_cust = o.filter(F.col("o_orderstatus") == "P").select("o_custkey").distinct()
+    both = (
+        f_cust.intersect(p_cust)
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("bucket", F.lit("both_f_and_p"))
+    )
+    only_f = (
+        f_cust.exceptAll(p_cust)
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn("bucket", F.lit("only_f"))
+    )
+    return both.unionByName(only_f).select("bucket", "n_customers")
+
+
+SET_OPS_CUSTOMERS_SQL = """
+WITH f_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     p_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+SELECT 'both_f_and_p' AS bucket, count(*) AS n_customers
+FROM (SELECT o_custkey FROM f_cust INTERSECT SELECT o_custkey FROM p_cust)
+UNION ALL
+SELECT 'only_f' AS bucket, count(*) AS n_customers
+FROM (SELECT o_custkey FROM f_cust EXCEPT SELECT o_custkey FROM p_cust)
+"""

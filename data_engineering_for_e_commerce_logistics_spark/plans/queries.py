@@ -6,6 +6,7 @@ the registry consumed by ``__spark_entry__`` and the pytest harness.
 
 from __future__ import annotations
 
+from . import analytics_queries as aq
 from . import cleaning_queries as cq
 from . import extended_queries as xq
 from . import relational_queries as rq
@@ -109,6 +110,21 @@ register(
     rq.struct_flatten_roundtrip,
     rq.STRUCT_FLATTEN_SQL,
     ("struct",),
+)
+
+# --- Analytics extensions (grouping sets, pivot, semi/anti, set ops) ---
+register("rollup_orders", aq.rollup_orders, aq.ROLLUP_ORDERS_SQL, ("grouping-sets",))
+register("cube_orders", aq.cube_orders, aq.CUBE_ORDERS_SQL, ("grouping-sets",))
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register(
+    "semi_anti_orders", aq.semi_anti_orders, aq.SEMI_ANTI_ORDERS_SQL, ("join",)
+)
+register(
+    "quantiles_lineitem", aq.quantiles_lineitem, aq.QUANTILES_LINEITEM_SQL, ("agg",)
+)
+register("bfill_events", aq.bfill_events, aq.BFILL_EVENTS_SQL, ("nulls", "window"))
+register(
+    "set_ops_customers", aq.set_ops_customers, aq.SET_OPS_CUSTOMERS_SQL, ("set-ops",)
 )
 
 # --- Training-data pipeline: dedup / text / similarity -----------------
