@@ -207,6 +207,129 @@ FROM (SELECT event_id, user_id, ts, event_type,
       FROM events)
 """
 
+# --- As-of join (time-series; oracle = DuckDB native ASOF JOIN) ------------
+
+
+def asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event enriched with the user's latest order state as of the
+    event time.  Orders pre-aggregated per (custkey, orderdate) so the
+    as-of match is unique; engine op = union-and-carry window (one
+    shuffle), oracle = DuckDB's native ASOF LEFT JOIN."""
+    from ..operators.temporal import asof_join
+
+    t = load_tables(spark, sf_dir, ("events", "orders"))
+    ev = t["events"].select("event_id", "user_id", "ts")
+    oagg = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .agg(
+            F.expr(sql_exact_sum("o_totalprice", 2)).alias("order_value"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+    )
+    out = asof_join(
+        ev,
+        oagg,
+        on="user_id",
+        left_time="ts",
+        right_time="order_date",
+        payload=["order_value", "order_count"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_order_value").alias("last_order_value"),
+        F.col("asof_order_count").alias("last_order_count"),
+        F.col("asof_time").alias("last_order_date"),
+    )
+
+
+ASOF_EVENTS_ORDERS_SQL = f"""
+WITH oagg AS (
+  SELECT o_custkey AS user_id, o_orderdate AS order_date,
+         {sql_exact_sum("o_totalprice", 2)} AS order_value,
+         count(*) AS order_count
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.order_value AS last_order_value,
+       o.order_count AS last_order_count,
+       o.order_date  AS last_order_date
+FROM events e
+ASOF LEFT JOIN oagg o ON e.user_id = o.user_id AND e.ts >= o.order_date
+"""
+
+# --- TPC-H Q3-style shipping priority (3-way join + agg + top-K) -----------
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-heavy 3-way join: segment-filtered customers (broadcast)
+    ⨝ date-filtered orders ⨝ lineitem, revenue per order, top 10.
+    Filters push to the parquet scans; the only big shuffle is the
+    per-order aggregation."""
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t["orders"].filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            orders.o_orderkey.alias("order_id"),
+            orders.o_orderdate.alias("order_date"),
+            orders.o_orderpriority.alias("order_priority"),
+        )
+        .agg(
+            F.expr(sql_exact_sum("l_extendedprice * (1 - l_discount)", 2)).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("order_id").asc())
+        .limit(10)
+    )
+
+
+Q3_SHIPPING_PRIORITY_SQL = f"""
+SELECT o.o_orderkey AS order_id,
+       o.o_orderdate AS order_date,
+       o.o_orderpriority AS order_priority,
+       {sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, order_id ASC
+LIMIT 10
+"""
+
+# --- Sketch aggregates (the 100 TB path; rows-only check) -------------------
+
+
+def sketch_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct + t-digest-style percentile sketches — the
+    bounded-memory forms of A5/A8 for stream/corpus scale.  No oracle:
+    sketch internals differ across engines by design (driver records
+    the weaker rows-only check; exact twins are agg_cardinality_lineitem
+    and quantiles_lineitem)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # --- Set operations ---------------------------------------------------------
 
 

@@ -126,6 +126,24 @@ register("bfill_events", aq.bfill_events, aq.BFILL_EVENTS_SQL, ("nulls", "window
 register(
     "set_ops_customers", aq.set_ops_customers, aq.SET_OPS_CUSTOMERS_SQL, ("set-ops",)
 )
+register(
+    "asof_events_orders",
+    aq.asof_events_orders,
+    aq.ASOF_EVENTS_ORDERS_SQL,
+    ("join", "asof", "temporal"),
+)
+register(
+    "q3_shipping_priority",
+    aq.q3_shipping_priority,
+    aq.Q3_SHIPPING_PRIORITY_SQL,
+    ("join", "agg", "topk"),
+)
+register(
+    "sketch_aggregates_events",
+    aq.sketch_aggregates_events,
+    None,
+    ("agg", "sketch", "rows-only"),
+)
 
 # --- Training-data pipeline: dedup / text / similarity -----------------
 register(

@@ -112,6 +112,27 @@ def write_jdbc(
     writer.save()
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_columns: list[str],
+    num_buckets: int = 32,
+    sort_columns: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: the 100 TB co-location primitive.
+
+    Two fact tables bucketed (and optionally sorted) on their join key
+    join with ZERO shuffle — each bucket pairs off directly; this is
+    the Spark replacement for the reference's FK B-tree indexes on
+    join columns (schema.sql:118-173) at warehouse scale.  Requires a
+    metastore table (saveAsTable), not a bare path."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_columns)
+    if sort_columns:
+        writer = writer.sortBy(*sort_columns)
+    writer.saveAsTable(table)
+
+
 # --- Run log (S18) ----------------------------------------------------------
 
 RUN_LOG_SCHEMA = (

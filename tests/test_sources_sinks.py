@@ -160,6 +160,23 @@ def test_audit_and_projection(spark):
     assert projected.columns == ["id", "created_at"]
 
 
+def test_bucketed_table_join_no_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key → the join plan has no
+    exchange (the point of bucketing: co-located 100 TB fact joins)."""
+    a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
+    sinks.write_bucketed_table(a, "bucketed_a", ["k"], num_buckets=4, sort_columns=["k"])
+    sinks.write_bucketed_table(b, "bucketed_b", ["k"], num_buckets=4, sort_columns=["k"])
+    try:
+        joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert joined.count() == 1000
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
 def test_run_log_append(spark, tmp_path):
     path = str(tmp_path / "runlog")
     sinks.log_etl_run(
