@@ -52,9 +52,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql() -> str:
-    """Mirrors minhash_signature's Kirsch-Mitzenmacher family exactly:
-    one md5 per shingle → two 60-bit hex ints → (h1 + i*h2) mod P."""
+def minhash_pipeline_ctes() -> str:
+    """CTE body mirroring minhash_signature's Kirsch-Mitzenmacher
+    family exactly (one md5 per shingle → two 60-bit hex ints →
+    (h1 + i*h2) mod P), ending in a `verified(id_a, id_b, jaccard)`
+    CTE.  Shared by the pair query and the cluster query's recursive
+    oracle."""
     p = 2_147_483_647  # dedup.MINHASH_PRIME
     r = NUM_HASHES // BANDS
     mins = ",\n         ".join(
@@ -70,7 +73,7 @@ def _minhash_sql() -> str:
         for b in range(BANDS)
     )
     return f"""
-WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
 sh AS (SELECT doc_id, unnest({sql_shingles('tok', SHINGLE_K)}) AS shingle
        FROM tok),
 hashed AS (
@@ -90,19 +93,24 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 ),
-shl AS (SELECT doc_id, {sql_shingles('tok', SHINGLE_K)} AS ws FROM tok)
-SELECT id_a, id_b,
-       len(list_intersect(a.ws, b.ws))::DOUBLE /
-       (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
-FROM cand
-JOIN shl a ON cand.id_a = a.doc_id
-JOIN shl b ON cand.id_b = b.doc_id
-WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
-      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= {THRESHOLD}
+shl AS (SELECT doc_id, {sql_shingles('tok', SHINGLE_K)} AS ws FROM tok),
+verified AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.ws, b.ws))::DOUBLE /
+         (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jaccard
+  FROM cand
+  JOIN shl a ON cand.id_a = a.doc_id
+  JOIN shl b ON cand.id_b = b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
+        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= {THRESHOLD}
+)
 """
 
 
-DEDUP_MINHASH_SQL = _minhash_sql()
+DEDUP_MINHASH_SQL = f"""
+WITH {minhash_pipeline_ctes()}
+SELECT id_a, id_b, jaccard FROM verified
+"""
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,241 @@
+"""Iterative / vector / text-stat extensions.
+
+dedup_clusters is the engine's iterative-algorithm showcase: connected
+components of the near-dup pair graph via min-label propagation — a
+driver-side loop of joins run to convergence (the standard Pregel-less
+Spark pattern), proven against DuckDB's WITH RECURSIVE fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions import exact_round
+from ..operators import dedup
+from ..operators.dedup import sql_shingles
+from .extended_queries import BANDS, NUM_HASHES, SHINGLE_K, THRESHOLD
+from .extended_queries import minhash_pipeline_ctes
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs: each duplicate doc →
+    its cluster representative (min doc_id in the component).
+
+    Min-label propagation to fixpoint: labels start as own id; each
+    iteration takes the min of own and neighbors' labels; stop when an
+    iteration changes nothing.  Iterations = graph diameter (1 for
+    isolated pairs, more for chains) — each is one join + one
+    aggregate; at billion-edge scale you'd checkpoint per iteration to
+    truncate lineage, semantics unchanged.
+
+    Pairs come from the LSH pipeline (not the quadratic all-pairs
+    scan), so the whole operator is corpus-scale-safe."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_lsh_dedup(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=THRESHOLD,
+    )
+
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    # Materialize the edge list before looping: every fixpoint action
+    # otherwise re-executes the whole upstream LSH pipeline (measured
+    # 32s → ~3s at sf0.01).  Edges are O(duplicate pairs) — tiny
+    # relative to the corpus.
+    edges = edges.cache()
+    edges.count()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels.cache()
+    labels.count()
+
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                labels.node.alias("node"),
+                F.least(
+                    labels.label, F.coalesce(F.col("nlabel"), labels.label)
+                ).alias("label"),
+            )
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+{minhash_pipeline_ctes()},
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+"""
+
+# --- IVF centroid assignment (vector quantization) -------------------------
+
+N_CENTROIDS = 8
+
+
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse quantization: every vector assigned to its nearest seed
+    centroid (L2; seeds = first N vectors — deterministic, a k-means
+    iteration would refine them with the same plan shape).  Broadcast
+    centroids → map-side scoring, one row_number per vector."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double_vec, _fold_sum
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
+        "dist",
+        _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id", "dist")
+    )
+
+
+IVF_ASSIGN_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.centroid_id,
+         list_reduce(list_transform(list_zip(e.v, c.cv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+  FROM e, c
+)
+SELECT vec_id, centroid_id, dist FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+# --- n-gram frequency profile ----------------------------------------------
+
+
+def ngram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 word bigrams per language (corpus-statistics primitive:
+    explode → count → per-group top-k window)."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select("lang", F.split("text", " ").alias("__toks"))
+    bigrams = toks.select(
+        "lang", F.explode(dedup.shingles_from_tokens("__toks", 2)).alias("bigram")
+    )
+    counts = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("lang", "bigram", "n", "rank")
+    )
+
+
+NGRAM_FREQUENCIES_SQL = f"""
+WITH tok AS (SELECT lang, string_split(text, ' ') AS tok FROM documents),
+bigrams AS (SELECT lang, unnest({sql_shingles('tok', 2)}) AS bigram FROM tok),
+counts AS (SELECT lang, bigram, count(*) AS n FROM bigrams GROUP BY 1, 2)
+SELECT lang, bigram, n, rank FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY lang ORDER BY n DESC, bigram ASC) AS rank
+  FROM counts
+) WHERE rank <= 5
+"""
+
+# --- Scalar-function showcase (§2.7 breadth) --------------------------------
+
+
+def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction, math, string, and conditional scalars in one
+    per-row map — every function pair verified engine-identical."""
+    p = load_tables(spark, sf_dir, ("part",))["part"]
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_first_word"),
+        F.abs(F.col("p_size") - 25).alias("size_dev"),
+        F.ceil(F.col("p_retailprice")).cast("long").alias("price_ceil"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("price_floor"),
+        F.sqrt(F.col("p_retailprice")).alias("price_sqrt"),
+        # ln: JVM Math.log and libm log are each 1-ulp-accurate but not
+        # identical (18/2000 rows differed raw) — round to 8dp. sqrt is
+        # IEEE-correctly-rounded, no such divergence.
+        exact_round(F.log(F.col("p_retailprice")), 8).alias("price_ln"),
+        F.pow(F.col("p_size").cast("double"), F.lit(2.0)).alias("size_sq"),
+        F.concat_ws("-", "p_brand", F.upper(F.substring("p_name", 1, 3))).alias(
+            "brand_tag"
+        ),
+        F.when(F.col("p_size") >= 25, "large").otherwise("small").alias("size_class"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#13")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+    )
+
+
+SCALAR_FUNCTIONS_SQL = """
+SELECT p_partkey,
+       regexp_extract(p_type, '^(\\w+)', 1) AS type_first_word,
+       abs(p_size - 25) AS size_dev,
+       ceil(p_retailprice)::BIGINT AS price_ceil,
+       floor(p_retailprice)::BIGINT AS price_floor,
+       sqrt(p_retailprice) AS price_sqrt,
+       cast(round(cast(ln(p_retailprice) as decimal(28,8)), 8) as double) AS price_ln,
+       pow(p_size::DOUBLE, 2.0) AS size_sq,
+       p_brand || '-' || upper(substr(p_name, 1, 3)) AS brand_tag,
+       CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+       coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other
+FROM part
+"""

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from . import analytics_queries as aq
 from . import cleaning_queries as cq
+from . import graph_queries as gq
 from . import extended_queries as xq
 from . import relational_queries as rq
 from . import views
@@ -143,6 +144,25 @@ register(
     aq.sketch_aggregates_events,
     None,
     ("agg", "sketch", "rows-only"),
+)
+register(
+    "dedup_clusters",
+    gq.dedup_clusters,
+    gq.DEDUP_CLUSTERS_SQL,
+    ("dedup", "iterative", "graph"),
+)
+register("ivf_assign", gq.ivf_assign, gq.IVF_ASSIGN_SQL, ("similarity", "ivf"))
+register(
+    "ngram_frequencies",
+    gq.ngram_frequencies,
+    gq.NGRAM_FREQUENCIES_SQL,
+    ("text", "topk"),
+)
+register(
+    "scalar_functions_part",
+    gq.scalar_functions_part,
+    gq.SCALAR_FUNCTIONS_SQL,
+    ("scalar",),
 )
 
 # --- Training-data pipeline: dedup / text / similarity -----------------

@@ -119,6 +119,81 @@ def start_rollup_stream(
     return writer.start()
 
 
+RUNNING_TOTALS_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+RUNNING_TOTALS_STATE = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) maintained across micro-batches in the state
+    store, emitting the updated totals each batch.
+
+    This is the arbitrary-state escape hatch for operators windowed
+    aggregation can't express (per-key accumulators, ML feature state,
+    CDC merge logic).  State size is O(distinct users); eviction via
+    GroupStateTimeout when keys churn."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_OUTPUT,
+        stateStructType=RUNNING_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def start_running_totals_stream(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+):
+    """events stream → stateful running totals → foreachBatch upsert
+    keyed on user_id (latest state wins, idempotent re-runs)."""
+    from ..sources.sinks import upsert_parquet
+
+    totals = running_user_totals(read_event_stream(spark, source_path))
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(
+            batch_df.sparkSession, batch_df, sink_path, key_columns=["user_id"]
+        )
+
+    return (
+        totals.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(upsert_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

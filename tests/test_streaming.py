@@ -104,6 +104,46 @@ def test_stream_incremental_and_watermark_drop(spark, events_dir, tmp_path):
         assert jan1.n_events == old_count  # late event not double-counted
 
 
+def test_stateful_running_totals_matches_batch(spark, events_dir, tmp_path):
+    """applyInPandasWithState totals equal the batch groupBy, and state
+    persists across a checkpointed restart with new data."""
+    sink = str(tmp_path / "totals")
+    ckpt = str(tmp_path / "ckpt_totals")
+    q = ingest.start_running_totals_stream(spark, events_dir, sink, ckpt)
+    q.awaitTermination(180)
+
+    got = {r.user_id: (r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
+    batch = {
+        r.user_id: (r.n, r.t)
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("t"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for u in batch:
+        assert got[u][0] == batch[u][0]
+        assert abs(got[u][1] - batch[u][1]) < 1e-6
+
+    # restart with one appended event: state carries, count increments
+    extra_user = min(batch)
+    spark.createDataFrame(
+        [(888888, "2024-02-15 00:00:00", extra_user, "click", 2.5, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).select(
+        "event_id", F.to_timestamp("ts").alias("ts"), "user_id", "event_type", "value", "props"
+    ).write.mode("append").parquet(events_dir)
+
+    q2 = ingest.start_running_totals_stream(spark, events_dir, sink, ckpt)
+    q2.awaitTermination(180)
+    after = {r.user_id: (r.n_events, r.total_value) for r in spark.read.parquet(sink).collect()}
+    assert after[extra_user][0] == batch[extra_user][0] + 1
+    assert abs(after[extra_user][1] - (batch[extra_user][1] + 2.5)) < 1e-6
+
+
 def test_sessionize_shape(spark, events_dir):
     stream = ingest.read_event_stream(spark, events_dir)
     sess = ingest.sessionize(stream)
