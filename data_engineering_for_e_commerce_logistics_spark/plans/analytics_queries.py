@@ -313,6 +313,58 @@ ORDER BY revenue DESC, order_id ASC
 LIMIT 10
 """
 
+# --- Per-group regression (linear trend of customer spend) -----------------
+
+
+def customer_spend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer linear trend of order value over time via native
+    regr_slope/regr_intercept (JVM-side; the applyInPandas equivalent
+    is tested against this in tests/test_grouped_map.py).
+
+    x is re-centered to days-since-1995 — regressing against raw epoch
+    seconds (~8e8) loses precision to cancellation in both engines and
+    the engines cancel *differently*; conditioning the regressor keeps
+    cross-engine agreement inside the 8dp round."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    x = (
+        F.col("o_orderdate").cast("timestamp").cast("double")
+        - F.lit(788918400.0)  # 1995-01-01 UTC
+    ) / F.lit(86400.0)
+    per_cust = (
+        o.select(F.col("o_custkey").alias("customer_id"), x.alias("x"), F.col("o_totalprice").alias("y"))
+        .groupBy("customer_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_round_expr("regr_slope(y, x)", 8).alias("spend_slope"),
+            exact_round_expr("regr_intercept(y, x)", 4).alias("spend_intercept"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+    return per_cust
+
+
+def exact_round_expr(term: str, scale: int) -> F.Column:
+    from ..functions import sql_exact_round
+
+    return F.expr(sql_exact_round(term, scale))
+
+
+CUSTOMER_SPEND_SLOPE_SQL = """
+WITH pts AS (
+  SELECT o_custkey AS customer_id,
+         (extract(epoch FROM o_orderdate) - 788918400.0) / 86400.0 AS x,
+         o_totalprice AS y
+  FROM orders
+)
+SELECT customer_id,
+       count(*) AS n_orders,
+       cast(round(cast(regr_slope(y, x) as decimal(28,8)), 8) as double) AS spend_slope,
+       cast(round(cast(regr_intercept(y, x) as decimal(28,8)), 4) as double) AS spend_intercept
+FROM pts
+GROUP BY customer_id
+HAVING count(*) >= 3
+"""
+
 # --- Sketch aggregates (the 100 TB path; rows-only check) -------------------
 
 

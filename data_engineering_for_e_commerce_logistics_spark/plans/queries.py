@@ -140,6 +140,12 @@ register(
     ("join", "agg", "topk"),
 )
 register(
+    "customer_spend_slope",
+    aq.customer_spend_slope,
+    aq.CUSTOMER_SPEND_SLOPE_SQL,
+    ("agg", "regression"),
+)
+register(
     "sketch_aggregates_events",
     aq.sketch_aggregates_events,
     None,

@@ -1,0 +1,76 @@
+"""Physical-plan regression guards: the scale properties (pushdown,
+pruning, broadcast, no-shuffle bucketing) are asserted, not assumed —
+a refactor that silently loses them fails here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_for_e_commerce_logistics_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_specs()[name].build(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_pricing(spark):
+    plan = _plan(spark, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_order_summary(spark):
+    plan = _plan(spark, "v_order_summary")
+    # lineitem scan must read only the 4 needed columns
+    lineitem_schemas = [
+        seg.split("\n")[0]
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "l_orderkey" in seg.split("\n")[0]
+    ]
+    assert lineitem_schemas, "no lineitem scan found"
+    for rs in lineitem_schemas:
+        assert "l_comment" not in rs
+        assert rs.count(":") <= 5  # few columns, not the full table
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "top_orders")
+
+
+def test_query_id_pushdown_embeddings(spark):
+    plan = _plan(spark, "embedding_topk")
+    assert "In(vec_id" in plan
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """partitionBy replaces the reference's B-tree indexes: a filter on
+    the partition column prunes directories (PartitionFilters), not
+    rows."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        read_parquet_table,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.sources.sinks import (
+        write_parquet,
+    )
+
+    ev = read_parquet_table(spark, "/root/testdata/sf0.001/events.parquet")
+    path = str(tmp_path / "events_by_type")
+    write_parquet(ev, path, mode="overwrite", partition_by=["event_type"])
+
+    filtered = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    n_click = ev.filter(F.col("event_type") == "click").count()
+    assert filtered.count() == n_click
+
+
+def test_missing_source_raises(spark):
+    """Reference §5 error path: missing file surfaces clearly."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import load_tables
+
+    with pytest.raises(FileNotFoundError, match="no parquet tables"):
+        load_tables(spark, "/nonexistent/dir")
