@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from . import analytics_queries as aq
 from . import cleaning_queries as cq
+from . import function_queries as fq
 from . import graph_queries as gq
 from . import extended_queries as xq
 from . import relational_queries as rq
@@ -170,6 +171,19 @@ register(
     gq.SCALAR_FUNCTIONS_SQL,
     ("scalar",),
 )
+register(
+    "time_functions_orders",
+    fq.time_functions_orders,
+    fq.TIME_FUNCTIONS_SQL,
+    ("scalar", "time"),
+)
+register(
+    "array_functions_documents",
+    fq.array_functions_documents,
+    fq.ARRAY_FUNCTIONS_SQL,
+    ("scalar", "array"),
+)
+register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
 
 # --- Training-data pipeline: dedup / text / similarity -----------------
 register(
