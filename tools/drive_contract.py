@@ -1,0 +1,68 @@
+"""Simulate the driver's correctness gate: bare SparkSession (ANSI-on
+defaults, no engine conf), import __spark_entry__, smoke entry(), and
+diff every queries() entry against its oracle_sql() via DuckDB at
+sf0.01 with atol=0 — stricter than the pytest harness.  Run from the
+repo root: python tools/drive_contract.py"""
+import os
+import sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from pyspark.sql import SparkSession
+import duckdb, os, pandas as pd, numpy as np
+
+spark = (SparkSession.builder.master("local[8]")
+         .appName("driver-sim")
+         .config("spark.sql.session.timeZone", "UTC")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as e
+
+df = e.entry(spark)
+rows = df.collect()
+print(f"ENTRY rows={len(rows)}")
+
+qs, osql = e.queries(), e.oracle_sql()
+sf = "/root/testdata/sf0.01"
+conn = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        conn.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+fails = 0
+for name, fn in qs.items():
+    t0 = time.time()
+    try:
+        spdf = fn(spark, sf).toPandas()
+    except Exception as ex:
+        print(f"FAIL {name}: spark error {str(ex)[:140]}")
+        fails += 1
+        continue
+    t_spark = time.time() - t0
+    if name not in osql:
+        print(f"OK(rows-only) {name}: rows={len(spdf)} spark={t_spark:.1f}s")
+        continue
+    t0 = time.time()
+    odf = conn.execute(osql[name]).fetchdf()
+    t_duck = time.time() - t0
+    ok_rows = len(spdf) == len(odf)
+    ok_cols = sorted(spdf.columns) == sorted(odf.columns)
+    status = "OK" if (ok_rows and ok_cols) else "FAIL"
+    mismatch = -1
+    if ok_rows and ok_cols:
+        cols = sorted(spdf.columns)
+        a = spdf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        b = odf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        mismatch = 0
+        for c in cols:
+            av, bv = a[c], b[c]
+            if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+                m = ~(np.isclose(av.astype(float), bv.astype(float), rtol=0, atol=0) | (av.isna() & bv.isna()))
+            else:
+                try: m = ~((av == bv) | (av.isna() & bv.isna()))
+                except Exception: m = pd.Series([False]*len(av))
+            mismatch += int(m.sum())
+        if mismatch: status = "FAIL"
+    if status == "FAIL": fails += 1
+    print(f"{status} {name}: rows {len(spdf)}/{len(odf)} cols:{ok_cols} cellmm={mismatch} spark={t_spark:.1f}s duck={t_duck:.1f}s")
+print("TOTAL FAILS:", fails)
