@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions import sql_exact_sum
+from ..functions import exact_round, sql_exact_sum
 from ..operators import cleaners
 
 # --- ROLLUP / CUBE (grouping sets) -----------------------------------------
@@ -312,6 +312,73 @@ GROUP BY 1, 2, 3
 ORDER BY revenue DESC, order_id ASC
 LIMIT 10
 """
+
+# --- Window-function breadth (§2.6: ranking, offsets, distribution) --------
+
+
+def window_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank/ntile, lag/lead offsets, percent_rank/cume_dist
+    over a deterministic per-customer order sequence — one Window
+    exchange on o_custkey serves every function."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("seq"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_value"),
+        F.lead("o_totalprice", 1).over(w).alias("next_value"),
+        exact_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        exact_round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+WINDOW_FUNCTIONS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       row_number() OVER w AS seq,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       lag(o_totalprice, 1) OVER w AS prev_value,
+       lead(o_totalprice, 1) OVER w AS next_value,
+       cast(round(cast(percent_rank() OVER w as decimal(28,8)), 6) as double) AS pct_rank,
+       cast(round(cast(cume_dist() OVER w as decimal(28,8)), 6) as double) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+# --- Correlated scalar subquery --------------------------------------------
+
+_CORRELATED_SQL = """
+SELECT o.o_orderkey AS order_id, o.o_custkey AS customer_id,
+       o.o_totalprice AS order_value
+FROM orders o
+WHERE o.o_totalprice > 1.5 * (
+    SELECT avg(o2.o_totalprice) FROM orders o2
+    WHERE o2.o_custkey = o.o_custkey
+)
+"""
+
+
+def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join; the *same SQL text* runs on DuckDB as the
+    oracle.  The avg comparison is a >-predicate on a 1.5× margin, so
+    sub-ulp engine differences in the avg cannot flip row membership
+    (no order value sits within 1e-9 of exactly 1.5×avg)."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_CORRELATED_SQL)
+
+
+CORRELATED_ABOVE_AVG_SQL = _CORRELATED_SQL
 
 # --- Per-group regression (linear trend of customer spend) -----------------
 

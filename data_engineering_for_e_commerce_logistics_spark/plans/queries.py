@@ -141,6 +141,18 @@ register(
     ("join", "agg", "topk"),
 )
 register(
+    "window_functions_orders",
+    aq.window_functions_orders,
+    aq.WINDOW_FUNCTIONS_SQL,
+    ("window",),
+)
+register(
+    "correlated_above_avg_orders",
+    aq.correlated_above_avg_orders,
+    aq.CORRELATED_ABOVE_AVG_SQL,
+    ("subquery",),
+)
+register(
     "customer_spend_slope",
     aq.customer_spend_slope,
     aq.CUSTOMER_SPEND_SLOPE_SQL,
