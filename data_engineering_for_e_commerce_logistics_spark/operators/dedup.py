@@ -296,6 +296,68 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def simhash_near_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs from SimHash signatures by the
+    pigeonhole trick: split the 64-bit signature into ``n_bands``
+    16-bit bands — two signatures within hamming distance
+    ``max_hamming`` (< n_bands) must agree exactly on ≥1 band.  Bucket
+    join per band, then exact hamming filter via bit_count(xor).
+
+    Same shuffle shape as MinHash LSH: short-key exchange, per-bucket
+    pair expansion, no corpus cross join."""
+    width = 64 // n_bands
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_rows)).alias("bk")
+    ).select(
+        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+    )
+    n = F.size("members")
+    pair_arrays = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.slice(F.col("members"), i + 1, n - i),
+                lambda m: F.struct(
+                    F.element_at(F.col("members"), i)["id"].alias("id_a"),
+                    m["id"].alias("id_b"),
+                    F.bit_count(
+                        F.element_at(F.col("members"), i)["sh"].bitwiseXOR(m["sh"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_arrays).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

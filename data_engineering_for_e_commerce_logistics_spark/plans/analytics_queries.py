@@ -432,6 +432,49 @@ GROUP BY customer_id
 HAVING count(*) >= 3
 """
 
+# --- TPC-H Q5-shape: 5-way join through the full star ----------------------
+
+
+def q5_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → nation → customer → orders → lineitem chain: the
+    deepest join path the star schema offers.  Small dims broadcast;
+    Catalyst (with AQE) orders the rest; revenue decimal-exact."""
+    t = load_tables(
+        spark, sf_dir, ("region", "nation", "customer", "orders", "lineitem")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(t["customer"]), t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]), t["customer"].c_nationkey == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
+        .filter(t["orders"].o_orderdate >= F.lit("1996-01-01").cast("timestamp"))
+        .groupBy(
+            t["region"].r_name.alias("region_name"),
+            t["nation"].n_name.alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(sql_exact_sum("l_extendedprice * (1 - l_discount)", 2)).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+Q5_NATION_VOLUME_SQL = f"""
+SELECT r.r_name AS region_name, n.n_name AS nation_name,
+       count(*) AS n_items,
+       {sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+GROUP BY 1, 2
+"""
+
 # --- Sketch aggregates (the 100 TB path; rows-only check) -------------------
 
 

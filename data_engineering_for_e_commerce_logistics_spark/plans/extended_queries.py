@@ -139,6 +139,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs)
 
 
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via hamming-band buckets — rows-only
+    check (signatures themselves aren't oracle-expressible; pair
+    recall vs the jaccard ground truth is asserted in pytest)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return dedup.simhash_near_pairs(dedup.simhash(docs), max_hamming=3)
+
+
 # --- Text analysis ----------------------------------------------------------
 
 

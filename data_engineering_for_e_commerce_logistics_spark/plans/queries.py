@@ -211,6 +211,12 @@ register(
     ("dedup",),
 )
 register("dedup_simhash", xq.dedup_simhash, None, ("dedup", "rows-only"))
+register(
+    "dedup_simhash_pairs", xq.dedup_simhash_pairs, None, ("dedup", "rows-only")
+)
+register(
+    "q5_nation_volume", aq.q5_nation_volume, aq.Q5_NATION_VOLUME_SQL, ("join", "agg")
+)
 register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
 register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
 register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
