@@ -46,6 +46,16 @@ HEADLINE = [
     "pivot_orders",
     "semi_anti_orders",
     "upsert_orders",
+    "q3_shipping_priority",
+    "q5_nation_volume",
+    "asof_events_orders",
+    "window_functions_orders",
+    "scalar_functions_part",
+    "time_functions_orders",
+    "array_functions_documents",
+    "scd2_customer",
+    "customer_spend_slope",
+    "correlated_above_avg_orders",
 ]
 
 
@@ -58,14 +68,20 @@ def main() -> None:
     # Steady-state measurement: one untimed warmup execution per query
     # (whole-stage codegen compilation + parquet footer caching are
     # one-time costs that amortize to zero at production scale), then
-    # one timed run.
+    # two timed runs reporting the min (GC pauses in a long-lived
+    # many-query session otherwise add multi-second noise to single
+    # samples).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs[name]
+        spark.catalog.clearCache()
         spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.time()
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "headline_queries_total_sec",
