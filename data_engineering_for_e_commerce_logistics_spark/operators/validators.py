@@ -53,13 +53,24 @@ class RuleResult:
 
 @dataclass
 class ValidationReport:
-    """Parity with reference ValidationReport (validators.py:34-87)."""
+    """Parity with reference ValidationReport (validators.py:44-87)."""
 
     results: list[RuleResult] = field(default_factory=list)
+    table_name: str = ""
+    row_count: int = 0
 
     @property
     def passed(self) -> bool:
         return all(r.passed for r in self.results)
+
+    @property
+    def error_count(self) -> int:
+        """Count of failed validations (ref :64-67)."""
+        return sum(1 for r in self.results if not r.passed)
+
+    @property
+    def has_critical_failures(self) -> bool:
+        return bool(self.critical_failures)
 
     @property
     def critical_failures(self) -> list[RuleResult]:
@@ -68,6 +79,26 @@ class ValidationReport:
             for r in self.results
             if not r.passed and r.severity == Severity.CRITICAL.value
         ]
+
+    def to_dict(self) -> dict:
+        """Report serialization (ref :69-87)."""
+        return {
+            "table_name": self.table_name,
+            "row_count": self.row_count,
+            "passed": self.passed,
+            "error_count": self.error_count,
+            "has_critical_failures": self.has_critical_failures,
+            "results": [
+                {
+                    "rule": r.name,
+                    "passed": r.passed,
+                    "severity": r.severity,
+                    "violations": r.violations,
+                    "description": r.description,
+                }
+                for r in self.results
+            ],
+        }
 
     def raise_on_critical(self) -> None:
         """The pipeline abort gate (ref main.py:112-117)."""
@@ -89,6 +120,9 @@ class DataValidator:
     def __init__(self, name: str = "validator"):
         self.name = name
         self._rules: list[Rule] = []
+        # (expected_schema, severity) pairs — checked against df.schema
+        # at validate() time, no scan needed (ref validators.py:171-210)
+        self._schema_checks: list[tuple[dict[str, str], Severity]] = []
 
     # --- builders (ref validators.py:121-376) --------------------------
 
@@ -108,6 +142,18 @@ class DataValidator:
                 description=f"null fraction of {column} <= {threshold}",
             )
         )
+        return self
+
+    def add_schema_check(
+        self,
+        expected_schema: dict[str, str],
+        severity: Severity = Severity.ERROR,
+    ) -> "DataValidator":
+        """Column presence + dtype validation (ref :171-210).  Expected
+        dtypes are Spark simpleString names ('bigint', 'double',
+        'string', 'timestamp', ...).  Plan-level: resolved from
+        df.schema with zero data scanned."""
+        self._schema_checks.append((dict(expected_schema), severity))
         return self
 
     def add_unique_check(
@@ -207,10 +253,34 @@ class DataValidator:
         return df.agg(*aggs)
 
     def validate(self, df: DataFrame) -> ValidationReport:
-        """Run all rules in ONE aggregation job (ref runs N scans)."""
+        """Run all rules in ONE aggregation job (ref runs N scans);
+        schema checks resolve from metadata before any scan."""
+        report = ValidationReport(table_name=self.name)
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        for expected, severity in self._schema_checks:
+            mismatches = []
+            for col, dtype in expected.items():
+                if col not in actual:
+                    mismatches.append(f"missing column: {col}")
+                elif actual[col] != dtype:
+                    mismatches.append(f"{col}: expected {dtype}, got {actual[col]}")
+            report.results.append(
+                RuleResult(
+                    name="schema_check",
+                    passed=not mismatches,
+                    violations=len(mismatches),
+                    total_rows=0,
+                    severity=severity.value,
+                    description="; ".join(mismatches) or "schema ok",
+                )
+            )
+
+        if not self._rules:
+            report.row_count = df.count() if self._schema_checks else 0
+            return report
         row = self.violation_counts(df).first()
         total = row["total_rows"]
-        report = ValidationReport()
+        report.row_count = total
         for r in self._rules:
             violations = int(row[r.name])
             allowed = r.threshold * total
@@ -225,3 +295,26 @@ class DataValidator:
                 )
             )
         return report
+
+
+def create_orders_validator() -> DataValidator:
+    """Pre-configured orders validator (ref validators.py:424-432),
+    column names per the Olist schema."""
+    return (
+        DataValidator("orders")
+        .add_null_check("order_id", severity=Severity.CRITICAL)
+        .add_null_check("customer_id")
+        .add_null_check("order_purchase_timestamp")
+        .add_unique_check("order_id")
+    )
+
+
+def create_order_items_validator() -> DataValidator:
+    """Pre-configured order-items validator (ref validators.py:435-443)."""
+    return (
+        DataValidator("order_items")
+        .add_null_check("order_id", severity=Severity.CRITICAL)
+        .add_null_check("product_id")
+        .add_range_check("price", min_value=0.0)
+        .add_range_check("freight_value", min_value=0.0)
+    )

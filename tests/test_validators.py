@@ -58,6 +58,52 @@ def test_business_rule_null_counts_as_violation(spark):
     assert report.results[0].violations == 1
 
 
+def test_schema_check_and_report_dict(spark, frame):
+    v = (
+        DataValidator("orders")
+        .add_schema_check({"order_id": "string", "price": "double"})
+        .add_null_check("order_id")
+    )
+    report = v.validate(frame)
+    schema_result = [r for r in report.results if r.name == "schema_check"][0]
+    assert schema_result.passed
+    d = report.to_dict()
+    assert d["table_name"] == "orders" and d["row_count"] == 4
+    assert d["error_count"] == 1  # the null check fails
+    bad = (
+        DataValidator()
+        .add_schema_check({"order_id": "bigint", "missing_col": "string"})
+        .validate(frame)
+    )
+    r = bad.results[0]
+    assert not r.passed and r.violations == 2
+    assert "missing column" in r.description and "expected bigint" in r.description
+
+
+def test_preconfigured_validators(spark):
+    from data_engineering_for_e_commerce_logistics_spark.operators.validators import (
+        create_order_items_validator,
+        create_orders_validator,
+    )
+
+    orders = spark.createDataFrame(
+        [("o1", "c1", "2024-01-01"), ("o2", None, "2024-01-02")],
+        "order_id string, customer_id string, order_purchase_timestamp string",
+    )
+    report = create_orders_validator().validate(orders)
+    by_name = {r.name: r for r in report.results}
+    assert not by_name["null_check_customer_id"].passed
+    assert by_name["null_check_order_id"].passed
+
+    items = spark.createDataFrame(
+        [("o1", "p1", 5.0, -1.0)],
+        "order_id string, product_id string, price double, freight_value double",
+    )
+    report2 = create_order_items_validator().validate(items)
+    by_name2 = {r.name: r for r in report2.results}
+    assert not by_name2["range_check_freight_value"].passed
+
+
 def test_critical_gate_raises(spark, frame):
     v = DataValidator().add_null_check("order_id", severity=Severity.CRITICAL)
     report = v.validate(frame)
