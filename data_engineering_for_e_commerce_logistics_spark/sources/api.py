@@ -139,6 +139,33 @@ def read_endpoint(
     return spark.read.schema(schema).json(rdd)
 
 
+def fetch_all(
+    spark: SparkSession,
+    fetcher: Fetcher,
+    save_raw_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """All three endpoints → flattened entity frames, optionally
+    persisting raw extracts (ref api_connector.py:246-280; raw CSV
+    upgraded to parquet per SURVEY §7.1)."""
+    from . import readers
+
+    raw = {ep: read_endpoint(spark, ep, fetcher) for ep in ENDPOINT_SCHEMAS}
+    if save_raw_dir:
+        for ep, df in raw.items():
+            df.write.mode("overwrite").parquet(f"{save_raw_dir}/{ep}")
+    return {
+        "products": readers.with_extraction_metadata(
+            readers.flatten_products(raw["products"]), "fake_store_api"
+        ),
+        "order_items": readers.with_extraction_metadata(
+            readers.explode_carts(raw["carts"]), "fake_store_api"
+        ),
+        "customers": readers.with_extraction_metadata(
+            readers.flatten_users(raw["users"]), "fake_store_api"
+        ),
+    }
+
+
 def read_endpoint_distributed(
     spark: SparkSession,
     endpoint_for_page: Callable[[int], str],

@@ -111,6 +111,16 @@ def test_distributed_fetch(spark):
     assert out.schema["rating"].dataType.typeName() == "struct"
 
 
+def test_fetch_all_with_raw_persist(spark, tmp_path):
+    out = api.fetch_all(spark, fixture_fetcher, save_raw_dir=str(tmp_path / "raw"))
+    assert set(out) == {"products", "order_items", "customers"}
+    assert out["order_items"].count() == 2  # carts exploded
+    assert {"extracted_at", "source"} <= set(out["products"].columns)
+    raw_products = spark.read.parquet(str(tmp_path / "raw" / "products"))
+    assert raw_products.count() == 2
+    assert raw_products.schema["rating"].dataType.typeName() == "struct"
+
+
 def test_csv_roundtrip_and_multi_table(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
     p = str(tmp_path / "t.csv")
