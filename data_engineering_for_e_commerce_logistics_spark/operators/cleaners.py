@@ -164,6 +164,55 @@ def interpolate_linear(
     return df.drop("__rn")
 
 
+def handle_missing_values(
+    df: DataFrame,
+    strategy: str = "drop",
+    columns: list[str] | None = None,
+    fill_value=None,
+    fill_method: str | None = None,
+    order_by: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """The reference's single-entry dispatcher (cleaners.py:46-100):
+    strategy ∈ {drop, fill, interpolate}, fill_method ∈ {ffill, bfill}.
+
+    Order-sensitive strategies (ffill/bfill/interpolate) additionally
+    require ``order_by`` — pandas' implicit row order has no
+    distributed equivalent (SURVEY §7.4.1)."""
+    if strategy == "drop":
+        return drop_missing(df, subset=columns)
+    if strategy == "fill":
+        if fill_method in ("ffill", "bfill"):
+            if not order_by:
+                raise ValueError(f"{fill_method} requires order_by columns")
+            return fill_directional(
+                df,
+                columns or df.columns,
+                order_by=order_by,
+                partition_by=partition_by,
+                direction="forward" if fill_method == "ffill" else "backward",
+            )
+        if fill_value is not None:
+            return fill_constant(df, fill_value, columns)
+        if columns is None:
+            return fill_default(df)
+        numeric_types = (T.DoubleType, T.FloatType, T.IntegerType, T.LongType)
+        numeric = [
+            c for c in columns if isinstance(df.schema[c].dataType, numeric_types)
+        ]
+        strings = [
+            c for c in columns if isinstance(df.schema[c].dataType, T.StringType)
+        ]
+        return fill_default(df, numeric_cols=numeric, string_cols=strings)
+    if strategy == "interpolate":
+        if not order_by:
+            raise ValueError("interpolate requires order_by columns")
+        return interpolate_linear(
+            df, columns or df.columns, order_by=order_by, partition_by=partition_by
+        )
+    raise ValueError(f"strategy must be drop|fill|interpolate, got {strategy!r}")
+
+
 # ---------------------------------------------------------------------------
 # Deduplication (ref cleaners.py:102-130; D1-D5)
 # ---------------------------------------------------------------------------

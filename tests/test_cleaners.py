@@ -35,6 +35,30 @@ def test_fill_constant(spark, orders_df):
     assert out.filter(F.col("price") == 0.0).count() == 1
 
 
+def test_handle_missing_values_dispatcher(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, None, None), (3, 9.0, "c")], "seq int, x double, s string"
+    )
+    assert cleaners.handle_missing_values(df, "drop").count() == 2
+    filled = cleaners.handle_missing_values(df, "fill", fill_value=0.0, columns=["x"])
+    assert filled.filter(F.col("x") == 0.0).count() == 1
+    ff = cleaners.handle_missing_values(
+        df, "fill", fill_method="ffill", columns=["x"], order_by=["seq"]
+    )
+    assert {r.seq: r.x for r in ff.collect()}[2] == 1.0
+    defaults = cleaners.handle_missing_values(df, "fill", columns=["x", "s"])
+    got = {r.seq: (r.x, r.s) for r in defaults.collect()}
+    assert got[2] == (5.0, "UNKNOWN")  # median of (1, 9), string token
+    interp = cleaners.handle_missing_values(
+        df, "interpolate", columns=["x"], order_by=["seq"]
+    )
+    assert {r.seq: r.x for r in interp.collect()}[2] == 5.0
+    with pytest.raises(ValueError, match="requires order_by"):
+        cleaners.handle_missing_values(df, "fill", fill_method="ffill")
+    with pytest.raises(ValueError, match="strategy"):
+        cleaners.handle_missing_values(df, "bogus")
+
+
 def test_fill_default_median_and_unknown(spark):
     df = spark.createDataFrame(
         [(1.0, "a"), (2.0, None), (None, "b"), (9.0, "c")], "x double, s string"
