@@ -149,6 +149,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signature and emit within-bucket pairs.
 
@@ -179,6 +180,14 @@ def lsh_candidate_pairs(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        # Degenerate-bucket guard for boilerplate-heavy corpora: a band
+        # bucket holding k docs expands to k(k-1)/2 pairs, so one
+        # pathological bucket (near-constant text) can dominate the
+        # stage.  Dropping oversized buckets bounds pair fan-out; true
+        # near-dups inside them still surface through their other
+        # bands or the exact-dedup path.
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     n = F.size("ids")
     pair_arrays = F.flatten(
         F.transform(

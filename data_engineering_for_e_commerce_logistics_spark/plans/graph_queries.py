@@ -163,6 +163,121 @@ SELECT vec_id, centroid_id, dist FROM (
 ) WHERE rn = 1
 """
 
+# --- One k-means (Lloyd) refinement over the IVF cells ----------------------
+
+
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration on the IVF seed centroids: assign → new
+    centroids = per-dimension mean of assigned vectors → reassign.
+    Output is each vector's cell before and after refinement.
+
+    Everything distributes: assignment is broadcast-scored, the
+    centroid update is a (cell, dim)-keyed aggregate over exploded
+    components (decimal-exact per-dimension sums keep refined
+    centroids — and therefore reassignments — engine-identical).
+    Further iterations repeat the same two jobs."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double_vec, _fold_sum
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+
+    def assign(vec_df: DataFrame, centroids: DataFrame, out: str) -> DataFrame:
+        scored = F.broadcast(centroids).crossJoin(vec_df).withColumn(
+            "dist",
+            _fold_sum(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", F.col("centroid_id").alias(out))
+        )
+
+    seeds = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    assign0 = assign(vecs, seeds, "cell_round1")
+
+    dims = assign0.select(
+        "cell_round1", F.posexplode(F.col("v")).alias("dim", "val")
+    )
+    refined = (
+        dims.groupBy(F.col("cell_round1").alias("centroid_id"), "dim")
+        .agg(
+            (
+                F.expr("cast(sum(cast(val as decimal(28,8))) as double)")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+    )
+    assign1 = assign(vecs, refined, "cell_round2")
+    return (
+        assign0.select("vec_id", "cell_round1")
+        .join(assign1.select("vec_id", "cell_round2"), "vec_id")
+    )
+
+
+KMEANS_REFINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+s0 AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         list_reduce(list_transform(list_zip(e.v, c.cv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+  FROM e, seeds c
+),
+assign0 AS (
+  SELECT vec_id, v, centroid_id AS cell_round1 FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM s0
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT cell_round1, unnest(v) AS val,
+         generate_subscripts(v, 1) - 1 AS dim
+  FROM assign0
+),
+refined AS (
+  SELECT centroid_id, list(cval ORDER BY dim) AS cv FROM (
+    SELECT cell_round1 AS centroid_id, dim,
+           cast(sum(cast(val as decimal(28,8))) as double) / count(*) AS cval
+    FROM dims GROUP BY 1, 2
+  ) GROUP BY centroid_id
+),
+s1 AS (
+  SELECT a.vec_id, c.centroid_id,
+         list_reduce(list_transform(list_zip(a.v, c.cv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a2, b2) -> a2 + b2) AS dist
+  FROM assign0 a, refined c
+),
+assign1 AS (
+  SELECT vec_id, centroid_id AS cell_round2 FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM s1
+  ) WHERE rn = 1
+)
+SELECT a0.vec_id, a0.cell_round1, a1.cell_round2
+FROM assign0 a0 JOIN assign1 a1 ON a0.vec_id = a1.vec_id
+"""
+
 # --- n-gram frequency profile ----------------------------------------------
 
 

@@ -172,6 +172,12 @@ register(
 )
 register("ivf_assign", gq.ivf_assign, gq.IVF_ASSIGN_SQL, ("similarity", "ivf"))
 register(
+    "kmeans_refine",
+    gq.kmeans_refine,
+    gq.KMEANS_REFINE_SQL,
+    ("similarity", "ivf", "iterative"),
+)
+register(
     "ngram_frequencies",
     gq.ngram_frequencies,
     gq.NGRAM_FREQUENCIES_SQL,
