@@ -23,6 +23,57 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def range_self_join(
+    df: DataFrame,
+    key: str,
+    time_col: str,
+    id_col: str,
+    max_gap_seconds: float,
+) -> DataFrame:
+    """All (a, b) row pairs sharing ``key`` with
+    0 <= time_b - time_a <= max_gap and (time, id)_a < (time, id)_b.
+
+    A naive `ON a.t BETWEEN b.t AND b.t + gap` inequality join plans
+    as a broadcast nested loop — O(|rows|²) per key.  The distributed
+    form grids time into gap-width buckets and explodes one side to
+    its 3 adjacent buckets: any qualifying pair differs by ≤1 bucket,
+    so an equi-join on (key, bucket) finds each pair exactly once,
+    then the exact time filter trims the grid slop.  Cost: 3× one
+    side + a hash join on a short compound key."""
+    sec = F.col(time_col).cast("timestamp").cast("double")
+    bucket = F.floor(sec / F.lit(max_gap_seconds)).cast("long")
+
+    a = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_a"),
+        sec.alias("t_a"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("b"),
+    )
+    b = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id_b"),
+        sec.alias("t_b"),
+        bucket.alias("b"),
+    )
+    gap = F.col("t_b") - F.col("t_a")
+    ordered = (F.col("t_a") < F.col("t_b")) | (
+        (F.col("t_a") == F.col("t_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        a.join(b, ["k", "b"])
+        .filter(ordered & (gap >= 0) & (gap <= max_gap_seconds))
+        .select(
+            F.col("k").alias(key),
+            "id_a",
+            "id_b",
+            (gap / F.lit(86400.0)).alias("gap_days"),
+        )
+        .distinct()
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

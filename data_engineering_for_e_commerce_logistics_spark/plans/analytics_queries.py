@@ -432,6 +432,47 @@ GROUP BY customer_id
 HAVING count(*) >= 3
 """
 
+# --- Bucketed range join (repeat purchases within 7 days) ------------------
+
+
+def repeat_orders_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order pairs by the same customer ≤7 days apart — the bucketed
+    range join (operators/temporal.range_self_join); the oracle is the
+    plain inequality self-join DuckDB executes natively (IEJoin)."""
+    from ..operators.temporal import range_self_join
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    pairs = range_self_join(
+        o,
+        key="o_custkey",
+        time_col="o_orderdate",
+        id_col="o_orderkey",
+        max_gap_seconds=7 * 86400.0,
+    )
+    return pairs.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("id_a").alias("first_order"),
+        F.col("id_b").alias("second_order"),
+        "gap_days",
+    )
+
+
+REPEAT_ORDERS_7D_SQL = """
+SELECT a.o_custkey AS customer_id,
+       a.o_orderkey AS first_order,
+       b.o_orderkey AS second_order,
+       (extract(epoch FROM b.o_orderdate) - extract(epoch FROM a.o_orderdate))
+         / 86400.0 AS gap_days
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND extract(epoch FROM b.o_orderdate) - extract(epoch FROM a.o_orderdate)
+     <= 7 * 86400
+ AND (a.o_orderdate < b.o_orderdate
+      OR (a.o_orderdate = b.o_orderdate AND a.o_orderkey < b.o_orderkey))
+"""
+
 # --- TPC-H Q5-shape: 5-way join through the full star ----------------------
 
 

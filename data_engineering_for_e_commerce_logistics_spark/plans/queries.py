@@ -223,6 +223,12 @@ register(
 register(
     "q5_nation_volume", aq.q5_nation_volume, aq.Q5_NATION_VOLUME_SQL, ("join", "agg")
 )
+register(
+    "repeat_orders_7d",
+    aq.repeat_orders_7d,
+    aq.REPEAT_ORDERS_7D_SQL,
+    ("join", "range", "temporal"),
+)
 register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
 register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
 register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
