@@ -110,6 +110,59 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_embedding(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dims: int = 16,
+) -> DataFrame:
+    """Deterministic hash-feature embedding (feature hashing / "hashing
+    trick"): each token votes ±1/n_tokens into dims buckets via md5.
+    The container-safe stand-in for a model encoder — the Spark
+    plumbing (tokenize → explode → bucket-aggregate → vector assembly)
+    is exactly what a real embedding UDF pipeline needs, minus the
+    model call, and it feeds the similarity operators directly.
+
+    Pure JVM expressions; one shuffle on id_col."""
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    h = F.md5(F.col("tok"))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(dims)
+    )
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    votes = (
+        toks.select(F.col(id_col), bucket.alias("b"), sign.alias("s"))
+        .groupBy(id_col, "b")
+        .agg(F.sum("s").alias("v"))
+    )
+    return (
+        votes.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "v"))), lambda x: x["v"]
+            ).alias("sparse"),
+            F.array_sort(F.collect_list("b")).alias("present"),
+        )
+        .select(
+            F.col(id_col),
+            # densify: missing buckets are 0.0 (array_position yields 0
+            # for absent values, and element_at(_, 0) throws — guard)
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dims - 1)),
+                lambda d: F.when(
+                    F.array_position(F.col("present"), d) > 0,
+                    F.element_at(
+                        F.col("sparse"),
+                        F.array_position(F.col("present"), d).cast("int"),
+                    ),
+                ).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of case/whitespace-normalized text —
     the exact-dedup key (normalization-robust variant of raw md5)."""

@@ -86,6 +86,31 @@ SELECT doc_id,
 FROM t
 """
 
+# --- Map-type round trip ----------------------------------------------------
+
+
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType plumbing: aggregate per-type counts into ONE map column
+    (map_from_entries over collected structs), then explode it back to
+    rows — proving construction, storage, and lateral expansion of the
+    map family the reference never used (SURVEY §1.2)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    as_map = counts.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    return as_map.select(
+        F.explode(F.col("m")).alias("event_type", "n_events")
+    )
+
+
+MAP_FUNCTIONS_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
 # --- SCD2 dimension history -------------------------------------------------
 
 SCD2_CHANGE_TS = "2024-06-01 00:00:00"

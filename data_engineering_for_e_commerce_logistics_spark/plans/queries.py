@@ -202,6 +202,9 @@ register(
     ("scalar", "array"),
 )
 register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register(
+    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
+)
 
 # --- Training-data pipeline: dedup / text / similarity -----------------
 register(

@@ -1,0 +1,39 @@
+"""Hash-feature embedding: deterministic text→vector path feeding the
+similarity operators end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_for_e_commerce_logistics_spark.catalog import read_parquet_table
+from data_engineering_for_e_commerce_logistics_spark.operators import text
+from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+    brute_force_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_hash_embedding_shape_and_determinism(spark):
+    docs = read_parquet_table(spark, f"{SF}/documents.parquet").limit(30)
+    emb = text.hash_embedding(docs, dims=16)
+    rows = emb.collect()
+    assert len(rows) == 30
+    assert all(len(r.embedding) == 16 for r in rows)
+    again = {r.doc_id: r.embedding for r in text.hash_embedding(docs, dims=16).collect()}
+    assert all(again[r.doc_id] == r.embedding for r in rows)
+    # vectors are non-trivial (not all zeros)
+    assert any(any(v != 0.0 for v in r.embedding) for r in rows)
+
+
+def test_hash_embedding_feeds_similarity_search(spark):
+    docs = read_parquet_table(spark, f"{SF}/documents.parquet").limit(30)
+    emb = text.hash_embedding(docs, dims=16).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    topk = brute_force_topk(emb, query_ids=[0, 1], k=3)
+    got = topk.collect()
+    assert {r.query_id for r in got} == {0, 1}
+    assert all(r.neighbor_id != r.query_id for r in got)
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in got if r.cosine is not None)
