@@ -56,6 +56,10 @@ HEADLINE = [
     "scd2_customer",
     "customer_spend_slope",
     "correlated_above_avg_orders",
+    "kmeans_refine",
+    "repeat_orders_7d",
+    "ivf_assign",
+    "ngram_frequencies",
 ]
 
 
