@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5 notes it has none): operator invariants that must
+hold for ANY input frame, not just the hand-picked fixtures.
+
+One shared SparkSession; hypothesis drives small random frames through
+createDataFrame (deadlines disabled — Spark job latency dwarfs the
+per-example budget)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_engineering_for_e_commerce_logistics_spark.operators import cleaners
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key (collisions likely)
+        st.integers(min_value=0, max_value=100),  # order column
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+            ),
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_dedup_keep_first_invariants(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ord int, v double")
+    out = cleaners.remove_duplicates(df, ["k"], "first", ["ord", "v"]).collect()
+    keys = [r.k for r in out]
+    # one row per key, and it's a row that existed in the input
+    assert len(keys) == len(set(keys)) == len({r[0] for r in rows})
+    in_rows = {(r[0], r[1]) for r in rows}
+    assert all((r.k, r.ord) in in_rows for r in out)
+    # the survivor is minimal in the (ord, v) ordering for its key
+    for r in out:
+        min_ord = min(x[1] for x in rows if x[0] == r.k)
+        assert r.ord == min_ord
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_ffill_invariants(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ord int, v double")
+    # unique ordering: add a synthetic tiebreak so ffill is well-defined
+    df = df.withColumn("rid", F.monotonically_increasing_id())
+    out = cleaners.fill_directional(
+        df, ["v"], order_by=["ord", "rid"], partition_by=["k"]
+    ).collect()
+    # non-null values never change; null count never increases
+    in_nonnull = sorted(
+        (r[0], r[1], r[2]) for r in rows if r[2] is not None
+    )
+    out_preserved = sorted(
+        (r.k, r.ord, r.v)
+        for r in out
+        if (r.k, r.ord) in {(x[0], x[1]) for x in rows if x[2] is not None}
+    )
+    assert len(out) == len(rows)
+    n_null_in = sum(1 for r in rows if r[2] is None)
+    n_null_out = sum(1 for r in out if r.v is None)
+    assert n_null_out <= n_null_in
+    # every filled value is some value present in the input
+    in_values = {r[2] for r in rows if r[2] is not None}
+    assert all(r.v in in_values for r in out if r.v is not None)
+
+
+@given(rows=rows_strategy)
+@settings(**SETTINGS)
+def test_interpolate_bounds(spark, rows):
+    df = spark.createDataFrame(rows, "k int, ord int, v double")
+    df = df.withColumn("rid", F.monotonically_increasing_id())
+    out = cleaners.interpolate_linear(
+        df, ["v"], order_by=["ord", "rid"], partition_by=["k"]
+    ).collect()
+    values = [r[2] for r in rows if r[2] is not None]
+    if values:
+        lo, hi = min(values), max(values)
+        for r in out:
+            if r.v is not None:
+                assert lo - 1e-9 <= r.v <= hi + 1e-9  # interpolation never extrapolates
+
+
+@given(
+    updates_keys=st.sets(st.integers(min_value=0, max_value=9), max_size=10),
+)
+@settings(**SETTINGS)
+def test_upsert_idempotent_and_complete(spark, tmp_path_factory, updates_keys):
+    from data_engineering_for_e_commerce_logistics_spark.sources.sinks import (
+        upsert_parquet,
+    )
+
+    path = str(tmp_path_factory.mktemp("ups") / "t")
+    base = spark.createDataFrame([(i, "base") for i in range(10)], "k int, s string")
+    base.write.parquet(path)
+    updates = spark.createDataFrame(
+        [(i, "upd") for i in sorted(updates_keys)], "k int, s string"
+    )
+    if updates_keys:
+        n1 = upsert_parquet(spark, updates, path, ["k"])
+        n2 = upsert_parquet(spark, updates, path, ["k"])
+        assert n1 == n2 == 10  # keys ⊆ base keys → count invariant
+        got = {r.k: r.s for r in spark.read.parquet(path).collect()}
+        for k in range(10):
+            assert got[k] == ("upd" if k in updates_keys else "base")

@@ -23,7 +23,7 @@ rows = df.collect()
 print(f"ENTRY rows={len(rows)}")
 
 qs, osql = e.queries(), e.oracle_sql()
-sf = "/root/testdata/sf0.01"
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 conn = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     p = f"{sf}/{t}.parquet"
