@@ -11,9 +11,17 @@ this module only adapts the QuerySpec registry to the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Self-bootstrap: make the engine package importable no matter what
+# working directory / sys.path the driver imports this module from.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from data_engineering_for_e_commerce_logistics_spark.plans.registry import all_specs
 
