@@ -245,6 +245,57 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- Embedding-cosine near-dedup -------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.95
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate vectors: pairs with cosine ≥ threshold.
+
+    All-pairs at this corpus size (the exactness baseline); the scale
+    path reuses the sign-bucket/IVF candidate generation
+    (similarity.ann_sign_bucket_topk) with the same verify expression.
+    Fold-sum cosines are bitwise engine-identical, so the ≥ filter
+    can't disagree."""
+    from ..operators.similarity import cosine, with_norm
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    base = with_norm(emb)
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+        )
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                   (x, y) -> x + y) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]),
+                  (x, y) -> x + y) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+"""
+
 # --- Similarity search ------------------------------------------------------
 
 QUERY_IDS = list(range(10))

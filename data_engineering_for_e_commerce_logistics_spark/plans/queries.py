@@ -236,5 +236,11 @@ register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("tex
 register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
 register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
 register("text_fingerprint", xq.text_fingerprint, xq.TEXT_FINGERPRINT_SQL, ("text",))
+register(
+    "dedup_embedding_cosine",
+    xq.dedup_embedding_cosine,
+    xq.DEDUP_EMBEDDING_COSINE_SQL,
+    ("dedup", "similarity"),
+)
 register("embedding_topk", xq.embedding_topk, xq.EMBEDDING_TOPK_SQL, ("similarity",))
 register("embedding_ann", xq.embedding_ann, xq.EMBEDDING_ANN_SQL, ("similarity",))
