@@ -95,6 +95,64 @@ def brute_force_topk(
     )
 
 
+def kmeans(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column: deterministic seeds
+    (first k vectors by id), n_iter assign/update rounds, returns
+    (id, cell) assignments.
+
+    Each iteration is two distributed jobs — broadcast-scored
+    assignment and a (cell, dim)-keyed mean — with the assignment
+    cached per round so the next update doesn't replay the chain.
+    The single-iteration, oracle-checked variant is
+    plans/graph_queries.kmeans_refine."""
+    from pyspark.sql import Window
+
+    vecs = df.select(F.col(id_col), _as_double_vec(vec_col).alias("v")).cache()
+    centroids = (
+        vecs.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col("v").alias("cv"),
+        )
+    )
+
+    assigned = None
+    for _ in range(n_iter):
+        scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
+            "dist",
+            _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("dist").asc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "v", "centroid_id")
+            .cache()
+        )
+        centroids = (
+            assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("cval"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+        )
+    return assigned.select(F.col(id_col), F.col("centroid_id").alias("cell"))
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """IVF-ish coarse quantizer: '1'/'0' per sign of the first
     ``bits`` dimensions.  Sign of a float is exact → engine-portable."""

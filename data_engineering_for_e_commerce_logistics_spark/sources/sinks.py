@@ -133,6 +133,19 @@ def write_bucketed_table(
     writer.saveAsTable(table)
 
 
+def table_counts(spark: SparkSession, paths: dict[str, str]) -> dict[str, int]:
+    """S17: row counts per table (db_loader.py:429-441's SELECT
+    COUNT(*) loop over parquet paths).  Counts come from parquet
+    footer statistics — no data scan."""
+    out: dict[str, int] = {}
+    for name, path in paths.items():
+        try:
+            out[name] = spark.read.parquet(path).count()
+        except Exception:
+            out[name] = -1
+    return out
+
+
 # --- Run log (S18) ----------------------------------------------------------
 
 RUN_LOG_SCHEMA = (

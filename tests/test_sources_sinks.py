@@ -187,6 +187,16 @@ def test_bucketed_table_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bucketed_b")
 
 
+def test_table_counts(spark, tmp_path):
+    spark.range(7).write.parquet(str(tmp_path / "a"))
+    spark.range(3).write.parquet(str(tmp_path / "b"))
+    counts = sinks.table_counts(
+        spark,
+        {"a": str(tmp_path / "a"), "b": str(tmp_path / "b"), "gone": str(tmp_path / "x")},
+    )
+    assert counts == {"a": 7, "b": 3, "gone": -1}
+
+
 def test_run_log_append(spark, tmp_path):
     path = str(tmp_path / "runlog")
     sinks.log_etl_run(
