@@ -14,6 +14,35 @@ from ..catalog import load_tables
 from ..functions import exact_round, sql_exact_sum
 from ..operators import cleaners
 
+# --- Ordered string aggregation --------------------------------------------
+
+
+def region_nation_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-region ordered, delimited nation list (LISTAGG/string_agg
+    semantics, expressed portably as sort-then-join so element order
+    is deterministic in any engine)."""
+    t = load_tables(spark, sf_dir, ("region", "nation"))
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
+        .groupBy(t["region"].r_name.alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias(
+                "nation_list"
+            ),
+        )
+    )
+
+
+REGION_NATION_LIST_SQL = """
+SELECT r.r_name AS region_name,
+       count(*) AS n_nations,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nation_list
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY 1
+"""
+
 # --- ROLLUP / CUBE (grouping sets) -----------------------------------------
 
 _SUM_TOTALPRICE = sql_exact_sum("o_totalprice", 2)

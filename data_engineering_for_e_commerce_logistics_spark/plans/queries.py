@@ -116,6 +116,12 @@ register(
 
 # --- Analytics extensions (grouping sets, pivot, semi/anti, set ops) ---
 register("rollup_orders", aq.rollup_orders, aq.ROLLUP_ORDERS_SQL, ("grouping-sets",))
+register(
+    "region_nation_list",
+    aq.region_nation_list,
+    aq.REGION_NATION_LIST_SQL,
+    ("agg", "string-agg"),
+)
 register("cube_orders", aq.cube_orders, aq.CUBE_ORDERS_SQL, ("grouping-sets",))
 register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
 register(
