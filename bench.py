@@ -25,8 +25,9 @@ HEADLINE = [
     "pricing_summary",
     "v_order_summary",
     "v_delivery_performance",
-    "dedup_keep_first",
-    "ffill_events",
+    "dedup_variants_lineitem",
+    "fill_strategies_events",
+    "ffill_bfill_events",
     "interpolate_events",
     "derived_lineitem",
     "customer_running_spend",
@@ -42,16 +43,16 @@ HEADLINE = [
     "binary_features",
     "quantiles_lineitem",
     "top_orders",
-    "rollup_orders",
+    "grouping_sets_orders",
     "pivot_orders",
-    "semi_anti_orders",
+    "set_semi_anti_ops",
     "upsert_orders",
+    "cascade_delete_orders",
     "q3_shipping_priority",
     "q5_nation_volume",
     "asof_events_orders",
-    "window_functions_orders",
+    "window_time_orders",
     "scalar_functions_part",
-    "time_functions_orders",
     "array_functions_documents",
     "scd2_customer",
     "customer_spend_slope",
@@ -61,6 +62,47 @@ HEADLINE = [
     "ivf_assign",
     "ngram_frequencies",
 ]
+
+# r02 registry merges/renames: a merged query's baseline is the SUM of
+# its r01 parts that were benched (continuity for the 2× regression
+# check across rounds).
+RENAMED_FROM = {
+    "dedup_variants_lineitem": ["dedup_keep_first"],
+    "ffill_bfill_events": ["ffill_events"],
+    "grouping_sets_orders": ["rollup_orders"],
+    "set_semi_anti_ops": ["semi_anti_orders"],
+    "window_time_orders": ["window_functions_orders", "time_functions_orders"],
+}
+
+
+def _prior_bench() -> dict[str, float]:
+    """Per-query seconds from the latest BENCH_r{N}.json, mapped through
+    RENAMED_FROM so merged queries compare against their parts' sum."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    runs = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
+    if not runs:
+        return {}
+    try:
+        with open(runs[-1]) as f:
+            d = json.load(f)
+        # The driver wraps bench output: {"n":…, "tail":…, "parsed":
+        # {"queries": …}}; a bare local run prints the inner shape.
+        prior = d.get("queries") or d.get("parsed", {}).get("queries", {})
+    except Exception:
+        return {}
+    out = {}
+    for name in HEADLINE:
+        parts = RENAMED_FROM.get(name, [name])
+        vals = [prior[p] for p in parts if p in prior]
+        if vals:
+            out[name] = sum(vals)
+    return out
 
 
 def main() -> None:
@@ -94,6 +136,17 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Per-query regression gate vs the previous round's recorded bench
+    # (>2× a prior ≥0.2s query is a real slowdown, not noise).
+    prior = _prior_bench()
+    regressions = {
+        name: {"now": timings[name], "prev": prev}
+        for name, prev in prior.items()
+        if prev >= 0.2 and timings.get(name, 0.0) > 2.0 * prev
+    }
+    if regressions:
+        out["regressions_vs_prior"] = regressions
+        print(f"REGRESSIONS vs prior bench: {regressions}", file=sys.stderr)
     print(json.dumps(out))
 
 

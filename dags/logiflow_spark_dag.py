@@ -41,9 +41,11 @@ try:
     ) as dag:
         run_pipeline = BashOperator(
             task_id="run_etl_pipeline",
+            # spark-submit takes a script path (no `-m` module switch);
+            # tools/submit_pipeline.py forwards argv to the package CLI.
             bash_command=(
                 "spark-submit --master {{ var.value.spark_master }} "
-                "-m data_engineering_for_e_commerce_logistics_spark "
+                "{{ var.value.logiflow_repo }}/tools/submit_pipeline.py "
                 "--sf-dir {{ var.value.logiflow_input_dir }} "
                 "--output {{ var.value.logiflow_warehouse_dir }}"
             ),

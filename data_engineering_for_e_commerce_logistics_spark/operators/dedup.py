@@ -70,6 +70,27 @@ def sql_shingles(tok: str = "tok", k: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# All-pairs input guard
+# ---------------------------------------------------------------------------
+
+ALL_PAIRS_MAX_ROWS = 50_000
+
+
+def bounded_input(df: DataFrame, max_rows: int, scale_twin: str) -> DataFrame:
+    """Guard for O(n²) all-pairs baselines: these exist as small-corpus
+    ground truth for the banded/bucketed scale paths, and must never be
+    lifted into a large pipeline by accident.  Raises when the input
+    exceeds ``max_rows``, naming the scale-safe twin operator."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"all-pairs baseline bounded to {max_rows} input rows, got {n}; "
+            f"use the scale path instead: {scale_twin}"
+        )
+    return df
+
+
+# ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
 
@@ -278,10 +299,14 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.6,
+    max_rows: int = ALL_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """All-pairs shingle Jaccard ≥ threshold.  Quadratic — correct for
     small corpora and as the ground-truth oracle for LSH recall; at
-    scale use minhash_lsh_dedup (same output contract)."""
+    scale use minhash_lsh_dedup (same output contract).  Input bounded
+    by ``max_rows`` (bounded_input) so the baseline cannot silently
+    become a 100 TB cross join."""
+    df = bounded_input(df, max_rows, "dedup.minhash_lsh_dedup")
     sh = df.select(F.col(id_col), shingles_col(text_col, shingle_k).alias("sh"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -117,7 +117,9 @@ def hash_embedding(
     dims: int = 16,
 ) -> DataFrame:
     """Deterministic hash-feature embedding (feature hashing / "hashing
-    trick"): each token votes ±1/n_tokens into dims buckets via md5.
+    trick"): each token votes an unnormalized ±1 into one of ``dims``
+    buckets via md5 (bucket sums are raw vote counts; consumers that
+    need unit scale normalize downstream, e.g. with_norm's L2).
     The container-safe stand-in for a model encoder — the Spark
     plumbing (tokenize → explode → bucket-aggregate → vector assembly)
     is exactly what a real embedding UDF pipeline needs, minus the

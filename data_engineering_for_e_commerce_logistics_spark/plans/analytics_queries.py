@@ -83,6 +83,24 @@ FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
 
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP and CUBE in one driver-checked result, tagged by grouping
+    mode — both grouping-set expansions hash-verified in one registry
+    slot.  Each branch is still a single-pass expanded aggregate."""
+    return (
+        rollup_orders(spark, sf_dir)
+        .withColumn("gset", F.lit("rollup"))
+        .unionByName(cube_orders(spark, sf_dir).withColumn("gset", F.lit("cube")))
+    )
+
+
+GROUPING_SETS_ORDERS_SQL = f"""
+SELECT *, 'rollup' AS gset FROM ({ROLLUP_ORDERS_SQL})
+UNION ALL
+SELECT *, 'cube' AS gset FROM ({CUBE_ORDERS_SQL})
+"""
+
 # --- PIVOT ------------------------------------------------------------------
 
 _STATUSES = ["P", "O", "F"]
@@ -145,50 +163,105 @@ SELECT 'without_items' AS bucket, count(*) AS n_orders FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """
 
+
+def set_semi_anti_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (EXISTS / NOT EXISTS) and set operations
+    (INTERSECT / EXCEPT) in one driver-checked result — four labeled
+    count rows, each branch the same plan as the standalone operators
+    below/above, unioned into one registry slot."""
+    semi_anti = semi_anti_orders(spark, sf_dir).withColumnRenamed(
+        "n_orders", "n_rows"
+    )
+    set_ops = set_ops_customers(spark, sf_dir).withColumnRenamed(
+        "n_customers", "n_rows"
+    )
+    return semi_anti.unionByName(set_ops)
+
 # --- Multi-quantile profile (A8 beyond the median) -------------------------
 
 
-def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quartiles via sort + rank selection.
+def _exact_quantiles_nosort(df, col: str, qs: list[float], n: int) -> dict[float, float]:
+    """Exact interpolated quantiles with NO global sort and no
+    single-partition exchange (the 100 TB-safe selection plan):
 
-    Spark's exact `percentile` aggregate merges per-partition hash
-    maps in a single reducer — 6s at sf0.1; the rank plan (project one
-    column, global sort, pick the two straddling rows per quantile,
-    interpolate `lower + frac*(upper-lower)` — bitwise-equal to DuckDB
-    quantile_cont, verified) is ~3× faster.  The global row_number is
-    a single-partition window over ONE projected column; exact
-    quantiles don't distribute — at 100 TB use approx_percentile and
-    accept sketch error."""
+      1. ``approxQuantile`` brackets each target rank — the GK sketch
+         guarantees the returned value's exact rank is within eps*n of
+         the requested fraction, so ``[q-delta, q+delta]`` with
+         ``delta > eps`` provably surrounds ranks ``lo`` and ``lo+1``.
+      2. ONE fused conditional-count pass pins each bracket's global
+         rank offset (rows strictly below its lower bound).
+      3. Only the union-of-brackets value HISTOGRAM (distinct value →
+         count) is collected: ≈2*delta*n entries for continuous
+         columns, and collapsed to a handful of entries for
+         low-cardinality columns where duplicate mass would make a
+         row-level collect explode.
+      4. Exact rank walk + linear interpolation over the tiny
+         histogram driver-side — bitwise-equal to DuckDB
+         ``quantile_cont`` (h = (n-1)q, v_lo + frac*(v_hi - v_lo)).
+
+    At extreme n, shrink delta toward eps and re-bracket *within* the
+    bracket (each pass cuts candidates by ~delta) — O(log n) passes,
+    still no global sort.  Replaces the round-1 global row_number plan
+    (single-partition window = scale-killer, VERDICT r01)."""
     import math
 
-    from pyspark.sql import Window
+    eps = 1e-4
+    delta = 4 * eps + 2.0 / max(n, 1)
+    meta, probs = [], []
+    for q in qs:
+        h = (n - 1) * q
+        lo, frac = math.floor(h) + 1, h - math.floor(h)
+        meta.append((q, lo, frac))
+        probs.append((max(0.0, q - delta), min(1.0, q + delta)))
+    flat = sorted({p for pair in probs for p in pair})
+    vals = dict(zip(flat, df.approxQuantile(col, flat, eps)))
+    brackets = [(vals[plo], vals[phi]) for plo, phi in probs]
 
+    bases = df.agg(
+        *[
+            F.sum(F.when(F.col(col) < F.lit(vlo), 1).otherwise(0)).alias(f"b{i}")
+            for i, (vlo, _) in enumerate(brackets)
+        ]
+    ).first()
+
+    cond = None
+    for vlo, vhi in brackets:
+        c = (F.col(col) >= F.lit(vlo)) & (F.col(col) <= F.lit(vhi))
+        cond = c if cond is None else (cond | c)
+    hist = sorted(
+        (float(r[0]), int(r[1]))
+        for r in df.filter(cond).groupBy(col).agg(F.count(F.lit(1))).collect()
+    )
+
+    out: dict[float, float] = {}
+    for i, (q, lo, frac) in enumerate(meta):
+        vlo, vhi = brackets[i]
+
+        def value_at(rank: int) -> float:
+            cum = int(bases[f"b{i}"])
+            for v, c in hist:
+                if v < vlo or v > vhi:
+                    continue
+                cum += c
+                if cum >= rank:
+                    return v
+            raise RuntimeError(
+                f"rank {rank} not in bracket [{vlo}, {vhi}] for {col}"
+            )
+
+        v_lo = value_at(lo)
+        out[q] = v_lo if frac == 0 else v_lo + frac * (value_at(lo + 1) - v_lo)
+    return out
+
+
+def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles via approx-bracketed selection —
+    see _exact_quantiles_nosort for the no-global-sort plan; the
+    oracle is DuckDB quantile_cont, matched exactly."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     n = li.count()
-
-    def exact_quantiles(col: str, qs: list[float]) -> dict[float, float]:
-        meta, needed = [], set()
-        for q in qs:
-            h = (n - 1) * q
-            lo, frac = math.floor(h) + 1, h - math.floor(h)
-            meta.append((q, lo, frac))
-            needed.update((lo, lo + 1))
-        ranked = (
-            li.select(F.col(col).alias("v"))
-            .withColumn("rn", F.row_number().over(Window.orderBy("v")))
-            .filter(F.col("rn").isin(list(needed)))
-            .collect()
-        )
-        byrank = {r.rn: r.v for r in ranked}
-        return {
-            q: byrank[lo] + frac * (byrank[lo + 1] - byrank[lo])
-            if frac > 0
-            else byrank[lo]
-            for q, lo, frac in meta
-        }
-
-    price = exact_quantiles("l_extendedprice", [0.25, 0.5, 0.75])
-    qty = exact_quantiles("l_quantity", [0.5])
+    price = _exact_quantiles_nosort(li, "l_extendedprice", [0.25, 0.5, 0.75], n)
+    qty = _exact_quantiles_nosort(li, "l_quantity", [0.5], n)
     return spark.createDataFrame(
         [(price[0.25], price[0.5], price[0.75], qty[0.5])],
         "price_q25 double, price_q50 double, price_q75 double, qty_q50 double",
@@ -378,6 +451,66 @@ SELECT o_orderkey, o_custkey, o_orderdate,
        lead(o_totalprice, 1) OVER w AS next_value,
        cast(round(cast(percent_rank() OVER w as decimal(28,8)), 6) as double) AS pct_rank,
        cast(round(cast(cume_dist() OVER w as decimal(28,8)), 6) as double) AS cume
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def window_time_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 window breadth + §2.7 date/time toolkit in one
+    driver-checked result: ranking/offset/distribution functions share
+    ONE Window exchange on o_custkey; calendar decomposition, interval
+    arithmetic and day diffs are per-row expressions fused into the
+    same projection — two operator families, one registry slot, one
+    shuffle."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ts = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.row_number().over(w).alias("seq"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_value"),
+        F.lead("o_totalprice", 1).over(w).alias("next_value"),
+        exact_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        exact_round(F.cume_dist().over(w), 6).alias("cume"),
+        F.year(ts).alias("order_year"),
+        F.quarter(ts).alias("order_quarter"),
+        F.month(ts).alias("order_month"),
+        F.dayofmonth(ts).alias("order_day"),
+        F.hour(ts).alias("order_hour"),
+        F.date_trunc("month", ts).alias("month_start"),
+        (ts + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("2000-01-01").cast("timestamp").cast("date"), ts.cast("date")
+        ).alias("days_to_y2k"),
+    )
+
+
+WINDOW_TIME_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       row_number() OVER w AS seq,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       lag(o_totalprice, 1) OVER w AS prev_value,
+       lead(o_totalprice, 1) OVER w AS next_value,
+       cast(round(cast(percent_rank() OVER w as decimal(28,8)), 6) as double) AS pct_rank,
+       cast(round(cast(cume_dist() OVER w as decimal(28,8)), 6) as double) AS cume,
+       extract(year FROM o_orderdate)::INT    AS order_year,
+       extract(quarter FROM o_orderdate)::INT AS order_quarter,
+       extract(month FROM o_orderdate)::INT   AS order_month,
+       extract(day FROM o_orderdate)::INT     AS order_day,
+       extract(hour FROM o_orderdate)::INT    AS order_hour,
+       date_trunc('month', o_orderdate)       AS month_start,
+       o_orderdate + INTERVAL 30 DAY          AS due_date,
+       date_diff('day', o_orderdate::DATE, DATE '2000-01-01')::INT AS days_to_y2k
 FROM orders
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
@@ -591,4 +724,24 @@ FROM (SELECT o_custkey FROM f_cust INTERSECT SELECT o_custkey FROM p_cust)
 UNION ALL
 SELECT 'only_f' AS bucket, count(*) AS n_customers
 FROM (SELECT o_custkey FROM f_cust EXCEPT SELECT o_custkey FROM p_cust)
+"""
+
+SET_SEMI_ANTI_OPS_SQL = """
+SELECT bucket, n_orders AS n_rows FROM (
+SELECT 'with_items' AS bucket, count(*) AS n_orders FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+UNION ALL
+SELECT 'without_items' AS bucket, count(*) AS n_orders FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+)
+UNION ALL
+SELECT bucket, n_customers AS n_rows FROM (
+WITH f_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+     p_cust AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P')
+SELECT 'both_f_and_p' AS bucket, count(*) AS n_customers
+FROM (SELECT o_custkey FROM f_cust INTERSECT SELECT o_custkey FROM p_cust)
+UNION ALL
+SELECT 'only_f' AS bucket, count(*) AS n_customers
+FROM (SELECT o_custkey FROM f_cust EXCEPT SELECT o_custkey FROM p_cust)
+)
 """

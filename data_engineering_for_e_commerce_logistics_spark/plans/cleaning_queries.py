@@ -67,6 +67,31 @@ SELECT {_DEDUP_PROJ} FROM (
 ) WHERE kc = 1
 """
 
+
+def dedup_variants_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D2 in one driver-checked result: keep-first, keep-last and
+    drop-all-duplicates over the same key, tagged and unioned — every
+    variant's full output is hash-verified in a single registry slot.
+    Each branch is the one-shuffle row_number/count window plan."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    first = cleaners.remove_duplicates(li, DEDUP_KEY, "first", DEDUP_ORDER)
+    last = cleaners.remove_duplicates(li, DEDUP_KEY, "last", DEDUP_ORDER)
+    none = cleaners.remove_duplicates(li, DEDUP_KEY, False)
+    return (
+        first.withColumn("variant", F.lit("keep_first"))
+        .unionByName(last.withColumn("variant", F.lit("keep_last")))
+        .unionByName(none.withColumn("variant", F.lit("drop_all")))
+    )
+
+
+DEDUP_VARIANTS_SQL = f"""
+SELECT *, 'keep_first' AS variant FROM ({DEDUP_KEEP_FIRST_SQL})
+UNION ALL
+SELECT *, 'keep_last' AS variant FROM ({DEDUP_KEEP_LAST_SQL})
+UNION ALL
+SELECT *, 'drop_all' AS variant FROM ({DEDUP_DROP_ALL_SQL})
+"""
+
 # --- P2-P6: missing-value strategies --------------------------------------
 
 
@@ -119,6 +144,69 @@ FILL_MEDIAN_SQL = f"""
 WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM ({_MASKED_EVENTS_SQL}))
 SELECT event_id, user_id, ts, event_type, coalesce(value, m.med) AS value
 FROM ({_MASKED_EVENTS_SQL}), m
+"""
+
+
+def fill_strategies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3+P5 in one driver-checked result: constant fill and exact-
+    median fill applied to twin copies of the masked column — both
+    strategies' full outputs hash-verified in one registry slot."""
+    df = _masked_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("value").alias("value_constant"),
+        F.col("value").alias("value_median"),
+    )
+    df = cleaners.fill_constant(df, 0.0, ["value_constant"])
+    return cleaners.fill_default(df, numeric_cols=["value_median"], string_cols=[])
+
+
+FILL_STRATEGIES_SQL = f"""
+WITH masked AS ({_MASKED_EVENTS_SQL}),
+m AS (SELECT quantile_cont(value, 0.5) AS med FROM masked)
+SELECT event_id, user_id, ts, event_type,
+       coalesce(value, 0.0) AS value_constant,
+       coalesce(value, m.med) AS value_median
+FROM masked, m
+"""
+
+
+def ffill_bfill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 both directions in one driver-checked result: forward- and
+    backward-fill over twin copies of the masked column, same explicit
+    (ts, event_id) order — one registry slot, both outputs verified.
+    Both directions share one Window exchange on user_id."""
+    df = _masked_events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.col("value").alias("value_ffill"),
+        F.col("value").alias("value_bfill"),
+    )
+    df = cleaners.fill_directional(
+        df, ["value_ffill"], order_by=["ts", "event_id"], partition_by=["user_id"]
+    )
+    return cleaners.fill_directional(
+        df,
+        ["value_bfill"],
+        order_by=["ts", "event_id"],
+        partition_by=["user_id"],
+        direction="backward",
+    )
+
+
+FFILL_BFILL_SQL = f"""
+SELECT event_id, user_id, ts, event_type,
+       last_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill,
+       first_value(value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS value_bfill
+FROM ({_MASKED_EVENTS_SQL})
 """
 
 

@@ -257,10 +257,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     path reuses the sign-bucket/IVF candidate generation
     (similarity.ann_sign_bucket_topk) with the same verify expression.
     Fold-sum cosines are bitwise engine-identical, so the ≥ filter
-    can't disagree."""
+    can't disagree.  Input bounded (dedup.bounded_input) so the
+    baseline cannot silently become a corpus-scale cross join."""
     from ..operators.similarity import cosine, with_norm
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    emb = dedup.bounded_input(
+        emb, dedup.ALL_PAIRS_MAX_ROWS, "similarity.ann_sign_bucket_topk"
+    )
     base = with_norm(emb)
     a = base.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na")

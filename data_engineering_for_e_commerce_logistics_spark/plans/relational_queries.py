@@ -187,6 +187,62 @@ UNION ALL
 SELECT * FROM updates
 """
 
+# --- J4: FK referential actions (cascade delete) ---------------------------
+
+
+def cascade_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON DELETE CASCADE propagated to the child relation (reference
+    schema.sql:112-114): deleting all 'P'-status orders removes their
+    lineitem rows.  Join rewrite: one anti-join on the FK, deleted key
+    set broadcast when small."""
+    from ..sources.sinks import cascade_delete
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    deleted = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "P")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return cascade_delete(t["lineitem"], deleted, ["l_orderkey"], mode="cascade")
+
+
+CASCADE_DELETE_SQL = """
+SELECT l.* FROM lineitem l
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'P'
+)
+"""
+
+# --- S16: parameterized SQL → DataFrame ------------------------------------
+
+SQL_API_PARAMS_TEXT = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderstatus = :status AND o_totalprice >= :min_total
+"""
+
+SQL_API_PARAMS_ARGS = {"status": "F", "min_total": 50000.0}
+
+
+def sql_api_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's parameterized query path (db_loader.py:415-427
+    ``query(sql, params)`` binding ``:name`` params) on Spark's native
+    ``spark.sql(sql, args=...)`` — bound server-side by Catalyst, no
+    string interpolation.  Also exercises the raw SQL→DataFrame S16
+    surface the un-parameterized twin (sql_api_order_summary) covers."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(SQL_API_PARAMS_TEXT, args=SQL_API_PARAMS_ARGS)
+
+
+SQL_API_PARAMS_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+"""
+
 # --- JSON extraction (S2-S4 nested access over string payloads) ------------
 
 

@@ -129,9 +129,9 @@ SELECT
     n.n_name                                            AS customer_state,
     count(o.o_orderkey)                                 AS total_orders,
     {avg_value}                                         AS avg_order_value,
-    sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS delivered_count,
-    sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_count,
-    sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_count
+    CAST(sum(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS delivered_count,
+    CAST(sum(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS pending_count,
+    CAST(sum(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_count
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey

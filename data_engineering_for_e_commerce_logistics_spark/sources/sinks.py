@@ -90,6 +90,49 @@ def upsert_parquet(
     return count
 
 
+def cascade_delete(
+    child: DataFrame,
+    deleted_keys: DataFrame,
+    fk_columns: list[str],
+    mode: str = "cascade",
+) -> DataFrame:
+    """J4: FK referential actions as set-oriented join rewrites
+    (reference schema.sql:112-114, 157-167 — ON DELETE CASCADE /
+    ON DELETE SET NULL enforced by the database; here the delete of a
+    parent key set is propagated to the child relation in one plan).
+
+    * ``cascade``  → child rows referencing a deleted parent are
+      removed (left_anti on the FK — one shuffle, or zero when both
+      sides are bucketed on the key).
+    * ``set_null`` → the FK columns are nulled where the parent was
+      deleted; every other column and the row count are preserved.
+
+    ``deleted_keys`` carries exactly the ``fk_columns`` (parent PK
+    values, renamed to the child's FK names).  Small delete sets
+    broadcast; Catalyst/AQE picks the strategy.
+    """
+    keys = deleted_keys.select(*fk_columns).distinct()
+    if mode == "cascade":
+        return child.join(keys, fk_columns, "left_anti")
+    if mode == "set_null":
+        flagged = child.join(
+            keys.withColumn("__deleted", F.lit(True)), fk_columns, "left"
+        )
+        cols = []
+        for c in child.columns:
+            if c in fk_columns:
+                cols.append(
+                    F.when(F.col("__deleted"), F.lit(None))
+                    .otherwise(F.col(c))
+                    .cast(child.schema[c].dataType)
+                    .alias(c)
+                )
+            else:
+                cols.append(F.col(c))
+        return flagged.select(*cols)
+    raise ValueError(f"unknown referential action: {mode!r}")
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -58,21 +58,20 @@ def test_dedup_keep_first_invariants(spark, rows):
 @given(rows=rows_strategy)
 @settings(**SETTINGS)
 def test_ffill_invariants(spark, rows):
-    df = spark.createDataFrame(rows, "k int, ord int, v double")
-    # unique ordering: add a synthetic tiebreak so ffill is well-defined
-    df = df.withColumn("rid", F.monotonically_increasing_id())
+    # unique ordering: bake a synthetic rid tiebreak into the input rows
+    # (deterministic, unlike re-evaluated monotonically_increasing_id)
+    rows_rid = [(i, k, o, v) for i, (k, o, v) in enumerate(rows)]
+    df = spark.createDataFrame(rows_rid, "rid int, k int, ord int, v double")
     out = cleaners.fill_directional(
         df, ["v"], order_by=["ord", "rid"], partition_by=["k"]
     ).collect()
-    # non-null values never change; null count never increases
-    in_nonnull = sorted(
-        (r[0], r[1], r[2]) for r in rows if r[2] is not None
-    )
-    out_preserved = sorted(
-        (r.k, r.ord, r.v)
-        for r in out
-        if (r.k, r.ord) in {(x[0], x[1]) for x in rows if x[2] is not None}
-    )
+    # non-null values never change; null count never increases.  Keyed on
+    # the unique rid (duplicate (k, ord) pairs are legal inputs, so (k, ord)
+    # cannot identify a row — a null-v twin would leak None into sorted()).
+    in_by_rid = {r[0]: r[3] for r in rows_rid}
+    for r in out:
+        if in_by_rid[r.rid] is not None:
+            assert r.v == in_by_rid[r.rid]
     assert len(out) == len(rows)
     n_null_in = sum(1 for r in rows if r[2] is None)
     n_null_out = sum(1 for r in out if r.v is None)

@@ -48,11 +48,25 @@ for name, fn in qs.items():
     ok_rows = len(spdf) == len(odf)
     ok_cols = sorted(spdf.columns) == sorted(odf.columns)
     status = "OK" if (ok_rows and ok_cols) else "FAIL"
-    mismatch = -1
+    mismatch, dtype_mm = -1, []
     if ok_rows and ok_cols:
         cols = sorted(spdf.columns)
         a = spdf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
         b = odf.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        # Dtype parity: the driver's value-hash is TYPED, so an
+        # int-vs-float representation split (e.g. DuckDB sum(int) →
+        # HUGEINT fetched as float64 vs Spark BIGINT) fails its gate
+        # even when every cell matches — flag it here too (VERDICT r01).
+        def kind(s):
+            if pd.api.types.is_bool_dtype(s): return "bool"
+            if pd.api.types.is_integer_dtype(s): return "int"
+            if pd.api.types.is_float_dtype(s): return "float"
+            if pd.api.types.is_datetime64_any_dtype(s): return "ts"
+            return "obj"
+        dtype_mm = [
+            f"{c}:{kind(a[c])}!={kind(b[c])}" for c in cols if kind(a[c]) != kind(b[c])
+        ]
+        if dtype_mm: status = "FAIL"
         mismatch = 0
         for c in cols:
             av, bv = a[c], b[c]
@@ -64,5 +78,6 @@ for name, fn in qs.items():
             mismatch += int(m.sum())
         if mismatch: status = "FAIL"
     if status == "FAIL": fails += 1
-    print(f"{status} {name}: rows {len(spdf)}/{len(odf)} cols:{ok_cols} cellmm={mismatch} spark={t_spark:.1f}s duck={t_duck:.1f}s")
+    dt = f" dtypemm={dtype_mm}" if dtype_mm else ""
+    print(f"{status} {name}: rows {len(spdf)}/{len(odf)} cols:{ok_cols} cellmm={mismatch}{dt} spark={t_spark:.1f}s duck={t_duck:.1f}s")
 print("TOTAL FAILS:", fails)
