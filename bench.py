@@ -61,6 +61,14 @@ HEADLINE = [
     "repeat_orders_7d",
     "ivf_assign",
     "ngram_frequencies",
+    # r02 corpus-pipeline additions (cluster_reps excluded: it re-runs
+    # the full LSH+fixpoint pipeline already timed via dedup_minhash_lsh)
+    "corpus_decontaminate",
+    "corpus_quality_funnel",
+    "corpus_repetition",
+    "corpus_split_sample",
+    "corpus_tfidf_topk",
+    "pii_redact_customer",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

@@ -1,0 +1,296 @@
+"""Oracle-checked entries for the corpus-pipeline operators
+(operators/corpus.py): decontamination, quality funnel, repetition
+stats, deterministic split + stratified sample, TF-IDF top terms,
+cluster representative selection, and PII redaction.
+
+Exactness notes (cross-engine):
+* integer-count outputs are cast BIGINT in the oracle (DuckDB
+  sum(int)/CASE sums return HUGEINT — the r01 typed-hash trap);
+* every float that crosses the oracle boundary goes through
+  functions.exact_round (decimal(28,8) cast, round, double) on BOTH
+  sides, so ranking/threshold comparisons cannot drift;
+* the split/sample keys are md5 hex strings — identical in every
+  engine, unlike rand()/hash() — so assignments are reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..functions import sql_exact_round
+from ..operators import corpus, text
+from ..operators.dedup import sql_shingles
+from .extended_queries import (
+    QUALITY_SCORE_EXPR,
+    QUALITY_T_SUBSELECT,
+    _EN_STOP_SQL,
+)
+
+# --- Decontamination --------------------------------------------------------
+
+BENCH_MOD = 97  # doc_id % 97 == 0 → the stand-in "benchmark" subset
+DECON_SHINGLE_K = 3
+DECON_MIN_OVERLAP = 3
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥3 word-3-gram
+    shingles with the benchmark subset (here: doc_id % 97 == 0 — in a
+    real pipeline, the eval suites).  Benchmark shingles broadcast;
+    corpus side shuffles only (doc_id, count)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("doc_id") % BENCH_MOD == 0)
+    corp = docs.filter(F.col("doc_id") % BENCH_MOD != 0)
+    return corpus.decontaminate(
+        corp,
+        bench,
+        shingle_k=DECON_SHINGLE_K,
+        min_overlap=DECON_MIN_OVERLAP,
+    )
+
+
+CORPUS_DECONTAMINATE_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+sh AS (SELECT doc_id, {sql_shingles('tok', DECON_SHINGLE_K)} AS ws FROM tok),
+bench AS (SELECT DISTINCT unnest(ws) AS shingle FROM sh
+          WHERE doc_id % {BENCH_MOD} = 0),
+corp AS (SELECT doc_id, unnest(ws) AS shingle FROM sh
+         WHERE doc_id % {BENCH_MOD} <> 0),
+ov AS (SELECT c.doc_id, count(*) AS n
+       FROM corp c JOIN bench b USING (shingle) GROUP BY 1)
+SELECT s.doc_id,
+       CAST(coalesce(ov.n, 0) AS BIGINT) AS overlap_shingles,
+       coalesce(ov.n, 0) >= {DECON_MIN_OVERLAP} AS contaminated
+FROM (SELECT doc_id FROM sh WHERE doc_id % {BENCH_MOD} <> 0) s
+LEFT JOIN ov USING (doc_id)
+"""
+
+# --- Quality funnel ---------------------------------------------------------
+
+
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.quality_funnel(docs)
+
+
+def _funnel_sql() -> str:
+    """Mirror of corpus._funnel_rules over a tokenized CTE — each rule
+    is the same arithmetic on both engines; CASE sums cast BIGINT."""
+    lo, hi = corpus.FUNNEL_WORD_LEN_RANGE
+    rules = {
+        "too_short": f"ntoks < {corpus.FUNNEL_MIN_TOKENS}",
+        "too_long": f"ntoks > {corpus.FUNNEL_MAX_TOKENS}",
+        "word_len_out_of_range": (
+            f"((length(text) - ntoks + 1) / ntoks < {lo}"
+            f" OR (length(text) - ntoks + 1) / ntoks > {hi})"
+        ),
+        "low_stopword": (
+            f"len(list_intersect(dtoks, {_EN_STOP_SQL}))"
+            f" < {corpus.FUNNEL_MIN_STOPWORD_HITS}"
+        ),
+        "low_alpha": (
+            "length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))"
+            f" / greatest(length(text), 1) < {corpus.FUNNEL_MIN_ALPHA_RATIO}"
+        ),
+        "repetitive": (
+            "(CASE WHEN ntoks - 1 > 0"
+            " THEN 1.0 - len(g2)::DOUBLE / (ntoks - 1) ELSE 0.0 END)"
+            f" > {corpus.FUNNEL_MAX_DUP_2GRAM}"
+        ),
+    }
+    fails = ",\n       ".join(
+        f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS fail_{name}"
+        for name, cond in rules.items()
+    )
+    keep = " AND ".join(f"NOT ({cond})" for cond in rules.values())
+    g2 = sql_shingles("string_split(text, ' ')", 2)
+    return f"""
+WITH t AS (
+  SELECT text,
+         len(string_split(text, ' ')) AS ntoks,
+         list_distinct(string_split(text, ' ')) AS dtoks,
+         {g2} AS g2
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       {fails},
+       CAST(sum(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+FROM t
+"""
+
+
+CORPUS_QUALITY_FUNNEL_SQL = _funnel_sql()
+
+# --- Repetition stats -------------------------------------------------------
+
+
+def corpus_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.repetition_stats(docs)
+
+
+_G2_EXPR = sql_shingles("string_split(text, ' ')", 2)
+
+CORPUS_REPETITION_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS tok,
+         len(string_split(text, ' ')) AS ntoks,
+         list_distinct(string_split(text, ' ')) AS dtoks,
+         {_G2_EXPR} AS g2
+  FROM documents
+)
+SELECT doc_id,
+       ntoks AS n_tokens,
+       {sql_exact_round('1.0 - len(dtoks)::DOUBLE / ntoks', 4)} AS dup_token_frac,
+       {sql_exact_round(
+           'CASE WHEN ntoks - 1 > 0'
+           ' THEN 1.0 - len(g2)::DOUBLE / (ntoks - 1) ELSE 0.0 END', 4
+       )} AS dup_2gram_frac,
+       list_max(list_transform(dtoks,
+                t -> len(list_filter(tok, x -> x = t)))) AS top_token_count,
+       {sql_exact_round(
+           'list_max(list_transform(dtoks,'
+           ' t -> len(list_filter(tok, x -> x = t))))::DOUBLE / ntoks', 4
+       )} AS top_token_frac
+FROM t
+"""
+
+# --- Deterministic split + stratified sample --------------------------------
+
+SAMPLE_PER_STRATUM = 10
+
+
+def corpus_split_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic train/val/test assignment plus an exact
+    per-(lang, split) sample of 10 docs, ordered by the hash key —
+    one per-row map and one window shuffle on the strata."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assigned = corpus.split_assign(docs.select("doc_id", "lang"))
+    return corpus.stratified_sample_flag(
+        assigned, ["lang", "split"], SAMPLE_PER_STRATUM, "hash_key"
+    ).select("doc_id", "lang", "hash_key", "split", "sample_rank", "in_sample")
+
+
+CORPUS_SPLIT_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         md5(doc_id::VARCHAR) AS hash_key,
+         CASE WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'd' THEN 'train'
+              WHEN substr(md5(doc_id::VARCHAR), 1, 1) < 'f' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT doc_id, lang, hash_key, split,
+       CAST(row_number() OVER (PARTITION BY lang, split ORDER BY hash_key)
+            AS BIGINT) AS sample_rank,
+       row_number() OVER (PARTITION BY lang, split ORDER BY hash_key)
+         <= {SAMPLE_PER_STRATUM} AS in_sample
+FROM t
+"""
+
+# --- TF-IDF top terms -------------------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def corpus_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.tfidf_topk(docs, k=TFIDF_TOPK)
+
+
+CORPUS_TFIDF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM terms GROUP BY doc_id, term),
+docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+         {sql_exact_round('tf.tf * ln((n.n_docs + 1.0) / (docfreq.df + 1.0))', 4)}
+           AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank
+FROM ranked WHERE rank <= {TFIDF_TOPK}
+"""
+
+# --- Cluster representative selection ---------------------------------------
+
+
+def corpus_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which copy survives near-dedup: the LSH pair graph's connected
+    components (graph_queries.dedup_clusters), each reduced to its
+    highest-quality member — the full dedup → cluster → select
+    pipeline in one query."""
+    from . import graph_queries as gq
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    clusters = gq.dedup_clusters(spark, sf_dir)
+    quality = text.quality_score(docs)
+    return corpus.cluster_representatives(clusters, quality)
+
+
+def _cluster_reps_sql() -> str:
+    from .graph_queries import DEDUP_CLUSTERS_SQL
+
+    # DEDUP_CLUSTERS_SQL is "WITH RECURSIVE <ctes> SELECT ... FROM reach
+    # GROUP BY node" — wrap its final select as another CTE.
+    body, final = DEDUP_CLUSTERS_SQL.rsplit("SELECT", 1)
+    return f"""{body}
+, clusters AS (SELECT{final})
+, q AS (
+  SELECT doc_id, {QUALITY_SCORE_EXPR} AS quality_score
+  FROM ({QUALITY_T_SUBSELECT})
+)
+, ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality_score,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+         CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+           AS cluster_size
+  FROM clusters c JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS rep_doc_id, quality_score, cluster_size
+FROM ranked WHERE rn = 1
+"""
+
+
+CORPUS_CLUSTER_REPS_SQL = _cluster_reps_sql()
+
+# --- PII redaction ----------------------------------------------------------
+
+
+def pii_redact_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Digit redaction over customer names (the synthetic corpus's only
+    digit-bearing identity column), keeping the last 4 clear — the
+    regex-scrub plan shape for any PII pattern at corpus scale."""
+    cust = load_tables(spark, sf_dir, ("customer",))["customer"]
+    return corpus.redact_digits(
+        cust.select("c_custkey", "c_name"), "c_name", keep_last=4
+    ).select("c_custkey", "c_name_masked", "c_name_digits_redacted")
+
+
+PII_REDACT_SQL = """
+WITH t AS (
+  SELECT c_custkey,
+         substring(c_name, 1, length(c_name) - 4) AS head,
+         substring(c_name, length(c_name) - 3) AS tail
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(head, '[0-9]', '#', 'g') || tail AS c_name_masked,
+       CAST(length(head) - length(regexp_replace(head, '[0-9]', '', 'g'))
+            AS BIGINT) AS c_name_digits_redacted
+FROM t
+"""

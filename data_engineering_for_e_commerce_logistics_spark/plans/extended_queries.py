@@ -179,12 +179,27 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EN_STOP_SQL = "['" + "','".join(text.STOPWORDS["en"]) + "']"
 
-TEXT_QUALITY_SQL = f"""
-WITH t AS (
-  SELECT doc_id, text, n_chars,
+# The tokenized-documents subselect and the rounded quality-score
+# expression (over its dtoks/ntoks/text/n_chars columns) are shared
+# with the cluster-representatives oracle (corpus_queries).
+QUALITY_T_SUBSELECT = """SELECT doc_id, text, n_chars,
          list_distinct(string_split(text, ' ')) AS dtoks,
          len(string_split(text, ' ')) AS ntoks
-  FROM documents
+  FROM documents"""
+
+QUALITY_SCORE_EXPR = sql_exact_round(
+    "0.25 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000"
+    "            THEN 1.0 ELSE 0.5 END)"
+    " + 0.25 * least(len(list_intersect(dtoks, " + _EN_STOP_SQL + ")) / 3.0, 1.0)"
+    " + 0.25 * (len(dtoks) / ntoks)"
+    " + 0.25 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))"
+    "            / greatest(length(text), 1))",
+    4,
+)
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  {QUALITY_T_SUBSELECT}
 )
 SELECT doc_id,
        len(dtoks) AS n_distinct_tokens,
@@ -193,13 +208,7 @@ SELECT doc_id,
        {sql_exact_round(
            "length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))"
            " / greatest(length(text), 1)", 4)} AS alpha_ratio,
-       {sql_exact_round(
-           "0.25 * (CASE WHEN n_chars >= 100 AND n_chars <= 10000"
-           "            THEN 1.0 ELSE 0.5 END)"
-           " + 0.25 * least(len(list_intersect(dtoks, " + _EN_STOP_SQL + ")) / 3.0, 1.0)"
-           " + 0.25 * (len(dtoks) / ntoks)"
-           " + 0.25 * (length(regexp_replace(text, '[^a-zA-Z ]', '', 'g'))"
-           "            / greatest(length(text), 1))", 4)} AS quality_score
+       {QUALITY_SCORE_EXPR} AS quality_score
 FROM t
 """
 

@@ -5,21 +5,21 @@ the registry consumed by ``__spark_entry__`` and the pytest harness.
 
 REGISTRATION ORDER IS PART OF THE DRIVER CONTRACT (VERDICT r01): the
 driver's correctness gate checked exactly the first 50 registrations,
-so the order below is deliberate:
+so the order below is deliberate and rotates per round:
 
-* positions 1-50: every oracle-checked query, with the flagship views
-  first and the whole training-data-pipeline family (dedup / text /
-  similarity) immediately after — the round-1 gap was precisely that
-  this family registered last and got no driver row.  Redundant
-  operator *variants* (keep_first/last/drop_all, ffill/bfill,
-  constant/median fill, rollup/cube, window+time functions,
-  semi-anti+set-ops) are merged into single tagged/column-twinned
-  queries so every semantic stays hash-verified without spending a
-  slot per variant.
-* positions 51-55: oracle-checked queries that were ALREADY verified
-  green in CORRECTNESS_r01.json and are the least information-dense
-  (scalar-function showcases, per-group regression) — still checked
-  whenever the driver looks past 50.
+* positions 1-50: flagship views, then the whole training-data
+  pipeline family (dedup / text / similarity / corpus ops) — the
+  north-star surface stays inside the checked window every round —
+  then every query whose implementation is NEW or CHANGED since the
+  last driver-verified round, then a representative mix of
+  already-green queries as regression sentries.  Redundant operator
+  *variants* are merged into single tagged/column-twinned queries
+  ("merged-variants") so every semantic stays hash-verified without
+  spending a slot per variant.
+* positions 51+: oracle-checked queries already verified green in a
+  prior round's CORRECTNESS_r*.json, least-information-dense first —
+  still checked whenever the driver looks past 50, and rotated back
+  into the window in later rounds.
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 """
@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from . import analytics_queries as aq
 from . import cleaning_queries as cq
+from . import corpus_queries as xc
 from . import function_queries as fq
 from . import graph_queries as gq
 from . import extended_queries as xq
@@ -103,7 +104,51 @@ register(
     ("join", "range", "temporal"),
 )
 
-# --- 19-27: Cleaning operator families (D1-D2, P2-P11, validators) -----
+# --- 19-25: Corpus pipeline — decontaminate / funnel / split / tf-idf --
+register(
+    "corpus_decontaminate",
+    xc.corpus_decontaminate,
+    xc.CORPUS_DECONTAMINATE_SQL,
+    ("corpus", "decontamination"),
+)
+register(
+    "corpus_quality_funnel",
+    xc.corpus_quality_funnel,
+    xc.CORPUS_QUALITY_FUNNEL_SQL,
+    ("corpus", "quality", "fused-agg"),
+)
+register(
+    "corpus_repetition",
+    xc.corpus_repetition,
+    xc.CORPUS_REPETITION_SQL,
+    ("corpus", "quality"),
+)
+register(
+    "corpus_split_sample",
+    xc.corpus_split_sample,
+    xc.CORPUS_SPLIT_SAMPLE_SQL,
+    ("corpus", "sampling", "window"),
+)
+register(
+    "corpus_tfidf_topk",
+    xc.corpus_tfidf_topk,
+    xc.CORPUS_TFIDF_SQL,
+    ("corpus", "text", "topk"),
+)
+register(
+    "corpus_cluster_reps",
+    xc.corpus_cluster_reps,
+    xc.CORPUS_CLUSTER_REPS_SQL,
+    ("corpus", "dedup", "iterative"),
+)
+register(
+    "pii_redact_customer",
+    xc.pii_redact_customer,
+    xc.PII_REDACT_SQL,
+    ("corpus", "pii", "strings"),
+)
+
+# --- 26-34: Cleaning operator families (D1-D2, P2-P11, validators) -----
 register(
     "dedup_variants_lineitem",
     cq.dedup_variants_lineitem,
@@ -141,16 +186,9 @@ register(
 register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
 register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
 
-# --- 28-34: Profiler / aggregates / sinks (S9, S13, A3-A9, J4) ---------
+# --- 35-39: Profiler / aggregates / sinks (S9, S13, A3-A9, J4) ---------
 register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
-register(
-    "agg_cardinality_lineitem",
-    rq.agg_cardinality_lineitem,
-    rq.AGG_CARDINALITY_SQL,
-    ("agg",),
-)
 register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
-register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
 register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
 register(
     "cascade_delete_orders",
@@ -160,21 +198,13 @@ register(
 )
 register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
 
-# --- 35-42: Semi-structured / windows / sessions / SQL API -------------
-register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
-register(
-    "explode_document_tokens",
-    rq.explode_document_tokens,
-    rq.EXPLODE_TOKENS_SQL,
-    ("explode",),
-)
+# --- 40-44: Windows / sessions / multimodal / SQL API ------------------
 register(
     "customer_running_spend",
     rq.customer_running_spend,
     rq.CUSTOMER_RUNNING_SPEND_SQL,
     ("window",),
 )
-register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
 register(
     "events_sessionize",
     rq.events_sessionize,
@@ -189,25 +219,13 @@ register(
     ("sql", "params"),
 )
 register(
-    "struct_flatten_roundtrip",
-    rq.struct_flatten_roundtrip,
-    rq.STRUCT_FLATTEN_SQL,
-    ("struct",),
-)
-
-# --- 43-50: Relational breadth (grouping sets, pivot, quantiles, …) ----
-register(
     "grouping_sets_orders",
     aq.grouping_sets_orders,
     aq.GROUPING_SETS_ORDERS_SQL,
     ("grouping-sets", "merged-variants"),
 )
-register(
-    "region_nation_list",
-    aq.region_nation_list,
-    aq.REGION_NATION_LIST_SQL,
-    ("agg", "string-agg"),
-)
+
+# --- 45-50: Relational breadth (pivot, set ops, quantiles, …) ----------
 register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
 register(
     "set_semi_anti_ops",
@@ -237,7 +255,7 @@ register(
     ("window", "scalar", "time", "merged-variants"),
 )
 
-# --- 51-55: Oracle-checked, already green in r01 (rotation tail) -------
+# --- 51-62: Oracle-checked, already green in r01 (rotation tail) -------
 register(
     "correlated_above_avg_orders",
     aq.correlated_above_avg_orders,
@@ -264,6 +282,33 @@ register(
 )
 register(
     "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
+)
+register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
+register(
+    "explode_document_tokens",
+    rq.explode_document_tokens,
+    rq.EXPLODE_TOKENS_SQL,
+    ("explode",),
+)
+register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
+register(
+    "agg_cardinality_lineitem",
+    rq.agg_cardinality_lineitem,
+    rq.AGG_CARDINALITY_SQL,
+    ("agg",),
+)
+register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
+register(
+    "struct_flatten_roundtrip",
+    rq.struct_flatten_roundtrip,
+    rq.STRUCT_FLATTEN_SQL,
+    ("struct",),
+)
+register(
+    "region_nation_list",
+    aq.region_nation_list,
+    aq.REGION_NATION_LIST_SQL,
+    ("agg", "string-agg"),
 )
 
 # --- last: rows-only specs (no oracle by design) -----------------------

@@ -1,0 +1,188 @@
+"""Corpus-pipeline operator tests: decontamination, quality funnel,
+repetition stats, deterministic split / stratified sampling, TF-IDF,
+cluster representatives, PII redaction."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_for_e_commerce_logistics_spark.operators import corpus
+
+# --- decontamination --------------------------------------------------------
+
+
+def test_decontaminate_flags_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corp = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high today yes"),  # 3 shared 3-grams
+            (2, "completely different words entirely here now"),
+            (3, "quick brown fox"),  # 1 shared 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.decontaminate(corp, bench, min_overlap=3).collect()
+    }
+    assert out[1].overlap_shingles == 3 and out[1].contaminated
+    assert out[2].overlap_shingles == 0 and not out[2].contaminated
+    assert out[3].overlap_shingles == 1 and not out[3].contaminated
+
+
+def test_decontaminate_keeps_all_corpus_rows(spark):
+    bench = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    corp = spark.createDataFrame(
+        [(i, "x y") for i in range(5)], "doc_id long, text string"
+    )  # fewer tokens than k → empty shingle arrays
+    out = corpus.decontaminate(corp, bench)
+    assert out.count() == 5
+    assert out.filter(F.col("contaminated")).count() == 0
+
+
+# --- quality funnel ---------------------------------------------------------
+
+
+def test_quality_funnel_counts(spark):
+    words = [a + b for a in "abcde" for b in "fghijk"]  # 30 distinct, alphabetic
+    long_ok = "the " + " ".join(words)  # 31 tokens, stopword, no repetition
+    short = "x y"  # too_short + low_stopword + word_len (avg 1.0 < 2)
+    repetitive = " ".join(["the dog"] * 20)  # 40 tokens, dup-2-gram ≈ 0.95
+    df = spark.createDataFrame(
+        [(1, long_ok), (2, short), (3, repetitive)], "doc_id long, text string"
+    )
+    row = corpus.quality_funnel(df).first()
+    assert row.n_docs == 3
+    assert row.fail_too_short == 1  # short only (repetitive has 40 tokens)
+    assert row.fail_too_long == 0
+    assert row.fail_low_stopword == 1  # short
+    assert row.fail_word_len_out_of_range == 1  # short: avg 1.0
+    assert row.fail_low_alpha == 0
+    assert row.fail_repetitive == 1  # the repetitive doc
+    assert row.n_retained == 1  # long_ok survives every rule
+
+
+def test_quality_funnel_retained_consistent(spark):
+    rows = [(i, f"doc {i} " + " ".join(f"tok{j}" for j in range(30))) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = corpus.quality_funnel(df).first()
+    # retained ≤ n_docs - max(single-rule fails); all counts non-negative
+    fails = [v for k, v in row.asDict().items() if k.startswith("fail_")]
+    assert all(f >= 0 for f in fails)
+    assert 0 <= row.n_retained <= row.n_docs
+    assert row.n_retained >= row.n_docs - sum(fails)
+
+
+# --- repetition stats -------------------------------------------------------
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in corpus.repetition_stats(df).collect()}
+    # doc 1: 4 tokens, 1 distinct → dup_token_frac = 0.75; 3 2-grams all
+    # "a a" → dup_2gram_frac = 1 - 1/3; top token count 4
+    assert out[1].dup_token_frac == 0.75
+    assert out[1].dup_2gram_frac == pytest.approx(round(1 - 1 / 3, 4))
+    assert out[1].top_token_count == 4 and out[1].top_token_frac == 1.0
+    # doc 2: all distinct
+    assert out[2].dup_token_frac == 0.0
+    assert out[2].dup_2gram_frac == 0.0
+    assert out[2].top_token_count == 1 and out[2].top_token_frac == 0.25
+
+
+def test_repetition_single_token_doc(spark):
+    df = spark.createDataFrame([(1, "solo")], "doc_id long, text string")
+    r = corpus.repetition_stats(df).first()
+    assert r.n_tokens == 1 and r.dup_2gram_frac == 0.0
+
+
+# --- deterministic split + stratified sample --------------------------------
+
+
+def test_split_assign_deterministic_and_total(spark):
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = corpus.split_assign(df).collect()
+    b = corpus.split_assign(df).collect()
+    assert {r.doc_id: r.split for r in a} == {r.doc_id: r.split for r in b}
+    splits = {r.split for r in a}
+    assert splits <= {"train", "val", "test"}
+    # 13/16 expectation: train strictly dominates at n=200
+    counts = {s: sum(1 for r in a if r.split == s) for s in splits}
+    assert counts["train"] > counts.get("val", 0) + counts.get("test", 0)
+
+
+def test_stratified_sample_exact_n(spark):
+    rows = [(i, "en" if i % 2 == 0 else "fr") for i in range(40)]
+    df = corpus.split_assign(
+        spark.createDataFrame(rows, "doc_id long, lang string")
+    )
+    out = corpus.stratified_sample_flag(df, ["lang"], 5, "hash_key")
+    per_lang = (
+        out.filter("in_sample").groupBy("lang").count().collect()
+    )
+    assert {r.lang: r["count"] for r in per_lang} == {"en": 5, "fr": 5}
+
+
+# --- TF-IDF -----------------------------------------------------------------
+
+
+def test_tfidf_topk_ranks_and_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry cherry"),
+            (3, "apple banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus.tfidf_topk(df, k=2).collect()
+    assert all(r.rank <= 2 for r in out)
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=2 → tfidf = 2*ln(4/3); banana tf=1 df=3 → ln(1)=0
+    top1 = sorted(by_doc[1], key=lambda r: r.rank)[0]
+    assert top1.term == "apple" and top1.tf == 2 and top1.df == 2
+    assert top1.tfidf == pytest.approx(round(2 * math.log(4 / 3), 4), abs=1e-9)
+
+
+# --- cluster representatives ------------------------------------------------
+
+
+def test_cluster_representatives_argmax(spark):
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 40), (5, 40)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.1)],
+        "doc_id long, quality_score double",
+    )
+    out = {r.cluster_id: r for r in
+           corpus.cluster_representatives(clusters, quality).collect()}
+    assert out[10].rep_doc_id == 2  # max quality, min doc_id tiebreak
+    assert out[10].cluster_size == 3
+    assert out[40].rep_doc_id == 4 and out[40].cluster_size == 2
+
+
+# --- PII redaction ----------------------------------------------------------
+
+
+def test_redact_digits_full_and_keep_last(spark):
+    df = spark.createDataFrame(
+        [(1, "Customer#000123456")], "id long, c_name string"
+    )
+    full = corpus.redact_digits(df, "c_name").first()
+    assert full.c_name_masked == "Customer##########"
+    assert full.c_name_digits_redacted == 9
+    kept = corpus.redact_digits(df, "c_name", keep_last=4).first()
+    assert kept.c_name_masked == "Customer######3456"
+    assert kept.c_name_digits_redacted == 5
