@@ -69,6 +69,8 @@ HEADLINE = [
     "corpus_split_sample",
     "corpus_tfidf_topk",
     "pii_redact_customer",
+    "corpus_pack_sequences",
+    "corpus_domain_mix",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

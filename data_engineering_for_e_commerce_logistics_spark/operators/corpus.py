@@ -62,16 +62,19 @@ def decontaminate(
     count on doc_id.  At extreme benchmark sizes swap the broadcast
     for a bloom-filter prefilter + shuffle join — same plan shape.
     """
+    # Materialize the token arrays BEFORE shingling: an inline split()
+    # inside the shingle lambda is re-evaluated per element (the round-1
+    # minhash lesson; here it was 3 re-splits per shingle position and
+    # made this query the slowest in the bench at 7.4s → 1.x s fixed).
     corpus_sh = corpus.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(
         F.col(id_col),
-        shingles_from_tokens(F.split(F.col(text_col), " "), shingle_k).alias("ws"),
+        shingles_from_tokens("__toks", shingle_k).alias("ws"),
     )
     bench_sh = (
-        benchmark.select(
-            F.explode(
-                shingles_from_tokens(F.split(F.col(text_col), " "), shingle_k)
-            ).alias("shingle")
-        )
+        benchmark.select(F.split(F.col(text_col), " ").alias("__toks"))
+        .select(F.explode(shingles_from_tokens("__toks", shingle_k)).alias("shingle"))
         .distinct()
     )
     overlap = (
@@ -220,6 +223,98 @@ def stratified_sample_flag(
     w = Window.partitionBy(*strata).orderBy(order_col)
     return df.withColumn("sample_rank", F.row_number().over(w)).withColumn(
         "in_sample", F.col("sample_rank") <= n_per_stratum
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_budget: int = 512,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing: concatenate each (source, shard)
+    document stream in deterministic md5 order and cut it every
+    ``token_budget`` tokens; a document's ``bin_id`` is the chunk
+    holding its first token (documents may straddle a cut — the
+    concat-then-chunk semantics pretraining pipelines use).
+
+    Scale shape: the stream is sharded 16 ways per source on the first
+    hex nibble of the doc hash BEFORE the ordered window, so the only
+    window runs per (source, shard) — no global sort, and adding
+    shards (wider substring) scales the parallelism without changing
+    any bin's contents within its shard.  Packing quality is
+    unaffected by sharding: bins are local to a shard by design."""
+    key = F.md5(F.col(id_col).cast("string"))
+    d = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        key.alias("hash_key"),
+        F.conv(F.substring(key, 1, 1), 16, 10).cast("int").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(source_col, "shard")
+        .orderBy("hash_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return d.select(
+        id_col,
+        source_col,
+        "shard",
+        "hash_key",
+        "n_tokens",
+        start,
+        F.floor((cum - F.col("n_tokens")) / token_budget)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
+) -> DataFrame:
+    """Domain rebalancing: deterministically downsample each source
+    toward the uniform target share (total/n_sources docs per source).
+    ``rate`` = min(1, target/n_source); a doc is kept when the fraction
+    encoded by its first 8 md5 hex digits falls below the rate —
+    hash-thresholded, so re-runs and engines agree row-for-row (no
+    rand()) and growing the corpus never flips old rows' membership
+    within an unchanged source count.
+
+    Scale shape: per-source counts are a tiny aggregate broadcast back
+    onto the corpus — one hash-agg plus a map-side join; no window, no
+    global state."""
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    totals = counts.agg(
+        F.sum("n_source").alias("n_total"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("n_total").cast("double") / F.col("n_sources"))
+            / F.col("n_source"),
+        ).alias("rate"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.select(F.col(id_col), F.col(source_col), frac.alias("hash_frac"))
+        .join(F.broadcast(rates), source_col)
+        .select(
+            id_col,
+            source_col,
+            exact_round(F.col("hash_frac"), 8).alias("hash_frac"),
+            exact_round(F.col("rate"), 8).alias("rate"),
+            (F.col("hash_frac") < F.col("rate")).alias("kept"),
+        )
     )
 
 

@@ -191,6 +191,79 @@ SELECT doc_id, lang, hash_key, split,
 FROM t
 """
 
+# --- Sequence packing -------------------------------------------------------
+
+PACK_TOKEN_BUDGET = 512
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-chunk training-sequence packing per (source, shard):
+    md5-ordered stream cut every 512 tokens; windows run per shard so
+    no global sort exists at any corpus size."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.pack_sequences(docs, token_budget=PACK_TOKEN_BUDGET)
+
+
+CORPUS_PACK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         md5(doc_id::VARCHAR) AS hash_key,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::INT AS shard,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY hash_key
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+)
+SELECT doc_id, source, shard, hash_key, n_tokens,
+       CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       CAST(floor((cum - n_tokens)::DOUBLE / {PACK_TOKEN_BUDGET}) AS BIGINT)
+         AS bin_id
+FROM c
+"""
+
+# --- Domain mixing ----------------------------------------------------------
+
+
+def corpus_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-target domain rebalancing: per-source keep-rate
+    broadcast onto the corpus, hash-thresholded membership."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.domain_mix_sample(docs)
+
+
+CORPUS_DOMAIN_MIX_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS n_source FROM documents GROUP BY source
+),
+tot AS (
+  SELECT CAST(sum(n_source) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM counts
+),
+rates AS (
+  SELECT source,
+         least(1.0, (n_total::DOUBLE / n_sources) / n_source) AS rate
+  FROM counts CROSS JOIN tot
+),
+d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+           / 4294967296.0 AS hash_frac
+  FROM documents
+)
+SELECT d.doc_id, d.source,
+       {hf} AS hash_frac,
+       {rt} AS rate,
+       d.hash_frac < rates.rate AS kept
+FROM d JOIN rates USING (source)
+""".format(
+    hf=sql_exact_round("d.hash_frac", 8), rt=sql_exact_round("rates.rate", 8)
+)
+
 # --- TF-IDF top terms -------------------------------------------------------
 
 TFIDF_TOPK = 3

@@ -104,7 +104,7 @@ register(
     ("join", "range", "temporal"),
 )
 
-# --- 19-25: Corpus pipeline — decontaminate / funnel / split / tf-idf --
+# --- 19-27: Corpus pipeline — decontaminate / funnel / split / pack ----
 register(
     "corpus_decontaminate",
     xc.corpus_decontaminate,
@@ -147,8 +147,20 @@ register(
     xc.PII_REDACT_SQL,
     ("corpus", "pii", "strings"),
 )
+register(
+    "corpus_pack_sequences",
+    xc.corpus_pack_sequences,
+    xc.CORPUS_PACK_SQL,
+    ("corpus", "packing", "window"),
+)
+register(
+    "corpus_domain_mix",
+    xc.corpus_domain_mix,
+    xc.CORPUS_DOMAIN_MIX_SQL,
+    ("corpus", "sampling"),
+)
 
-# --- 26-34: Cleaning operator families (D1-D2, P2-P11, validators) -----
+# --- 28-36: Cleaning operator families (D1-D2, P2-P11, validators) -----
 register(
     "dedup_variants_lineitem",
     cq.dedup_variants_lineitem,
@@ -198,13 +210,7 @@ register(
 )
 register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
 
-# --- 40-44: Windows / sessions / multimodal / SQL API ------------------
-register(
-    "customer_running_spend",
-    rq.customer_running_spend,
-    rq.CUSTOMER_RUNNING_SPEND_SQL,
-    ("window",),
-)
+# --- 42-45: Windows / sessions / multimodal / SQL API ------------------
 register(
     "events_sessionize",
     rq.events_sessionize,
@@ -225,8 +231,7 @@ register(
     ("grouping-sets", "merged-variants"),
 )
 
-# --- 45-50: Relational breadth (pivot, set ops, quantiles, …) ----------
-register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+# --- 46-50: Relational breadth (set ops, quantiles, …) -----------------
 register(
     "set_semi_anti_ops",
     aq.set_semi_anti_ops,
@@ -255,7 +260,14 @@ register(
     ("window", "scalar", "time", "merged-variants"),
 )
 
-# --- 51-62: Oracle-checked, already green in r01 (rotation tail) -------
+# --- 51+: Oracle-checked, already green in r01 (rotation tail) ---------
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register(
+    "customer_running_spend",
+    rq.customer_running_spend,
+    rq.CUSTOMER_RUNNING_SPEND_SQL,
+    ("window",),
+)
 register(
     "correlated_above_avg_orders",
     aq.correlated_above_avg_orders,

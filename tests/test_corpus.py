@@ -131,6 +131,74 @@ def test_stratified_sample_exact_n(spark):
     assert {r.lang: r["count"] for r in per_lang} == {"en": 5, "fr": 5}
 
 
+# --- sequence packing -------------------------------------------------------
+
+
+def test_pack_sequences_offsets_and_bins(spark):
+    rows = [(i, "s", " ".join(["w"] * 100)) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = corpus.pack_sequences(df, token_budget=250).collect()
+    # within each (source, shard) stream: offsets are the running token
+    # sum in hash order, and bin_id = floor(start/budget)
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault((r.source, r.shard), []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r.hash_key)
+        cum = 0
+        for r in members:
+            assert r.start_offset == cum
+            assert r.bin_id == cum // 250
+            cum += r.n_tokens
+
+
+def test_pack_sequences_deterministic(spark):
+    rows = [(i, "s" + str(i % 3), "a b c d e") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a = {r.doc_id: (r.shard, r.bin_id) for r in corpus.pack_sequences(df).collect()}
+    b = {r.doc_id: (r.shard, r.bin_id) for r in corpus.pack_sequences(df).collect()}
+    assert a == b
+
+
+# --- domain mixing ----------------------------------------------------------
+
+
+def test_domain_mix_rates_and_determinism(spark):
+    # 90/10 skew across two sources → minority rate 1.0, majority ~0.55
+    rows = [(i, "big" if i < 180 else "small") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = corpus.domain_mix_sample(df)
+    rates = {r.source: r.rate for r in out.select("source", "rate").distinct().collect()}
+    assert rates["small"] == 1.0
+    assert rates["big"] == pytest.approx(100 / 180, abs=1e-6)
+    # minority fully kept; membership is hash-deterministic
+    kept = out.filter("kept")
+    assert kept.filter("source = 'small'").count() == 20
+    a = {r.doc_id for r in kept.collect()}
+    b = {r.doc_id for r in corpus.domain_mix_sample(df).filter("kept").collect()}
+    assert a == b
+
+
+def test_domain_mix_stable_under_growth(spark):
+    # adding docs to OTHER sources (same counts for 'big') must not flip
+    # membership for 'big' rows: rate depends only on per-source counts
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(50)]
+    df1 = spark.createDataFrame(rows, "doc_id long, source string")
+    kept1 = {
+        r.doc_id
+        for r in corpus.domain_mix_sample(df1).filter("kept and source='big'").collect()
+    }
+    rows2 = rows + [(2000 + i, "small") for i in range(25)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string")
+    # 'big' rate changes (total grew), but the hash threshold form means
+    # kept sets are nested: a LOWER rate keeps a subset, never a reshuffle
+    kept2 = {
+        r.doc_id
+        for r in corpus.domain_mix_sample(df2).filter("kept and source='big'").collect()
+    }
+    assert kept2 <= kept1 or kept1 <= kept2
+
+
 # --- TF-IDF -----------------------------------------------------------------
 
 
