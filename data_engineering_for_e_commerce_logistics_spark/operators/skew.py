@@ -47,3 +47,33 @@ def salted_aggregate(
         F.sum("__cnt").alias(count_alias),
         *[F.sum(f"__sum_{alias}").alias(alias) for alias in sums],
     )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-spreading equi-join: the skewed (big) side gets a per-ROW
+    salt; the other side is replicated ``salt_buckets`` times via an
+    explode, and the join runs on keys + salt — the hot key's rows land
+    on N partitions instead of one.
+
+    Result is identical to ``skewed.join(other, keys, how)`` for
+    'inner' and 'left' joins (each skewed row still matches exactly the
+    same other-side rows; the salt only reshapes the shuffle).  The
+    other side grows ×salt_buckets, so use this when that side is the
+    small-but-not-broadcastable one.  Prefer AQE's automatic skew-join
+    split where it fires (sort-merge joins); manual salting is the form
+    that also covers aggregation-free pipelines and fixed plans."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted = skewed.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted.join(replicated, keys + ["__salt"], how).drop("__salt")

@@ -162,6 +162,7 @@ def write_bucketed_table(
     num_buckets: int = 32,
     sort_columns: list[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: the 100 TB co-location primitive.
 
@@ -169,10 +170,14 @@ def write_bucketed_table(
     join with ZERO shuffle — each bucket pairs off directly; this is
     the Spark replacement for the reference's FK B-tree indexes on
     join columns (schema.sql:118-173) at warehouse scale.  Requires a
-    metastore table (saveAsTable), not a bare path."""
+    metastore table (saveAsTable), not a bare path — plain
+    spark.read.parquet of the same files would not see the clustering.
+    ``path`` makes the table external (tests point it at a tmpdir)."""
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_columns)
     if sort_columns:
         writer = writer.sortBy(*sort_columns)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -194,6 +194,70 @@ def start_running_totals_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: dropDuplicatesWithinWatermark keeps each
+    key's state only inside the watermark horizon, turning an
+    at-least-once source (file redelivery, Kafka replays) into
+    effectively-exactly-once rows — the streaming twin of the batch
+    exact-dedup operator (operators/dedup.exact_duplicates).
+
+    State is O(distinct keys within the horizon), not O(stream): the
+    watermark is the eviction policy.  Plain dropDuplicates on a
+    stream would grow state forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys) if keys else ["event_id"]
+    )
+
+
+def stream_stream_conversion_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchase events joined to the view
+    events of the same user that preceded them within
+    ``horizon_minutes`` (the attribution/conversion join).
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, so each side's buffered state is limited to
+    watermark + horizon — the two conditions Spark requires to evict
+    stream-stream join state at all.  An unbounded-time stream join
+    would buffer both streams forever; this shape is the scalable
+    form."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return v.join(p, cond, "inner").select(
+        F.col("p_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

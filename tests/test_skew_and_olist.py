@@ -33,6 +33,39 @@ def test_salted_aggregate_equals_direct(spark):
     assert direct == salted
 
 
+def test_salted_join_equals_direct(spark):
+    # skewed big side: 90% of rows share key 0
+    big = spark.range(5000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 10).alias("k"),
+        F.col("id").alias("rowid"),
+    )
+    dim = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(10)], "k long, name string"
+    )
+    direct = {
+        (r.rowid, r.name) for r in big.join(dim, ["k"], "inner").collect()
+    }
+    salted = {
+        (r.rowid, r.name)
+        for r in skew.salted_join(big, dim, ["k"], "inner", salt_buckets=4).collect()
+    }
+    assert direct == salted
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.range(100).select((F.col("id") % 20).alias("k"), F.col("id").alias("rowid"))
+    dim = spark.createDataFrame([(i, i * 10) for i in range(5)], "k long, v long")
+    out = skew.salted_join(big, dim, ["k"], "left", salt_buckets=3)
+    assert out.count() == 100
+    assert out.filter(F.col("v").isNull()).count() == 75  # keys 5..19
+
+
+def test_salted_join_rejects_outer(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        skew.salted_join(df, df, ["id"], "full")
+
+
 OLIST_ORDERS_CSV = """order_id,customer_id,order_status,order_purchase_timestamp,order_approved_at,order_delivered_carrier_date,order_delivered_customer_date,order_estimated_delivery_date
 o1,c1,delivered,2024-01-01 00:00:00,2024-01-01 01:00:00,2024-01-01 12:00:00,2024-01-02 00:00:00,2024-01-05 00:00:00
 o1,c1,delivered,2024-01-01 00:30:00,,,,

@@ -175,8 +175,14 @@ def test_bucketed_table_join_no_shuffle(spark, tmp_path):
     exchange (the point of bucketing: co-located 100 TB fact joins)."""
     a = spark.range(1000).selectExpr("id AS k", "id * 2 AS va")
     b = spark.range(1000).selectExpr("id AS k", "id * 3 AS vb")
-    sinks.write_bucketed_table(a, "bucketed_a", ["k"], num_buckets=4, sort_columns=["k"])
-    sinks.write_bucketed_table(b, "bucketed_b", ["k"], num_buckets=4, sort_columns=["k"])
+    sinks.write_bucketed_table(
+        a, "bucketed_a", ["k"], num_buckets=4, sort_columns=["k"],
+        path=str(tmp_path / "a"),
+    )
+    sinks.write_bucketed_table(
+        b, "bucketed_b", ["k"], num_buckets=4, sort_columns=["k"],
+        path=str(tmp_path / "b"),
+    )
     try:
         joined = spark.table("bucketed_a").join(spark.table("bucketed_b"), "k")
         plan = joined._jdf.queryExecution().executedPlan().toString()

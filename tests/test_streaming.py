@@ -155,3 +155,68 @@ def test_sessionize_shape(spark, events_dir):
         "sum_value",
     }
     assert sess.isStreaming
+
+
+def test_stream_dedup_matches_batch_distinct(spark, tmp_path):
+    """A doubled source (every file delivered twice) streams through
+    dropDuplicatesWithinWatermark to exactly the batch-distinct rows."""
+    src = str(tmp_path / "dup_events")
+    ev = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    ev.write.parquet(src)
+    ev.write.mode("append").parquet(src)
+
+    deduped = ingest.dedup_stream(ingest.read_event_stream(spark, src))
+    sink, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    assert spark.read.parquet(src).count() == 2 * ev.count()
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
+    """Stream-stream conversion join (views ⋈ purchases within the
+    horizon) emits exactly the rows of the same join run as batch."""
+    views = ingest.read_event_stream(spark, events_dir).filter(
+        "event_type = 'view'"
+    )
+    purchases = ingest.read_event_stream(spark, events_dir).filter(
+        "event_type = 'purchase'"
+    )
+    joined = ingest.stream_stream_conversion_join(
+        views, purchases, horizon_minutes=120
+    )
+    assert joined.isStreaming
+    sink, ckpt = str(tmp_path / "join_out"), str(tmp_path / "join_ckpt")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    static = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    batch = ingest.stream_stream_conversion_join(
+        static.filter("event_type = 'view'"),
+        static.filter("event_type = 'purchase'"),
+        horizon_minutes=120,
+    )
+    got = {
+        (r.view_id, r.purchase_id)
+        for r in spark.read.parquet(sink).collect()
+    }
+    want = {(r.view_id, r.purchase_id) for r in batch.collect()}
+    assert want, "batch twin produced no rows — test data assumption broken"
+    assert got == want
