@@ -71,6 +71,8 @@ HEADLINE = [
     "pii_redact_customer",
     "corpus_pack_sequences",
     "corpus_domain_mix",
+    "q7_nation_pair_volume",
+    "q8_market_share",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

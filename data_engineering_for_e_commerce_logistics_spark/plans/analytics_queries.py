@@ -745,3 +745,160 @@ SELECT 'only_f' AS bucket, count(*) AS n_customers
 FROM (SELECT o_custkey FROM f_cust EXCEPT SELECT o_custkey FROM p_cust)
 )
 """
+
+
+# --- Q7/Q8-style multi-join breadth (round 2) -------------------------------
+
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+
+
+def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — lineitem joins BOTH a supplier-side and a customer-side
+    nation dimension (the same dim table in two roles).  All dims
+    broadcast; the only real shuffle is lineitem⨝orders and the final
+    3-key aggregate."""
+    t = load_tables(
+        spark, sf_dir, ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    n_s = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == Q7_NATION_A) & (F.col("cust_nation") == Q7_NATION_B)
+    ) | (
+        (F.col("supp_nation") == Q7_NATION_B) & (F.col("cust_nation") == Q7_NATION_A)
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.expr(sql_exact_sum("l_extendedprice * (1 - l_discount)", 2)).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+Q7_NATION_PAIR_SQL = f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       year(l.l_shipdate)::INT AS l_year,
+       count(*) AS n_items,
+       {sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE (ns.n_name = '{Q7_NATION_A}' AND nc.n_name = '{Q7_NATION_B}')
+   OR (ns.n_name = '{Q7_NATION_B}' AND nc.n_name = '{Q7_NATION_A}')
+GROUP BY 1, 2, 3
+"""
+
+Q8_REGION = "ASIA"
+Q8_NATION = "NATION_2"
+Q8_PTYPE = "PROMO"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    revenue per order year.  The share divides two decimal-exact sums
+    (identical doubles in both engines), then rounds — so the ratio
+    cannot drift cross-engine.  Six-table join; every dimension side
+    broadcasts, lineitem⨝orders is the lone big shuffle."""
+    from ..functions import sql_exact_round
+
+    t = load_tables(
+        spark,
+        sf_dir,
+        ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"),
+    )
+    n_s = t["nation"].select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = t["nation"].select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    base = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == Q8_PTYPE)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(t["region"]), F.col("cr_key") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == Q8_REGION)
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    agg = base.groupBy("o_year").agg(
+        F.expr(
+            sql_exact_sum(
+                f"CASE WHEN supp_nation = '{Q8_NATION}' THEN volume ELSE 0.0 END", 2
+            )
+        ).alias("nation_volume"),
+        F.expr(sql_exact_sum("volume", 2)).alias("total_volume"),
+    )
+    return agg.select(
+        "o_year",
+        "nation_volume",
+        "total_volume",
+        F.expr(sql_exact_round("nation_volume / total_volume", 6)).alias("mkt_share"),
+    )
+
+
+def _q8_sql() -> str:
+    from ..functions import sql_exact_round
+
+    num = sql_exact_sum(
+        f"CASE WHEN ns.n_name = '{Q8_NATION}'"
+        " THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END",
+        2,
+    )
+    den = sql_exact_sum("l.l_extendedprice * (1 - l.l_discount)", 2)
+    return f"""
+WITH agg AS (
+  SELECT year(o.o_orderdate)::INT AS o_year,
+         {num} AS nation_volume,
+         {den} AS total_volume
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{Q8_PTYPE}'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  JOIN region r ON nc.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{Q8_REGION}'
+  GROUP BY 1
+)
+SELECT o_year, nation_volume, total_volume,
+       {sql_exact_round("nation_volume / total_volume", 6)} AS mkt_share
+FROM agg
+"""
+
+
+Q8_MARKET_SHARE_SQL = _q8_sql()

@@ -242,6 +242,27 @@ register(
     "quantiles_lineitem", aq.quantiles_lineitem, aq.QUANTILES_LINEITEM_SQL, ("agg",)
 )
 register(
+    "q7_nation_pair_volume",
+    aq.q7_nation_pair_volume,
+    aq.Q7_NATION_PAIR_SQL,
+    ("join", "agg", "multi-role-dim"),
+)
+register(
+    "q8_market_share",
+    aq.q8_market_share,
+    aq.Q8_MARKET_SHARE_SQL,
+    ("join", "agg", "ratio"),
+)
+register(
+    "window_time_orders",
+    aq.window_time_orders,
+    aq.WINDOW_TIME_ORDERS_SQL,
+    ("window", "scalar", "time", "merged-variants"),
+)
+
+# --- 51+: Oracle-checked, already green in r01 (rotation tail) ---------
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register(
     "asof_events_orders",
     aq.asof_events_orders,
     aq.ASOF_EVENTS_ORDERS_SQL,
@@ -253,15 +274,6 @@ register(
     aq.Q3_SHIPPING_PRIORITY_SQL,
     ("join", "agg", "topk"),
 )
-register(
-    "window_time_orders",
-    aq.window_time_orders,
-    aq.WINDOW_TIME_ORDERS_SQL,
-    ("window", "scalar", "time", "merged-variants"),
-)
-
-# --- 51+: Oracle-checked, already green in r01 (rotation tail) ---------
-register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
 register(
     "customer_running_spend",
     rq.customer_running_spend,
