@@ -73,6 +73,10 @@ HEADLINE = [
     "corpus_domain_mix",
     "q7_nation_pair_volume",
     "q8_market_share",
+    "kmeans_iterations",
+    "histogram_orders",
+    "group_quantiles_events",
+    "unpivot_lineitem",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

@@ -254,16 +254,119 @@ def _exact_quantiles_nosort(df, col: str, qs: list[float], n: int) -> dict[float
     return out
 
 
+def _exact_quantiles_nosort_multi(
+    df, cols_qs: dict[str, list[float]], n: int
+) -> dict[tuple[str, float], float]:
+    """Multi-column twin of _exact_quantiles_nosort that FUSES the
+    per-column jobs: one approxQuantile call for every column (same
+    prob superset — the sketch pass scans once), one conditional-count
+    aggregate pinning every bracket's base rank, and one unioned
+    histogram collect.  4 jobs total regardless of column count
+    (vs 3 per column + count) — same exact-selection math, same
+    no-global-sort guarantee."""
+    import math
+
+    eps = 1e-4
+    delta = 4 * eps + 2.0 / max(n, 1)
+    cols = list(cols_qs)
+    meta: dict[str, list] = {c: [] for c in cols}
+    probs: dict[str, list] = {c: [] for c in cols}
+    for c, qs in cols_qs.items():
+        for q in qs:
+            h = (n - 1) * q
+            meta[c].append((q, math.floor(h) + 1, h - math.floor(h)))
+            probs[c].append((max(0.0, q - delta), min(1.0, q + delta)))
+    flat = sorted({p for c in cols for pair in probs[c] for p in pair})
+    # percentile_approx (codegen aggregate) over DataFrame.approxQuantile
+    # (RDD treeAggregate): same GK rank-error bound (≤ n/accuracy), ~3×
+    # faster measured; one whole-stage pass sketches every column.
+    probs_arr = "array(" + ",".join(f"{p!r}D" for p in flat) + ")"
+    accuracy = int(round(1.0 / eps))
+    ap_row = df.agg(
+        *[
+            F.expr(f"percentile_approx({c}, {probs_arr}, {accuracy})").alias(c)
+            for c in cols
+        ]
+    ).first()
+    vals = {c: dict(zip(flat, ap_row[c])) for c in cols}
+    brackets = {
+        c: [(vals[c][plo], vals[c][phi]) for plo, phi in probs[c]] for c in cols
+    }
+
+    bases = df.agg(
+        *[
+            F.sum(F.when(F.col(c) < F.lit(vlo), 1).otherwise(0)).alias(f"b_{c}_{i}")
+            for c in cols
+            for i, (vlo, _) in enumerate(brackets[c])
+        ]
+    ).first()
+
+    hist_parts = []
+    for c in cols:
+        cond = None
+        for vlo, vhi in brackets[c]:
+            m = (F.col(c) >= F.lit(vlo)) & (F.col(c) <= F.lit(vhi))
+            cond = m if cond is None else (cond | m)
+        hist_parts.append(
+            df.filter(cond)
+            .groupBy(F.lit(c).alias("col"), F.col(c).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    hist_df = hist_parts[0]
+    for part in hist_parts[1:]:
+        hist_df = hist_df.unionByName(part)
+    hists: dict[str, list] = {c: [] for c in cols}
+    for r in hist_df.collect():
+        hists[r["col"]].append((float(r["v"]), int(r["cnt"])))
+    for c in cols:
+        hists[c].sort()
+
+    out: dict[tuple[str, float], float] = {}
+    for c in cols:
+        for i, (q, lo, frac) in enumerate(meta[c]):
+            vlo, vhi = brackets[c][i]
+            base = int(bases[f"b_{c}_{i}"])
+
+            def value_at(rank: int) -> float:
+                cum = base
+                for v, cnt in hists[c]:
+                    if v < vlo or v > vhi:
+                        continue
+                    cum += cnt
+                    if cum >= rank:
+                        return v
+                raise RuntimeError(
+                    f"rank {rank} not in bracket [{vlo}, {vhi}] for {c}"
+                )
+
+            v_lo = value_at(lo)
+            out[(c, q)] = (
+                v_lo if frac == 0 else v_lo + frac * (value_at(lo + 1) - v_lo)
+            )
+    return out
+
+
 def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated quartiles via approx-bracketed selection —
-    see _exact_quantiles_nosort for the no-global-sort plan; the
-    oracle is DuckDB quantile_cont, matched exactly."""
+    see _exact_quantiles_nosort for the no-global-sort plan (and the
+    _multi variant for the fused-job form used here); the oracle is
+    DuckDB quantile_cont, matched exactly."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     n = li.count()
-    price = _exact_quantiles_nosort(li, "l_extendedprice", [0.25, 0.5, 0.75], n)
-    qty = _exact_quantiles_nosort(li, "l_quantity", [0.5], n)
+    r = _exact_quantiles_nosort_multi(
+        li.select("l_extendedprice", "l_quantity"),
+        {"l_extendedprice": [0.25, 0.5, 0.75], "l_quantity": [0.5]},
+        n,
+    )
     return spark.createDataFrame(
-        [(price[0.25], price[0.5], price[0.75], qty[0.5])],
+        [
+            (
+                r[("l_extendedprice", 0.25)],
+                r[("l_extendedprice", 0.5)],
+                r[("l_extendedprice", 0.75)],
+                r[("l_quantity", 0.5)],
+            )
+        ],
         "price_q25 double, price_q50 double, price_q75 double, qty_q50 double",
     )
 
@@ -902,3 +1005,121 @@ FROM agg
 
 
 Q8_MARKET_SHARE_SQL = _q8_sql()
+
+
+# --- Per-group exact quantiles (A8 per-group; round 2) ----------------------
+
+GQ_QUANTILES = (0.5, 0.9)
+
+
+def group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (median, p90 of value per event_type)
+    with the interpolation WRITTEN OUT — lo + frac·(hi−lo) over the two
+    straddling ranked rows — so both engines run the same arithmetic
+    (engine-internal percentile implementations interpolate in
+    different ulp order; the explicit form cannot drift).
+
+    Scale shape: one ranked window per group (groups sort in parallel;
+    each partition holds one group's run) + a conditional aggregate.
+    At extreme per-group cardinality, bracket with approxQuantile
+    first like quantiles_lineitem does globally."""
+    from pyspark.sql import Window
+
+    from ..functions import sql_exact_round
+
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    aggs = [F.expr(e) for e in _gq_agg_exprs()]
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_values"), *aggs
+    )
+
+
+def _gq_agg_exprs() -> list[str]:
+    """Shared aggregate expressions for both engines: the straddling
+    rows are picked INSIDE max(CASE …) (non-grouped columns are legal
+    inside aggregates), while the interpolation fraction re-derives the
+    rank arithmetic from max(n) — the per-group constant — so nothing
+    non-aggregated leaks into the outer projection."""
+    from ..functions import sql_exact_round
+
+    exprs = []
+    for q in GQ_QUANTILES:
+        tag = str(int(q * 100))
+        h_in = f"(n - 1) * {q}"  # inside aggregates: per-row n is legal
+        lo_rn = f"floor({h_in}) + 1"
+        lo = f"max(CASE WHEN rn = {lo_rn} THEN value END)"
+        hi = (
+            f"max(CASE WHEN rn = least(cast({lo_rn} as bigint) + 1, n)"
+            " THEN value END)"
+        )
+        h_out = f"(max(n) - 1) * {q}"  # outside: aggregate the constant
+        frac = f"({h_out}) - floor({h_out})"
+        exprs.append(
+            f"{sql_exact_round(f'{lo} + ({frac}) * ({hi} - {lo})', 6)} AS p{tag}"
+        )
+    return exprs
+
+
+def _group_quantiles_sql() -> str:
+    cols_sql = ",\n       ".join(_gq_agg_exprs())
+    return f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_type) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_type, max(n) AS n_values,
+       {cols_sql}
+FROM ranked GROUP BY event_type
+"""
+
+
+GROUP_QUANTILES_SQL = _group_quantiles_sql()
+
+# --- UNPIVOT / melt (§2.6 reshaping twin of pivot) --------------------------
+
+UNPIVOT_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping (the inverse of pivot_orders): lineitem's
+    four measures melt to (metric, val) rows via the native unpivot
+    (expression-only, no shuffle), then a per-metric profile aggregate.
+    The long form is what per-metric profiling/charting pipelines
+    consume; the aggregate keeps the oracle result small."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    long = li.unpivot(
+        ["l_orderkey"], list(UNPIVOT_METRICS), "metric", "val"
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(sql_exact_sum("val", 2)).alias("total"),
+        )
+    )
+
+
+UNPIVOT_LINEITEM_SQL = f"""
+WITH long AS (
+  {" UNION ALL ".join(
+      f"SELECT '{m}' AS metric, {m} AS val FROM lineitem"
+      for m in UNPIVOT_METRICS
+  )}
+)
+SELECT metric, count(*) AS n, {sql_exact_sum("val", 2)} AS total
+FROM long GROUP BY metric
+"""

@@ -278,6 +278,118 @@ SELECT a0.vec_id, a0.cell_round1, a1.cell_round2
 FROM assign0 a0 JOIN assign1 a1 ON a0.vec_id = a1.vec_id
 """
 
+# --- Multi-iteration k-means (the full iterative algorithm, oracle-checked) -
+
+KMEANS_N_ITER = 3
+
+
+def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three full Lloyd rounds (assign → decimal-exact centroid means →
+    reassign …), returning each vector's final cell.  The decimal-exact
+    per-dimension means keep every round's centroids — and therefore
+    every round's assignments — bit-identical across engines, which is
+    what lets an ITERATIVE algorithm pass the cell-exact oracle gate at
+    n_iter deep, not just one step.
+
+    Scale shape per round: broadcast centroids → map-side scoring →
+    per-vector row_number, then a (cell, dim) aggregate — two shuffles
+    per iteration, vectors never self-join.  Each round's assignment is
+    cached so round i+1 doesn't replay rounds 0..i (the round-1
+    fixpoint lesson)."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double_vec, _fold_sum
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v")).cache()
+    centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+
+    assigned = None
+    for i in range(KMEANS_N_ITER):
+        scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
+            "dist",
+            _fold_sum(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "centroid_id")
+        )
+        if i < KMEANS_N_ITER - 1:
+            assigned = assigned.cache()
+            centroids = (
+                assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+                .groupBy("centroid_id", "dim")
+                .agg(
+                    (
+                        F.expr("cast(sum(cast(val as decimal(28,8))) as double)")
+                        / F.count(F.lit(1))
+                    ).alias("cval")
+                )
+                .groupBy("centroid_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                        lambda s: s["cval"],
+                    ).alias("cv")
+                )
+            )
+    return assigned.select("vec_id", F.col("centroid_id").alias("cell"))
+
+
+def _kmeans_iterations_sql(n_iter: int = KMEANS_N_ITER) -> str:
+    """Unroll the Lloyd rounds as a CTE chain — generated by the same
+    loop that builds the Spark plan, so the two can't drift."""
+    dist = (
+        "list_reduce(list_transform(list_zip({a}.v, c.cv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v FROM embeddings)",
+        f"cent0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e"
+        f" WHERE vec_id < {N_CENTROIDS})",
+    ]
+    for i in range(n_iter):
+        ctes.append(
+            f"""assign{i} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {dist.format(a='e')} ASC, c.centroid_id ASC) AS rn
+    FROM e, cent{i} c
+  ) WHERE rn = 1
+)"""
+        )
+        if i < n_iter - 1:
+            ctes.append(
+                f"""cent{i + 1} AS (
+  SELECT centroid_id, list(cval ORDER BY dim) AS cv FROM (
+    SELECT centroid_id, dim,
+           cast(sum(cast(val as decimal(28,8))) as double) / count(*) AS cval
+    FROM (SELECT centroid_id, unnest(v) AS val,
+                 generate_subscripts(v, 1) - 1 AS dim
+          FROM assign{i})
+    GROUP BY 1, 2
+  ) GROUP BY centroid_id
+)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vec_id, centroid_id AS cell FROM assign{n_iter - 1}"
+    )
+
+
+KMEANS_ITERATIONS_SQL = _kmeans_iterations_sql()
+
 # --- n-gram frequency profile ----------------------------------------------
 
 

@@ -89,6 +89,12 @@ register(
     ("similarity", "ivf", "iterative"),
 )
 register(
+    "kmeans_iterations",
+    gq.kmeans_iterations,
+    gq.KMEANS_ITERATIONS_SQL,
+    ("similarity", "iterative", "multi-round"),
+)
+register(
     "ngram_frequencies",
     gq.ngram_frequencies,
     gq.NGRAM_FREQUENCIES_SQL,
@@ -199,24 +205,33 @@ register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("der
 register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
 
 # --- 35-39: Profiler / aggregates / sinks (S9, S13, A3-A9, J4) ---------
-register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
 register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
-register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register(
+    "group_quantiles_events",
+    aq.group_quantiles_events,
+    aq.GROUP_QUANTILES_SQL,
+    ("agg", "quantile", "per-group"),
+)
+register(
+    "unpivot_lineitem",
+    aq.unpivot_lineitem,
+    aq.UNPIVOT_LINEITEM_SQL,
+    ("reshape", "unpivot"),
+)
 register(
     "cascade_delete_orders",
     rq.cascade_delete_orders,
     rq.CASCADE_DELETE_SQL,
     ("sink", "referential-action"),
 )
-register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register(
+    "histogram_orders",
+    rq.histogram_orders,
+    rq.HISTOGRAM_ORDERS_SQL,
+    ("profile", "histogram"),
+)
 
 # --- 42-45: Windows / sessions / multimodal / SQL API ------------------
-register(
-    "events_sessionize",
-    rq.events_sessionize,
-    rq.EVENTS_SESSIONIZE_SQL,
-    ("window", "session"),
-)
 register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
 register(
     "sql_api_params",
@@ -274,6 +289,15 @@ register(
     aq.Q3_SHIPPING_PRIORITY_SQL,
     ("join", "agg", "topk"),
 )
+register(
+    "events_sessionize",
+    rq.events_sessionize,
+    rq.EVENTS_SESSIONIZE_SQL,
+    ("window", "session"),
+)
+register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
+register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
 register(
     "customer_running_spend",
     rq.customer_running_spend,

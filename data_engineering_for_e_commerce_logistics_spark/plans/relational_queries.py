@@ -481,3 +481,78 @@ SELECT p_partkey,
        p_type        AS type_name
 FROM part
 """
+
+
+# --- Fixed-width histogram profile (S9 profiler breadth) --------------------
+
+HIST_N_BINS = 20
+
+
+def histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of o_totalprice: global min/max ride along
+    as a broadcast 1-row aggregate (never a driver round-trip), each
+    row computes its bin with the same double arithmetic both engines
+    run, and one hash-agg counts per bin.  Two scans OR one scan + tiny
+    recompute — at 100 TB, feed min/max from table statistics instead;
+    the binning pass itself is a single shuffle on ≤ n_bins keys.
+
+    Bin edges are decimal-rounded in the OUTPUT only; bin membership
+    uses the raw doubles so edge rows cannot flip bins cross-engine."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    stats = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(HIST_N_BINS))
+    binned = (
+        o.select("o_totalprice")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.lit(HIST_N_BINS - 1),
+                F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("int"),
+            )
+            .cast("long")
+            .alias("bin"),
+            F.col("lo"),
+            width.alias("w"),
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("lo").alias("lo"),
+            F.first("w").alias("w"),
+        )
+        .select(
+            "bin",
+            exact_round(F.col("lo") + F.col("bin") * F.col("w"), 4).alias("bin_lo"),
+            exact_round(F.col("lo") + (F.col("bin") + 1) * F.col("w"), 4).alias(
+                "bin_hi"
+            ),
+            "n",
+        )
+    )
+
+
+HISTOGRAM_ORDERS_SQL = f"""
+WITH stats AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+),
+binned AS (
+  SELECT least({HIST_N_BINS - 1},
+               floor((o.o_totalprice - s.lo) / ((s.hi - s.lo) / {HIST_N_BINS}.0))::INT
+         )::BIGINT AS bin,
+         s.lo AS lo, (s.hi - s.lo) / {HIST_N_BINS}.0 AS w
+  FROM orders o CROSS JOIN stats s
+)
+SELECT bin,
+       {{lo_expr}} AS bin_lo,
+       {{hi_expr}} AS bin_hi,
+       count(*) AS n
+FROM binned
+GROUP BY bin, lo, w
+""".format(
+    lo_expr=sql_exact_round("lo + bin * w", 4),
+    hi_expr=sql_exact_round("lo + (bin + 1) * w", 4),
+)

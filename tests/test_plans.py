@@ -74,3 +74,32 @@ def test_missing_source_raises(spark):
 
     with pytest.raises(FileNotFoundError, match="no parquet tables"):
         load_tables(spark, "/nonexistent/dir")
+
+
+def test_q7_q8_broadcast_dims_single_fact_shuffle(spark):
+    """The Q7/Q8 shapes keep every dimension join broadcast; the only
+    exchanges are the lineitem⨝orders sides and the final aggregate."""
+    for name in ("q7_nation_pair_volume", "q8_market_share"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan or plan.count("Exchange hashpartitioning") <= 4, name
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """The packing window must partition on (source, shard) — a global
+    ordered window (single-partition Exchange) would be the 100 TB
+    scale-killer this operator exists to avoid."""
+    plan = _plan(spark, "corpus_pack_sequences")
+    assert "Exchange SinglePartition" not in plan
+    assert "partitionBy=[source" in plan.replace(" ", "") or "source" in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = _plan(spark, "corpus_decontaminate")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_domain_mix_broadcasts_rates(spark):
+    plan = _plan(spark, "corpus_domain_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan.split("BroadcastHashJoin")[0]
