@@ -77,6 +77,9 @@ HEADLINE = [
     "histogram_orders",
     "group_quantiles_events",
     "unpivot_lineitem",
+    "cohort_retention",
+    "funnel_events",
+    "rfm_segments",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

@@ -1123,3 +1123,157 @@ WITH long AS (
 SELECT metric, count(*) AS n, {sql_exact_sum("val", 2)} AS total
 FROM long GROUP BY metric
 """
+
+
+# --- E-commerce analytics trio: cohort / funnel / RFM (round 2) -------------
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly cohort retention: customers grouped by first-order
+    month, counted as active in each later month.  Month distance uses
+    pure integer arithmetic (year*12+month), so both engines agree on
+    every boundary.  Shuffle shape: one custkey aggregate (first
+    order), a co-partitioned custkey join back onto orders, and the
+    final (cohort, offset) count-distinct — all keys the fact table
+    already hashes well on."""
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    ym = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    first = o.groupBy("o_custkey").agg(F.min(ym).alias("cohort_ym"))
+    return (
+        o.select("o_custkey", ym.alias("order_ym"))
+        .join(first, "o_custkey")
+        .groupBy(
+            F.col("cohort_ym").cast("long").alias("cohort_ym"),
+            (F.col("order_ym") - F.col("cohort_ym")).cast("long").alias(
+                "months_since"
+            ),
+        )
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH o AS (
+  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) AS order_ym
+  FROM orders
+),
+first AS (SELECT o_custkey, min(order_ym) AS cohort_ym FROM o GROUP BY 1)
+SELECT CAST(cohort_ym AS BIGINT) AS cohort_ym,
+       CAST(order_ym - cohort_ym AS BIGINT) AS months_since,
+       count(DISTINCT o.o_custkey) AS n_active
+FROM o JOIN first USING (o_custkey)
+GROUP BY 1, 2
+"""
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user view→click→purchase funnel in ONE conditional
+    aggregation pass: each stage's first event time, stage reached iff
+    strictly after the previous stage's first event.  No joins, no
+    windows — a single user-key aggregate then a 1-row rollup, the
+    cheapest funnel formulation at any scale."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(reached_view.cast("long")).alias("n_view"),
+        F.sum(reached_click.cast("long")).alias("n_view_click"),
+        F.sum(reached_purchase.cast("long")).alias("n_full_funnel"),
+    )
+
+
+FUNNEL_EVENTS_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_users,
+       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_view,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM per_user
+"""
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    against the global max date), frequency (order count), monetary
+    (decimal-exact spend), each scored into quartiles by ntile(4) with
+    a custkey tiebreak so the split is deterministic.
+
+    The ntile windows run over the CUSTOMER AGGREGATE — orders of
+    magnitude smaller than the fact table (the facts are reduced by
+    the first groupBy).  At extreme customer counts swap ntile for
+    approx-bracketed quartile thresholds (the quantiles_lineitem
+    trick) and a per-row bucket compare; the gate keeps the exact
+    form."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    maxd = o.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.expr(sql_exact_sum("o_totalprice", 2)).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "o_custkey",
+            F.datediff("max_d", "last_d").cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(r_w).cast("long").alias("r_score"),
+        F.ntile(4).over(f_w).cast("long").alias("f_score"),
+        F.ntile(4).over(m_w).cast("long").alias("m_score"),
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_d,
+         count(*) AS frequency,
+         {sql_exact_sum("o_totalprice", 2)} AS monetary
+  FROM orders GROUP BY o_custkey
+),
+maxd AS (SELECT max(o_orderdate) AS max_d FROM orders)
+SELECT o_custkey,
+       CAST(date_diff('day', last_d, max_d) AS BIGINT) AS recency_days,
+       frequency,
+       monetary,
+       CAST(ntile(4) OVER (ORDER BY date_diff('day', last_d, max_d),
+                           o_custkey) AS BIGINT) AS r_score,
+       CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+         AS f_score,
+       CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+         AS m_score
+FROM per_cust CROSS JOIN maxd
+"""

@@ -189,20 +189,25 @@ register(
 register(
     "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
 )
-register(
-    "coerce_timestamps_orders",
-    cq.coerce_timestamps_orders,
-    cq.COERCE_TIMESTAMPS_SQL,
-    ("timestamps",),
-)
-register(
-    "normalize_strings_customer",
-    cq.normalize_strings_customer,
-    cq.NORMALIZE_STRINGS_SQL,
-    ("strings",),
-)
-register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
 register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+register(
+    "cohort_retention",
+    aq.cohort_retention,
+    aq.COHORT_RETENTION_SQL,
+    ("agg", "cohort", "temporal"),
+)
+register(
+    "funnel_events",
+    aq.funnel_events,
+    aq.FUNNEL_EVENTS_SQL,
+    ("agg", "funnel", "fused-agg"),
+)
+register(
+    "rfm_segments",
+    aq.rfm_segments,
+    aq.RFM_SEGMENTS_SQL,
+    ("window", "segmentation"),
+)
 
 # --- 35-39: Profiler / aggregates / sinks (S9, S13, A3-A9, J4) ---------
 register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
@@ -298,6 +303,19 @@ register(
 register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
 register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
 register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register(
+    "coerce_timestamps_orders",
+    cq.coerce_timestamps_orders,
+    cq.COERCE_TIMESTAMPS_SQL,
+    ("timestamps",),
+)
+register(
+    "normalize_strings_customer",
+    cq.normalize_strings_customer,
+    cq.NORMALIZE_STRINGS_SQL,
+    ("strings",),
+)
+register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
 register(
     "customer_running_spend",
     rq.customer_running_spend,

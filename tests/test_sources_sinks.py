@@ -218,3 +218,25 @@ def test_run_log_append(spark, tmp_path):
     log = spark.read.parquet(path)
     assert log.count() == 2
     assert {r.run_id for r in log.collect()} == {"r1", "r2"}
+
+
+def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
+    """S12 executed for real: Spark ships Apache Derby, so the JDBC
+    batch-append sink round-trips through an actual embedded database —
+    upgrading S12 from 'implemented, import-guarded' to 'executed'."""
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.range(100).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+    sinks.write_jdbc(df, url, "t_roundtrip", mode="append", properties=props)
+    sinks.write_jdbc(df, url, "t_roundtrip", mode="append", properties=props)
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t_roundtrip")
+        .option("driver", props["driver"])
+        .load()
+    )
+    assert back.count() == 200  # two appends
+    assert set(back.columns) == {"id", "v"}
+    assert back.agg({"v": "max"}).first()[0] == 198.0
