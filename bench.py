@@ -80,6 +80,8 @@ HEADLINE = [
     "cohort_retention",
     "funnel_events",
     "rfm_segments",
+    "events_gapfill_hourly",
+    "events_zscore_outliers",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

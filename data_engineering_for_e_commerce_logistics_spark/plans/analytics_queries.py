@@ -1277,3 +1277,163 @@ SELECT o_custkey,
          AS m_score
 FROM per_cust CROSS JOIN maxd
 """
+
+
+# --- Hourly gap-fill (hypertable resample) + z-score outliers (round 2) -----
+
+
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup: the (event_type × hour) grid is
+    generated densely from the global min/max hour (broadcast 1-row
+    bounds × tiny type dim — never a driver round-trip), left-joined
+    onto the real rollup; missing hours get n_events=0 and carry the
+    last known hourly sum forward (the hypertable/timescale
+    `time_bucket_gapfill` + `locf` semantic).
+
+    Scale shape: the grid is O(types × hours) — thousands of rows per
+    year regardless of event volume — so the dense join is against a
+    bounded dimension, and the carry-forward window partitions on
+    event_type."""
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hour = F.date_trunc("hour", F.col("ts"))
+    rollup = ev.groupBy(
+        F.col("event_type"), hour.alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(sql_exact_sum("value", 2)).alias("sum_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(rollup, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum_value"),
+        )
+    )
+
+
+EVENTS_GAPFILL_SQL = f"""
+WITH rollup AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         count(*) AS n_events,
+         {sql_exact_sum("value", 2)} AS sum_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+              FROM bounds) g
+)
+SELECT grid.event_type, grid.h,
+       CAST(coalesce(rollup.n_events, 0) AS BIGINT) AS n_events,
+       last_value(rollup.sum_value IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_sum_value
+FROM grid LEFT JOIN rollup USING (event_type, h)
+"""
+
+
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group anomaly detection: mean/stddev derived EXPLICITLY from
+    decimal-exact sum and sum-of-squares (engine stddev internals
+    differ in ulp order; the explicit two-sum form is bitwise-portable),
+    broadcast back onto the rows, |z| > 3 counted per group.  Two scans
+    (one agg + one rejoin-count) — both shuffles on the 5-key group
+    column."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"].filter(
+        F.col("value").isNotNull()
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(sum(cast(value as decimal(28,8))) as double)").alias("s1"),
+        F.expr(
+            "cast(sum(cast(value * value as decimal(28,8))) as double)"
+        ).alias("s2"),
+    )
+    stats = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    flagged = (
+        ev.select("event_type", "value")
+        .join(F.broadcast(stats), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "mean",
+            "std",
+            (
+                F.abs((F.col("value") - F.col("mean")) / F.col("std")) > 3.0
+            ).alias("is_outlier"),
+        )
+    )
+    from ..functions import sql_exact_round
+
+    return flagged.groupBy("event_type").agg(
+        F.max("n").alias("n_values"),
+        F.expr(sql_exact_round("max(mean)", 6)).alias("mean_value"),
+        F.expr(sql_exact_round("max(std)", 6)).alias("std_value"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+    )
+
+
+def _zscore_sql() -> str:
+    from ..functions import sql_exact_round
+
+    return f"""
+WITH ev AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+stats0 AS (
+  SELECT event_type, count(*) AS n,
+         cast(sum(cast(value as decimal(28,8))) as double) AS s1,
+         cast(sum(cast(value * value as decimal(28,8))) as double) AS s2
+  FROM ev GROUP BY 1
+),
+stats AS (
+  SELECT event_type, n, s1 / n AS mean,
+         sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std
+  FROM stats0
+)
+SELECT ev.event_type,
+       max(stats.n) AS n_values,
+       {sql_exact_round("max(stats.mean)", 6)} AS mean_value,
+       {sql_exact_round("max(stats.std)", 6)} AS std_value,
+       CAST(sum(CASE WHEN abs((ev.value - stats.mean) / stats.std) > 3.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM ev JOIN stats USING (event_type)
+GROUP BY ev.event_type
+"""
+
+
+EVENTS_ZSCORE_SQL = _zscore_sql()

@@ -173,7 +173,12 @@ register(
     cq.DEDUP_VARIANTS_SQL,
     ("dedup", "merged-variants"),
 )
-register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register(
+    "events_gapfill_hourly",
+    aq.events_gapfill_hourly,
+    aq.EVENTS_GAPFILL_SQL,
+    ("temporal", "gapfill", "locf"),
+)
 register(
     "fill_strategies_events",
     cq.fill_strategies_events,
@@ -187,7 +192,10 @@ register(
     ("nulls", "window", "merged-variants"),
 )
 register(
-    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+    "events_zscore_outliers",
+    aq.events_zscore_outliers,
+    aq.EVENTS_ZSCORE_SQL,
+    ("agg", "anomaly"),
 )
 register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
 register(
@@ -316,6 +324,10 @@ register(
     ("strings",),
 )
 register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register(
+    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+)
 register(
     "customer_running_spend",
     rq.customer_running_spend,
