@@ -82,6 +82,9 @@ HEADLINE = [
     "rfm_segments",
     "events_gapfill_hourly",
     "events_zscore_outliers",
+    "supplier_pagerank",
+    "ivf_topk",
+    "basket_pairs",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

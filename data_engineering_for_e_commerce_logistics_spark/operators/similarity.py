@@ -153,6 +153,78 @@ def kmeans(
     return assigned.select(F.col(id_col), F.col("centroid_id").alias("cell"))
 
 
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k search — the scale path
+    that completes the `ivf_assign` coarse quantizer with an actual
+    probe-limited search:
+
+    1. every corpus vector is assigned to its nearest seed centroid
+       (the inverted lists; one broadcast-scored pass),
+    2. each query probes its ``nprobe`` nearest centroids,
+    3. exact cosine runs only against candidates in the probed cells,
+    4. per-query top-k with deterministic (cosine desc, id asc) ties.
+
+    With ``nprobe == n_centroids`` every cell is probed and the result
+    equals `brute_force_topk` — the recall knob is explicit (unit
+    tested).  Scale shape: centroid scoring is map-side (broadcast
+    codebook, no shuffle); the probe→cell join is a hash join on the
+    cell id whose probe side is ``queries × nprobe`` rows (broadcast);
+    candidate scoring touches ``nprobe/n_centroids`` of the corpus
+    instead of all of it.  Cells are disjoint so no cross-cell dedup
+    is needed."""
+    base = with_norm(df, vec_col)
+    centroids = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col("v").alias("cv")
+    )
+    scored = F.broadcast(centroids).crossJoin(base).withColumn(
+        "dist",
+        _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    ranked = scored.withColumn("crn", F.row_number().over(w))
+    cells = ranked.filter(F.col("crn") == 1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("v").alias("cv2"),
+        F.col("norm").alias("cnorm"),
+        F.col("centroid_id").alias("cell"),
+    )
+    probes = ranked.filter(
+        F.col(id_col).isin(query_ids) & (F.col("crn") <= nprobe)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+        F.col("centroid_id").alias("cell"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cells, ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            cosine(F.col("qv"), F.col("cv2"), F.col("qnorm"), F.col("cnorm")),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cell", "neighbor_id", "cosine", "rank")
+    )
+
+
 def sign_bucket(vec: Column, bits: int = 8) -> Column:
     """IVF-ish coarse quantizer: '1'/'0' per sign of the first
     ``bits`` dimensions.  Sign of a float is exact → engine-portable."""

@@ -1437,3 +1437,74 @@ GROUP BY ev.event_type
 
 
 EVENTS_ZSCORE_SQL = _zscore_sql()
+
+
+# --- Market-basket pair mining ----------------------------------------------
+
+BASKET_TOP_N = 25
+
+
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining: the top-N part pairs that
+    ship together in the same order, with support counts.
+
+    Pair expansion uses the LSH-bucket idiom (groupBy order →
+    collect_set → in-array combination explode) instead of a
+    self-join: a self-join on l_orderkey would execute the scan twice
+    and shuffle the fact table twice, while this form is ONE shuffle
+    on l_orderkey followed by a bounded in-row expansion — the fanout
+    per order is C(items,2) with items ≤ 7 in TPC-H-shaped data, so
+    the expansion never exceeds ~21× the order count regardless of
+    corpus size.  The final top-N is a TakeOrderedAndProject (per-
+    partition partial top-N, one tiny exchange), not a global sort."""
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("parts"),
+                            i + 2,
+                            F.size(F.col("parts")),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("part_a"), b.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("pair")
+    ).select("pair.part_a", "pair.part_b")
+    counted = pairs.groupBy("part_a", "part_b").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    return (
+        counted.orderBy(
+            F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(BASKET_TOP_N)
+    )
+
+
+BASKET_PAIRS_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS support
+FROM pairs
+GROUP BY part_a, part_b
+ORDER BY support DESC, part_a, part_b
+LIMIT {BASKET_TOP_N}
+"""

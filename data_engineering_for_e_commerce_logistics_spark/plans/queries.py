@@ -197,7 +197,12 @@ register(
     aq.EVENTS_ZSCORE_SQL,
     ("agg", "anomaly"),
 )
-register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+register(
+    "supplier_pagerank",
+    gq.supplier_pagerank,
+    gq.SUPPLIER_PAGERANK_SQL,
+    ("graph", "iterative", "multi-round"),
+)
 register(
     "cohort_retention",
     aq.cohort_retention,
@@ -218,7 +223,12 @@ register(
 )
 
 # --- 35-39: Profiler / aggregates / sinks (S9, S13, A3-A9, J4) ---------
-register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register(
+    "ivf_topk",
+    gq.ivf_topk,
+    gq.IVF_TOPK_SQL,
+    ("similarity", "ivf", "ann"),
+)
 register(
     "group_quantiles_events",
     aq.group_quantiles_events,
@@ -245,7 +255,12 @@ register(
 )
 
 # --- 42-45: Windows / sessions / multimodal / SQL API ------------------
-register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
+register(
+    "basket_pairs",
+    aq.basket_pairs,
+    aq.BASKET_PAIRS_SQL,
+    ("agg", "market-basket", "pair-mining"),
+)
 register(
     "sql_api_params",
     rq.sql_api_params,
@@ -324,6 +339,7 @@ register(
     ("strings",),
 )
 register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
 register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
 register(
     "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
@@ -388,6 +404,8 @@ register(
     aq.REGION_NATION_LIST_SQL,
     ("agg", "string-agg"),
 )
+register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
 
 # --- last: rows-only specs (no oracle by design) -----------------------
 register(

@@ -103,3 +103,30 @@ def test_domain_mix_broadcasts_rates(spark):
     plan = _plan(spark, "corpus_domain_mix")
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_basket_pairs_single_scan_take_ordered(spark):
+    """Pair expansion must NOT self-join the fact table (two scans +
+    two shuffles); the in-array combination form scans lineitem once,
+    and the top-N is TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, "basket_pairs")
+    assert plan.count("Scan parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ivf_topk_broadcasts_probes(spark):
+    """The probe→cell join must broadcast the (queries × nprobe) side;
+    a shuffled candidate join would move the corpus for a handful of
+    query rows."""
+    plan = _plan(spark, "ivf_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_iterates_on_long_keys(spark):
+    """Rank-state shuffles must hash 8-byte longs, not strings: the
+    's:'/'c:' labels may appear only in the final projection, never in
+    an Exchange hashpartitioning key."""
+    plan = _plan(spark, "supplier_pagerank")
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",")[0]
+        assert "concat" not in key and "s:" not in key, key

@@ -214,3 +214,42 @@ def test_submit_pipeline_shim_importable():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)  # __name__ != __main__ → no run
     assert callable(mod.main)
+
+
+# --- IVF top-k search (round 2) ---------------------------------------------
+
+
+def test_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """nprobe == n_centroids probes every inverted list, so IVF must
+    reproduce the exact brute-force top-k (the recall knob's upper
+    end); with nprobe=1 results are a subset of each query's cell."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import read_parquet_table
+    from data_engineering_for_e_commerce_logistics_spark.operators import similarity
+
+    emb = read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+    qids = list(range(8))
+    brute = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.brute_force_topk(emb, query_ids=qids, k=3).collect()
+    }
+    ivf_all = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in similarity.ivf_topk(
+            emb, query_ids=qids, k=3, n_centroids=4, nprobe=4
+        ).collect()
+    }
+    assert ivf_all == brute
+
+
+def test_basket_pairs_support_and_order(spark, sf_dir):
+    from data_engineering_for_e_commerce_logistics_spark.plans.analytics_queries import (
+        BASKET_TOP_N,
+        basket_pairs,
+    )
+
+    rows = basket_pairs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= BASKET_TOP_N
+    # canonical pair orientation and descending support
+    assert all(r.part_a < r.part_b for r in rows)
+    supports = [r.support for r in rows]
+    assert supports == sorted(supports, reverse=True)
