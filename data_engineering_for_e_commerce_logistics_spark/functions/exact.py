@@ -21,20 +21,38 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _cast_scale(scale: int) -> int:
+    """Decimal scale for the quantizing cast: the round scale must sit
+    BELOW the cast scale.  Rounding at the cast's own scale surfaces
+    the engines' last-ulp double→decimal conversion difference as the
+    result (observed once: an 8-dp round over decimal(28,8) split
+    0.000958665 between engines); guard digits make the final round
+    operate on identical decimal inputs.  Scale stays 8 for rounds
+    ≤6 dp (their hand-written SQL mirrors are scale-8 and ≥2 guard
+    digits measured clean over two full contract rounds); 8-dp rounds
+    get a 12-scale cast."""
+    return 12 if scale >= 8 else 8
+
+
 def sql_exact_round(term: str, scale: int = 2) -> str:
     """Per-row ROUND over doubles with deterministic cross-engine result.
 
     Plain round(double, 2) disagrees between Spark (BigDecimal
     shortest-repr HALF_UP) and DuckDB (multiply/nearbyint) on ~0.2% of
     rows (measured 116/60000 on lineitem revenue).  Routing through a
-    decimal(28,8) intermediate makes the final 2-dp round exact and
+    guard-digit decimal intermediate makes the final round exact and
     identical in both engines (measured 0/60000)."""
-    return f"cast(round(cast(({term}) as decimal(28,8)), {scale}) as double)"
+    return (
+        f"cast(round(cast(({term}) as decimal(28,{_cast_scale(scale)})),"
+        f" {scale}) as double)"
+    )
 
 
 def exact_round(term: Column | str, scale: int = 2) -> Column:
     col = F.expr(term) if isinstance(term, str) else term
-    return F.round(col.cast("decimal(28,8)"), scale).cast("double")
+    return F.round(col.cast(f"decimal(28,{_cast_scale(scale)})"), scale).cast(
+        "double"
+    )
 
 
 def sql_exact_sum(term: str, scale: int = 2) -> str:

@@ -690,7 +690,7 @@ WITH pts AS (
 )
 SELECT customer_id,
        count(*) AS n_orders,
-       cast(round(cast(regr_slope(y, x) as decimal(28,8)), 8) as double) AS spend_slope,
+       cast(round(cast(regr_slope(y, x) as decimal(28,12)), 8) as double) AS spend_slope,
        cast(round(cast(regr_intercept(y, x) as decimal(28,8)), 4) as double) AS spend_intercept
 FROM pts
 GROUP BY customer_id

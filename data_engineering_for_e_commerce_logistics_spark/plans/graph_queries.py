@@ -533,7 +533,7 @@ SELECT p_partkey,
        ceil(p_retailprice)::BIGINT AS price_ceil,
        floor(p_retailprice)::BIGINT AS price_floor,
        sqrt(p_retailprice) AS price_sqrt,
-       cast(round(cast(ln(p_retailprice) as decimal(28,8)), 8) as double) AS price_ln,
+       cast(round(cast(ln(p_retailprice) as decimal(28,12)), 8) as double) AS price_ln,
        pow(p_size::DOUBLE, 2.0) AS size_sq,
        p_brand || '-' || upper(substr(p_name, 1, 3)) AS brand_tag,
        CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
@@ -556,15 +556,18 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Node ids are integers throughout the iterations — supplier k maps
     to 2k, customer k to 2k+1, so the two key spaces cannot collide —
     and the human-readable 's:…'/'c:…' string form is rendered only
-    in the final O(nodes) projection.  Iterating on long keys instead
-    of strings measured ~2.5× faster at sf0.1: every shuffle
-    (node-distinct, per-iteration join + aggregate) hashes and
-    compares 8-byte ints, not variable-length UTF8.
+    in the final O(nodes) projection, so every shuffle (node-distinct,
+    per-iteration join + aggregate) hashes and compares 8-byte ints,
+    not variable-length UTF8.
 
     Exactness through iterations: each rank update's weighted sum runs
-    in decimal(28,8) and the rank is rounded to 8 dp before feeding
+    in decimal(28,12) and the rank is rounded to 8 dp before feeding
     the next round — both engines therefore iterate on bit-identical
-    state (the kmeans_iterations recipe).  Dangling mass (customers
+    state.  The round scale sits BELOW the cast scale (the
+    `sql_exact_round` 2dp-over-8dp pattern): rounding at the cast's
+    own scale would expose the engines' last-ulp double→decimal
+    quantization difference (observed once at sf0.001 with
+    round-8-over-decimal-scale-8).  Dangling mass (customers
     have no out-edges) is dropped identically on both sides — the
     simple-PageRank variant.
 
@@ -600,7 +603,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rank = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node",
-        F.expr("cast(round(cast(1.0 / n as decimal(28,8)), 8) as double)").alias(
+        F.expr("cast(round(cast(1.0 / n as decimal(28,12)), 8) as double)").alias(
             "r"
         ),
         "n",
@@ -611,7 +614,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 F.expr(
-                    "cast(sum(cast(r * p as decimal(28,8))) as double)"
+                    "cast(sum(cast(r * p as decimal(28,12))) as double)"
                 ).alias("inflow")
             )
         )
@@ -623,7 +626,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr(
                     f"cast(round(cast((1.0 - {PR_DAMPING}) / n"
                     f" + {PR_DAMPING} * coalesce(inflow, 0.0)"
-                    " as decimal(28,8)), 8) as double)"
+                    " as decimal(28,12)), 8) as double)"
                 ).alias("r"),
                 "n",
             )
@@ -654,7 +657,7 @@ def _pagerank_sql(n_iter: int = PR_N_ITER) -> str:
 )""",
         "nn AS (SELECT count(*) AS n FROM nodes)",
         """r0 AS (
-  SELECT node, cast(round(cast(1.0 / n as decimal(28,8)), 8) as double) AS r, n
+  SELECT node, cast(round(cast(1.0 / n as decimal(28,12)), 8) as double) AS r, n
   FROM nodes CROSS JOIN nn
 )""",
     ]
@@ -662,7 +665,7 @@ def _pagerank_sql(n_iter: int = PR_N_ITER) -> str:
         ctes.append(
             f"""c{i} AS (
   SELECT e.dst AS node,
-         cast(sum(cast(r{i}.r * e.p as decimal(28,8))) as double) AS inflow
+         cast(sum(cast(r{i}.r * e.p as decimal(28,12))) as double) AS inflow
   FROM edges_n e JOIN r{i} ON e.src = r{i}.node
   GROUP BY e.dst
 )"""
@@ -672,7 +675,7 @@ def _pagerank_sql(n_iter: int = PR_N_ITER) -> str:
   SELECT b.node,
          cast(round(cast((1.0 - {PR_DAMPING}) / b.n
               + {PR_DAMPING} * coalesce(c{i}.inflow, 0.0)
-              as decimal(28,8)), 8) as double) AS r,
+              as decimal(28,12)), 8) as double) AS r,
          b.n
   FROM r{i} b LEFT JOIN c{i} USING (node)
 )"""

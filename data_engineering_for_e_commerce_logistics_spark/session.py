@@ -48,6 +48,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # Arrow for every pandas_udf / toPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Whole-stage-codegen class cache: the default 100 entries
+        # thrashes in long many-query sessions (a 60-query benchmark
+        # generates far more compiled stages), re-compiling hot stages
+        # and inflating late-session queries up to 10×.  Sized for an
+        # analytics session, not a single query.
+        .config("spark.sql.codegen.cache.maxEntries", "10000")
+        # Let AQE coalesce the output partitioning of cached plans
+        # (off by default, SPARK-35332): iterative operators cache a
+        # small derived table (pagerank's edge list, k-means
+        # assignments) and without this the cache pins the full
+        # shuffle-partition fan-out on every downstream read.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # ANSI off: null-on-error arithmetic matches the pandas reference's

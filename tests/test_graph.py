@@ -1,0 +1,72 @@
+"""Graph primitive unit tests: degree profile, degree orientation
+invariants, triangle counts on graphs with known answers."""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from data_engineering_for_e_commerce_logistics_spark.operators import graph
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src int, dst int"
+    )
+
+
+def test_degrees(spark):
+    deg = {
+        r.node: r.degree
+        for r in graph.degrees(_edges(spark, [(1, 2), (1, 3), (2, 3), (3, 4)]))
+        .collect()
+    }
+    assert deg == {1: 2, 2: 2, 3: 3, 4: 1}
+
+
+def test_orientation_is_total_and_preserves_edges(spark):
+    pairs = [(1, 2), (1, 3), (2, 3), (3, 4), (2, 4)]
+    out = graph.orient_by_degree(_edges(spark, pairs)).collect()
+    assert len(out) == len(pairs)
+    # orientation must be a permutation of the input edge set
+    assert {frozenset((r.lo, r.hi)) for r in out} == {
+        frozenset(p) for p in pairs
+    }
+
+
+def test_triangle_count_known_graphs(spark):
+    k4 = list(combinations(range(4), 2))
+    assert graph.triangle_count(_edges(spark, k4)).first().triangles == 4
+
+    square_with_diagonal = [(0, 1), (1, 2), (2, 3), (0, 3), (0, 2)]
+    assert (
+        graph.triangle_count(_edges(spark, square_with_diagonal))
+        .first()
+        .triangles
+        == 2
+    )
+
+    triangle_free = [(0, 1), (1, 2), (2, 3), (0, 3)]  # plain 4-cycle
+    assert (
+        graph.triangle_count(_edges(spark, triangle_free)).first().triangles == 0
+    )
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    # deterministic pseudo-random graph on 30 nodes
+    pairs = sorted(
+        {
+            (min(a, b), max(a, b))
+            for a, b in (
+                ((i * 7 + 3) % 30, (i * 13 + 11) % 30) for i in range(120)
+            )
+            if a != b
+        }
+    )
+    adj = {p for p in pairs}
+    expected = sum(
+        1
+        for a, b, c in combinations(range(30), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    )
+    got = graph.triangle_count(_edges(spark, pairs)).first().triangles
+    assert got == expected
