@@ -40,6 +40,47 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Format-generic sink over Spark's built-in writers (parquet /
+    orc / json / csv) — the reference's single-format export surface
+    widened to every columnar/row format Spark ships without extra
+    jars.  CSV/JSON are interchange formats: schema is not embedded,
+    so `read_table` takes an explicit schema for them (round-trip
+    tested in test_sources_sinks)."""
+    writer = df.write.mode(mode).format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    writer.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema=None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Read back any `write_table` output.  Self-describing formats
+    (parquet/orc) need no schema; text formats take the explicit one
+    (schema inference on CSV/JSON is a full extra pass over the data —
+    never acceptable at 100 TB)."""
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
 def with_audit_columns(df: DataFrame) -> DataFrame:
     """S14: stamp created_at/updated_at if absent (db_loader.py:250-253)."""
     if "updated_at" not in df.columns:
@@ -88,6 +129,46 @@ def upsert_parquet(
         shutil.rmtree(path)
     os.rename(tmp, path)
     return count
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    key_columns: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Apply a change-data-capture feed (op ∈ I/U/D, monotonically
+    increasing ``seq`` per key) to a target snapshot — the MERGE
+    pattern every CDC-fed warehouse table needs, expressed as two
+    hash joins:
+
+    1. squash the feed to each key's LATEST change (window row_number
+       over seq desc — per-key state never leaves its partition),
+    2. target rows not touched by the feed pass through (left_anti),
+    3. the latest change contributes its row unless it is a delete.
+
+    Net-effect semantics: an I followed by U applies the U's image; a
+    trailing D wins over everything earlier.  Re-applying the same
+    feed is a no-op (idempotent like `upsert_parquet`).  At 100 TB the
+    only wide shuffle is keyed on ``key_columns`` — the same exchange
+    a plain upsert needs; squashing happens on the (much smaller) feed
+    before it ever joins the snapshot."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_columns).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = latest.filter(F.col(op_col) != F.lit("D")).drop(
+        op_col, seq_col
+    )
+    untouched = target.join(latest, key_columns, "left_anti")
+    return untouched.unionByName(survivors, allowMissingColumns=True)
 
 
 def cascade_delete(

@@ -258,6 +258,56 @@ def stream_stream_conversion_join(
     )
 
 
+def stream_stream_attribution_outer_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view emits — joined to the
+    purchases it converted into within ``horizon_minutes``, or with
+    NULL purchase columns once the watermark guarantees no match can
+    still arrive.  The unattributed-traffic report as a stream.
+
+    Outer stream-stream joins have a semantics Spark alone among the
+    batch-SQL engines makes explicit: the null row for an unmatched
+    view is emitted only when event time has provably passed the match
+    horizon (watermark + horizon), because until then a matching
+    purchase could still arrive.  Same state bound as the inner form —
+    both sides buffered only inside watermark + horizon.
+
+    availableNow caveat (tested): a terminating run holds back
+    unmatched rows still inside the final watermark; they flush on the
+    next incremental run once later data advances the watermark."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        )
+    )
+    return v.join(p, cond, "leftOuter").select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "view_ts",
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -240,3 +240,75 @@ def test_jdbc_sink_roundtrip_embedded_derby(spark, tmp_path):
     assert back.count() == 200  # two appends
     assert set(back.columns) == {"id", "v"}
     assert back.agg({"v": "max"}).first()[0] == 198.0
+
+
+def test_write_read_table_roundtrip_all_formats(spark, tmp_path):
+    """ORC and JSON/CSV round-trips through the format-generic sink:
+    self-describing formats round-trip bitwise; text formats
+    round-trip given the explicit schema (timestamps normalized)."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        read_parquet_table,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.sources.sinks import (
+        read_table,
+        write_table,
+    )
+
+    src = read_parquet_table(
+        spark, "/root/testdata/sf0.001/orders.parquet"
+    ).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    want = {(r.o_orderkey, r.o_custkey, r.o_totalprice, r.o_orderstatus)
+            for r in src.collect()}
+    schema = src.schema
+    for fmt, opts in [
+        ("orc", None),
+        ("json", None),
+        ("csv", {"header": "true"}),
+    ]:
+        path = str(tmp_path / f"rt_{fmt}")
+        write_table(src, path, fmt=fmt, mode="overwrite", options=opts)
+        back = read_table(
+            spark,
+            path,
+            fmt=fmt,
+            schema=None if fmt == "orc" else schema,
+            options=opts,
+        )
+        got = {(r.o_orderkey, r.o_custkey, r.o_totalprice, r.o_orderstatus)
+               for r in back.collect()}
+        assert got == want, fmt
+
+
+def test_apply_cdc_net_effect_and_idempotence(spark):
+    """CDC apply: latest-op-per-key wins (U over I, trailing D deletes),
+    untouched rows pass through, and re-applying the same feed is a
+    no-op."""
+    from data_engineering_for_e_commerce_logistics_spark.sources.sinks import (
+        apply_cdc,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, amount double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 1),   # update existing
+            (3, None, None, "D", 1),   # delete existing
+            (4, "d", 40.0, "I", 1),    # insert new
+            (4, "d2", 41.0, "U", 2),   # then update it — U image wins
+            (5, "e", 50.0, "I", 1),
+            (5, None, None, "D", 2),   # insert then delete — gone
+        ],
+        "id long, name string, amount double, op string, seq long",
+    )
+    out = apply_cdc(target, changes, ["id"])
+    got = {(r.id, r.name, r.amount) for r in out.collect()}
+    want = {(1, "a", 10.0), (2, "b2", 21.0), (4, "d2", 41.0)}
+    assert got == want
+
+    # idempotence: applying the feed to its own result changes nothing
+    again = apply_cdc(out, changes, ["id"])
+    assert {(r.id, r.name, r.amount) for r in again.collect()} == want

@@ -220,3 +220,74 @@ def test_stream_stream_join_matches_batch(spark, events_dir, tmp_path):
     want = {(r.view_id, r.purchase_id) for r in batch.collect()}
     assert want, "batch twin produced no rows — test data assumption broken"
     assert got == want
+
+
+def test_stream_stream_outer_join_flushes_on_watermark(spark, events_dir, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs equal the batch
+    inner join; unmatched views are held back while a match could
+    still arrive and flush as NULL rows once a later run advances the
+    watermark past the horizon (the kicker file's far-future events)."""
+    import datetime
+
+    src = str(tmp_path / "outer_src")
+    read_parquet_table(spark, f"{SF_DIR}/events.parquet").write.parquet(src)
+
+    def start(sink, ckpt):
+        views = ingest.read_event_stream(spark, src).filter(
+            "event_type = 'view'"
+        )
+        purchases = ingest.read_event_stream(spark, src).filter(
+            "event_type = 'purchase'"
+        )
+        j = ingest.stream_stream_attribution_outer_join(
+            views, purchases, horizon_minutes=120
+        )
+        return (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sink, ckpt = str(tmp_path / "outer_out"), str(tmp_path / "outer_ckpt")
+    start(sink, ckpt).awaitTermination(180)
+
+    # kicker: one far-future view + purchase (unmatchable users) advance
+    # both sides' watermarks past every original event's horizon
+    far = datetime.datetime(2030, 1, 1)
+    kicker = spark.createDataFrame(
+        [
+            (10_000_001, far, 999_999_001, "view", 0.0, None),
+            (10_000_002, far, 999_999_002, "purchase", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    kicker.write.mode("append").parquet(src)
+    start(sink, ckpt).awaitTermination(180)
+
+    static = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    batch_inner = ingest.stream_stream_conversion_join(
+        static.filter("event_type = 'view'"),
+        static.filter("event_type = 'purchase'"),
+        horizon_minutes=120,
+    )
+    want_matched = {(r.view_id, r.purchase_id) for r in batch_inner.collect()}
+    matched_view_ids = {v for v, _ in want_matched}
+    all_view_ids = {
+        r.event_id for r in static.filter("event_type = 'view'").collect()
+    }
+
+    out = spark.read.parquet(sink).filter("view_id < 999999000")
+    got_matched = {
+        (r.view_id, r.purchase_id)
+        for r in out.filter("purchase_id IS NOT NULL").collect()
+    }
+    got_null_views = {
+        r.view_id for r in out.filter("purchase_id IS NULL").collect()
+    }
+    assert got_matched == want_matched
+    assert got_null_views == all_view_ids - matched_view_ids
+    assert got_null_views, "no unmatched views — test data assumption broken"
