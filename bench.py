@@ -90,6 +90,11 @@ HEADLINE = [
     "supplier_pagerank",
     "ivf_topk",
     "basket_pairs",
+    # r03 additions: graph primitives' contract debut + simhash family
+    # (now oracle-checked); degree profile is timed inside the triangle
+    # count (its orientation step recomputes degrees).
+    "graph_triangle_count",
+    "dedup_simhash_pairs",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

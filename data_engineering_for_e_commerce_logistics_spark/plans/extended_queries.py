@@ -133,18 +133,81 @@ WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures — rows-only check (64-bit hash assembly is
-    not portably expressible in DuckDB SQL)."""
+    """SimHash signatures — fully oracle-checked since r03: the 64-bit
+    assembly IS portable SQL (md5 hex nibble → strpos, per-bit vote
+    sums, shift/CASE assembly with the sign bit mapped to -2^63), so
+    DuckDB reproduces every signature bit-exactly."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.simhash(docs)
 
 
+def _simhash_oracle_sql(bits: int = 64, shingle_k: int = 2) -> str:
+    """Generate the DuckDB twin of ``operators.dedup.simhash``:
+    same shingles, same md5 nibble bits, same +1/-1 votes, same
+    little-endian assembly (bit 63 = sign bit → -(2^63))."""
+    nibs = ",\n       ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) AS nib{i}"
+        for i in range(bits // 4)
+    )
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (nib{j // 4} >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS v{j}"
+        for j in range(bits)
+    )
+    terms = [
+        f"(CASE WHEN v{j} > 0 THEN CAST(1 AS BIGINT) << {j} ELSE 0 END)"
+        for j in range(bits - 1)
+    ]
+    terms.append(
+        f"(CASE WHEN v{bits - 1} > 0"
+        " THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END)"
+    )
+    assembly = "\n         + ".join(terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest({sql_shingles("tok", shingle_k)}) AS shingle FROM tok
+),
+hx AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+nb AS (
+  SELECT doc_id,
+       {nibs}
+  FROM hx
+),
+v AS (
+  SELECT doc_id,
+       {votes}
+  FROM nb GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({assembly} AS BIGINT) AS simhash
+FROM v
+"""
+
+
+DEDUP_SIMHASH_SQL = _simhash_oracle_sql()
+
+
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via hamming-band buckets — rows-only
-    check (signatures themselves aren't oracle-expressible; pair
-    recall vs the jaccard ground truth is asserted in pytest)."""
+    """SimHash near-dup pairs via hamming-band buckets.  Oracle = the
+    all-pairs xor/bit_count scan over the (oracle-identical)
+    signatures: the pigeonhole banding is LOSSLESS for
+    max_hamming < n_bands, so the banded engine result and the oracle's
+    quadratic scan are the same set by construction, not approximately.
+    (≥95% recall vs n-gram-jaccard ground truth asserted in pytest.)"""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     return dedup.simhash_near_pairs(dedup.simhash(docs), max_hamming=3)
+
+
+DEDUP_SIMHASH_PAIRS_SQL = f"""
+WITH sig AS ({DEDUP_SIMHASH_SQL})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # --- Text analysis ----------------------------------------------------------

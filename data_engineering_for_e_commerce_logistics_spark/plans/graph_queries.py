@@ -692,3 +692,75 @@ FROM r{n_iter}"""
 
 
 SUPPLIER_PAGERANK_SQL = _pagerank_sql()
+
+
+# --- Graph primitives as contract queries (degrees, triangles) --------------
+#
+# Graph: supplier co-supply — an undirected edge between two suppliers
+# whenever they ship lines of the SAME order.  The per-order self-join
+# fanout is bounded by order size (single-digit lines per order at any
+# SF), so edge construction is a per-key bounded join + distinct — it
+# scales linearly in orders, unlike a part- or customer-keyed
+# co-occurrence whose groups grow with the dataset.
+
+
+def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+COSUPPLY_EDGES_CTE = """
+e AS (
+  SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+  FROM lineitem l1
+  JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+  WHERE l1.l_suppkey < l2.l_suppkey
+)
+"""
+
+
+def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier degree of the co-supply graph — the
+    ``operators.graph.degrees`` primitive over a fact-derived edge
+    list (edge union + one count aggregate; one shuffle on node)."""
+    from ..operators.graph import degrees
+
+    return degrees(_cosupply_edges(spark, sf_dir)).select(
+        F.col("node").alias("suppkey"), "degree"
+    )
+
+
+GRAPH_DEGREE_PROFILE_SQL = f"""
+WITH {COSUPPLY_EDGES_CTE}
+SELECT node AS suppkey, CAST(count(*) AS BIGINT) AS degree
+FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+GROUP BY node
+"""
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the co-supply graph via the
+    degree-ordered orientation (``operators.graph.triangle_count``):
+    wedge fanout bounded by min(degree, sqrt(2m)) per node, so the
+    plan survives high-degree hubs that break the naive E⋈E⋈E.  The
+    oracle closes wedges in node order instead — orientation choice
+    changes the join sizes, never the count."""
+    from ..operators.graph import triangle_count
+
+    return triangle_count(_cosupply_edges(spark, sf_dir))
+
+
+GRAPH_TRIANGLE_COUNT_SQL = f"""
+WITH {COSUPPLY_EDGES_CTE}
+SELECT CAST(count(*) AS BIGINT) AS triangles
+FROM e e1
+JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+"""
