@@ -95,6 +95,8 @@ HEADLINE = [
     # count (its orientation step recomputes degrees).
     "graph_triangle_count",
     "dedup_simhash_pairs",
+    "semdedup_pairs",
+    "corpus_lm_quality",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions import sql_exact_round
+from ..functions import sql_exact_avg, sql_exact_round
 from ..operators import corpus, text
 from ..operators.dedup import sql_shingles
 from .extended_queries import (
@@ -366,4 +366,76 @@ SELECT c_custkey,
        CAST(length(head) - length(regexp_replace(head, '[0-9]', '', 'g'))
             AS BIGINT) AS c_name_digits_redacted
 FROM t
+"""
+
+
+# --- Self-trained bigram-LM quality score (perplexity proxy) ----------------
+
+
+def corpus_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality scoring without the external
+    LM: train bigram statistics on the corpus itself (one pass), score
+    each document by its mean conditional bigram probability
+    avg(c(w1 w2) / c(w1 ·)) — a monotone perplexity proxy that ranks
+    repetitive/templated text high and token soup low, with no ln()
+    call (engine libm log implementations differ in the last ulp; a
+    ratio mean crosses the oracle boundary exactly via the decimal
+    sum).
+
+    Scale shape: bigram extraction is a per-row zip (no shuffle);
+    counts are two hash aggregates on (bigram) and (w1); scoring is
+    two key-partitioned hash joins of the exploded corpus against its
+    own count tables — the standard distributed n-gram-LM join, no
+    driver state, no broadcast of the unbounded vocabulary.  With a
+    pruned top-V vocabulary the count tables become broadcast-able and
+    the shuffle drops out."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    bgs = (
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
+    doc_bg = docs.select("doc_id", F.explode(bgs).alias("bg"))
+    bg_counts = doc_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    w1 = F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+    w1_counts = bg_counts.groupBy(w1.alias("w1")).agg(F.sum("c12").alias("c1"))
+    scored = (
+        doc_bg.join(bg_counts, "bg")
+        .withColumn("w1", w1)
+        .join(w1_counts, "w1")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr(sql_exact_avg("cast(c12 as double) / c1", 6)).alias("lm_score"),
+    )
+
+
+CORPUS_LM_QUALITY_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+doc_bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                i -> t[i] || ' ' || t[i + 1])) AS bg
+  FROM tok
+),
+bg_counts AS (SELECT bg, count(*) AS c12 FROM doc_bg GROUP BY bg),
+w1_counts AS (
+  SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+  FROM bg_counts GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       {sql_exact_avg("cast(c12 as double) / c1", 6)} AS lm_score
+FROM doc_bg d
+JOIN bg_counts USING (bg)
+JOIN w1_counts ON w1_counts.w1 = split_part(d.bg, ' ', 1)
+GROUP BY d.doc_id
 """

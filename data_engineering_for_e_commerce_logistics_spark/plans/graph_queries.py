@@ -696,18 +696,44 @@ SUPPLIER_PAGERANK_SQL = _pagerank_sql()
 
 # --- Graph primitives as contract queries (degrees, triangles) --------------
 #
-# Graph: supplier co-supply — an undirected edge between two suppliers
-# whenever they ship lines of the SAME order.  The per-order self-join
+# Graph: part co-purchase — an undirected edge between two parts
+# whenever they appear in the SAME order.  The per-order self-join
 # fanout is bounded by order size (single-digit lines per order at any
-# SF), so edge construction is a per-key bounded join + distinct — it
-# scales linearly in orders, unlike a part- or customer-keyed
-# co-occurrence whose groups grow with the dataset.
+# SF), so edge construction is a per-key bounded join + distinct.
+#
+# Node-key choice is the scale lever (measured, r03): the same
+# construction keyed on SUPPLIER densifies toward a clique — the
+# supplier vocabulary is 20x smaller than parts, so at sf0.1 the
+# 1000-node co-supply graph had ~all 500k possible edges and the
+# oriented wedge count grew ~n^3 (29s+ at sf0.1, 1000x the sf0.01
+# cost for 10x the data).  Keyed on PART, nodes and edges both grow
+# linearly with data while expected degree stays ~constant
+# (6 * orders / parts), so wedge volume — and the triangle join —
+# scales linearly.  Rule: co-occurrence graphs for counting must be
+# keyed on a dimension whose cardinality scales with the fact table.
 
 
-def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+# The contract queries scope the graph to one ship-date window — the
+# typical "graph per time slice" analytic.  The date filter reaches
+# the parquet scan (PushedFilters), the windowed graph still grows
+# linearly with data at fixed window length, and the full-history
+# graph remains available via bounds=None.
+GRAPH_WINDOW = ("1995-01-01", "1995-12-31")
+
+
+def _copurchase_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    bounds: tuple[str, str] | None = GRAPH_WINDOW,
+) -> DataFrame:
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
-    a = li.select("l_orderkey", F.col("l_suppkey").alias("src"))
-    b = li.select("l_orderkey", F.col("l_suppkey").alias("dst"))
+    if bounds is not None:
+        li = li.filter(
+            (F.col("l_shipdate") >= F.lit(bounds[0]))
+            & (F.col("l_shipdate") <= F.lit(bounds[1]))
+        )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     return (
         a.join(b, "l_orderkey")
         .filter(F.col("src") < F.col("dst"))
@@ -716,37 +742,39 @@ def _cosupply_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COSUPPLY_EDGES_CTE = """
+COPURCHASE_EDGES_CTE = f"""
 e AS (
-  SELECT DISTINCT l1.l_suppkey AS src, l2.l_suppkey AS dst
+  SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
   FROM lineitem l1
   JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
-  WHERE l1.l_suppkey < l2.l_suppkey
+  WHERE l1.l_partkey < l2.l_partkey
+    AND l1.l_shipdate BETWEEN '{GRAPH_WINDOW[0]}' AND '{GRAPH_WINDOW[1]}'
+    AND l2.l_shipdate BETWEEN '{GRAPH_WINDOW[0]}' AND '{GRAPH_WINDOW[1]}'
 )
 """
 
 
 def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-supplier degree of the co-supply graph — the
+    """Per-part degree of the co-purchase graph — the
     ``operators.graph.degrees`` primitive over a fact-derived edge
     list (edge union + one count aggregate; one shuffle on node)."""
     from ..operators.graph import degrees
 
-    return degrees(_cosupply_edges(spark, sf_dir)).select(
-        F.col("node").alias("suppkey"), "degree"
+    return degrees(_copurchase_edges(spark, sf_dir)).select(
+        F.col("node").alias("partkey"), "degree"
     )
 
 
 GRAPH_DEGREE_PROFILE_SQL = f"""
-WITH {COSUPPLY_EDGES_CTE}
-SELECT node AS suppkey, CAST(count(*) AS BIGINT) AS degree
+WITH {COPURCHASE_EDGES_CTE}
+SELECT node AS partkey, CAST(count(*) AS BIGINT) AS degree
 FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
 GROUP BY node
 """
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle count of the co-supply graph via the
+    """Exact triangle count of the co-purchase graph via the
     degree-ordered orientation (``operators.graph.triangle_count``):
     wedge fanout bounded by min(degree, sqrt(2m)) per node, so the
     plan survives high-degree hubs that break the naive E⋈E⋈E.  The
@@ -754,13 +782,127 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes the join sizes, never the count."""
     from ..operators.graph import triangle_count
 
-    return triangle_count(_cosupply_edges(spark, sf_dir))
+    return triangle_count(_copurchase_edges(spark, sf_dir))
 
 
 GRAPH_TRIANGLE_COUNT_SQL = f"""
-WITH {COSUPPLY_EDGES_CTE}
+WITH {COPURCHASE_EDGES_CTE}
 SELECT CAST(count(*) AS BIGINT) AS triangles
 FROM e e1
 JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
 JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+"""
+
+
+# --- SemDeDup: within-cluster semantic near-dup mining ----------------------
+
+SEMDEDUP_TOPK = 3
+
+
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup candidates, SemDeDup-shape (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are coarse-quantized to cells
+    (broadcast seed centroids, the ivf_assign plan), and near-dup
+    pairs are mined ONLY within each cell — per-cell top-k most
+    similar pairs by exact cosine.
+
+    This is the scale path for embedding dedup: the quadratic pair
+    scan that dedup_embedding_cosine bounds to small inputs runs here
+    per-cell, where cell size is controlled by the centroid count
+    (k-means-refined in production; sqrt(n) cells keep expected cell
+    size sqrt(n)).  One broadcast join for assignment, one cell-keyed
+    self-join, one bounded per-cell window — no global pair
+    explosion.  Cosines are strict left-fold sums, bit-equal to the
+    DuckDB oracle's list_reduce."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double_vec, _fold_sum
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = emb.select(
+        "vec_id", _as_double_vec("embedding").alias("v")
+    ).withColumn(
+        "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+    centroids = vecs.select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    ).filter(F.col("centroid_id") < N_CENTROIDS)
+    scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
+        "dist",
+        _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(F.col("vec_id"), F.col("centroid_id").alias("cell"), "v", "nrm")
+    )
+    a = cells.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cells.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+            / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        )
+    )
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("pair_rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("pair_rank") <= SEMDEDUP_TOPK)
+        .select("cell", "pair_rank", "id_a", "id_b", "cosine")
+    )
+
+
+SEMDEDUP_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e
+),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+scored AS (
+  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         list_reduce(list_transform(list_zip(n.v, c.cv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+  FROM n, c
+),
+cells AS (
+  SELECT vec_id, centroid_id AS cell, v, nrm FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+                     (x, y) -> x + y) / nullif(a.nrm * b.nrm, 0) AS cosine
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT cell, pair_rank, id_a, id_b, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY cell ORDER BY cosine DESC, id_a ASC, id_b ASC) AS pair_rank
+  FROM pairs
+) WHERE pair_rank <= {SEMDEDUP_TOPK}
 """

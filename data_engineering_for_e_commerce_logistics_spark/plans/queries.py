@@ -83,6 +83,18 @@ register(
     xq.DEDUP_SIMHASH_PAIRS_SQL,
     ("dedup", "simhash", "banded"),
 )
+register(
+    "semdedup_pairs",
+    gq.semdedup_pairs,
+    gq.SEMDEDUP_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup"),
+)
+register(
+    "corpus_lm_quality",
+    xc.corpus_lm_quality,
+    xc.CORPUS_LM_QUALITY_SQL,
+    ("corpus", "quality", "lm"),
+)
 
 # --- 10-37: rotation backlog — last green row dates from r01 -----------
 register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))

@@ -36,6 +36,35 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+# RocksDB state store: the 100×-state path for the stateful operators
+# (windowed aggs, stream-stream joins, dedup, applyInPandasWithState).
+# The default HDFS-backed provider keeps every key in executor heap —
+# fine for hour-window rollups, lethal when join state or dedup keys
+# grow to hundreds of GB per executor.  RocksDB spills state to local
+# disk with bounded memory, and changelog checkpointing uploads only
+# per-batch deltas instead of full snapshots, so checkpoint cost stays
+# proportional to the batch, not the state.  Provider is a session
+# conf (picked up at query START, per-query override not supported by
+# Spark), hence a helper rather than a start_* parameter.
+ROCKSDB_STATE_CONF: dict[str, str] = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
+
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Switch subsequently-started streaming queries to the RocksDB
+    state store (bundled with Spark ≥3.2; no extra dependency).
+    Existing checkpoints keep their original provider — Spark does not
+    migrate state formats — so flip this before first start."""
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,

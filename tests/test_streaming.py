@@ -291,3 +291,59 @@ def test_stream_stream_outer_join_flushes_on_watermark(spark, events_dir, tmp_pa
     assert got_matched == want_matched
     assert got_null_views == all_view_ids - matched_view_ids
     assert got_null_views, "no unmatched views — test data assumption broken"
+
+
+def test_rollup_with_rocksdb_state_store(spark, tmp_path):
+    """The RocksDB provider (the 100×-state path) must produce the
+    same rollup as the default HDFS-backed provider — same results,
+    different state backend.  Conf is restored afterwards so other
+    streaming tests keep the default provider.  Stages its OWN source
+    dir: the shared events_dir fixture accumulates kicker files from
+    the watermark tests, which would skew the batch-equivalence
+    count."""
+    source = str(tmp_path / "events_src")
+    read_parquet_table(spark, f"{SF_DIR}/events.parquet").write.parquet(source)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    ingest.enable_rocksdb_state(spark)
+    try:
+        assert "RocksDBStateStoreProvider" in spark.conf.get(key)
+        sink = str(tmp_path / "rollup_rocks")
+        ckpt = str(tmp_path / "ckpt_rocks")
+        q = ingest.start_rollup_stream(spark, source, sink, ckpt)
+        q.awaitTermination(120)
+        got = spark.read.parquet(sink)
+        batch = (
+            read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+            .groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        assert got.count() == batch.count()
+        j = got.select("window_start", "event_type", "n_events").join(
+            batch, ["window_start", "event_type"], "full_outer"
+        )
+        assert (
+            j.filter(
+                got["n_events"].isNull()
+                | batch["n_events"].isNull()
+                | (got["n_events"] != batch["n_events"])
+            ).count()
+            == 0
+        )
+        # the checkpoint's state dir really is RocksDB-format (zip-based
+        # snapshots + changelog files, not the default's .delta files)
+        state_root = os.path.join(ckpt, "state")
+        assert os.path.isdir(state_root)
+        state_files = [
+            f
+            for root, _, files in os.walk(state_root)
+            for f in files
+        ]
+        assert any(f.endswith((".zip", ".changelog")) for f in state_files), (
+            state_files[:20]
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
