@@ -97,6 +97,8 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "semdedup_pairs",
     "corpus_lm_quality",
+    "ivm_spend_refresh",
+    "corpus_chunk_documents",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

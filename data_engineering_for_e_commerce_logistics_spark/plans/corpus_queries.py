@@ -439,3 +439,55 @@ JOIN bg_counts USING (bg)
 JOIN w1_counts ON w1_counts.w1 = split_part(d.bg, ' ', 1)
 GROUP BY d.doc_id
 """
+
+
+# --- Document chunking (context-window preprocessing) -----------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap
+
+
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token-window chunks — the
+    standard context-window preprocessing step before tokenization/
+    embedding (stride < size ⇒ fixed overlap carries context across
+    boundaries).
+
+    Per-row explode of a computed start-position sequence, then an
+    array slice + join per chunk: zero shuffles, pure JVM expressions,
+    output rows = Σ ceil(tokens/stride) — linear in corpus size and
+    embarrassingly parallel, the ideal 100 TB shape."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    starts = F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", t.alias("t"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start"),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size("t") - F.col("start") + 1
+            ).cast("long").alias("n_tokens"),
+            F.array_join(
+                F.slice("t", F.col("start"), F.lit(CHUNK_TOKENS)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+CORPUS_CHUNK_SQL = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS start
+  FROM tok
+)
+SELECT doc_id,
+       CAST((start - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(start AS BIGINT) AS start,
+       CAST(least({CHUNK_TOKENS}, len(t) - start + 1) AS BIGINT) AS n_tokens,
+       array_to_string(t[start : start + {CHUNK_TOKENS} - 1], ' ') AS chunk_text
+FROM st
+"""

@@ -95,6 +95,18 @@ register(
     xc.CORPUS_LM_QUALITY_SQL,
     ("corpus", "quality", "lm"),
 )
+register(
+    "ivm_spend_refresh",
+    rq.ivm_spend_refresh,
+    rq.IVM_SPEND_REFRESH_SQL,
+    ("sink", "ivm", "incremental"),
+)
+register(
+    "corpus_chunk_documents",
+    xc.corpus_chunk_documents,
+    xc.CORPUS_CHUNK_SQL,
+    ("corpus", "chunking"),
+)
 
 # --- 10-37: rotation backlog — last green row dates from r01 -----------
 register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))

@@ -556,3 +556,68 @@ GROUP BY bin, lo, w
     lo_expr=sql_exact_round("lo + bin * w", 4),
     hi_expr=sql_exact_round("lo + (bin + 1) * w", 4),
 )
+
+
+# --- Incremental view maintenance (aggregate refresh from a delta) ----------
+#
+# The pattern every large-scale serving pipeline needs: a materialized
+# per-key aggregate updated from a CHANGE batch instead of a full
+# recompute.  Deterministic stand-in delta: orders with
+# o_orderkey % 101 == 0 get their price revised ×1.1.  The maintained
+# aggregate = base aggregate + per-key delta of (new - old) — the
+# classic retraction/delta form (dF = F(new) - F(old)); decimal
+# addition is exact and associative, so the maintained result equals
+# the full recompute BIT-FOR-BIT (the oracle does the recompute).
+#
+# Scale shape: the base aggregate is one hash aggregate over the fact
+# table (in production it is an already-materialized table — zero
+# cost); the delta path shuffles ONLY the changed keys.  The merge is
+# a key-partitioned outer join of aggregate-sized tables.
+
+IVM_DELTA_MOD = 101
+IVM_PRICE_FACTOR = 1.1
+
+
+def ivm_spend_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    is_delta = F.col("o_orderkey") % IVM_DELTA_MOD == 0
+    # base view state: per-customer count + UNROUNDED exact decimal sum
+    base = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("cast(o_totalprice as decimal(28,8))")).alias("spend_dec"),
+    )
+    # delta batch: only the changed rows, aggregated as retractions
+    delta = (
+        o.filter(is_delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"cast(o_totalprice * {IVM_PRICE_FACTOR} as decimal(28,8))"
+                    " - cast(o_totalprice as decimal(28,8))"
+                )
+            ).alias("dspend")
+        )
+    )
+    return (
+        base.join(delta, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.expr(
+                "cast(round(spend_dec + coalesce(dspend, 0), 2) as double)"
+            ).alias("total_spend"),
+        )
+    )
+
+
+IVM_SPEND_REFRESH_SQL = f"""
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       cast(round(sum(CASE WHEN o_orderkey % {IVM_DELTA_MOD} = 0
+                  THEN cast(o_totalprice * {IVM_PRICE_FACTOR} as decimal(28,8))
+                  ELSE cast(o_totalprice as decimal(28,8)) END), 2) as double)
+         AS total_spend
+FROM orders
+GROUP BY o_custkey
+"""
