@@ -99,6 +99,7 @@ HEADLINE = [
     "corpus_lm_quality",
     "ivm_spend_refresh",
     "corpus_chunk_documents",
+    "salted_rollup_events",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

@@ -107,6 +107,12 @@ register(
     xc.CORPUS_CHUNK_SQL,
     ("corpus", "chunking"),
 )
+register(
+    "salted_rollup_events",
+    rq.salted_rollup_events,
+    rq.SALTED_ROLLUP_SQL,
+    ("agg", "skew", "salted"),
+)
 
 # --- 10-37: rotation backlog — last green row dates from r01 -----------
 register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))

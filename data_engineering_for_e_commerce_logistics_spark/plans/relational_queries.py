@@ -8,7 +8,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions import exact_avg, exact_round, sql_exact_avg, sql_exact_round
+from ..functions import (
+    exact_avg,
+    exact_round,
+    sql_exact_avg,
+    sql_exact_round,
+    sql_exact_sum,
+)
 
 # --- S9: data profiler ------------------------------------------------------
 
@@ -620,4 +626,39 @@ SELECT o_custkey,
          AS total_spend
 FROM orders
 GROUP BY o_custkey
+"""
+
+
+# --- Salted two-phase aggregation as a contract query -----------------------
+
+
+def salted_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event rollup routed through the SALTED two-phase
+    aggregate (``operators.skew.salted_aggregate``): phase 1 groups on
+    (key, per-row salt) spreading any hot key over 16 partitions,
+    phase 2 combines the partials.  The oracle is the PLAIN group-by —
+    the whole point is that salting only reshapes the shuffle, never
+    the result, and the sum rides in decimal so two-phase re-addition
+    is exact (double sums would drift with addition order)."""
+    from ..operators.skew import salted_aggregate
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].withColumn(
+        "vdec", F.expr("cast(value as decimal(28,8))")
+    )
+    agg = salted_aggregate(
+        ev, ["event_type"], sums={"sum_dec": "vdec"}, count_alias="n_events"
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.expr("cast(round(sum_dec, 2) as double)").alias("sum_value"),
+    )
+
+
+SALTED_ROLLUP_SQL = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       {sql_exact_sum("value", 2)} AS sum_value
+FROM events
+GROUP BY event_type
 """

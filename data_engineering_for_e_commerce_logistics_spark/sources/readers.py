@@ -187,3 +187,55 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> dict:
             )
         profile["columns"][c] = info
     return profile
+
+
+# --- JSONL corpus I/O (the dominant LLM-corpus interchange format) ----------
+
+DOCUMENTS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_JSONL_SCHEMA,
+) -> DataFrame:
+    """Read a JSON-lines corpus with an EXPLICIT schema plus a
+    corrupt-record rescue column — never schema inference (an
+    inference pass reads the whole corpus twice, and a single
+    malformed line flips column types at 100 TB).  Malformed lines
+    land in ``_corrupt_record`` instead of killing the job
+    (PERMISSIVE), so the pipeline can route them to a quarantine sink
+    and keep going; count them with
+    ``df.cache().filter("_corrupt_record IS NOT NULL")`` (the cache
+    is required: Spark refuses queries that reference ONLY the
+    corrupt-record column off the raw scan, because column pruning
+    would skip the very parse that fills it)."""
+    # fresh StructType — StructType.add MUTATES the receiver, which
+    # would grow the shared module-level schema on every call
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def write_jsonl_shards(
+    df: DataFrame, path: str, shard_count: int | None = None
+) -> None:
+    """Write a corpus as JSONL shard files.  ``shard_count`` bounds
+    output file count (repartition — one shuffle); omit it to keep the
+    upstream partitioning (no shuffle, file count = partitions, the
+    right default for big exports)."""
+    out = df.repartition(shard_count) if shard_count else df
+    out.write.mode("overwrite").json(path)

@@ -312,3 +312,39 @@ def test_apply_cdc_net_effect_and_idempotence(spark):
     # idempotence: applying the feed to its own result changes nothing
     again = apply_cdc(out, changes, ["id"])
     assert {(r.id, r.name, r.amount) for r in again.collect()} == want
+
+
+def test_jsonl_corpus_roundtrip_and_corrupt_rescue(spark, tmp_path):
+    """documents → JSONL shards → read back identical; a malformed
+    line lands in _corrupt_record instead of failing the read or
+    corrupting the schema."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        read_parquet_table,
+    )
+
+    docs = read_parquet_table(
+        spark, "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source", "lang", "text")
+    out = str(tmp_path / "corpus_jsonl")
+    readers.write_jsonl_shards(docs, out, shard_count=4)
+    shard_files = [f for f in os.listdir(out) if f.endswith(".json")]
+    assert len(shard_files) == 4
+
+    # cache before corrupt-record-only predicates (Spark disallows
+    # querying just _corrupt_record off the raw scan - see reader doc)
+    back = readers.read_jsonl_corpus(spark, out).cache()
+    assert back.filter("_corrupt_record IS NOT NULL").count() == 0
+    a = {r["doc_id"]: r["text"] for r in docs.collect()}
+    b = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert a == b
+
+    # poison one line: schema holds, the bad line is quarantined
+    poison = str(tmp_path / "poison")
+    os.makedirs(poison)
+    with open(os.path.join(poison, "part-0.json"), "w") as f:
+        f.write('{"doc_id": 1, "source": "s", "lang": "en", "text": "ok"}\n')
+        f.write("{not json at all\n")
+    got = readers.read_jsonl_corpus(spark, poison).cache()
+    assert got.count() == 2
+    assert got.filter("_corrupt_record IS NOT NULL").count() == 1
+    assert got.filter("doc_id = 1 AND text = 'ok'").count() == 1
