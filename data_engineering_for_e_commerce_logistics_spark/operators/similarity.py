@@ -279,3 +279,72 @@ def ann_sign_bucket_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "bucket", "neighbor_id", "cosine", "rank")
     )
+
+
+def brute_force_topk_arrow(
+    df: DataFrame,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Arrow-batched twin of ``brute_force_topk``: queries are
+    collected into a dense numpy matrix (they're small by
+    construction — the broadcast side), and each mapInPandas batch
+    scores ALL queries against its candidate rows with one BLAS
+    matmul instead of per-element fold expressions.
+
+    When to prefer which (measured intuition, documented for the
+    100 TB case): the JVM fold wins at dim ≲ 100 (no Python/Arrow
+    boundary at all); the matmul path wins as dim and query count
+    grow — O(batch × dim × queries) in one vectorized kernel vs one
+    codegen'd loop per (row, query) pair — and is the template every
+    real embedding-scoring pipeline (dim 768+, thousands of queries)
+    uses on Spark.  Top-k per query still runs JVM-side (the same
+    bounded per-query window as the fold path), so ONLY raw scores
+    cross the Arrow boundary.
+
+    Ranks are identical to brute_force_topk up to float-sum ordering:
+    numpy's pairwise-summed dot differs from the strict left fold in
+    the last ulp, so ranking ties may legitimately differ — the unit
+    test asserts rank agreement on well-separated data and score
+    agreement to 1e-9 everywhere."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        df.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)  # (nq, dim)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # (nc, nq)
+            nc, nq = sims.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(q_ids, nc),
+                    "neighbor_id": np.tile(ids, nq),
+                    "cosine": sims.T.ravel(),
+                }
+            )
+
+    scored = df.select(id_col, vec_col).mapInPandas(score, out_schema)
+    scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -70,3 +70,18 @@ def test_triangle_count_matches_bruteforce(spark):
     )
     got = graph.triangle_count(_edges(spark, pairs)).first().triangles
     assert got == expected
+
+
+def test_copurchase_window_subset_of_full(spark):
+    """The windowed co-purchase edge list (the contract query's graph)
+    must be a subset of the full-history graph (bounds=None)."""
+    from data_engineering_for_e_commerce_logistics_spark.plans.graph_queries import (
+        _copurchase_edges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    windowed = _copurchase_edges(spark, sf)
+    full = _copurchase_edges(spark, sf, bounds=None)
+    assert windowed.count() > 0
+    assert windowed.exceptAll(full).count() == 0
+    assert full.count() >= windowed.count()

@@ -37,3 +37,25 @@ def test_hash_embedding_feeds_similarity_search(spark):
     assert {r.query_id for r in got} == {0, 1}
     assert all(r.neighbor_id != r.query_id for r in got)
     assert all(-1.0001 <= r.cosine <= 1.0001 for r in got if r.cosine is not None)
+
+
+def test_brute_force_topk_arrow_matches_fold(spark):
+    """The Arrow/matmul scoring path must agree with the JVM fold
+    path: identical ranks (well-separated synthetic vectors) and
+    cosines equal to 1e-9 (numpy pairwise sum vs strict left fold may
+    differ in the last ulp)."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    emb = read_parquet_table(spark, f"{SF}/embeddings.parquet")
+    qids = list(range(5))
+    fold = brute_force_topk(emb, query_ids=qids, k=5).collect()
+    arrow = brute_force_topk_arrow(emb, query_ids=qids, k=5).collect()
+    f = {(r["query_id"], r["rank"]): r for r in fold}
+    a = {(r["query_id"], r["rank"]): r for r in arrow}
+    assert f.keys() == a.keys()
+    for key in f:
+        assert f[key]["neighbor_id"] == a[key]["neighbor_id"], key
+        assert abs(f[key]["cosine"] - a[key]["cosine"]) < 1e-9, key
