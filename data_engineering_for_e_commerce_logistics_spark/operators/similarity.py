@@ -118,6 +118,8 @@ def kmeans(
         vecs.orderBy(id_col)
         .limit(k)
         .select(
+            # un-partitioned window over the k-row seed table only —
+            # bounded by construction, never the full vector set
             F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
             F.col("v").alias("cv"),
         )

@@ -337,3 +337,27 @@ def create_analytic_views(spark: SparkSession, sf_dir: str) -> None:
         "CREATE OR REPLACE TEMP VIEW v_delivery_performance AS "
         + V_DELIVERY_PERFORMANCE_SQL
     )
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_columns: list[str],
+    num_partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Globally sorted export WITHOUT a single-partition sort: rows are
+    range-partitioned on the sort key (sampled range boundaries, one
+    shuffle) and sorted within each partition — file part-NNNNN order
+    concatenates to a total order.  This is how a 100 TB sorted
+    extract must be written; ``orderBy().write`` funnels through one
+    task's sort only when Spark cannot see the partitioning, and a
+    coalesce(1) melts the driver.  ``num_partitions`` bounds output
+    file count (default: spark.sql.shuffle.partitions)."""
+    cols = [F.col(c) for c in sort_columns]
+    ranged = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions
+        else df.repartitionByRange(*cols)
+    )
+    ranged.sortWithinPartitions(*cols).write.mode(mode).parquet(path)

@@ -359,3 +359,38 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def sliding_rollup(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING-window per-type rollup: each event lands in
+    duration/slide overlapping windows (4 for 1h/15m) — the moving-
+    average / rate-monitor shape tumbling windows can't express.
+
+    State cost is the tumbling cost × the overlap factor (each event
+    updates duration/slide windows inside the watermark horizon), so
+    slide is the knob that trades freshness for state — pick it
+    deliberately at 100 TB, and route large-state deployments through
+    ``enable_rocksdb_state``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_duration, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )

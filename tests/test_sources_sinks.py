@@ -348,3 +348,37 @@ def test_jsonl_corpus_roundtrip_and_corrupt_rescue(spark, tmp_path):
     assert got.count() == 2
     assert got.filter("_corrupt_record IS NOT NULL").count() == 1
     assert got.filter("doc_id = 1 AND text = 'ok'").count() == 1
+
+
+def test_write_sorted_parquet_global_order_no_single_partition(spark, tmp_path):
+    """Range-partitioned sorted export: plan shows RangePartitioning
+    (never SinglePartition), and concatenating part files in name
+    order yields a globally sorted column."""
+    out = str(tmp_path / "sorted_orders")
+    orders = sinks.read_table(spark, "/root/testdata/sf0.001/orders.parquet")
+    df = orders.select("o_orderkey", "o_totalprice")
+    plan = (
+        df.repartitionByRange(4, F.col("o_totalprice"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
+
+    sinks.write_sorted_parquet(df, out, ["o_totalprice"], num_partitions=4)
+    parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert len(parts) == 4
+    seen = []
+    for p in parts:
+        vals = [
+            r[0]
+            for r in spark.read.parquet(os.path.join(out, p))
+            .select("o_totalprice")
+            .collect()
+        ]
+        assert vals == sorted(vals)  # sorted within the file
+        seen.append(vals)
+    flat = [v for vs in seen for v in vs]
+    assert flat == sorted(flat)  # file order concatenates to total order
+    assert len(flat) == df.count()

@@ -347,3 +347,51 @@ def test_rollup_with_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_sliding_rollup_stream_matches_batch(spark, tmp_path):
+    """availableNow sliding-window stream result == the same sliding
+    window() aggregation over the static frame (closed windows only —
+    the final watermark withholds nothing in availableNow + a
+    replayed-to-end source)."""
+    source = str(tmp_path / "events_src_sliding")
+    read_parquet_table(spark, f"{SF_DIR}/events.parquet").write.parquet(source)
+    sink = str(tmp_path / "sliding_sink")
+    ckpt = str(tmp_path / "sliding_ckpt")
+    stream = ingest.sliding_rollup(ingest.read_event_stream(spark, source))
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointPath", ckpt)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(sink)
+    batch = (
+        ingest.sliding_rollup(
+            read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+        )
+        # a static frame has no watermark semantics: every window shows
+        .withColumnRenamed("n_events", "b_n")
+        .withColumnRenamed("sum_value", "b_sum")
+    )
+    # every emitted (window, type) row matches the batch twin exactly;
+    # each event appears in 4 overlapping windows
+    j = got.join(batch, ["window_start", "window_end", "event_type"], "inner")
+    assert j.count() == got.count()  # no emitted row missing from batch
+    assert (
+        j.filter(
+            (F.col("n_events") != F.col("b_n"))
+            | (F.abs(F.col("sum_value") - F.col("b_sum")) > 1e-9)
+        ).count()
+        == 0
+    )
+    # sliding factor sanity: total event-window memberships = 4× events
+    n_events_total = spark.read.parquet(source).count()
+    emitted_memberships = got.agg(F.sum("n_events")).first()[0]
+    assert emitted_memberships <= 4 * n_events_total
+    assert emitted_memberships >= 3 * n_events_total  # most windows closed
