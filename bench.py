@@ -100,6 +100,7 @@ HEADLINE = [
     "ivm_spend_refresh",
     "corpus_chunk_documents",
     "salted_rollup_events",
+    "customer_rolling_7d_spend",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

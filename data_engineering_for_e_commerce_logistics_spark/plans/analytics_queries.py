@@ -1726,3 +1726,57 @@ GROUP BY part_a, part_b
 ORDER BY support DESC, part_a, part_b
 LIMIT {BASKET_TOP_N}
 """
+
+
+# --- Time-range rolling window (RANGE frame, not ROWS) ----------------------
+
+
+def customer_rolling_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer 7-day rolling order spend: a RANGE window frame
+    over event time — every order sees the decimal-exact sum of the
+    customer's orders in the trailing week, ties included (RANGE, not
+    ROWS: same-timestamp orders share one frame, so the result is
+    set-determined, not input-order-determined).
+
+    Spark's rangeBetween needs a numeric ordering column, so the frame
+    runs over unix seconds; the oracle uses the identical epoch-second
+    frame.  One shuffle on the partition key; frame evaluation is the
+    standard per-partition sliding aggregate — no cross-partition
+    state, scales with customers × orders-per-customer."""
+    from pyspark.sql import Window
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    secs = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(secs)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr(
+            "cast(round(sum(cast(o_totalprice as decimal(28,8))) over ("
+            "partition by o_custkey order by unix_timestamp(o_orderdate) "
+            "range between 604800 preceding and current row"
+            "), 2) as double)"
+        ).alias("spend_7d"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_orders_7d"),
+    )
+
+
+CUSTOMER_ROLLING_7D_SQL = """
+SELECT o_custkey,
+       o_orderkey,
+       o_orderdate,
+       cast(round(sum(cast(o_totalprice as decimal(28,8))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2) as double)
+         AS spend_7d,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_orders_7d
+FROM orders
+"""

@@ -113,6 +113,12 @@ register(
     rq.SALTED_ROLLUP_SQL,
     ("agg", "skew", "salted"),
 )
+register(
+    "customer_rolling_7d_spend",
+    aq.customer_rolling_7d_spend,
+    aq.CUSTOMER_ROLLING_7D_SQL,
+    ("window", "range-frame", "temporal"),
+)
 
 # --- 10-37: rotation backlog — last green row dates from r01 -----------
 register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
