@@ -418,23 +418,26 @@ def simhash(
         F.col(id_col),
         F.explode(shingles_from_tokens("__toks", shingle_k)).alias("shingle"),
     ).select(F.col(id_col), F.md5(F.col("shingle")).alias("h"))
-    # Project the 16 hex nibbles ONCE per row; 64 aggregate expressions
-    # each embedding conv(substring(md5(...))) would recompute the md5
-    # per vote (no CSE across aggregates — measured ~4s vs ~1s).
-    nibs = ex.select(
+    # Project the hash bits ONCE per row as two 32-bit halves (2 convs,
+    # not 16 per-nibble convs — the conv/substring pair dominates the
+    # per-row cost; 64 aggregate expressions each embedding
+    # conv(substring(md5(...))) would be worse still, recomputing the
+    # md5 per vote since there is no CSE across aggregates).
+    # Nibble i (hex digit i, most-significant first) recovers as
+    # (half >> (7 - i mod 8)*4) & 15 — same bit layout as the oracle.
+    halves = ex.select(
         F.col(id_col),
-        *[
-            F.conv(F.substring(F.col("h"), i + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"nib{i}")
-            for i in range(bits // 4)
-        ],
+        F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(F.col("h"), 9, 8), 16, 10).cast("long").alias("lo"),
     )
     votes = []
     for j in range(bits):
-        bit = F.shiftrightunsigned(F.col(f"nib{j // 4}"), j % 4).bitwiseAND(F.lit(1))
+        i = j // 4  # nibble index (hex digit position, MSB first)
+        half = F.col("hi") if i < 8 else F.col("lo")
+        shift = (7 - (i % 8)) * 4 + (j % 4)
+        bit = F.shiftrightunsigned(half, shift).bitwiseAND(F.lit(1))
         votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}"))
-    voted = nibs.groupBy(id_col).agg(*votes)
+    voted = halves.groupBy(id_col).agg(*votes)
     sig = None
     for j in range(bits):
         term = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
