@@ -99,3 +99,29 @@ def test_compact_final_line_fits_tail_capture():
         "queries_file": "BENCH_LOCAL_r99.json",
     }
     assert len(json.dumps(compact)) < 300
+
+
+def test_headline_names_all_registered():
+    """A renamed/removed registry entry must fail HERE, not in the
+    driver's bench run (bench crashes on a missing spec name)."""
+    sys.path.insert(0, _REPO)
+    from data_engineering_for_e_commerce_logistics_spark.plans.registry import (
+        all_specs,
+    )
+
+    specs = all_specs()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert missing == [], missing
+
+
+def test_check_window_spends_no_slot_on_rows_only():
+    """The driver verifies the FIRST 50 registrations (r01 evidence);
+    a rows-only spec inside the window would waste a verified slot."""
+    sys.path.insert(0, _REPO)
+    from data_engineering_for_e_commerce_logistics_spark.plans.registry import (
+        all_specs,
+    )
+
+    window = list(all_specs().items())[:50]
+    oracle_less = [n for n, s in window if s.oracle is None]
+    assert oracle_less == [], oracle_less
