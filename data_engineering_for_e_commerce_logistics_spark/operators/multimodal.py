@@ -154,3 +154,59 @@ def synthetic_media_table(spark, documents: DataFrame) -> DataFrame:
         F.encode(F.col("text"), "utf-8").alias("payload"),
         F.to_json(F.struct(F.col("lang"), F.col("source"))).alias("meta_json"),
     )
+
+
+# (media_id, width, height, payload) — resize output
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+Resizer = Callable[[bytes, int, int], bytes]  # (payload, w, h) -> resized
+
+
+def real_image_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Resize via PIL — absent in this container; the named production
+    hook, same injection pattern as real_image_decoder."""
+    raise NotImplementedError(
+        "image resizing requires Pillow; inject a resizer= callable "
+        "(tests use fake_image_resizer)"
+    )
+
+
+def fake_image_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in: truncates/pads content to width*height
+    bytes so the batch shape, schema, and size accounting are real."""
+    target = width * height
+    return payload[:target].ljust(target, b"\0")
+
+
+def resize_images(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    resizer: Resizer = real_image_resizer,
+) -> DataFrame:
+    """Batch image resize as one Arrow map stage — the standard
+    multimodal-pretraining normalization step (fixed input resolution).
+    Binary in, binary out, no shuffle; at 100 TB this is the stage to
+    pair with spark.sql.files.maxPartitionBytes tuning so a partition
+    of blobs fits executor memory AFTER decode (decoded size >> file
+    size for compressed formats)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+                rows.append((r["media_id"], width, height, resizer(payload, width, height)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload"]
+            )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)

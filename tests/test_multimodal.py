@@ -60,3 +60,28 @@ def test_metadata_projection_prunes_payload(spark, media, tmp_path):
     meta2 = spark.read.parquet(p).select("media_id", "mime", "meta_json")
     plan2 = meta2._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan2.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_resize_images_shape_and_determinism(spark):
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        read_parquet_table,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.operators import multimodal
+
+    docs = read_parquet_table(spark, f"{SF_DIR}/documents.parquet").limit(20)
+    media = multimodal.synthetic_media_table(spark, docs)
+    out = multimodal.resize_images(
+        media, width=8, height=8, resizer=multimodal.fake_image_resizer
+    )
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    assert all(len(r["payload"]) == 64 for r in rows)
+    # deterministic: a second run yields identical payloads
+    again = {r["media_id"]: bytes(r["payload"]) for r in out.collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in rows} == again
+    # production hook stays explicit about its missing dependency
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="Pillow"):
+        multimodal.resize_images(media).collect()
