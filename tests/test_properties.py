@@ -119,3 +119,49 @@ def test_upsert_idempotent_and_complete(spark, tmp_path_factory, updates_keys):
         got = {r.k: r.s for r in spark.read.parquet(path).collect()}
         for k in range(10):
             assert got[k] == ("upd" if k in updates_keys else "base")
+
+
+@given(n_tokens=st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=8))
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_invariants(spark, n_tokens):
+    """Every token of every doc lands in ≥1 chunk; chunk count is
+    exactly ceil-by-stride; no chunk exceeds the window size."""
+    from data_engineering_for_e_commerce_logistics_spark.plans.corpus_queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(n)))
+        for i, n in enumerate(n_tokens)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    t = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(t), F.lit(CHUNK_STRIDE))
+    chunks = docs.select(
+        "doc_id",
+        F.explode(starts).alias("start"),
+        F.size(t).alias("n"),
+    ).select(
+        "doc_id",
+        "start",
+        F.least(F.lit(CHUNK_TOKENS), F.col("n") - F.col("start") + 1).alias("len"),
+        "n",
+    )
+    got = {
+        (r["doc_id"]): r
+        for r in chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max(F.col("start") + F.col("len") - 1).alias("covered_to"),
+            F.max("len").alias("max_len"),
+            F.max("n").alias("n"),
+        )
+        .collect()
+    }
+    for i, n in enumerate(n_tokens):
+        r = got[i]
+        assert r["n_chunks"] == (n - 1) // CHUNK_STRIDE + 1
+        assert r["covered_to"] == n  # full coverage, no token dropped
+        assert r["max_len"] <= CHUNK_TOKENS
