@@ -394,3 +394,42 @@ def sliding_rollup(
             "sum_value",
         )
     )
+
+
+def start_sliding_rollup_stream(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    window_duration: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+    trigger_available_now: bool = True,
+):
+    """source → sliding rollup → foreachBatch upsert keyed on
+    (window_start, window_end, event_type) — window_end joins the key
+    because sliding windows of different durations may share a start."""
+    from ..sources.sinks import upsert_parquet
+
+    rollup = sliding_rollup(
+        read_event_stream(spark, source_path), window_duration, slide, watermark
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(
+            batch_df.sparkSession,
+            batch_df,
+            sink_path,
+            key_columns=["window_start", "window_end", "event_type"],
+        )
+
+    writer = (
+        rollup.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .foreachBatch(upsert_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -194,3 +194,27 @@ def test_ntile_exact_boundaries_matches_ntile(spark):
         == 0
     )
     df.unpersist()
+
+
+def test_ivm_refresh_broadcasts_delta(spark):
+    """The delta aggregate (changed keys only) must broadcast into the
+    merge join; the base aggregate must not single-partition."""
+    plan = _plan(spark, "ivm_spend_refresh")
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_rolling_window_is_partitioned(spark):
+    """The RANGE-frame window must run partitioned by customer — a
+    global time-ordered window would single-task the fact table."""
+    plan = _plan(spark, "customer_rolling_7d_spend")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_salted_rollup_two_phase(spark):
+    """Salted aggregation = two aggregate phases (key+salt, then key);
+    never a single-partition exchange."""
+    plan = _plan(spark, "salted_rollup_events")
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 phases
+    assert "SinglePartition" not in plan

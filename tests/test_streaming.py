@@ -395,3 +395,23 @@ def test_sliding_rollup_stream_matches_batch(spark, tmp_path):
     emitted_memberships = got.agg(F.sum("n_events")).first()[0]
     assert emitted_memberships <= 4 * n_events_total
     assert emitted_memberships >= 3 * n_events_total  # most windows closed
+
+
+def test_sliding_stream_starter_idempotent_rerun(spark, tmp_path):
+    """The sliding starter wires the upsert sink: a second availableNow
+    run over the SAME source must not duplicate rows (idempotent key
+    upsert), matching the first run's row set exactly."""
+    source = str(tmp_path / "events_src_sl2")
+    read_parquet_table(spark, f"{SF_DIR}/events.parquet").write.parquet(source)
+    sink = str(tmp_path / "sl2_sink")
+    ckpt = str(tmp_path / "sl2_ckpt")
+    q = ingest.start_sliding_rollup_stream(spark, source, sink, ckpt)
+    q.awaitTermination(120)
+    first = spark.read.parquet(sink)
+    n1, s1 = first.count(), first.agg(F.sum("n_events")).first()[0]
+
+    q2 = ingest.start_sliding_rollup_stream(spark, source, sink, ckpt)
+    q2.awaitTermination(120)
+    second = spark.read.parquet(sink)
+    assert second.count() == n1
+    assert second.agg(F.sum("n_events")).first()[0] == s1
