@@ -33,3 +33,14 @@ def test_contract_shapes():
     assert qs, "no queries registered"
     for name in os_:
         assert name in qs, f"oracle {name} has no query"
+
+
+def test_entry_idempotent_and_stable_schema(spark):
+    """Calling entry twice (the driver may) returns the same rows and
+    the same schema — no state leaks between invocations."""
+    import __spark_entry__ as e
+
+    a, b = e.entry(spark), e.entry(spark)
+    assert a.schema == b.schema
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0
