@@ -20,10 +20,13 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r03 window: positions 3-9 are new/changed this round (rfm_segments'
+r03 window: positions 3-13 are new/changed this round (rfm_segments'
 de-ntiled plan, the graph primitives' first contract rows, simhash's
-first real oracle); 10-37 are the 28 queries whose green row is from
-r01; 38-50 re-prove the dedup/text/similarity north-star family.
+first real oracle, semdedup/lm-quality/ivm/chunking/salted/rolling);
+14-41 are the 28 queries whose green row is from r01; 42-50 re-prove
+the dedup/text north-star family.  Checked invariants (pytest
+test_bench_gate): every never-checked query sits inside the window,
+and no rows-only spec spends a verified slot.
 """
 
 from __future__ import annotations
