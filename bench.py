@@ -101,6 +101,7 @@ HEADLINE = [
     "corpus_chunk_documents",
     "salted_rollup_events",
     "customer_rolling_7d_spend",
+    "order_value_deciles",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

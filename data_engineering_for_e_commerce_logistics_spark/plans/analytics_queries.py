@@ -1780,3 +1780,64 @@ SELECT o_custkey,
          AS n_orders_7d
 FROM orders
 """
+
+
+# --- Quantile binning / discretizer (deciles, de-ntiled) --------------------
+
+
+def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile discretizer: every order binned into its order-value
+    DECILE (exact ntile(10) semantics, orderkey tiebreak), then
+    per-decile count + decimal-exact spend — the feature-engineering
+    binning step (equal-population buckets) plus the per-bucket
+    profile.
+
+    Second production use of ``_ntile_exact_boundaries`` (k=10): the
+    9 boundary order statistics come from the same bracketed
+    selection, rows are scored by literal compares, and the ONLY
+    shuffle in the whole query is the final 10-group aggregate — the
+    oracle runs a real ntile(10) window and must agree bucket-for-
+    bucket, so the no-sort plan is equivalence-proven at a second k."""
+    o = load_tables(spark, sf_dir, ("orders",)).get("orders").select(
+        "o_orderkey", "o_totalprice"
+    ).persist()
+    try:
+        n = o.count()
+        bounds = _ntile_exact_boundaries(
+            o, n, [("o_totalprice", False)], tiebreak="o_orderkey", k=10
+        )
+        dtypes = dict(o.dtypes)
+        binned = o.select(
+            "o_orderkey",
+            "o_totalprice",
+            _ntile_score_col(
+                "o_totalprice", "o_orderkey", bounds["o_totalprice"],
+                dtypes["o_totalprice"],
+            ).alias("decile"),
+        )
+        return binned.groupBy("decile").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(sql_exact_sum("o_totalprice", 2)).alias("total_value"),
+            F.min("o_totalprice").alias("min_value"),
+            F.max("o_totalprice").alias("max_value"),
+        )
+    except Exception:
+        o.unpersist()
+        raise
+
+
+ORDER_VALUE_DECILES_SQL = f"""
+WITH binned AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+           AS decile
+  FROM orders
+)
+SELECT decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_exact_sum("o_totalprice", 2)} AS total_value,
+       min(o_totalprice) AS min_value,
+       max(o_totalprice) AS max_value
+FROM binned
+GROUP BY decile
+"""

@@ -122,6 +122,12 @@ register(
     aq.CUSTOMER_ROLLING_7D_SQL,
     ("window", "range-frame", "temporal"),
 )
+register(
+    "order_value_deciles",
+    aq.order_value_deciles,
+    aq.ORDER_VALUE_DECILES_SQL,
+    ("agg", "quantile", "discretizer", "exact-selection"),
+)
 
 # --- 10-37: rotation backlog — last green row dates from r01 -----------
 register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
