@@ -249,8 +249,10 @@ def main() -> None:
                 samples.append(time.time() - t0)
         except Exception as exc:  # keep benching; a broken query must
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]  # not hide
-            if not samples:  # the rest of the per-query numbers
-                continue
+            continue  # the rest of the per-query numbers; a partial
+            # sample set must NOT enter timings/medians — mixing full
+            # and partial measurements skews the headline total
+            # (ADVICE r03).
         timings[name] = round(min(samples), 3)
         medians[name] = round(statistics.median(samples), 3)
 

@@ -411,8 +411,15 @@ def simhash(
     position vote +1/-1, sign of the vote is the fingerprint bit.
 
     Expressed as explode → per-bit conditional sums → bit assembly;
-    one shuffle on id_col.  (No DuckDB oracle: 128→64-bit hash
-    arithmetic is not portably expressible — rows-only check.)"""
+    one shuffle on id_col.  Bit-exact DuckDB oracle:
+    ``plans/extended_queries.py`` DEDUP_SIMHASH_SQL /
+    DEDUP_SIMHASH_PAIRS_SQL replay the same two-half nibble recovery
+    (driver-green since r03), so this is hash-checked, not rows-only.
+    """
+    # The two-half recovery below reads md5 hex digits 0-15 (128 bits as
+    # two 64-bit halves); bits beyond 64 would silently re-read the lo
+    # half (ADVICE r03), so the contract is explicit:
+    assert bits <= 64, f"simhash supports at most 64 bits, got {bits}"
     toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     ex = toks.select(
         F.col(id_col),

@@ -327,16 +327,25 @@ def brute_force_topk_arrow(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: (0,)-shaped matmul breaks
+                continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
-            sims = (c_mat @ q_mat.T) / np.outer(c_norm, q_norm)  # (nc, nq)
+            denom = np.outer(c_norm, q_norm)  # 0 exactly for zero-norm vectors
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = np.divide(c_mat @ q_mat.T, denom, where=denom != 0)
             nc, nq = sims.shape
+            # Zero-norm vectors must come back as SQL NULL (ranked last by
+            # the DESC window, same as the fold twin's try_divide), not
+            # NaN — Spark orders NaN above every number (ADVICE r03).
+            cos = pd.array(sims.T.ravel(), dtype="Float64")
+            cos[np.asarray(denom == 0).T.ravel()] = pd.NA
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(q_ids, nc),
                     "neighbor_id": np.tile(ids, nq),
-                    "cosine": sims.T.ravel(),
+                    "cosine": cos,
                 }
             )
 

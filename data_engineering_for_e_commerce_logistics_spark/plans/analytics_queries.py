@@ -1244,6 +1244,11 @@ def _ntile_exact_boundaries(
     tie group); every job is a scan-shaped aggregate.  df should be
     cached by the caller — it is scanned by each job.
     """
+    if n == 0:
+        # No rows → no boundaries; _ntile_score_col degenerates to a
+        # constant bucket 1 over an empty frame (ADVICE r03: the t / n
+        # bracket math below would otherwise divide by zero).
+        return {c: [] for c, _ in specs}
     q, r = divmod(n, k)
     ranks = [j * q + min(r, j) for j in range(1, k)]
     eps = 1e-4
@@ -1469,9 +1474,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "monetary", "o_custkey", bounds["monetary"], dtypes["monetary"]
             ).alias("m_score"),
         )
-    except Exception:
+    finally:
+        # The cache exists for the 3-6 eager boundary jobs, which have
+        # all run by now; releasing it here means the returned (lazy)
+        # plan re-aggregates once when materialized instead of pinning
+        # executor memory for the session (ADVICE r03).
         per_cust.unpersist()
-        raise
 
 
 RFM_SEGMENTS_SQL = f"""
@@ -1821,9 +1829,10 @@ def order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_totalprice").alias("min_value"),
             F.max("o_totalprice").alias("max_value"),
         )
-    except Exception:
+    finally:
+        # Boundary jobs are eager and done; don't pin the projection
+        # for the session (ADVICE r03) — the final agg rescans parquet.
         o.unpersist()
-        raise
 
 
 ORDER_VALUE_DECILES_SQL = f"""

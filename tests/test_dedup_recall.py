@@ -50,6 +50,16 @@ def test_simhash_pairs_find_planted_dups(spark, docs, ground_truth):
     assert len(got) < n_docs * 5  # not a quadratic candidate blowup
 
 
+def test_simhash_rejects_bits_over_64(spark, docs):
+    """ADVICE r03: the two-half nibble recovery covers md5 bits 0-63
+    only; bits > 64 would silently re-read the lo half, so the
+    contract is an explicit assert."""
+    import pytest
+
+    with pytest.raises(AssertionError, match="at most 64 bits"):
+        dedup.simhash(docs, bits=65)
+
+
 def test_exact_duplicates_no_false_positives(spark, docs):
     out = dedup.exact_duplicates(docs)
     # corpus has no exact dups: every fingerprint group has one member

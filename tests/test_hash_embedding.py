@@ -59,3 +59,33 @@ def test_brute_force_topk_arrow_matches_fold(spark):
     for key in f:
         assert f[key]["neighbor_id"] == a[key]["neighbor_id"], key
         assert abs(f[key]["cosine"] - a[key]["cosine"]) < 1e-9, key
+
+
+def test_brute_force_topk_arrow_zero_norm_is_null_ranked_last(spark):
+    """ADVICE r03: a zero-norm candidate must come back as SQL NULL
+    cosine (ranked LAST by the DESC window, matching the fold path's
+    try_divide), not numpy NaN — Spark orders NaN above every number,
+    which ranked degenerate vectors FIRST."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),  # zero norm → cosine undefined
+        (3, [0.5, 0.5, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    arrow = brute_force_topk_arrow(emb, query_ids=[0], k=4).collect()
+    fold = brute_force_topk(emb, query_ids=[0], k=4).collect()
+    by_rank = {r["rank"]: r for r in arrow}
+    # the zero-norm vector is last, with NULL (None) cosine, both paths
+    assert by_rank[4]["neighbor_id"] == 2 and by_rank[4]["cosine"] is None
+    f_by_rank = {r["rank"]: r for r in fold}
+    assert f_by_rank[4]["neighbor_id"] == 2 and f_by_rank[4]["cosine"] is None
+    # non-degenerate ranks agree across paths
+    for rk in (1, 2, 3):
+        assert by_rank[rk]["neighbor_id"] == f_by_rank[rk]["neighbor_id"]

@@ -196,6 +196,21 @@ def test_ntile_exact_boundaries_matches_ntile(spark):
     df.unpersist()
 
 
+def test_ntile_exact_boundaries_empty_input(spark):
+    """ADVICE r03: n == 0 must early-return empty boundaries (every
+    row in bucket 1 over an empty frame), not ZeroDivisionError."""
+    from data_engineering_for_e_commerce_logistics_spark.plans.analytics_queries import (
+        _ntile_exact_boundaries,
+        _ntile_score_col,
+    )
+
+    df = spark.createDataFrame([], "ck bigint, v bigint")
+    bounds = _ntile_exact_boundaries(df, 0, [("v", False)], "ck")
+    assert bounds == {"v": []}
+    scored = df.select("ck", _ntile_score_col("v", "ck", bounds["v"], "bigint"))
+    assert scored.count() == 0
+
+
 def test_ivm_refresh_broadcasts_delta(spark):
     """The delta aggregate (changed keys only) must broadcast into the
     merge join; the base aggregate must not single-partition."""
