@@ -102,6 +102,9 @@ HEADLINE = [
     "salted_rollup_events",
     "customer_rolling_7d_spend",
     "order_value_deciles",
+    # r04 additions: sketch bounds twin + SemDeDup trained-centroid path
+    "sketch_bounds_events",
+    "semdedup_trained_pairs",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

@@ -786,16 +786,83 @@ GROUP BY 1, 2
 
 def sketch_aggregates_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL distinct + t-digest-style percentile sketches — the
-    bounded-memory forms of A5/A8 for stream/corpus scale.  No oracle:
-    sketch internals differ across engines by design (driver records
-    the weaker rows-only check; exact twins are agg_cardinality_lineitem
-    and quantiles_lineitem)."""
+    bounded-memory forms of A5/A8 for stream/corpus scale.  No direct
+    oracle: sketch internals differ across engines by design (driver
+    records the weaker rows-only check), but ``sketch_bounds_events``
+    is the hash-checkable twin — each engine proves its OWN sketch
+    lands inside exact bounds, and those booleans match."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_median_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+def sketch_bounds_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds-oracle twin of ``sketch_aggregates_events`` (VERDICT r03
+    item 2): sketch VALUES are engine-specific, but the claim "the
+    sketch lands within a deterministic error bound of the exact
+    answer" is SQL-expressible on both engines.  Each engine computes
+    its own HLL distinct + approx median AND the exact distinct +
+    exact 45th/55th percentiles, then emits booleans:
+
+    * ``approx_users_ok``: |HLL − exact| ≤ 15% of exact (Spark's
+      default rsd is 0.05, DuckDB's HLL error ~1.6% — 15% is 3σ for
+      the looser engine, so the boolean is deterministically true on
+      both sides and hash-matches).
+    * ``approx_median_ok``: the approx median falls between the exact
+      p45 and p55 (approx_percentile accuracy 1000 bounds rank error
+      to 0.1%, far inside the ±5% rank window).
+
+    Exact columns (n_events, n_users) hash-match outright.  Scale
+    note: the exact twins make this a verification query — at corpus
+    scale you run the sketches alone and spot-check bounds on a
+    sample partition."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id").alias("au"),
+        F.expr("percentile(value, 0.45D)").alias("p45"),
+        F.expr("percentile(value, 0.55D)").alias("p55"),
+        F.expr("approx_percentile(value, 0.5D, 1000)").alias("am"),
+    )
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users",
+        (
+            F.abs(F.col("au").cast("double") - F.col("n_users").cast("double"))
+            <= F.lit(0.15) * F.col("n_users").cast("double")
+        ).alias("approx_users_ok"),
+        F.coalesce(
+            F.col("am").between(F.col("p45"), F.col("p55")),
+            F.col("am").isNull() & F.col("p45").isNull(),
+        ).alias("approx_median_ok"),
+    )
+
+
+SKETCH_BOUNDS_EVENTS_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         approx_count_distinct(user_id) AS au,
+         quantile_cont(value, 0.45) AS p45,
+         quantile_cont(value, 0.55) AS p55,
+         approx_quantile(value, 0.5) AS am
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_users AS BIGINT) AS n_users,
+       abs(CAST(au AS DOUBLE) - CAST(n_users AS DOUBLE))
+         <= 0.15 * CAST(n_users AS DOUBLE) AS approx_users_ok,
+       coalesce(am BETWEEN p45 AND p55,
+                am IS NULL AND p45 IS NULL) AS approx_median_ok
+FROM agg
+"""
 
 
 # --- Set operations ---------------------------------------------------------

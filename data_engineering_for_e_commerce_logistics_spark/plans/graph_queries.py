@@ -906,3 +906,160 @@ SELECT cell, pair_rank, id_a, id_b, cosine FROM (
   FROM pairs
 ) WHERE pair_rank <= {SEMDEDUP_TOPK}
 """
+
+
+def semdedup_trained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup PRODUCTION path end-to-end (VERDICT r03 item 3):
+    ``semdedup_pairs`` seeds cells with ``vec_id < N_CENTROIDS``;
+    here the cells come from TRAINED centroids — one decimal-exact
+    Lloyd refinement (the ``kmeans_refine`` plan) — then the same
+    cell-keyed pair mining.  This oracle-proves the composition that
+    a real 100 TB embedding-dedup pipeline runs: train coarse
+    centroids, assign, mine near-dups only within cells.
+
+    Plan shape: two broadcast-scored assignment passes + one
+    (cell, dim) centroid aggregate + one cell-keyed self-join + one
+    bounded per-cell window — nothing quadratic in the corpus, cells
+    stay sqrt(n)-sized when centroid count tracks sqrt(n).  All
+    distances/means/cosines are strict left folds or decimal-exact
+    sums, bit-equal to the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double_vec, _fold_sum
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = emb.select(
+        "vec_id", _as_double_vec("embedding").alias("v")
+    ).withColumn(
+        "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
+            "dist",
+            _fold_sum(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "nrm", F.col("centroid_id").alias("cell"))
+        )
+
+    seeds = vecs.select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    ).filter(F.col("centroid_id") < N_CENTROIDS)
+    assign0 = assign(seeds)
+    refined = (
+        assign0.select("cell", F.posexplode(F.col("v")).alias("dim", "val"))
+        .groupBy(F.col("cell").alias("centroid_id"), "dim")
+        .agg(
+            (
+                F.expr("cast(sum(cast(val as decimal(28,8))) as double)")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+    )
+    cells = assign(refined)
+    a = cells.select(
+        "cell",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = cells.select(
+        "cell",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+            / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        )
+    )
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("pair_rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("pair_rank") <= SEMDEDUP_TOPK)
+        .select("cell", "pair_rank", "id_a", "id_b", "cosine")
+    )
+
+
+SEMDEDUP_TRAINED_PAIRS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e
+),
+seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+s0 AS (
+  SELECT e.vec_id, e.v, c.centroid_id,
+         list_reduce(list_transform(list_zip(e.v, c.cv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+  FROM e, seeds c
+),
+assign0 AS (
+  SELECT vec_id, v, centroid_id AS cell FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM s0
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT cell, unnest(v) AS val, generate_subscripts(v, 1) - 1 AS dim
+  FROM assign0
+),
+refined AS (
+  SELECT centroid_id, list(cval ORDER BY dim) AS cv FROM (
+    SELECT cell AS centroid_id, dim,
+           cast(sum(cast(val as decimal(28,8))) as double) / count(*) AS cval
+    FROM dims GROUP BY 1, 2
+  ) GROUP BY centroid_id
+),
+s1 AS (
+  SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
+         list_reduce(list_transform(list_zip(n.v, c.cv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])), (a, b) -> a + b) AS dist
+  FROM n, refined c
+),
+cells AS (
+  SELECT vec_id, centroid_id AS cell, v, nrm FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY dist ASC, centroid_id ASC) AS rn
+    FROM s1
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+                     (x, y) -> x + y) / nullif(a.nrm * b.nrm, 0) AS cosine
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT cell, pair_rank, id_a, id_b, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY cell ORDER BY cosine DESC, id_a ASC, id_b ASC) AS pair_rank
+  FROM pairs
+) WHERE pair_rank <= {SEMDEDUP_TOPK}
+"""

@@ -20,13 +20,16 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r03 window: positions 3-13 are new/changed this round (rfm_segments'
-de-ntiled plan, the graph primitives' first contract rows, simhash's
-first real oracle, semdedup/lm-quality/ivm/chunking/salted/rolling);
-14-41 are the 28 queries whose green row is from r01; 42-50 re-prove
-the dedup/text north-star family.  Checked invariants (pytest
-test_bench_gate): every never-checked query sits inside the window,
-and no rows-only spec spends a verified slot.
+r04 window: positions 3-8 are new or changed this round (the
+sketch bounds twin + SemDeDup trained-centroid composition are new;
+rfm_segments/order_value_deciles got the cache-lifetime fix and
+dedup_simhash/_pairs the bits<=64 contract), 9-47 are the 39 queries
+whose green row dates from r02 (VERDICT r03 item 1: the registry's
+own staleness invariant), and 48-50 re-prove the exact/minhash/
+cluster dedup north-star family (green r03, cheapest insurance).
+Checked invariants (pytest test_bench_gate): every never-checked
+query sits inside the window, and no rows-only spec spends a
+verified slot.
 """
 
 from __future__ import annotations
@@ -55,7 +58,19 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-9: NEW or CHANGED since the last verified round -----------------
+# --- 3-8: NEW or CHANGED since the last verified round -----------------
+register(
+    "sketch_bounds_events",
+    aq.sketch_bounds_events,
+    aq.SKETCH_BOUNDS_EVENTS_SQL,
+    ("agg", "sketch", "bounds-twin"),
+)
+register(
+    "semdedup_trained_pairs",
+    gq.semdedup_trained_pairs,
+    gq.SEMDEDUP_TRAINED_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup", "iterative"),
+)
 register(
     "rfm_segments",
     aq.rfm_segments,
@@ -63,16 +78,10 @@ register(
     ("window", "segmentation", "exact-selection"),
 )
 register(
-    "graph_degree_profile",
-    gq.graph_degree_profile,
-    gq.GRAPH_DEGREE_PROFILE_SQL,
-    ("graph", "degree"),
-)
-register(
-    "graph_triangle_count",
-    gq.graph_triangle_count,
-    gq.GRAPH_TRIANGLE_COUNT_SQL,
-    ("graph", "triangles"),
+    "order_value_deciles",
+    aq.order_value_deciles,
+    aq.ORDER_VALUE_DECILES_SQL,
+    ("agg", "quantile", "discretizer", "exact-selection"),
 )
 register(
     "dedup_simhash",
@@ -86,181 +95,8 @@ register(
     xq.DEDUP_SIMHASH_PAIRS_SQL,
     ("dedup", "simhash", "banded"),
 )
-register(
-    "semdedup_pairs",
-    gq.semdedup_pairs,
-    gq.SEMDEDUP_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup"),
-)
-register(
-    "corpus_lm_quality",
-    xc.corpus_lm_quality,
-    xc.CORPUS_LM_QUALITY_SQL,
-    ("corpus", "quality", "lm"),
-)
-register(
-    "ivm_spend_refresh",
-    rq.ivm_spend_refresh,
-    rq.IVM_SPEND_REFRESH_SQL,
-    ("sink", "ivm", "incremental"),
-)
-register(
-    "corpus_chunk_documents",
-    xc.corpus_chunk_documents,
-    xc.CORPUS_CHUNK_SQL,
-    ("corpus", "chunking"),
-)
-register(
-    "salted_rollup_events",
-    rq.salted_rollup_events,
-    rq.SALTED_ROLLUP_SQL,
-    ("agg", "skew", "salted"),
-)
-register(
-    "customer_rolling_7d_spend",
-    aq.customer_rolling_7d_spend,
-    aq.CUSTOMER_ROLLING_7D_SQL,
-    ("window", "range-frame", "temporal"),
-)
-register(
-    "order_value_deciles",
-    aq.order_value_deciles,
-    aq.ORDER_VALUE_DECILES_SQL,
-    ("agg", "quantile", "discretizer", "exact-selection"),
-)
 
-# --- 10-37: rotation backlog — last green row dates from r01 -----------
-register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
-register(
-    "asof_events_orders",
-    aq.asof_events_orders,
-    aq.ASOF_EVENTS_ORDERS_SQL,
-    ("join", "asof", "temporal"),
-)
-register(
-    "q3_shipping_priority",
-    aq.q3_shipping_priority,
-    aq.Q3_SHIPPING_PRIORITY_SQL,
-    ("join", "agg", "topk"),
-)
-register(
-    "events_sessionize",
-    rq.events_sessionize,
-    rq.EVENTS_SESSIONIZE_SQL,
-    ("window", "session"),
-)
-register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
-register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
-register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
-register(
-    "coerce_timestamps_orders",
-    cq.coerce_timestamps_orders,
-    cq.COERCE_TIMESTAMPS_SQL,
-    ("timestamps",),
-)
-register(
-    "normalize_strings_customer",
-    cq.normalize_strings_customer,
-    cq.NORMALIZE_STRINGS_SQL,
-    ("strings",),
-)
-register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
-register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
-register(
-    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
-)
-register(
-    "customer_running_spend",
-    rq.customer_running_spend,
-    rq.CUSTOMER_RUNNING_SPEND_SQL,
-    ("window",),
-)
-register(
-    "correlated_above_avg_orders",
-    aq.correlated_above_avg_orders,
-    aq.CORRELATED_ABOVE_AVG_SQL,
-    ("subquery",),
-)
-register(
-    "customer_spend_slope",
-    aq.customer_spend_slope,
-    aq.CUSTOMER_SPEND_SLOPE_SQL,
-    ("agg", "regression"),
-)
-register(
-    "scalar_functions_part",
-    gq.scalar_functions_part,
-    gq.SCALAR_FUNCTIONS_SQL,
-    ("scalar",),
-)
-register(
-    "array_functions_documents",
-    fq.array_functions_documents,
-    fq.ARRAY_FUNCTIONS_SQL,
-    ("scalar", "array"),
-)
-register(
-    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
-)
-register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
-register(
-    "explode_document_tokens",
-    rq.explode_document_tokens,
-    rq.EXPLODE_TOKENS_SQL,
-    ("explode",),
-)
-register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
-register(
-    "agg_cardinality_lineitem",
-    rq.agg_cardinality_lineitem,
-    rq.AGG_CARDINALITY_SQL,
-    ("agg",),
-)
-register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
-register(
-    "struct_flatten_roundtrip",
-    rq.struct_flatten_roundtrip,
-    rq.STRUCT_FLATTEN_SQL,
-    ("struct",),
-)
-register(
-    "region_nation_list",
-    aq.region_nation_list,
-    aq.REGION_NATION_LIST_SQL,
-    ("agg", "string-agg"),
-)
-register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
-register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
-
-# --- 38-50: training-data-pipeline sentries (north-star family) --------
-register(
-    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
-)
-register(
-    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
-)
-register(
-    "dedup_clusters",
-    gq.dedup_clusters,
-    gq.DEDUP_CLUSTERS_SQL,
-    ("dedup", "iterative", "graph"),
-)
-register(
-    "dedup_ngram_jaccard",
-    xq.dedup_ngram_jaccard,
-    xq.DEDUP_NGRAM_JACCARD_SQL,
-    ("dedup", "all-pairs", "bounded-baseline"),
-)
-register(
-    "dedup_embedding_cosine",
-    xq.dedup_embedding_cosine,
-    xq.DEDUP_EMBEDDING_COSINE_SQL,
-    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
-)
-register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
-register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
-register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
+# --- 9-47: rotation backlog — last green row dates from r02 ------------
 register("text_fingerprint", xq.text_fingerprint, xq.TEXT_FINGERPRINT_SQL, ("text",))
 register("embedding_topk", xq.embedding_topk, xq.EMBEDDING_TOPK_SQL, ("similarity",))
 register("embedding_ann", xq.embedding_ann, xq.EMBEDDING_ANN_SQL, ("similarity",))
@@ -271,8 +107,6 @@ register(
     gq.IVF_TOPK_SQL,
     ("similarity", "ivf", "ann"),
 )
-
-# --- 51+: green in r02 (freshest evidence; next round's backlog) -------
 register(
     "corpus_decontaminate",
     xc.corpus_decontaminate,
@@ -471,6 +305,187 @@ register(
     aq.WINDOW_TIME_ORDERS_SQL,
     ("window", "scalar", "time", "merged-variants"),
 )
+
+# --- 48-50: training-data-pipeline sentries (green r03, re-proven) -----
+register(
+    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
+)
+register(
+    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
+)
+register(
+    "dedup_clusters",
+    gq.dedup_clusters,
+    gq.DEDUP_CLUSTERS_SQL,
+    ("dedup", "iterative", "graph"),
+)
+
+# --- 51+: green in r03 (freshest evidence; next round's backlog) -------
+register(
+    "semdedup_pairs",
+    gq.semdedup_pairs,
+    gq.SEMDEDUP_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup"),
+)
+register(
+    "corpus_lm_quality",
+    xc.corpus_lm_quality,
+    xc.CORPUS_LM_QUALITY_SQL,
+    ("corpus", "quality", "lm"),
+)
+register(
+    "ivm_spend_refresh",
+    rq.ivm_spend_refresh,
+    rq.IVM_SPEND_REFRESH_SQL,
+    ("sink", "ivm", "incremental"),
+)
+register(
+    "corpus_chunk_documents",
+    xc.corpus_chunk_documents,
+    xc.CORPUS_CHUNK_SQL,
+    ("corpus", "chunking"),
+)
+register(
+    "salted_rollup_events",
+    rq.salted_rollup_events,
+    rq.SALTED_ROLLUP_SQL,
+    ("agg", "skew", "salted"),
+)
+register(
+    "customer_rolling_7d_spend",
+    aq.customer_rolling_7d_spend,
+    aq.CUSTOMER_ROLLING_7D_SQL,
+    ("window", "range-frame", "temporal"),
+)
+register(
+    "graph_degree_profile",
+    gq.graph_degree_profile,
+    gq.GRAPH_DEGREE_PROFILE_SQL,
+    ("graph", "degree"),
+)
+register(
+    "graph_triangle_count",
+    gq.graph_triangle_count,
+    gq.GRAPH_TRIANGLE_COUNT_SQL,
+    ("graph", "triangles"),
+)
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register(
+    "asof_events_orders",
+    aq.asof_events_orders,
+    aq.ASOF_EVENTS_ORDERS_SQL,
+    ("join", "asof", "temporal"),
+)
+register(
+    "q3_shipping_priority",
+    aq.q3_shipping_priority,
+    aq.Q3_SHIPPING_PRIORITY_SQL,
+    ("join", "agg", "topk"),
+)
+register(
+    "events_sessionize",
+    rq.events_sessionize,
+    rq.EVENTS_SESSIONIZE_SQL,
+    ("window", "session"),
+)
+register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
+register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register(
+    "coerce_timestamps_orders",
+    cq.coerce_timestamps_orders,
+    cq.COERCE_TIMESTAMPS_SQL,
+    ("timestamps",),
+)
+register(
+    "normalize_strings_customer",
+    cq.normalize_strings_customer,
+    cq.NORMALIZE_STRINGS_SQL,
+    ("strings",),
+)
+register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register(
+    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+)
+register(
+    "customer_running_spend",
+    rq.customer_running_spend,
+    rq.CUSTOMER_RUNNING_SPEND_SQL,
+    ("window",),
+)
+register(
+    "correlated_above_avg_orders",
+    aq.correlated_above_avg_orders,
+    aq.CORRELATED_ABOVE_AVG_SQL,
+    ("subquery",),
+)
+register(
+    "customer_spend_slope",
+    aq.customer_spend_slope,
+    aq.CUSTOMER_SPEND_SLOPE_SQL,
+    ("agg", "regression"),
+)
+register(
+    "scalar_functions_part",
+    gq.scalar_functions_part,
+    gq.SCALAR_FUNCTIONS_SQL,
+    ("scalar",),
+)
+register(
+    "array_functions_documents",
+    fq.array_functions_documents,
+    fq.ARRAY_FUNCTIONS_SQL,
+    ("scalar", "array"),
+)
+register(
+    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
+)
+register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
+register(
+    "explode_document_tokens",
+    rq.explode_document_tokens,
+    rq.EXPLODE_TOKENS_SQL,
+    ("explode",),
+)
+register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
+register(
+    "agg_cardinality_lineitem",
+    rq.agg_cardinality_lineitem,
+    rq.AGG_CARDINALITY_SQL,
+    ("agg",),
+)
+register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
+register(
+    "struct_flatten_roundtrip",
+    rq.struct_flatten_roundtrip,
+    rq.STRUCT_FLATTEN_SQL,
+    ("struct",),
+)
+register(
+    "region_nation_list",
+    aq.region_nation_list,
+    aq.REGION_NATION_LIST_SQL,
+    ("agg", "string-agg"),
+)
+register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
+register(
+    "dedup_ngram_jaccard",
+    xq.dedup_ngram_jaccard,
+    xq.DEDUP_NGRAM_JACCARD_SQL,
+    ("dedup", "all-pairs", "bounded-baseline"),
+)
+register(
+    "dedup_embedding_cosine",
+    xq.dedup_embedding_cosine,
+    xq.DEDUP_EMBEDDING_COSINE_SQL,
+    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
+)
+register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
+register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
+register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
 
 # --- last: rows-only specs (no oracle by design) -----------------------
 register(

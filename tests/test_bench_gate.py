@@ -125,3 +125,32 @@ def test_check_window_spends_no_slot_on_rows_only():
     window = list(all_specs().items())[:50]
     oracle_less = [n for n, s in window if s.oracle is None]
     assert oracle_less == [], oracle_less
+
+
+def test_never_checked_specs_sit_inside_window():
+    """An oracle-paired spec that has never appeared in ANY committed
+    CORRECTNESS artifact must be inside the 50-slot driver window —
+    otherwise it could ship rounds of changes with zero driver
+    evidence (the registry rotation policy's core invariant)."""
+    import glob
+
+    sys.path.insert(0, _REPO)
+    from data_engineering_for_e_commerce_logistics_spark.plans.registry import (
+        all_specs,
+    )
+
+    checked: set[str] = set()
+    for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                checked |= set(json.load(f))
+        except Exception:
+            pass
+    assert checked, "no CORRECTNESS artifacts found"
+    specs = list(all_specs().items())
+    outside = [
+        n
+        for i, (n, s) in enumerate(specs)
+        if i >= 50 and s.oracle is not None and n not in checked
+    ]
+    assert outside == [], outside
