@@ -292,11 +292,13 @@ def stream_stream_attribution_outer_join(
     purchases: DataFrame,
     horizon_minutes: int = 60,
     watermark: str = "2 hours",
+    join_type: str = "leftOuter",
 ) -> DataFrame:
-    """LEFT OUTER stream-stream join: every view emits — joined to the
-    purchases it converted into within ``horizon_minutes``, or with
-    NULL purchase columns once the watermark guarantees no match can
-    still arrive.  The unattributed-traffic report as a stream.
+    """OUTER stream-stream join (left / right / full): every view
+    emits — joined to the purchases it converted into within
+    ``horizon_minutes``, or with NULL purchase columns once the
+    watermark guarantees no match can still arrive.  The
+    unattributed-traffic report as a stream.
 
     Outer stream-stream joins have a semantics Spark alone among the
     batch-SQL engines makes explicit: the null row for an unmatched
@@ -304,6 +306,13 @@ def stream_stream_attribution_outer_join(
     horizon (watermark + horizon), because until then a matching
     purchase could still arrive.  Same state bound as the inner form —
     both sides buffered only inside watermark + horizon.
+
+    ``join_type``: Spark supports ``leftOuter``, ``rightOuter`` and
+    ``fullOuter`` for watermarked time-bounded stream-stream joins;
+    the state bound and eviction rule are symmetric (each side's
+    buffer is still watermark + horizon — ``rightOuter`` here means
+    every PURCHASE emits, with NULL view columns for organic/
+    unattributed purchases; ``fullOuter`` emits both null shapes).
 
     availableNow caveat (tested): a terminating run holds back
     unmatched rows still inside the final watermark; they flush on the
@@ -327,8 +336,9 @@ def stream_stream_attribution_outer_join(
             <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES")
         )
     )
-    return v.join(p, cond, "leftOuter").select(
-        F.col("v_user").alias("user_id"),
+    assert join_type in ("leftOuter", "rightOuter", "fullOuter"), join_type
+    return v.join(p, cond, join_type).select(
+        F.coalesce(F.col("v_user"), F.col("p_user")).alias("user_id"),
         "view_id",
         "view_ts",
         "purchase_id",

@@ -293,6 +293,91 @@ def test_stream_stream_outer_join_flushes_on_watermark(spark, events_dir, tmp_pa
     assert got_null_views, "no unmatched views — test data assumption broken"
 
 
+def test_stream_stream_full_outer_join_both_null_shapes(
+    spark, events_dir, tmp_path
+):
+    """FULL OUTER stream-stream join (r03 ask: complete the join
+    matrix): matched pairs equal the batch inner join; after the
+    watermark kicker, unmatched VIEWS flush with NULL purchase columns
+    AND unmatched PURCHASES flush with NULL view columns — the
+    symmetric eviction rule, batch-equivalent on both sides."""
+    import datetime
+
+    src = str(tmp_path / "fo_src")
+    read_parquet_table(spark, f"{SF_DIR}/events.parquet").write.parquet(src)
+
+    def start(sink, ckpt):
+        views = ingest.read_event_stream(spark, src).filter(
+            "event_type = 'view'"
+        )
+        purchases = ingest.read_event_stream(spark, src).filter(
+            "event_type = 'purchase'"
+        )
+        j = ingest.stream_stream_attribution_outer_join(
+            views, purchases, horizon_minutes=120, join_type="fullOuter"
+        )
+        return (
+            j.writeStream.outputMode("append")
+            .format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    sink, ckpt = str(tmp_path / "fo_out"), str(tmp_path / "fo_ckpt")
+    start(sink, ckpt).awaitTermination(180)
+
+    far = datetime.datetime(2030, 1, 1)
+    kicker = spark.createDataFrame(
+        [
+            (10_000_001, far, 999_999_001, "view", 0.0, None),
+            (10_000_002, far, 999_999_002, "purchase", 0.0, None),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    kicker.write.mode("append").parquet(src)
+    start(sink, ckpt).awaitTermination(180)
+
+    static = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    batch_inner = ingest.stream_stream_conversion_join(
+        static.filter("event_type = 'view'"),
+        static.filter("event_type = 'purchase'"),
+        horizon_minutes=120,
+    )
+    want_matched = {(r.view_id, r.purchase_id) for r in batch_inner.collect()}
+    matched_view_ids = {v for v, _ in want_matched}
+    matched_purchase_ids = {p for _, p in want_matched}
+    all_view_ids = {
+        r.event_id for r in static.filter("event_type = 'view'").collect()
+    }
+    all_purchase_ids = {
+        r.event_id for r in static.filter("event_type = 'purchase'").collect()
+    }
+
+    out = spark.read.parquet(sink).filter(
+        "(view_id IS NULL OR view_id < 999999000)"
+        " AND (purchase_id IS NULL OR purchase_id < 999999000)"
+    )
+    got_matched = {
+        (r.view_id, r.purchase_id)
+        for r in out.filter(
+            "view_id IS NOT NULL AND purchase_id IS NOT NULL"
+        ).collect()
+    }
+    got_null_views = {
+        r.view_id for r in out.filter("purchase_id IS NULL").collect()
+    }
+    got_null_purchases = {
+        r.purchase_id for r in out.filter("view_id IS NULL").collect()
+    }
+    assert got_matched == want_matched
+    assert got_null_views == all_view_ids - matched_view_ids
+    assert got_null_purchases == all_purchase_ids - matched_purchase_ids
+    assert got_null_purchases, "no unmatched purchases — assumption broken"
+
+
 def test_rollup_with_rocksdb_state_store(spark, tmp_path):
     """The RocksDB provider (the 100×-state path) must produce the
     same rollup as the default HDFS-backed provider — same results,
