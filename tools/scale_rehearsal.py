@@ -1,0 +1,183 @@
+"""Scale rehearsal: run the heaviest queries at sf0.5 (5× the bench
+scale) and record sec + Spark job counts vs sf0.1 (VERDICT r03 item 6).
+
+SCALE.md's claims are plan-asserted by tests/test_plans.py but were
+never EXECUTED above 600k lineitem rows.  This script:
+
+1. Builds a local sf0.5 star schema at ``.scale/sf0.5`` (gitignored;
+   /root/testdata stays untouched) by replicating sf0.1 five times
+   with disjoint key spaces:
+   * every entity/fact key shifts by ``replica * 10**8`` so replicas
+     are structurally disconnected (graph components, customers,
+     orders all scale 5× — the honest volume scale-up, not 5× density
+     on the same keys);
+   * ``documents.text`` gains one replica-specific token so the dedup
+     family doesn't see 5 exact copies of every doc (which would
+     measure a pair EXPLOSION, not scale-up);
+   * ``embeddings.embedding`` is perturbed nonlinearly per replica
+     (direction changes, not just magnitude) for the same reason;
+     seed centroids (vec_id < 8) exist only in replica 0, so the
+     SemDeDup cell count stays FIXED while the corpus grows 5× —
+     deliberately measuring the "centroid count must track sqrt(n)"
+     rule from the semdedup docstring.
+
+2. Runs each query once untimed (codegen warmup at sf0.1 only), then
+   once timed per scale, under a job group so the Spark status
+   tracker reports the exact number of jobs the query launched.
+   Claims checked: ``_ntile_exact_boundaries`` keeps its fixed fused
+   job count regardless of scale; ``graph_triangle_count`` grows
+   ~linearly (disconnected replicas: nodes ×5, edges ×5).
+
+Usage: python tools/scale_rehearsal.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _REPO)
+
+SRC = "/root/testdata/sf0.1"
+DST = os.path.join(_REPO, ".scale", "sf0.5")
+SHIFT = 10**8
+N_REPLICAS = 5
+
+QUERIES = [
+    "v_order_summary",
+    "q5_nation_volume",
+    "rfm_segments",
+    "order_value_deciles",
+    "customer_rolling_7d_spend",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "graph_triangle_count",
+    "supplier_pagerank",
+    "semdedup_pairs",
+]
+
+
+def build_sf05() -> None:
+    import duckdb
+
+    os.makedirs(DST, exist_ok=True)
+    conn = duckdb.connect()
+    conn.execute(f"SET threads TO {max(os.cpu_count() - 2, 4)}")
+
+    def copy(table: str, select: str) -> None:
+        out = os.path.join(DST, f"{table}.parquet")
+        src = os.path.join(SRC, f"{table}.parquet")
+        conn.execute(
+            f"COPY ({select.format(src=src)}) TO '{out}' (FORMAT PARQUET)"
+        )
+        n = conn.execute(
+            f"SELECT count(*) FROM read_parquet('{out}')"
+        ).fetchone()[0]
+        print(f"  {table}: {n} rows")
+
+    rep = f"(SELECT unnest(range({N_REPLICAS})) AS r)"
+    # dims that stay fixed (25 nations / 5 regions at every TPC-H SF)
+    for t in ("region", "nation"):
+        copy(t, "SELECT * FROM read_parquet('{src}')")
+    copy(
+        "customer",
+        f"SELECT c_custkey + r * {SHIFT} AS c_custkey, c_name, c_nationkey,"
+        " c_acctbal, c_mktsegment"
+        " FROM read_parquet('{src}'), " + rep,
+    )
+    copy(
+        "supplier",
+        f"SELECT s_suppkey + r * {SHIFT} AS s_suppkey, s_name, s_nationkey,"
+        " s_acctbal FROM read_parquet('{src}'), " + rep,
+    )
+    copy(
+        "part",
+        f"SELECT p_partkey + r * {SHIFT} AS p_partkey, p_name, p_brand,"
+        " p_type, p_size, p_retailprice FROM read_parquet('{src}'), " + rep,
+    )
+    copy(
+        "orders",
+        f"SELECT o_orderkey + r * {SHIFT} AS o_orderkey,"
+        f" o_custkey + r * {SHIFT} AS o_custkey,"
+        " o_orderstatus, o_totalprice, o_orderdate, o_orderpriority"
+        " FROM read_parquet('{src}'), " + rep,
+    )
+    copy(
+        "lineitem",
+        f"SELECT l_orderkey + r * {SHIFT} AS l_orderkey,"
+        f" l_partkey + r * {SHIFT} AS l_partkey,"
+        f" l_suppkey + r * {SHIFT} AS l_suppkey,"
+        " l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,"
+        " l_returnflag, l_linestatus, l_shipdate"
+        " FROM read_parquet('{src}'), " + rep,
+    )
+    copy(
+        "events",
+        f"SELECT event_id + r * {SHIFT} AS event_id, ts,"
+        f" user_id + r * {SHIFT} AS user_id, event_type, value, props"
+        " FROM read_parquet('{src}'), " + rep,
+    )
+    copy(
+        "documents",
+        f"SELECT doc_id + r * {SHIFT} AS doc_id,"
+        " text || ' zrep' || CAST(r AS VARCHAR) AS text,"
+        " lang, source, n_chars FROM read_parquet('{src}'), " + rep,
+    )
+    copy(
+        "embeddings",
+        f"SELECT vec_id + r * {SHIFT} AS vec_id,"
+        " list_transform(embedding,"
+        "   x -> CAST(x + 0.003 * r * x * x AS FLOAT)) AS embedding,"
+        " label FROM read_parquet('{src}'), " + rep,
+    )
+    conn.close()
+
+
+def main() -> None:
+    if "--rebuild" in sys.argv or not os.path.exists(
+        os.path.join(DST, "embeddings.parquet")
+    ):
+        print(f"building sf0.5 at {DST}")
+        build_sf05()
+
+    from data_engineering_for_e_commerce_logistics_spark.plans.registry import (
+        all_specs,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-rehearsal")
+    sc = spark.sparkContext
+    specs = all_specs()
+    results: dict[str, dict] = {}
+
+    for name in QUERIES:
+        spec = specs[name]
+        # codegen warmup at the small scale
+        spec.build(spark, SRC).write.format("noop").mode("overwrite").save()
+        row: dict[str, float | int] = {}
+        for label, sf_dir in (("sf0.1", SRC), ("sf0.5", DST)):
+            spark.catalog.clearCache()
+            group = f"{name}@{label}"
+            sc.setJobGroup(group, group)
+            t0 = time.time()
+            spec.build(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sec = time.time() - t0
+            sc.setJobGroup("", "")
+            jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+            row[f"{label}_sec"] = round(sec, 2)
+            row[f"{label}_jobs"] = jobs
+        row["ratio"] = round(row["sf0.5_sec"] / max(row["sf0.1_sec"], 1e-9), 1)
+        results[name] = row
+        print(f"{name}: {row}")
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
