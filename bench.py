@@ -103,8 +103,10 @@ HEADLINE = [
     "customer_rolling_7d_spend",
     "order_value_deciles",
     # r04 additions: sketch bounds twin + SemDeDup trained-centroid path
+    # + the bloom-pruned semi join (explicit runtime-filter form)
     "sketch_bounds_events",
     "semdedup_trained_pairs",
+    "bloom_semi_lineitem",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

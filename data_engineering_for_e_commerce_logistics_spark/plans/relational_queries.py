@@ -662,3 +662,53 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# --- Bloom-pruned semi join (explicit runtime-filter form) ------------------
+
+
+def bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue profile of line items belonging to URGENT orders,
+    routed through ``operators.bloom.bloom_semi_join``: the urgent
+    order keys build a 2^16-bit bloom filter (a 1-row broadcast map);
+    lineitem rows failing the k-bit membership test drop inside the
+    scan stage, BEFORE the semi join's exchange.  The oracle is the
+    plain semi join + group-by — bloom false positives are removed by
+    the final exact join, so the result is identical by construction
+    and the filter's hash family needs no cross-engine portability.
+
+    At 100 TB: the semi join shuffles only ~priority-selectivity of
+    the fact table instead of all of it; the filter itself stays
+    kilobytes no matter how many build keys it holds."""
+    from ..operators.bloom import bloom_semi_join
+
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    urgent = t["orders"].where(F.col("o_orderpriority") == "1-URGENT")
+    pruned = bloom_semi_join(
+        t["lineitem"],
+        urgent,
+        probe_key="l_orderkey",
+        build_key="o_orderkey",
+        num_bits=1 << 16,
+        num_hashes=5,
+    )
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr(sql_exact_sum("l_quantity", 2)).alias("sum_qty"),
+        F.expr(sql_exact_sum("l_extendedprice * (1 - l_discount)", 2)).alias(
+            "sum_revenue"
+        ),
+    )
+
+
+BLOOM_SEMI_SQL = f"""
+SELECT l_returnflag,
+       count(*) AS n_items,
+       {sql_exact_sum("l_quantity", 2)} AS sum_qty,
+       {sql_exact_sum("l_extendedprice * (1 - l_discount)", 2)} AS sum_revenue
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+GROUP BY l_returnflag
+"""

@@ -1,0 +1,92 @@
+"""Bloom-filter join pruning: exactness vs the plain semi join,
+pruning power, degenerate inputs, and plan shape (broadcast filter,
+no Python in the hot path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_for_e_commerce_logistics_spark.operators import bloom
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    probe = spark.range(0, 5000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("payload")
+    )
+    build = spark.range(0, 300).select((F.col("id") * 7 % 997).alias("k"))
+    return probe, build
+
+
+def test_semi_join_exact(spark, frames):
+    probe, build = frames
+    got = bloom.bloom_semi_join(probe, build, "k", num_bits=1 << 12)
+    want = probe.join(build.distinct(), "k", "left_semi")
+    assert sorted(r.payload for r in got.collect()) == sorted(
+        r.payload for r in want.collect()
+    )
+
+
+def test_prune_never_drops_a_match(spark, frames):
+    """The bloom pass alone (no exact join) must be a superset of the
+    true matches — false positives allowed, false negatives never."""
+    probe, build = frames
+    keys = build.distinct()
+    filt = bloom.bloom_build(keys, "k", num_bits=1 << 12, num_hashes=3)
+    pruned = bloom.bloom_prune(probe, "k", filt, num_bits=1 << 12, num_hashes=3)
+    true_ids = {
+        r.payload for r in probe.join(keys, "k", "left_semi").collect()
+    }
+    pruned_ids = {r.payload for r in pruned.collect()}
+    assert true_ids <= pruned_ids
+
+
+def test_prune_actually_prunes(spark, frames):
+    """With a well-sized filter the pass-through fraction approaches
+    the true selectivity — the whole point at 100 TB."""
+    probe, build = frames
+    filt = bloom.bloom_build(build.distinct(), "k", num_bits=1 << 14)
+    pruned = bloom.bloom_prune(probe, "k", filt, num_bits=1 << 14)
+    n_true = probe.join(build.distinct(), "k", "left_semi").count()
+    n_pruned = pruned.count()
+    assert n_pruned < probe.count()  # it filtered something
+    assert n_pruned <= n_true * 1.2 + 50  # and close to the true rate
+
+
+def test_empty_build_side(spark, frames):
+    probe, _ = frames
+    empty = probe.select("k").where(F.lit(False))
+    assert bloom.bloom_semi_join(probe, empty, "k", num_bits=1 << 12).count() == 0
+
+
+def test_null_probe_keys_dropped(spark):
+    probe = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k int, v string"
+    )
+    build = spark.createDataFrame([(1,), (2,)], "k int")
+    got = bloom.bloom_semi_join(probe, build, "k", num_bits=1 << 12)
+    assert sorted(r.v for r in got.collect()) == ["a", "c"]
+
+
+def test_num_bits_must_be_word_aligned(spark, frames):
+    _, build = frames
+    with pytest.raises(ValueError):
+        bloom.bloom_build(build, "k", num_bits=100)
+
+
+def test_plan_broadcasts_filter_no_python(spark):
+    from data_engineering_for_e_commerce_logistics_spark.plans.registry import (
+        all_specs,
+    )
+
+    df = all_specs()["bloom_semi_lineitem"].build(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the 1-row word map rides a broadcast, membership is expression
+    # work (no Python evaluation anywhere), and the finishing exact
+    # join is a real semi join.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan
