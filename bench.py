@@ -107,6 +107,7 @@ HEADLINE = [
     "sketch_bounds_events",
     "semdedup_trained_pairs",
     "bloom_semi_lineitem",
+    "zorder_orders",
 ]
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of

@@ -1,0 +1,108 @@
+"""Z-order (Morton-curve) file layout — multi-column data skipping.
+
+A table sorted on one column prunes parquet row groups only for
+filters on THAT column; a 100 TB fact table filtered sometimes by
+customer and sometimes by date needs locality in both.  Interleaving
+the bits of the two sort keys into one Morton code and range-sorting
+on it gives every file a narrow min/max envelope in BOTH dimensions,
+so engine-side row-group statistics (and a cluster's file pruning)
+cut I/O for either predicate — the standard warehouse layout trick,
+expressed here as plain DataFrame ops:
+
+* ``morton_sql`` emits ONE SQL text that parses identically in Spark
+  and DuckDB (`>>`/`&` + power-of-two multiplies, no engine
+  functions), so the encoding is oracle-checkable bit-for-bit.
+* ``with_zorder`` min-max normalizes each key into ``bits``-bit
+  buckets; the global min/max ride along as a 1-row broadcast (the
+  histogram pattern — never ``.collect()``), then the interleave is
+  per-row expression work inside whole-stage codegen.
+* ``write_zorder`` range-repartitions on the code (Spark samples the
+  range bounds — no global sort materialization), sorts within
+  partitions, and writes; each output file then covers a compact
+  Z-curve segment.
+
+At 1000 executors the only exchange is the range partitioner's
+sampling pass + one shuffle — identical cost to ``orderBy(col)``
+writes; the win is that it buys skipping on k columns, not one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def morton_sql(cols: list[str], bits: int = 16) -> str:
+    """Portable SQL for the Morton interleave of already-bucketed
+    BIGINT columns in [0, 2^bits).  Bit j of column i lands at output
+    position j*len(cols)+i — distinct positions, so the terms combine
+    with + (engine-portable; no bit_or chain needed)."""
+    n = len(cols)
+    terms = [
+        f"(({c} >> {j}) & 1) * {1 << (j * n + i)}"
+        for j in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def bucketize_sql(col: str, lo: str, hi: str, bits: int = 16) -> str:
+    """Min-max scale ``col`` into [0, 2^bits) given column names (or
+    literals) for the global lo/hi.  Constant columns map to bucket 0
+    (nullif guard); the double ratio is computed identically by both
+    engines, and floor at the end keeps the bucket integral."""
+    top = (1 << bits) - 1
+    return (
+        f"cast(floor(({col} - {lo}) * {top} /"
+        f" nullif(cast(({hi} - {lo}) as double), 0.0)) as bigint)"
+    )
+
+
+def with_zorder(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    z_col: str = "__zorder",
+) -> DataFrame:
+    """Append the Morton code of ``cols`` (numeric) as ``z_col``.
+    Global min/max per column come from one fused aggregate broadcast
+    as a single row — no driver round-trip, no second scan job beyond
+    the tiny bounds pass."""
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    )
+    buck_names = [f"__b_{c}" for c in cols]
+    withb = df.crossJoin(F.broadcast(bounds)).select(
+        "*",
+        *[
+            F.expr(
+                f"coalesce({bucketize_sql(c, f'__lo_{c}', f'__hi_{c}', bits)}, 0)"
+            ).alias(b)
+            for c, b in zip(cols, buck_names)
+        ],
+    )
+    out = withb.withColumn(z_col, F.expr(morton_sql(buck_names, bits)))
+    drop = buck_names + [f"__lo_{c}" for c in cols] + [f"__hi_{c}" for c in cols]
+    return out.drop(*drop)
+
+
+def write_zorder(
+    df: DataFrame,
+    cols: list[str],
+    path: str,
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered along the Z-curve of ``cols``.
+    Files then carry narrow min/max ranges in every clustered column,
+    which is what row-group skipping and file pruning consume."""
+    z = with_zorder(df, cols, bits=bits)
+    if num_files:
+        z = z.repartitionByRange(num_files, F.col("__zorder"))
+    else:
+        z = z.repartitionByRange(F.col("__zorder"))
+    z.sortWithinPartitions("__zorder").drop("__zorder").write.mode(mode).parquet(
+        path
+    )

@@ -20,16 +20,16 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r04 window: positions 3-9 are new or changed this round (the
-bloom-pruned semi join, sketch bounds twin + SemDeDup
-trained-centroid composition are new; rfm_segments/
+r04 window: positions 3-10 are new or changed this round (the
+bloom-pruned semi join, z-order encoding, sketch bounds twin +
+SemDeDup trained-centroid composition are new; rfm_segments/
 order_value_deciles got the cache-lifetime fix and
-dedup_simhash/_pairs the bits<=64 contract), 10-48 are the 39
+dedup_simhash/_pairs the bits<=64 contract), 11-49 are the 39
 queries whose green row dates from r02 (VERDICT r03 item 1: the
-registry's own staleness invariant), and 49-50 re-prove the
-exact/minhash dedup north-star pair (green r03, cheapest
-insurance; dedup_clusters moves just past the window with fresh
-r03 evidence).
+registry's own staleness invariant), and position 50 re-proves
+exact dedup, the north-star regression sentry (green r03;
+dedup_minhash_lsh/dedup_clusters move just past the window with
+fresh r03 evidence).
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
 verified slot.
@@ -61,12 +61,18 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-9: NEW or CHANGED since the last verified round -----------------
+# --- 3-10: NEW or CHANGED since the last verified round ----------------
 register(
     "bloom_semi_lineitem",
     rq.bloom_semi_lineitem,
     rq.BLOOM_SEMI_SQL,
     ("join", "semi", "bloom", "runtime-filter"),
+)
+register(
+    "zorder_orders",
+    rq.zorder_orders,
+    rq.ZORDER_ORDERS_SQL,
+    ("layout", "zorder", "data-skipping"),
 )
 register(
     "sketch_bounds_events",

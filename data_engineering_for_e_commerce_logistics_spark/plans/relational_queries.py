@@ -712,3 +712,47 @@ WHERE l_orderkey IN (
 )
 GROUP BY l_returnflag
 """
+
+
+# --- Z-order encoding (multi-column layout clustering) ----------------------
+
+
+def zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton code of every order over (o_custkey, o_totalprice) —
+    the encoding ``operators.layout.write_zorder`` clusters files by.
+    Spark and the oracle run the SAME generated SQL text (shift/mask
+    interleave + min-max bucketize), so the code is proven
+    bit-identical cross-engine; the layout writer itself is exercised
+    in tests/test_layout.py where per-file min/max envelopes shrink in
+    both dimensions."""
+    from ..operators.layout import with_zorder
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    z = with_zorder(o, ["o_custkey", "o_totalprice"], bits=16)
+    return z.select("o_orderkey", F.col("__zorder").alias("zvalue"))
+
+
+def _zorder_orders_sql() -> str:
+    from ..operators.layout import bucketize_sql, morton_sql
+
+    b0 = bucketize_sql("o_custkey", "lo_c", "hi_c", 16)
+    b1 = bucketize_sql("o_totalprice", "lo_p", "hi_p", 16)
+    return f"""
+WITH bounds AS (
+  SELECT cast(min(o_custkey) as double)    AS lo_c,
+         cast(max(o_custkey) as double)    AS hi_c,
+         cast(min(o_totalprice) as double) AS lo_p,
+         cast(max(o_totalprice) as double) AS hi_p
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         coalesce({b0}, 0) AS b0,
+         coalesce({b1}, 0) AS b1
+  FROM orders CROSS JOIN bounds
+)
+SELECT o_orderkey, {morton_sql(['b0', 'b1'], 16)} AS zvalue FROM b
+"""
+
+
+ZORDER_ORDERS_SQL = _zorder_orders_sql()
