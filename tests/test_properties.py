@@ -165,3 +165,58 @@ def test_chunking_invariants(spark, n_tokens):
         assert r["n_chunks"] == (n - 1) // CHUNK_STRIDE + 1
         assert r["covered_to"] == n  # full coverage, no token dropped
         assert r["max_len"] <= CHUNK_TOKENS
+
+
+# --- r04: bloom pruning & Morton encoding ----------------------------------
+
+
+@given(
+    probe_keys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40),
+    build_keys=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=0, max_size=20),
+)
+@settings(**SETTINGS)
+def test_bloom_semi_join_equals_plain_semi_join(spark, probe_keys, build_keys):
+    """For ANY key multisets the bloom-pruned semi join must return
+    exactly the plain semi join's rows (multiplicity included)."""
+    from data_engineering_for_e_commerce_logistics_spark.operators import bloom
+
+    probe = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(probe_keys)], "k int, rowid int"
+    )
+    build = spark.createDataFrame([(k,) for k in build_keys], "k int")
+    got = sorted(
+        r.rowid
+        for r in bloom.bloom_semi_join(
+            probe, build, "k", num_bits=256, num_hashes=3
+        ).collect()
+    )
+    want = sorted(i for i, k in enumerate(probe_keys) if k in set(build_keys))
+    assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_morton_sql_matches_python_reference(spark, pairs):
+    from data_engineering_for_e_commerce_logistics_spark.operators import layout
+
+    def ref(a, b):
+        z = 0
+        for j in range(16):
+            z |= ((a >> j) & 1) << (2 * j)
+            z |= ((b >> j) & 1) << (2 * j + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "a long, b long").withColumn(
+        "z", F.expr(layout.morton_sql(["a", "b"], 16))
+    )
+    for r in df.collect():
+        assert r.z == ref(r.a, r.b)
