@@ -106,3 +106,95 @@ def write_zorder(
     z.sortWithinPartitions("__zorder").drop("__zorder").write.mode(mode).parquet(
         path
     )
+
+
+# --- File-level statistics manifest + manifest-driven pruning ---------------
+
+
+def file_manifest(
+    spark_df: DataFrame, cols: list[str], file_col: str = "file"
+) -> DataFrame:
+    """Per-file min/max/count statistics for ``cols`` — the poor man's
+    Iceberg manifest over plain parquet.  One scan, one shuffle on the
+    file name (≤ #files keys); persist the result next to the table
+    and incremental-append as new files land.  At 100 TB the manifest
+    is #files rows (≈10^5), i.e. free to scan while the table is not."""
+    return (
+        spark_df.withColumn(file_col, F.input_file_name())
+        .groupBy(file_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[F.min(c).alias(f"min_{c}") for c in cols],
+            *[F.max(c).alias(f"max_{c}") for c in cols],
+        )
+    )
+
+
+def prune_files(
+    manifest: DataFrame, col: str, lo, hi, file_col: str = "file"
+) -> list[str]:
+    """File paths whose [min,max] envelope intersects [lo, hi].  The
+    manifest is tiny (one row per file), so the collect here is the
+    same bounded driver pull every table format's planner does —
+    it feeds the file list straight into the next read."""
+    hits = manifest.where(
+        (F.col(f"max_{col}") >= F.lit(lo)) & (F.col(f"min_{col}") <= F.lit(hi))
+    ).select(file_col)
+    return [r[0] for r in hits.collect()]
+
+
+def read_pruned(
+    spark,
+    manifest: DataFrame,
+    col: str,
+    lo,
+    hi,
+    file_col: str = "file",
+) -> DataFrame:
+    """Manifest-planned scan: open ONLY the files whose envelope can
+    contain matching rows, then re-apply the predicate exactly (the
+    envelope test is necessary, not sufficient).  With a z-ordered
+    table both clustered columns prune this way — the file-level
+    analogue of the row-group skipping test_layout measures.  Returns
+    an empty frame with the manifest's table schema when nothing
+    survives."""
+    paths = prune_files(manifest, col, lo, hi, file_col)
+    pred = (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    if not paths:
+        # no surviving file: derive schema from any manifest-listed file
+        any_path = [r[0] for r in manifest.select(file_col).limit(1).collect()]
+        if not any_path:
+            raise ValueError("read_pruned: manifest lists no files")
+        return spark.read.parquet(*any_path).where(F.lit(False))
+    return spark.read.parquet(*paths).where(pred)
+
+
+# --- Small-files compaction -------------------------------------------------
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite a fragmented table into ≈target-sized files; returns
+    the output file count.  Row-count-proportional sizing (exact via
+    one cheap count) stands in for byte sizing in this sandbox; the
+    production knob is the same computation over manifest byte sums.
+    Optionally re-sorts while rewriting (compaction is the natural
+    moment to restore clustering).  Writing to a NEW path keeps the
+    operation atomic-by-rename for the caller — never compact in
+    place."""
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, -(-n // target_rows_per_file))
+    if sort_col:
+        df = df.repartitionByRange(n_files, F.col(sort_col)).sortWithinPartitions(
+            sort_col
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    return n_files

@@ -114,3 +114,80 @@ def test_zorder_write_roundtrip_preserves_rows(spark, tmp_path):
     assert back.count() == 500
     assert "__zorder" not in back.columns
     assert sorted(r.a for r in back.collect()) == list(range(500))
+
+
+# --- Manifest pruning + compaction ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zordered_table(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ztab") / "t")
+    n = 8192
+    df = spark.range(n).select(
+        (F.col("id") % 256).alias("a"),
+        ((F.col("id") * 7919) % 256).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    layout.write_zorder(df, ["a", "b"], p, bits=8, num_files=16)
+    return p
+
+
+def test_manifest_covers_all_files_and_rows(spark, zordered_table):
+    df = spark.read.parquet(zordered_table)
+    man = layout.file_manifest(df, ["a", "b"])
+    rows = man.collect()
+    assert len(rows) == 16
+    assert sum(r.n_rows for r in rows) == 8192
+    for r in rows:
+        assert r.min_a <= r.max_a and r.min_b <= r.max_b
+
+
+def test_read_pruned_exact_and_skips_files(spark, zordered_table):
+    """Manifest-planned scan must (a) return exactly the full-scan
+    filter result and (b) open strictly fewer files on a narrow
+    predicate over a z-clustered column."""
+    df = spark.read.parquet(zordered_table)
+    man = layout.file_manifest(df, ["a", "b"])
+    for col in ("a", "b"):
+        pruned = layout.read_pruned(spark, man, col, 10, 20)
+        full = df.where((F.col(col) >= 10) & (F.col(col) <= 20))
+        assert sorted(r.payload for r in pruned.collect()) == sorted(
+            r.payload for r in full.collect()
+        )
+        n_files = len(layout.prune_files(man, col, 10, 20))
+        assert n_files < 16, f"no file skipped for {col}"
+
+
+def test_read_pruned_empty_selection(spark, zordered_table):
+    df = spark.read.parquet(zordered_table)
+    man = layout.file_manifest(df, ["a", "b"])
+    out = layout.read_pruned(spark, man, "a", 1000, 2000)
+    assert out.count() == 0
+    assert "payload" in out.columns
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(50).write.parquet(src)
+    n_out = layout.compact_files(spark, src, dst, target_rows_per_file=400)
+    assert n_out == 3
+    back = spark.read.parquet(dst)
+    assert back.count() == 1000
+    files = back.select(F.input_file_name()).distinct().count()
+    assert files == 3
+    assert sorted(r.k for r in back.collect()) == list(range(1000))
+
+
+def test_compact_files_with_sort_restores_clustering(spark, tmp_path):
+    src, dst = str(tmp_path / "frag2"), str(tmp_path / "compact2")
+    spark.range(2000).select(
+        ((F.col("id") * 37) % 2000).alias("k")
+    ).repartition(40).write.parquet(src)
+    layout.compact_files(spark, src, dst, target_rows_per_file=500, sort_col="k")
+    man = layout.file_manifest(spark.read.parquet(dst), ["k"])
+    rows = sorted(man.collect(), key=lambda r: r.min_k)
+    # range-sorted output: file envelopes must not overlap
+    for prev, nxt in zip(rows, rows[1:]):
+        assert prev.max_k <= nxt.min_k
