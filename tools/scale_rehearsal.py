@@ -58,6 +58,9 @@ QUERIES = [
     "graph_triangle_count",
     "supplier_pagerank",
     "semdedup_pairs",
+    # r04 additions: explicit runtime-filter join + layout encoding
+    "bloom_semi_lineitem",
+    "zorder_orders",
 ]
 
 
@@ -154,7 +157,11 @@ def main() -> None:
     specs = all_specs()
     results: dict[str, dict] = {}
 
-    for name in QUERIES:
+    # optional positional names: rehearse a subset (e.g. new queries)
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    queries = [q for q in QUERIES if not wanted or q in wanted]
+
+    for name in queries:
         spec = specs[name]
         # codegen warmup at the small scale
         spec.build(spark, SRC).write.format("noop").mode("overwrite").save()
