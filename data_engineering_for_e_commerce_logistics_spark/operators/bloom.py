@@ -136,5 +136,23 @@ def bloom_semi_join(
     build_key = build_key or probe_key
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
     bloom = bloom_build(keys, probe_key, num_bits, num_hashes)
-    pruned = bloom_prune(probe, probe_key, bloom, num_bits, num_hashes)
-    return pruned.join(keys, probe_key, "left_semi")
+    pruned = probe.crossJoin(F.broadcast(bloom)).where(
+        bloom_might_contain(F.col(probe_key), num_bits, num_hashes)
+    )
+    # Planning barrier: Catalyst's PushLeftSemiLeftAntiThroughJoin would
+    # otherwise push the finishing semi join below the bloom filter
+    # (the filter folds into the cross join's condition, and a semi
+    # whose condition touches only probe columns slides into the probe
+    # leg) — executing the exact join's exchange on UNPRUNED rows, the
+    # opposite of the operator's point.  The anchor conjunct is always
+    # true but references BOTH the words column and the right side, so
+    # it can neither be extracted as a left-side filter nor let the
+    # semi push into a cross-join leg, and the optimizer cannot
+    # constant-fold it.  Measured plan order without broadcast:
+    # scan → bloom filter (scan stage) → exchange(pruned rows only) →
+    # sort-merge LeftSemi.
+    anchor = (F.size(F.map_keys(pruned[_BLOOM_COL])) >= 0) | F.isnull(
+        keys[probe_key]
+    )
+    cond = (pruned[probe_key] == keys[probe_key]) & anchor
+    return pruned.join(keys, cond, "left_semi").drop(_BLOOM_COL)

@@ -90,3 +90,48 @@ def test_plan_broadcasts_filter_no_python(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "LeftSemi" in plan
+
+
+def test_prune_happens_below_the_semi_join_exchange(spark):
+    """The operator's reason to exist: with a non-broadcastable build
+    side (forced here), the bloom filter must sit BELOW the semi
+    join's exchange so the shuffle carries only pruned rows.  Catalyst
+    tries to push the semi join under the filter
+    (PushLeftSemiLeftAntiThroughJoin); the anchor conjunct in
+    bloom_semi_join is what stops it — this test is the regression
+    guard for that barrier."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        read_parquet_table,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = read_parquet_table(spark, f"{SF}/lineitem.parquet")
+        build = read_parquet_table(spark, f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = bloom.bloom_semi_join(
+            probe, build, "l_orderkey", "o_orderkey", num_bits=1 << 14
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        lines = plan.split("\n")
+        semi = next(
+            i for i, l in enumerate(lines) if "SortMergeJoin" in l and "LeftSemi" in l
+        )
+        bloom_filter = next(
+            i for i, l in enumerate(lines) if "NestedLoopJoin" in l
+        )
+        probe_exchange = next(
+            i
+            for i, l in enumerate(lines)
+            if "Exchange hashpartitioning(l_orderkey" in l and i > semi
+        )
+        # toString prints parents first: semi above the probe exchange,
+        # the bloom filter below it (closer to the scan).
+        assert semi < probe_exchange < bloom_filter or (
+            semi < bloom_filter and probe_exchange > bloom_filter
+        ), plan[:2000]
+        assert bloom_filter > probe_exchange, "bloom filter above the exchange"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

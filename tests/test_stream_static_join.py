@@ -44,3 +44,44 @@ def test_stream_static_enrichment(spark, tmp_path):
         .count()
     )
     assert matched == overlap
+
+
+def test_stream_bloom_prune_semi_join(spark, tmp_path):
+    """The bloom operators compose with Structured Streaming unchanged:
+    the 1-row word map is a static broadcast (stateless stream-static
+    join), the membership test is per-row expression work, and the
+    finishing exact semi join against the static key set keeps the
+    result identical to the batch path — verified by batch equivalence."""
+    from data_engineering_for_e_commerce_logistics_spark.operators import bloom
+
+    src = str(tmp_path / "events_src")
+    read_parquet_table(spark, f"{SF}/events.parquet").write.parquet(src)
+    keys = (
+        read_parquet_table(spark, f"{SF}/customer.parquet")
+        .where(F.col("c_custkey") % 5 == 0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+
+    stream = ingest.read_event_stream(spark, src)
+    pruned = bloom.bloom_semi_join(
+        stream, keys, "user_id", num_bits=1 << 12, num_hashes=3
+    )
+    sink = str(tmp_path / "bloom_out")
+    q = (
+        pruned.writeStream.outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bloom"))
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", sink)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(r.event_id for r in spark.read.parquet(sink).collect())
+    want = sorted(
+        r.event_id
+        for r in spark.read.parquet(src)
+        .join(keys, "user_id", "left_semi")
+        .collect()
+    )
+    assert got == want and len(want) > 0
