@@ -319,7 +319,14 @@ FROM documents
 
 # --- Embedding-cosine near-dedup -------------------------------------------
 
-COSINE_DUP_THRESHOLD = 0.95
+# 0.45 rather than a realistic near-dup 0.95: the synthetic embeddings
+# are near-orthogonal random vectors (max pairwise cosine ≈0.51 at
+# sf0.01), so a 0.95 threshold returned zero rows at every SF and the
+# driver's hash check proved only that both engines agree on "empty".
+# At 0.45 the query emits real pairs and the threshold comparison is
+# exercised on both sides of the boundary (cosines are fold-sum
+# bitwise-identical cross-engine, so the >= cannot disagree).
+COSINE_DUP_THRESHOLD = 0.45
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -135,3 +135,27 @@ def test_prune_happens_below_the_semi_join_exchange(spark):
         assert bloom_filter > probe_exchange, "bloom filter above the exchange"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bloom_filter_persists_and_reloads(spark, tmp_path, frames):
+    """The docstring claim 'write it to parquet and reuse across runs':
+    a reloaded filter prunes identically to the in-memory one."""
+    probe, build = frames
+    keys = build.distinct()
+    filt = bloom.bloom_build(keys, "k", num_bits=1 << 12, num_hashes=3)
+    p = str(tmp_path / "bloom_filter")
+    filt.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    a = sorted(
+        r.payload
+        for r in bloom.bloom_prune(
+            probe, "k", filt, num_bits=1 << 12, num_hashes=3
+        ).collect()
+    )
+    b = sorted(
+        r.payload
+        for r in bloom.bloom_prune(
+            probe, "k", reloaded, num_bits=1 << 12, num_hashes=3
+        ).collect()
+    )
+    assert a == b
