@@ -20,16 +20,16 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r04 window: positions 3-10 are new or changed this round (the
+r04 window: positions 3-11 are new or changed this round (the
 bloom-pruned semi join, z-order encoding, sketch bounds twin +
 SemDeDup trained-centroid composition are new; rfm_segments/
-order_value_deciles got the cache-lifetime fix and
-dedup_simhash/_pairs the bits<=64 contract), 11-49 are the 39
-queries whose green row dates from r02 (VERDICT r03 item 1: the
-registry's own staleness invariant), and position 50 re-proves
-exact dedup, the north-star regression sentry (green r03;
-dedup_minhash_lsh/dedup_clusters move just past the window with
-fresh r03 evidence).
+order_value_deciles got the cache-lifetime fix,
+dedup_simhash/_pairs the bits<=64 contract, and
+dedup_embedding_cosine a threshold that actually fires on the
+synthetic corpus), 12-50 are the 39 queries whose green row dates
+from r02 (VERDICT r03 item 1: the registry's own staleness
+invariant); the exact/minhash/cluster dedup sentries sit just past
+the window with fresh r03 evidence.
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
 verified slot.
@@ -109,6 +109,12 @@ register(
     xq.dedup_simhash_pairs,
     xq.DEDUP_SIMHASH_PAIRS_SQL,
     ("dedup", "simhash", "banded"),
+)
+register(
+    "dedup_embedding_cosine",
+    xq.dedup_embedding_cosine,
+    xq.DEDUP_EMBEDDING_COSINE_SQL,
+    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
 )
 
 # --- 9-47: rotation backlog — last green row dates from r02 ------------
@@ -491,12 +497,6 @@ register(
     xq.dedup_ngram_jaccard,
     xq.DEDUP_NGRAM_JACCARD_SQL,
     ("dedup", "all-pairs", "bounded-baseline"),
-)
-register(
-    "dedup_embedding_cosine",
-    xq.dedup_embedding_cosine,
-    xq.DEDUP_EMBEDDING_COSINE_SQL,
-    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
 )
 register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
 register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
