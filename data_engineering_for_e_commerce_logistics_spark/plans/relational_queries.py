@@ -670,7 +670,9 @@ GROUP BY event_type
 def bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue profile of line items belonging to URGENT orders,
     routed through ``operators.bloom.bloom_semi_join``: the urgent
-    order keys build a 2^16-bit bloom filter (a 1-row broadcast map);
+    order keys build a 2^20-bit bloom filter (a 1-row broadcast map of
+    ≤16 K longs; sized ≈10 bits/key for the sf0.1 build side — at
+    2^16 bits the sf0.1 run would saturate to ~60% false positives);
     lineitem rows failing the k-bit membership test drop inside the
     scan stage, BEFORE the semi join's exchange.  The oracle is the
     plain semi join + group-by — bloom false positives are removed by
@@ -689,7 +691,7 @@ def bloom_semi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         urgent,
         probe_key="l_orderkey",
         build_key="o_orderkey",
-        num_bits=1 << 16,
+        num_bits=1 << 20,
         num_hashes=5,
     )
     return pruned.groupBy("l_returnflag").agg(
