@@ -103,6 +103,7 @@ def upsert_parquet(
     updates: DataFrame,
     path: str,
     key_columns: list[str],
+    bloom_bits: int | None = None,
 ) -> int:
     """S13: MERGE semantics on plain parquet.
 
@@ -111,13 +112,26 @@ def upsert_parquet(
     (db_loader.py:274-290): re-applying the same updates is a no-op
     change.  On Delta/Iceberg this becomes a real MERGE INTO with
     file-level pruning; the join rewrite is the storage-agnostic form.
-    """
+
+    ``bloom_bits`` (single-key targets only) routes the anti join
+    through ``operators.bloom.bloom_anti_join``: target rows that miss
+    the update-batch's bloom filter bypass the anti join's shuffle —
+    the row-level analogue of MERGE file pruning, result-identical.
+    Size ≈10 bits per update-batch key."""
     import os
     import shutil
 
     if os.path.exists(path):
         target = spark.read.parquet(path)
-        merged = target.join(updates, key_columns, "left_anti").unionByName(
+        if bloom_bits and len(key_columns) == 1:
+            from ..operators.bloom import bloom_anti_join
+
+            unmatched = bloom_anti_join(
+                target, updates, key_columns[0], num_bits=bloom_bits
+            )
+        else:
+            unmatched = target.join(updates, key_columns, "left_anti")
+        merged = unmatched.unionByName(
             updates, allowMissingColumns=True
         )
     else:

@@ -5,11 +5,19 @@ no Python in the hot path)."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from data_engineering_for_e_commerce_logistics_spark.operators import bloom
 
 SF = "/root/testdata/sf0.001"
+
+HYP_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
 
 
 @pytest.fixture(scope="module")
@@ -159,3 +167,73 @@ def test_bloom_filter_persists_and_reloads(spark, tmp_path, frames):
         ).collect()
     )
     assert a == b
+
+
+def test_anti_join_exact(spark, frames):
+    """bloom_anti_join must return exactly the plain left-anti rows —
+    the certain-miss bypass plus the joined survivors, nothing else."""
+    probe, build = frames
+    got = sorted(
+        r.payload
+        for r in bloom.bloom_anti_join(
+            probe, build, "k", num_bits=1 << 12
+        ).collect()
+    )
+    want = sorted(
+        r.payload for r in probe.join(build.distinct(), "k", "left_anti").collect()
+    )
+    assert got == want
+
+
+def test_anti_join_null_keys_kept(spark):
+    """Anti-join semantics: a null left key never matches, so the row
+    must survive regardless of which bloom branch it lands in."""
+    left = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (2, "c")], "k int, v string"
+    )
+    right = spark.createDataFrame([(1,)], "k int")
+    got = sorted(
+        r.v for r in bloom.bloom_anti_join(left, right, "k", num_bits=1 << 12).collect()
+    )
+    assert got == ["b", "c"]
+
+
+@given(
+    left_keys=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=30),
+    right_keys=st.lists(st.integers(min_value=-50, max_value=50), min_size=0, max_size=15),
+)
+@settings(**HYP_SETTINGS)
+def test_anti_join_equals_plain_anti_join(spark, left_keys, right_keys):
+    left = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(left_keys)], "k int, rowid int"
+    )
+    right = spark.createDataFrame([(k,) for k in right_keys], "k int")
+    got = sorted(
+        r.rowid
+        for r in bloom.bloom_anti_join(
+            left, right, "k", num_bits=256, num_hashes=3
+        ).collect()
+    )
+    want = sorted(i for i, k in enumerate(left_keys) if k not in set(right_keys))
+    assert got == want
+
+
+def test_upsert_with_bloom_equals_plain_upsert(spark, tmp_path):
+    from data_engineering_for_e_commerce_logistics_spark.sources.sinks import (
+        upsert_parquet,
+    )
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    updates = spark.range(990, 1010).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    pa, pb = str(tmp_path / "plain"), str(tmp_path / "bloomed")
+    base.write.parquet(pa)
+    base.write.parquet(pb)
+    upsert_parquet(spark, updates, pa, ["k"])
+    upsert_parquet(spark, updates, pb, ["k"], bloom_bits=1 << 12)
+    a = sorted((r.k, r.v) for r in spark.read.parquet(pa).collect())
+    b = sorted((r.k, r.v) for r in spark.read.parquet(pb).collect())
+    assert a == b and len(a) == 1010
