@@ -193,3 +193,21 @@ def bloom_anti_join(
     cond = (maybe[left_key] == keys[left_key]) & anchor
     survivors = maybe.join(keys, cond, "left_anti").drop(_BLOOM_COL)
     return certain_miss.unionByName(survivors)
+
+
+def bloom_sizing(n_keys: int, fpp: float = 0.01) -> tuple[int, int]:
+    """(num_bits, num_hashes) for a target false-positive rate:
+    m = -n·ln p / ln²2 rounded up to a 64-bit word boundary,
+    k = (m/n)·ln 2.  Callers with an unknown build-side cardinality
+    can feed ``approx_count_distinct`` of the key — the filter's
+    correctness never depends on the estimate, only its fp rate."""
+    import math
+
+    if n_keys <= 0:
+        return 64, 1
+    if not 0 < fpp < 1:
+        raise ValueError(f"fpp must be in (0,1), got {fpp}")
+    m = math.ceil(-n_keys * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n_keys * math.log(2)))
+    return m, k

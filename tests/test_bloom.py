@@ -237,3 +237,25 @@ def test_upsert_with_bloom_equals_plain_upsert(spark, tmp_path):
     a = sorted((r.k, r.v) for r in spark.read.parquet(pa).collect())
     b = sorted((r.k, r.v) for r in spark.read.parquet(pb).collect())
     assert a == b and len(a) == 1010
+
+
+def test_bloom_sizing_hits_target_fpp(spark):
+    """Sized filter must land near (and not wildly above) the asked-for
+    false-positive rate on disjoint probe keys."""
+    n = 2000
+    m, k = bloom.bloom_sizing(n, fpp=0.01)
+    assert m % 64 == 0 and k >= 1
+    build = spark.range(n).select(F.col("id").alias("k"))
+    probe = spark.range(100000, 140000).select(F.col("id").alias("k"))  # disjoint
+    filt = bloom.bloom_build(build, "k", num_bits=m, num_hashes=k)
+    passed = bloom.bloom_prune(probe, "k", filt, num_bits=m, num_hashes=k).count()
+    fp_rate = passed / 40000
+    assert fp_rate < 0.03, fp_rate  # target 1%, allow 3x sampling slack
+
+
+def test_bloom_sizing_degenerate():
+    assert bloom.bloom_sizing(0) == (64, 1)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bloom.bloom_sizing(100, fpp=1.5)

@@ -191,3 +191,34 @@ def test_compact_files_with_sort_restores_clustering(spark, tmp_path):
     # range-sorted output: file envelopes must not overlap
     for prev, nxt in zip(rows, rows[1:]):
         assert prev.max_k <= nxt.min_k
+
+
+def test_morton_three_columns(spark):
+    """morton_sql generalizes past two dimensions: bit j of column i
+    lands at position j*3+i."""
+    rows = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (5, 3, 7)]
+    df = spark.createDataFrame(rows, "a long, b long, c long").withColumn(
+        "z", F.expr(layout.morton_sql(["a", "b", "c"], 4))
+    )
+
+    def ref(a, b, c):
+        z = 0
+        for j in range(4):
+            z |= ((a >> j) & 1) << (3 * j)
+            z |= ((b >> j) & 1) << (3 * j + 1)
+            z |= ((c >> j) & 1) << (3 * j + 2)
+        return z
+
+    for r in df.collect():
+        assert r.z == ref(r.a, r.b, r.c), (r.a, r.b, r.c)
+
+
+def test_with_zorder_null_values_bucket_low(spark):
+    """Null clustering values map to bucket 0 (the coalesce guard) —
+    rows survive with a valid code instead of nulling the z column."""
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30)], "a long, b long"
+    )
+    z = layout.with_zorder(df, ["a", "b"], bits=4)
+    rows = {r.a: r["__zorder"] for r in z.collect()}
+    assert len(rows) == 3 and all(v is not None for v in rows.values())
