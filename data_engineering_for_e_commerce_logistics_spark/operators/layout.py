@@ -28,7 +28,7 @@ writes; the win is that it buys skipping on k columns, not one.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
