@@ -145,6 +145,58 @@ def upsert_parquet(
     return count
 
 
+def generate_cdc(
+    old: DataFrame,
+    new: DataFrame,
+    key_columns: list[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    seq: int = 1,
+) -> DataFrame:
+    """Snapshot diff → minimal CDC feed (the producer side of
+    ``apply_cdc``): keys only in ``new`` emit I, keys only in ``old``
+    emit D, keys whose non-key columns differ (null-safe) emit U, and
+    identical rows emit NOTHING — the feed is the smallest batch that
+    replays one snapshot into the other.  Round-trip law (tested):
+    ``apply_cdc(old, generate_cdc(old, new)) == new`` as a set.
+
+    One full-outer hash join keyed on ``key_columns`` — the same
+    single wide exchange a MERGE needs; per-column null-safe compares
+    are expression work inside codegen.  At 100 TB this is how a
+    rebuilt table ships to consumers as a delta instead of a full
+    re-copy."""
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            f"schema mismatch: {sorted(old.columns)} vs {sorted(new.columns)}"
+        )
+    data_cols = [c for c in new.columns if c not in key_columns]
+    o = old.select(
+        *key_columns,
+        *[F.col(c).alias(f"__o_{c}") for c in data_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(*new.columns, F.lit(True).alias("__in_new"))
+    j = o.join(n, key_columns, "full_outer")
+    differs = F.lit(False)
+    for c in data_cols:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"__o_{c}"))
+    op = (
+        F.when(F.col("__in_old").isNull(), F.lit("I"))
+        .when(F.col("__in_new").isNull(), F.lit("D"))
+        .when(differs, F.lit("U"))
+    )
+    return (
+        j.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            *key_columns,
+            *data_cols,
+            op_col,
+            F.lit(seq).cast("long").alias(seq_col),
+        )
+    )
+
+
 def apply_cdc(
     target: DataFrame,
     changes: DataFrame,

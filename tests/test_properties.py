@@ -220,3 +220,30 @@ def test_morton_sql_matches_python_reference(spark, pairs):
     )
     for r in df.collect():
         assert r.z == ref(r.a, r.b)
+
+
+@given(
+    old_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 3)), min_size=0, max_size=20
+    ),
+    new_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 3)), min_size=0, max_size=20
+    ),
+)
+@settings(**SETTINGS)
+def test_generate_apply_cdc_round_trip(spark, old_rows, new_rows):
+    """For ANY pair of snapshots (unique keys), replaying the generated
+    diff onto the old one yields exactly the new one."""
+    from data_engineering_for_e_commerce_logistics_spark.sources import sinks
+
+    dedup_old = {k: v for k, v in old_rows}
+    dedup_new = {k: v for k, v in new_rows}
+    old = spark.createDataFrame(
+        list(dedup_old.items()) or [(None, None)], "id int, v int"
+    ).where(F.col("id").isNotNull())
+    new = spark.createDataFrame(
+        list(dedup_new.items()) or [(None, None)], "id int, v int"
+    ).where(F.col("id").isNotNull())
+    feed = sinks.generate_cdc(old, new, ["id"])
+    replayed = sorted(map(tuple, sinks.apply_cdc(old, feed, ["id"]).collect()))
+    assert replayed == sorted(dedup_new.items())

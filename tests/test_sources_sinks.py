@@ -382,3 +382,54 @@ def test_write_sorted_parquet_global_order_no_single_partition(spark, tmp_path):
     flat = [v for vs in seen for v in vs]
     assert flat == sorted(flat)  # file order concatenates to total order
     assert len(flat) == df.count()
+
+
+# --- CDC generation (snapshot diff, producer side of apply_cdc) -------------
+
+
+def test_generate_cdc_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None), (4, "d", 40.0)],
+        "id int, name string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "B", 20.0), (3, "c", None), (5, "e", 50.0)],
+        "id int, name string, v double",
+    )
+    feed = sinks.generate_cdc(old, new, ["id"])
+    ops = {r.id: r.op for r in feed.collect()}
+    # 1 unchanged → absent; 3 unchanged incl. null-safe v → absent
+    assert ops == {2: "U", 4: "D", 5: "I"}
+
+
+def test_generate_cdc_identical_snapshots_empty(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string")
+    assert sinks.generate_cdc(df, df, ["id"]).count() == 0
+
+
+def test_generate_cdc_schema_mismatch_raises(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, s string")
+    b = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError):
+        sinks.generate_cdc(a, b, ["id"])
+
+
+def test_generate_apply_round_trip(spark):
+    """The law that makes the pair useful: applying the generated feed
+    to the old snapshot reproduces the new one exactly."""
+    old = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(50)],
+        "id int, name string, v double",
+    )
+    new = spark.createDataFrame(
+        # drop ids 0-9, change 10-19, keep 20-49, add 50-54
+        [(i, f"n{i}", float(i) * 2) for i in range(10, 20)]
+        + [(i, f"n{i}", float(i)) for i in range(20, 50)]
+        + [(i, f"x{i}", -1.0) for i in range(50, 55)],
+        "id int, name string, v double",
+    )
+    feed = sinks.generate_cdc(old, new, ["id"])
+    replayed = sinks.apply_cdc(old, feed, ["id"])
+    a = sorted(map(tuple, replayed.collect()))
+    b = sorted(map(tuple, new.collect()))
+    assert a == b
