@@ -14,11 +14,12 @@ Everything stays JVM-side and whole-stage-codegen'd:
   bit positions; positions group by 64-bit word index with a
   ``bit_or`` of single-bit masks — one shuffle on ≤ num_bits/64 keys,
   map-side partials collapse it to almost nothing.  The words then
-  fold into ONE row holding a ``map<long,long>`` (the broadcast-scalar
-  pattern — never ``.collect()``).
-* probe: crossJoin(broadcast(1-row map)), then a pure-expression
-  membership test per row (k shifts + ANDs); rows failing any bit are
-  dropped at the scan stage, before any exchange.
+  fold into ONE row holding a dense ``array<long>`` (the
+  broadcast-scalar pattern — never ``.collect()``).
+* probe: crossJoin(broadcast(1-row word array)), then a
+  pure-expression membership test per row (k O(1) array lookups +
+  shifts/ANDs); rows failing any bit are dropped at the scan stage,
+  before any exchange.
 * exactness: the bloom pass only PRUNES (false positives survive), so
   ``bloom_semi_join`` finishes with a real left-semi join — the result
   is bit-identical to the plain semi join, which is what the DuckDB
@@ -66,9 +67,20 @@ def bloom_build(
     num_bits: int = 1 << 20,
     num_hashes: int = 5,
 ) -> DataFrame:
-    """Build the filter as a ONE-row DataFrame with a map<word_idx,
-    word> column named ``__bloom_words`` — broadcastable, persistable
-    (write it to parquet and reuse across runs), never collected."""
+    """Build the filter as a ONE-row DataFrame with a DENSE
+    array<long> column of num_bits/64 words named ``__bloom_words`` —
+    broadcastable, persistable (write it to parquet and reuse across
+    runs), never collected.
+
+    Dense array, NOT a map: Spark's ``element_at`` on a map is a
+    LINEAR scan of ArrayBasedMapData, so per-probe lookup cost grew
+    with filter size (measured: the sf0.1 query went 1.6s → 9.1s when
+    the filter grew 2^16 → 2^20 bits as a map).  Array indexing is
+    O(1).  Densification joins the word aggregate against
+    ``range(n_words)`` and packs via array_sort(collect_list) —
+    NOT via ``transform(sequence, i -> map[i])``, whose interpreted
+    per-index map scans are O(n_words²) (measured 16s for 2^20 bits
+    on ONE row)."""
     if num_bits % 64:
         raise ValueError(f"num_bits must be a multiple of 64, got {num_bits}")
     key = F.col(key_col)
@@ -80,9 +92,18 @@ def bloom_build(
     words = pos.groupBy(_word_index(F.col("__bitpos")).alias("__word_idx")).agg(
         F.bit_or(_bit_mask(F.col("__bitpos"))).alias("__word")
     )
-    return words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("__word_idx", "__word"))
+    n_words = num_bits // 64
+    idx = keys.sparkSession.range(n_words).select(
+        F.col("id").alias("__word_idx")
+    )
+    dense = idx.join(words, "__word_idx", "left").select(
+        "__word_idx",
+        F.coalesce("__word", F.lit(0).cast("long")).alias("__word"),
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__word_idx", "__word"))),
+            lambda s: s["__word"],
         ).alias(_BLOOM_COL)
     )
 
@@ -91,13 +112,14 @@ def bloom_might_contain(
     key: Column, num_bits: int, num_hashes: int
 ) -> Column:
     """Membership predicate against the broadcast ``__bloom_words``
-    column (must be in scope via the crossJoin in bloom_prune).
-    Missing words coalesce to 0 — an empty filter rejects everything."""
+    dense word array (must be in scope via the crossJoin in
+    bloom_prune).  The 1-based array index is always valid by
+    construction (pmod < num_bits), so ANSI-mode element_at cannot
+    throw; an all-zero (empty-build) filter rejects everything."""
     test = F.lit(True)
     for p in _bit_positions(key, num_bits, num_hashes):
-        word = F.coalesce(
-            F.element_at(F.col(_BLOOM_COL), _word_index(p)),
-            F.lit(0).cast("long"),
+        word = F.element_at(
+            F.col(_BLOOM_COL), (_word_index(p) + F.lit(1)).cast("int")
         )
         test = test & (word.bitwiseAND(_bit_mask(p)) != 0)
     return test
@@ -151,7 +173,7 @@ def bloom_semi_join(
     # constant-fold it.  Measured plan order without broadcast:
     # scan → bloom filter (scan stage) → exchange(pruned rows only) →
     # sort-merge LeftSemi.
-    anchor = (F.size(F.map_keys(pruned[_BLOOM_COL])) >= 0) | F.isnull(
+    anchor = (F.size(pruned[_BLOOM_COL]) >= 0) | F.isnull(
         keys[probe_key]
     )
     cond = (pruned[probe_key] == keys[probe_key]) & anchor
@@ -187,7 +209,7 @@ def bloom_anti_join(
     maybe = tagged.where(test)
     # Same planning barrier as bloom_semi_join: PushDownLeftSemiAntiJoin
     # covers LeftAnti too and would re-order the join below the filter.
-    anchor = (F.size(F.map_keys(maybe[_BLOOM_COL])) >= 0) | F.isnull(
+    anchor = (F.size(maybe[_BLOOM_COL]) >= 0) | F.isnull(
         keys[left_key]
     )
     cond = (maybe[left_key] == keys[left_key]) & anchor
