@@ -71,6 +71,33 @@ def load_csv(
     return reader.csv(path)
 
 
+def load_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    **options,
+) -> DataFrame:
+    """CSV scan with the same corrupt-record rescue the JSONL reader
+    has: rows that fail the explicit schema land whole in
+    ``_corrupt_record`` (PERMISSIVE) instead of aborting the load or
+    silently nulling — route them to a quarantine sink and keep going.
+    Same caveats as ``read_jsonl_corpus``: cache before filtering on
+    the rescue column alone, and never use inference on a production
+    path (two full scans + one bad line flips column types)."""
+    full = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    reader = (
+        spark.read.option("header", "true")
+        .option("encoding", "UTF-8")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.schema(full).csv(path)
+
+
 def load_multi_table(
     spark: SparkSession,
     file_map: dict[str, str],

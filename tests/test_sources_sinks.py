@@ -433,3 +433,31 @@ def test_generate_apply_round_trip(spark):
     a = sorted(map(tuple, replayed.collect()))
     b = sorted(map(tuple, new.collect()))
     assert a == b
+
+
+def test_load_csv_with_quarantine(spark, tmp_path):
+    """Malformed CSV rows land whole in _corrupt_record; clean rows
+    parse against the explicit schema and the job never aborts."""
+    from pyspark.sql import types as T
+
+    p = tmp_path / "orders.csv"
+    p.write_text(
+        "id,qty,price\n"
+        "1,5,10.5\n"
+        "2,not_a_number,20.0\n"
+        "3,7,30.25\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("qty", T.IntegerType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    df = readers.load_csv_with_quarantine(spark, str(p), schema).cache()
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    good = df.filter(F.col("_corrupt_record").isNull())
+    assert bad.count() == 1
+    assert "not_a_number" in bad.first()["_corrupt_record"]
+    assert sorted(r.id for r in good.collect()) == [1, 3]
+    df.unpersist()
