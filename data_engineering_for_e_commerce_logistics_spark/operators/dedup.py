@@ -25,7 +25,7 @@ aggregate.  No driver-side loops, no UDFs; AQE splits skewed buckets
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -454,3 +454,66 @@ def simhash(
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    corpus_index: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom_bits: int | None = 1 << 20,
+) -> tuple[DataFrame, DataFrame]:
+    """The incremental-ingest flow a continuously-fed training corpus
+    runs: dedup a NEW batch against the persisted corpus WITHOUT
+    rescanning the corpus — only its digest index (one md5 row per
+    distinct document ever kept).
+
+    Returns ``(fresh, index_delta)``:
+
+    * ``fresh`` — new-batch rows whose normalized content digest is
+      absent from the index AND first within the batch (keep-min-id);
+    * ``index_delta`` — the digest rows to APPEND to the index so the
+      next batch sees today's documents (same schema as
+      ``exact_duplicates`` output).
+
+    Scale shape: the corpus never re-reads; the index is |distinct
+    docs| single-digest rows; the batch-vs-index anti join routes
+    through ``bloom_anti_join`` (``bloom_bits``; None = plain anti),
+    so when the batch is tiny next to the index — the steady state —
+    index rows skip the exchange entirely and only digest collisions
+    shuffle.  Composes with the near-dup family by feeding ``fresh``
+    into minhash/simhash afterwards."""
+    from .bloom import bloom_anti_join  # local: avoid import cycle
+
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
+    hashed = new_docs.withColumn("fingerprint", F.md5(norm))
+    batch_first = (
+        hashed.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
+            ),
+        )
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if corpus_index is not None:
+        if bloom_bits:
+            fresh = bloom_anti_join(
+                batch_first,
+                corpus_index,
+                "fingerprint",
+                num_bits=bloom_bits,
+            )
+        else:
+            fresh = batch_first.join(
+                corpus_index.select("fingerprint"), "fingerprint", "left_anti"
+            )
+    else:
+        fresh = batch_first
+    index_delta = fresh.select(
+        "fingerprint",
+        F.col(id_col).alias("kept_id"),
+        F.lit(1).cast("long").alias("n_copies"),
+    )
+    return fresh.drop("fingerprint"), index_delta

@@ -65,3 +65,67 @@ def test_exact_duplicates_no_false_positives(spark, docs):
     # corpus has no exact dups: every fingerprint group has one member
     assert out.count() == docs.count()
     assert out.filter("n_copies > 1").count() == 0
+
+
+# --- Incremental exact dedup (batch vs persisted digest index) --------------
+
+
+def test_incremental_exact_dedup_flow(spark, tmp_path):
+    """Three-batch ingest: corpus index accrues only new digests, and
+    re-ingesting known content yields zero fresh docs."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        exact_duplicates,
+        incremental_exact_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "lazy  DOG"), (3, "The Quick fox")],
+        "doc_id int, text string",
+    )
+    # bootstrap: no index yet; 3 normalizes to the same digest as 1
+    fresh1, delta1 = incremental_exact_dedup(b1, None)
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 2]
+    idx_path = str(tmp_path / "index")
+    delta1.write.mode("overwrite").parquet(idx_path)
+
+    # batch 2: one known doc (different id, same content), one new
+    b2 = spark.createDataFrame(
+        [(10, "lazy dog"), (11, "brand new content")],
+        "doc_id int, text string",
+    )
+    index = spark.read.parquet(idx_path)
+    fresh2, delta2 = incremental_exact_dedup(b2, index)
+    assert [r.doc_id for r in fresh2.collect()] == [11]
+    delta2.write.mode("append").parquet(idx_path)
+
+    # batch 3: everything already known -> nothing fresh
+    b3 = spark.createDataFrame(
+        [(20, "THE QUICK FOX"), (21, "brand  new content")],
+        "doc_id int, text string",
+    )
+    fresh3, _ = incremental_exact_dedup(b3, spark.read.parquet(idx_path))
+    assert fresh3.count() == 0
+    # index holds exactly the 3 distinct contents ever seen
+    assert spark.read.parquet(idx_path).count() == 3
+    # and equals what a from-scratch exact dedup of the union would keep
+    union = b1.unionByName(b2).unionByName(b3)
+    assert exact_duplicates(union).count() == 3
+
+
+def test_incremental_dedup_plain_anti_matches_bloom(spark):
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, f"doc number {i % 7}") for i in range(40)],
+        "doc_id int, text string",
+    )
+    seed = spark.createDataFrame(
+        [("x", 0, 1)], "fingerprint string, kept_id int, n_copies long"
+    )
+    f_bloom, _ = incremental_exact_dedup(batch, seed, bloom_bits=1 << 12)
+    f_plain, _ = incremental_exact_dedup(batch, seed, bloom_bits=None)
+    assert sorted(r.doc_id for r in f_bloom.collect()) == sorted(
+        r.doc_id for r in f_plain.collect()
+    )
