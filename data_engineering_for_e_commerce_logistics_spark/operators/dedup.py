@@ -517,3 +517,95 @@ def incremental_exact_dedup(
         F.lit(1).cast("long").alias("n_copies"),
     )
     return fresh.drop("fingerprint"), index_delta
+
+
+def _bands_of(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) rows for a signature frame — the banding half
+    of lsh_candidate_pairs, reusable against a PERSISTED index."""
+    r = num_hashes // bands
+    band_rows = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
+        band_rows.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("|", *cols).alias("bucket"),
+            )
+        )
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
+    ).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
+    )
+
+
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    sig_index: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup sibling of ``incremental_exact_dedup``: screen a new
+    batch against the persisted corpus SIGNATURE index (one
+    K-minhash row per kept doc) — the corpus text is never needed.
+
+    LSH banding joins batch bands to index bands on (band, bucket);
+    candidates verify by ESTIMATED Jaccard — the fraction of the K
+    minhashes that agree, the standard unbiased estimator — since the
+    index carries signatures, not shingle sets.  Returns ``(fresh,
+    sig_delta)``: batch docs with no index match ≥ threshold, and
+    their signatures to append.  Within-batch near-dups are the
+    caller's second step (run ``minhash_lsh_dedup`` on ``fresh``).
+
+    Scale shape: one signature pass over the BATCH only; the band join
+    shuffles on bucket keys (persist the banded index too at corpus
+    scale to skip re-banding); per-candidate verify is K column
+    compares against two broadcast-or-hash-joined signature rows."""
+    sig_cols = [f"mh{i}" for i in range(num_hashes)]
+    new_sig = minhash_signature(
+        new_docs, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    if sig_index is None:
+        fresh_ids = new_sig.select(id_col)
+    else:
+        nb = _bands_of(new_sig, id_col, num_hashes, bands).withColumnRenamed(
+            id_col, "__new_id"
+        )
+        ib = _bands_of(sig_index, id_col, num_hashes, bands).withColumnRenamed(
+            id_col, "__idx_id"
+        )
+        cand = (
+            nb.join(ib, ["band", "bucket"])
+            .select("__new_id", "__idx_id")
+            .distinct()
+        )
+        a = new_sig.select(
+            F.col(id_col).alias("__new_id"),
+            *[F.col(c).alias(f"__a_{c}") for c in sig_cols],
+        )
+        b = sig_index.select(
+            F.col(id_col).alias("__idx_id"),
+            *[F.col(c).alias(f"__b_{c}") for c in sig_cols],
+        )
+        agree = sum(
+            F.when(F.col(f"__a_{c}") == F.col(f"__b_{c}"), 1).otherwise(0)
+            for c in sig_cols
+        )
+        dup_new_ids = (
+            cand.join(a, "__new_id")
+            .join(b, "__idx_id")
+            .withColumn("__est_j", agree / F.lit(num_hashes))
+            .where(F.col("__est_j") >= threshold)
+            .select(F.col("__new_id").alias(id_col))
+            .distinct()
+        )
+        fresh_ids = new_sig.select(id_col).join(dup_new_ids, id_col, "left_anti")
+    fresh = new_docs.join(fresh_ids, id_col, "left_semi")
+    sig_delta = new_sig.join(fresh_ids, id_col, "left_semi")
+    return fresh, sig_delta

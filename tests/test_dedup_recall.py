@@ -129,3 +129,33 @@ def test_incremental_dedup_plain_anti_matches_bloom(spark):
     assert sorted(r.doc_id for r in f_bloom.collect()) == sorted(
         r.doc_id for r in f_plain.collect()
     )
+
+
+def test_incremental_minhash_dedup_flow(spark):
+    """Signature-index screening: a near-dup of an indexed doc is
+    suppressed, genuinely new content passes, and the signature delta
+    covers exactly the fresh docs."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base_text), (2, "one two three four five six seven eight nine ten")],
+        "doc_id int, text string",
+    )
+    _, sig1 = incremental_minhash_dedup(b1, None)
+    assert sig1.count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            # near-dup of doc 1: one token changed out of ten
+            (10, base_text.replace("kappa", "lambda")),
+            # unrelated new doc
+            (11, "red orange yellow green blue indigo violet pink brown black"),
+        ],
+        "doc_id int, text string",
+    )
+    fresh, delta = incremental_minhash_dedup(b2, sig1, threshold=0.5)
+    assert [r.doc_id for r in fresh.collect()] == [11]
+    assert [r.doc_id for r in delta.collect()] == [11]
