@@ -190,19 +190,7 @@ def lsh_candidate_pairs(
     near-dup cluster sizes, so the per-group pair fan-out is bounded;
     a degenerate mega-bucket (constant text) is the skew case AQE
     would split at the verify join downstream."""
-    r = num_hashes // bands
-    band_rows = []
-    for b in range(bands):
-        cols = [F.col(f"mh{b * r + j}").cast("string") for j in range(r)]
-        band_rows.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("|", *cols).alias("bucket"),
-            )
-        )
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_rows)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket"))
+    banded = _bands_of(sig, id_col, num_hashes, bands)
 
     buckets = (
         banded.groupBy("band", "bucket")
