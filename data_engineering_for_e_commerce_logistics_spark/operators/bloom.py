@@ -142,6 +142,36 @@ def bloom_prune(
     return pruned.drop(_BLOOM_COL)
 
 
+def _barrier_join(
+    pruned: DataFrame, keys: DataFrame, key: str, how: str
+) -> DataFrame:
+    """Finishing exact join that STAYS ABOVE the bloom filter.
+
+    Catalyst's PushDownLeftSemiAntiJoin / PushLeftSemiLeftAntiThroughJoin
+    would otherwise slide the semi/anti join underneath the bloom
+    filter (the filter folds into the cross join's condition; a join
+    whose condition touches only probe columns pushes into the probe
+    leg) — executing the exact join's exchange on UNPRUNED rows, the
+    opposite of the operator's point.
+
+    The barrier is a per-row ``spark_partition_id`` tag: Catalyst
+    classes it non-deterministic, so the join cannot push below the
+    Project that computes it; it costs 4 bytes/row through the
+    exchange, and — unlike ``monotonically_increasing_id`` — it is
+    allowed in streaming plans, so the bloom joins compose with
+    Structured Streaming unchanged.  The tag must be REFERENCED in the
+    join condition (an always-true ``>= 0``) or column pruning deletes
+    it and the barrier with it.  Earlier designs anchored on the
+    word-array column itself — which forced the 2^20-bit array to ride
+    the exchange on EVERY probe row (measured: filled a disk with
+    spill at sf0.5 in the sort-merge regime).  Measured plan order
+    without broadcast: scan → bloom filter (scan stage) →
+    exchange(pruned rows + tag) → sort-merge join."""
+    tagged = pruned.withColumn("__bloom_tag", F.spark_partition_id())
+    cond = (tagged[key] == keys[key]) & (tagged["__bloom_tag"] >= F.lit(0))
+    return tagged.join(keys, cond, how).drop("__bloom_tag")
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
@@ -158,26 +188,8 @@ def bloom_semi_join(
     build_key = build_key or probe_key
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
     bloom = bloom_build(keys, probe_key, num_bits, num_hashes)
-    pruned = probe.crossJoin(F.broadcast(bloom)).where(
-        bloom_might_contain(F.col(probe_key), num_bits, num_hashes)
-    )
-    # Planning barrier: Catalyst's PushLeftSemiLeftAntiThroughJoin would
-    # otherwise push the finishing semi join below the bloom filter
-    # (the filter folds into the cross join's condition, and a semi
-    # whose condition touches only probe columns slides into the probe
-    # leg) — executing the exact join's exchange on UNPRUNED rows, the
-    # opposite of the operator's point.  The anchor conjunct is always
-    # true but references BOTH the words column and the right side, so
-    # it can neither be extracted as a left-side filter nor let the
-    # semi push into a cross-join leg, and the optimizer cannot
-    # constant-fold it.  Measured plan order without broadcast:
-    # scan → bloom filter (scan stage) → exchange(pruned rows only) →
-    # sort-merge LeftSemi.
-    anchor = (F.size(pruned[_BLOOM_COL]) >= 0) | F.isnull(
-        keys[probe_key]
-    )
-    cond = (pruned[probe_key] == keys[probe_key]) & anchor
-    return pruned.join(keys, cond, "left_semi").drop(_BLOOM_COL)
+    pruned = bloom_prune(probe, probe_key, bloom, num_bits, num_hashes)
+    return _barrier_join(pruned, keys, probe_key, "left_semi")
 
 
 def bloom_anti_join(
@@ -206,14 +218,10 @@ def bloom_anti_join(
     tagged = left.crossJoin(F.broadcast(bloom))
     test = bloom_might_contain(F.col(left_key), num_bits, num_hashes)
     certain_miss = tagged.where(~test).drop(_BLOOM_COL)
-    maybe = tagged.where(test)
+    maybe = tagged.where(test).drop(_BLOOM_COL)
     # Same planning barrier as bloom_semi_join: PushDownLeftSemiAntiJoin
     # covers LeftAnti too and would re-order the join below the filter.
-    anchor = (F.size(maybe[_BLOOM_COL]) >= 0) | F.isnull(
-        keys[left_key]
-    )
-    cond = (maybe[left_key] == keys[left_key]) & anchor
-    survivors = maybe.join(keys, cond, "left_anti").drop(_BLOOM_COL)
+    survivors = _barrier_join(maybe, keys, left_key, "left_anti")
     return certain_miss.unionByName(survivors)
 
 
