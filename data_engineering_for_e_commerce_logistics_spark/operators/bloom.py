@@ -28,8 +28,8 @@ Everything stays JVM-side and whole-stage-codegen'd:
 
 Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k; the 2^20-bit default
 holds ~100 K keys at <1% fp with k=5.  At warehouse scale pick
-m ≈ 10·n bits — the 1-row map stays megabytes while the pruned shuffle
-saves terabytes.
+m ≈ 10·n bits — the 1-row word array stays megabytes while the pruned
+shuffle saves terabytes.
 """
 
 from __future__ import annotations
