@@ -21,6 +21,13 @@ Four families (BASELINE.json north star):
 Scale shape: every stage is explode → hash-shuffle on short keys →
 aggregate.  No driver-side loops, no UDFs; AQE splits skewed buckets
 (a hot band bucket = a cluster of near-identical docs).
+
+Each family also has an INCREMENTAL screen (r04) for the
+continuously-fed corpus: ``incremental_exact_dedup`` /
+``incremental_minhash_dedup`` / ``incremental_simhash_dedup`` dedup a
+new batch against a persisted digest/signature/fingerprint index —
+the corpus text is never re-read, and each returns the fresh rows
+plus the index delta to append.
 """
 
 from __future__ import annotations
@@ -340,21 +347,7 @@ def simhash_near_pairs(
 
     Same shuffle shape as MinHash LSH: short-key exchange, per-bucket
     pair expansion, no corpus cross join."""
-    width = 64 // n_bands
-    band_rows = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("simhash"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bucket"),
-        )
-        for b in range(n_bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_rows)).alias("bk")
-    ).select(
-        id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.bucket").alias("bucket")
-    )
+    banded = _simhash_bands(sig, id_col, n_bands)
     buckets = (
         banded.groupBy("band", "bucket")
         .agg(
@@ -590,6 +583,85 @@ def incremental_minhash_dedup(
             .join(b, "__idx_id")
             .withColumn("__est_j", agree / F.lit(num_hashes))
             .where(F.col("__est_j") >= threshold)
+            .select(F.col("__new_id").alias(id_col))
+            .distinct()
+        )
+        fresh_ids = new_sig.select(id_col).join(dup_new_ids, id_col, "left_anti")
+    fresh = new_docs.join(fresh_ids, id_col, "left_semi")
+    sig_delta = new_sig.join(fresh_ids, id_col, "left_semi")
+    return fresh, sig_delta
+
+
+def _simhash_bands(
+    sig: DataFrame, id_col: str, n_bands: int
+) -> DataFrame:
+    """(id, simhash, band, bucket) rows for a simhash frame — the
+    pigeonhole banding shared by the within-corpus pair miner and the
+    incremental index screen."""
+    width = 64 // n_bands
+    band_rows = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("simhash"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bucket"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_rows)).alias("bk")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bucket").alias("bucket"),
+    )
+
+
+def incremental_simhash_dedup(
+    new_docs: DataFrame,
+    sig_index: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    shingle_k: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Third incremental-dedup family: screen a new batch against the
+    persisted corpus SimHash index (one 64-bit fingerprint per kept
+    doc).  Pigeonhole banding joins batch bands to index bands — two
+    fingerprints within hamming ``max_hamming`` (< n_bands) must agree
+    on ≥1 of the ``n_bands`` 16-bit bands — then the exact
+    ``bit_count(xor) <= max_hamming`` filter verifies.
+
+    Returns ``(fresh, sig_delta)`` like its exact/minhash siblings:
+    batch docs with no index fingerprint within the hamming radius,
+    and their (id, simhash) rows to append to the index.  Scale shape:
+    one simhash pass over the BATCH, one short-key band join against
+    the index, per-candidate verify is one xor+popcount."""
+    new_sig = simhash(new_docs, text_col, id_col, shingle_k=shingle_k).select(
+        id_col, "simhash"
+    )
+    if sig_index is None:
+        fresh_ids = new_sig.select(id_col)
+    else:
+        nb = _simhash_bands(new_sig, id_col, n_bands).select(
+            F.col(id_col).alias("__new_id"),
+            F.col("simhash").alias("__new_sig"),
+            "band",
+            "bucket",
+        )
+        ib = _simhash_bands(sig_index, id_col, n_bands).select(
+            F.col("simhash").alias("__idx_sig"), "band", "bucket"
+        )
+        dup_new_ids = (
+            nb.join(ib, ["band", "bucket"])
+            .where(
+                F.bit_count(
+                    F.col("__new_sig").bitwiseXOR(F.col("__idx_sig"))
+                )
+                <= max_hamming
+            )
             .select(F.col("__new_id").alias(id_col))
             .distinct()
         )

@@ -159,3 +159,31 @@ def test_incremental_minhash_dedup_flow(spark):
     fresh, delta = incremental_minhash_dedup(b2, sig1, threshold=0.5)
     assert [r.doc_id for r in fresh.collect()] == [11]
     assert [r.doc_id for r in delta.collect()] == [11]
+
+
+def test_incremental_simhash_dedup_flow(spark):
+    """Fingerprint-index screening: a one-token edit of a 120-token
+    indexed doc (measured hamming 3) is suppressed at max_hamming=3;
+    unrelated content (hamming ~29) passes."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_simhash_dedup,
+    )
+
+    toks = [f"w{i}" for i in range(120)]
+    b1 = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id int, text string"
+    )
+    _, sig1 = incremental_simhash_dedup(b1, None)
+    assert sig1.count() == 1
+
+    b2 = spark.createDataFrame(
+        [
+            (10, " ".join(toks[:-1] + ["zzz"])),          # near-dup
+            (11, " ".join(f"q{i}" for i in range(120))),  # distant
+        ],
+        "doc_id int, text string",
+    )
+    fresh, delta = incremental_simhash_dedup(b2, sig1, max_hamming=3)
+    ids = sorted(r.doc_id for r in fresh.collect())
+    assert ids == [11], ids
+    assert sorted(r.doc_id for r in delta.collect()) == [11]
