@@ -34,13 +34,15 @@ Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
 verified slot.
 
-r05 rotation note: when the backlog drains, consider a registered
-invariance twin for the bloom-split upsert (upsert via
+r05 rotation note: when the backlog drains, consider registered
+invariance twins for (a) the bloom-split upsert (upsert via
 bloom_anti_join vs the plain-SQL MERGE oracle — the salted_rollup
 precedent: driver-proving that an internal shuffle optimization
-never changes results).  It has property/unit coverage today but no
-driver row; it did not fit r04's window without evicting one of the
-39 staleness-backlog queries.
+never changes results) and (b) the incremental dedup screens'
+fresh-row projections (batch ⟕anti index is plain SQL).  Both have
+property/unit coverage today but no driver row; they did not fit
+r04's window without evicting one of the 39 staleness-backlog
+queries.
 """
 
 from __future__ import annotations

@@ -500,3 +500,63 @@ def test_sliding_stream_starter_idempotent_rerun(spark, tmp_path):
     second = spark.read.parquet(sink)
     assert second.count() == n1
     assert second.agg(F.sum("n_events")).first()[0] == s1
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """The streaming ingest+dedup loop: each micro-batch screens
+    against the persisted digest index via incremental_exact_dedup,
+    appends only fresh docs to the corpus sink, and appends their
+    digests to the index — so a duplicate arriving in a LATER batch is
+    dropped even though stateless streaming never saw the earlier one."""
+    import os
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    b1 = spark.createDataFrame(
+        [(1, "the quick fox"), (2, "lazy dog")], "doc_id int, text string"
+    )
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    def dedup_batch(batch_df, batch_id):
+        idx = (
+            batch_df.sparkSession.read.parquet(index)
+            if os.path.exists(index)
+            else None
+        )
+        fresh, delta = incremental_exact_dedup(batch_df, idx)
+        fresh.persist()
+        fresh.write.mode("append").parquet(corpus)
+        delta.write.mode("append").parquet(index)
+        fresh.unpersist()
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id int, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(corpus).count() == 2
+
+    # batch 2 arrives later: one cross-batch duplicate, one new doc
+    spark.createDataFrame(
+        [(10, "THE QUICK  FOX"), (11, "genuinely new")],
+        "doc_id int, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 2, 11], kept
+    assert spark.read.parquet(index).count() == 3
