@@ -247,3 +247,45 @@ def test_generate_apply_cdc_round_trip(spark, old_rows, new_rows):
     feed = sinks.generate_cdc(old, new, ["id"])
     replayed = sorted(map(tuple, sinks.apply_cdc(old, feed, ["id"]).collect()))
     assert replayed == sorted(dedup_new.items())
+
+
+@given(
+    batches=st.lists(
+        st.lists(st.integers(min_value=0, max_value=8), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**SETTINGS)
+def test_incremental_dedup_converges_to_batch_dedup(spark, batches):
+    """For ANY sequence of batches (texts drawn from a small pool so
+    cross-batch duplicates are common), the accrued index holds exactly
+    the distinct contents of the union — incremental == from-scratch."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    next_id = 0
+    index_rows: list = []
+    all_texts: list = []
+    for batch in batches:
+        rows = []
+        for t in batch:
+            rows.append((next_id, f"text number {t}"))
+            all_texts.append(f"text number {t}")
+            next_id += 1
+        bdf = spark.createDataFrame(rows, "doc_id int, text string")
+        idx = (
+            spark.createDataFrame(
+                index_rows, "fingerprint string, kept_id int, n_copies long"
+            )
+            if index_rows
+            else None
+        )
+        _, delta = incremental_exact_dedup(bdf, idx)
+        index_rows.extend(
+            (r.fingerprint, r.kept_id, r.n_copies) for r in delta.collect()
+        )
+    fingerprints = [r[0] for r in index_rows]
+    assert len(fingerprints) == len(set(fingerprints))  # no digest twice
+    assert len(fingerprints) == len(set(all_texts))  # one per distinct text
