@@ -454,50 +454,63 @@ def incremental_exact_dedup(
     * ``fresh`` — new-batch rows whose normalized content digest is
       absent from the index AND first within the batch (keep-min-id);
     * ``index_delta`` — the digest rows to APPEND to the index so the
-      next batch sees today's documents (same schema as
-      ``exact_duplicates`` output).
+      next batch sees today's documents.  Column contract:
+      ``(fingerprint, kept_id, n_copies)`` where ``n_copies`` counts
+      copies WITHIN THIS BATCH only (like ``exact_duplicates`` does
+      for a single frame).  Cross-batch re-ingests of an
+      already-indexed document are screened out, NOT accumulated onto
+      the existing index row — an append-only index cannot update
+      prior rows; sum ``n_copies`` over deltas if a running total is
+      needed.
 
     Scale shape: the corpus never re-reads; the index is |distinct
-    docs| single-digest rows; the batch-vs-index anti join routes
-    through ``bloom_anti_join`` (``bloom_bits``; None = plain anti),
-    so when the batch is tiny next to the index — the steady state —
-    index rows skip the exchange entirely and only digest collisions
-    shuffle.  Composes with the near-dup family by feeding ``fresh``
-    into minhash/simhash afterwards."""
-    from .bloom import bloom_anti_join  # local: avoid import cycle
+    docs| single-digest rows.  For a left-anti join, right-side rows
+    that match nothing can be dropped without changing the result —
+    so the bloom filter is built from the BATCH fingerprints (tiny,
+    rebuilt per batch for pennies) and PRE-PRUNES THE INDEX side:
+    index rows that miss the batch's bloom are guaranteed unmatched
+    and never enter the anti join's exchange.  Steady-state shuffle
+    volume is ≈|batch| + |true re-ingests| + fp·|index| rows, not
+    |index| — the property that makes per-batch cost flat as the
+    corpus grows.  (``bloom_bits``: filter size; ≈10 bits per batch
+    key keeps fp ≈1%; None = plain anti join.)  Composes with the
+    near-dup family by feeding ``fresh`` into minhash/simhash
+    afterwards."""
+    from .bloom import bloom_build, bloom_prune  # local: avoid import cycle
 
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")
     hashed = new_docs.withColumn("fingerprint", F.md5(norm))
+    w = Window.partitionBy("fingerprint")
     batch_first = (
         hashed.withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy("fingerprint").orderBy(F.col(id_col).asc())
-            ),
+            "__rn", F.row_number().over(w.orderBy(F.col(id_col).asc()))
         )
+        .withColumn("__n_copies", F.count(F.lit(1)).over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
     if corpus_index is not None:
+        idx_keys = corpus_index.select("fingerprint")
         if bloom_bits:
-            fresh = bloom_anti_join(
-                batch_first,
-                corpus_index,
-                "fingerprint",
+            # build from pre-window digests: same key set as batch_first
+            # (duplicates are harmless in a bloom build) and it skips
+            # recomputing the keep-first window a second time.
+            batch_bloom = bloom_build(
+                hashed.select("fingerprint"), "fingerprint",
                 num_bits=bloom_bits,
             )
-        else:
-            fresh = batch_first.join(
-                corpus_index.select("fingerprint"), "fingerprint", "left_anti"
+            idx_keys = bloom_prune(
+                idx_keys, "fingerprint", batch_bloom, num_bits=bloom_bits
             )
+        fresh = batch_first.join(idx_keys, "fingerprint", "left_anti")
     else:
         fresh = batch_first
     index_delta = fresh.select(
         "fingerprint",
         F.col(id_col).alias("kept_id"),
-        F.lit(1).cast("long").alias("n_copies"),
+        F.col("__n_copies").cast("long").alias("n_copies"),
     )
-    return fresh.drop("fingerprint"), index_delta
+    return fresh.drop("fingerprint", "__n_copies"), index_delta
 
 
 def _bands_of(
@@ -638,7 +651,24 @@ def incremental_simhash_dedup(
     batch docs with no index fingerprint within the hamming radius,
     and their (id, simhash) rows to append to the index.  Scale shape:
     one simhash pass over the BATCH, one short-key band join against
-    the index, per-candidate verify is one xor+popcount."""
+    the index, per-candidate verify is one xor+popcount.
+
+    Contract (enforced): the pigeonhole screen is only complete when
+    ``max_hamming < n_bands`` (more flipped bits than bands could
+    miss every band) and ``64 % n_bands == 0`` (a remainder would
+    leave high bits unbanded) — mirrors ``dedup_simhash``'s bits<=64
+    assert."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands > max_hamming "
+            f"(got {n_bands}): with ≤{n_bands - 1} differing bands no "
+            "longer guaranteed, near-dups would silently slip the screen"
+        )
+    if 64 % n_bands:
+        raise ValueError(
+            f"n_bands={n_bands} must divide 64 — a remainder leaves the "
+            "top 64 % n_bands bits out of every band"
+        )
     new_sig = simhash(new_docs, text_col, id_col, shingle_k=shingle_k).select(
         id_col, "simhash"
     )

@@ -36,8 +36,18 @@ def morton_sql(cols: list[str], bits: int = 16) -> str:
     """Portable SQL for the Morton interleave of already-bucketed
     BIGINT columns in [0, 2^bits).  Bit j of column i lands at output
     position j*len(cols)+i — distinct positions, so the terms combine
-    with + (engine-portable; no bit_or chain needed)."""
+    with + (engine-portable; no bit_or chain needed).
+
+    Requires ``len(cols) * bits <= 63``: position 63 would emit the
+    literal ``1 << 63``, which overflows bigint and silently widens
+    the sum to decimal (or throws under ANSI).  Callers clustering
+    more columns must lower ``bits`` — e.g. 4 cols → bits<=15."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"morton code needs {n * bits} bits but a signed bigint "
+            f"holds 63 — lower bits to <= {63 // n} for {n} columns"
+        )
     terms = [
         f"(({c} >> {j}) & 1) * {1 << (j * n + i)}"
         for j in range(bits)
@@ -67,7 +77,15 @@ def with_zorder(
     """Append the Morton code of ``cols`` (numeric) as ``z_col``.
     Global min/max per column come from one fused aggregate broadcast
     as a single row — no driver round-trip, no second scan job beyond
-    the tiny bounds pass."""
+    the tiny bounds pass.  ``len(cols) * bits`` must stay <= 63
+    (morton_sql's bigint contract — validated up front so the error
+    names the knob, not the overflow)."""
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder on {len(cols)} columns needs bits <= "
+            f"{63 // len(cols)} (got bits={bits}): the interleaved "
+            "code must fit a signed bigint"
+        )
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],

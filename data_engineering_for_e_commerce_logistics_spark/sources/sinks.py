@@ -164,7 +164,15 @@ def generate_cdc(
     single wide exchange a MERGE needs; per-column null-safe compares
     are expression work inside codegen.  At 100 TB this is how a
     rebuilt table ships to consumers as a delta instead of a full
-    re-copy."""
+    re-copy.
+
+    PRECONDITION: ``key_columns`` must be unique within EACH snapshot
+    (the usual primary-key contract both MERGE and CDC assume).
+    Duplicate keys fan out in the full-outer join and emit duplicate /
+    contradictory I-U-D rows, breaking the round-trip law — dedup on
+    the key first (``dedup_rows`` keep-first) if the source cannot
+    guarantee it.  Not asserted here: validating would add a count
+    pass per call; the property test exercises the contract instead."""
     if set(old.columns) != set(new.columns):
         raise ValueError(
             f"schema mismatch: {sorted(old.columns)} vs {sorted(new.columns)}"

@@ -187,3 +187,61 @@ def test_incremental_simhash_dedup_flow(spark):
     ids = sorted(r.doc_id for r in fresh.collect())
     assert ids == [11], ids
     assert sorted(r.doc_id for r in delta.collect()) == [11]
+
+
+def test_incremental_simhash_banding_contract(spark):
+    """ADVICE r04: the pigeonhole screen silently misses near-dups when
+    max_hamming >= n_bands or 64 % n_bands != 0 — both now raise."""
+    import pytest
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_simhash_dedup,
+    )
+
+    b = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    idx = spark.createDataFrame([(2, 0)], "doc_id int, simhash long")
+    with pytest.raises(ValueError, match="n_bands"):
+        incremental_simhash_dedup(b, idx, max_hamming=4, n_bands=4)
+    with pytest.raises(ValueError, match="divide 64"):
+        incremental_simhash_dedup(b, idx, max_hamming=2, n_bands=7)
+
+
+def test_incremental_exact_dedup_counts_batch_copies(spark):
+    """ADVICE r04: n_copies in the index delta is the WITHIN-BATCH copy
+    count (3 copies of one text -> n_copies=3), not a hard-coded 1."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    b = spark.createDataFrame(
+        [(1, "same text"), (2, "same  TEXT "), (3, "same text"), (4, "other")],
+        "doc_id int, text string",
+    )
+    _, delta = incremental_exact_dedup(b, None)
+    got = {r.kept_id: r.n_copies for r in delta.collect()}
+    assert got == {1: 3, 4: 1}
+
+
+def test_incremental_exact_dedup_bloom_prunes_index_side(spark):
+    """ADVICE r04 (medium): the bloom is built from the BATCH and
+    pre-prunes the INDEX leg of the anti join — steady-state shuffle
+    stays batch-sized.  Plan check: the bloom membership Filter sits on
+    the side feeding the index scan, and results equal the plain anti."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    batch = spark.createDataFrame(
+        [(i, f"doc number {i}") for i in range(5)], "doc_id int, text string"
+    )
+    # "huge" index: 500 digests, none matching the batch
+    idx = spark.createDataFrame(
+        [(f"{i:032x}", i, 1) for i in range(500)],
+        "fingerprint string, kept_id int, n_copies long",
+    )
+    fresh, _ = incremental_exact_dedup(batch, idx, bloom_bits=1 << 12)
+    plan = fresh._jdf.queryExecution().optimizedPlan().toString()
+    # the index relation must sit BELOW a bloom-words filter (pruned
+    # before the anti join), i.e. the plan contains the membership test
+    assert "__bloom_words" in plan
+    assert fresh.count() == 5

@@ -222,3 +222,18 @@ def test_with_zorder_null_values_bucket_low(spark):
     z = layout.with_zorder(df, ["a", "b"], bits=4)
     rows = {r.a: r["__zorder"] for r in z.collect()}
     assert len(rows) == 3 and all(v is not None for v in rows.values())
+
+
+def test_morton_bigint_overflow_guard(spark):
+    """ADVICE r04: len(cols)*bits > 63 would emit a 1<<63 literal that
+    silently widens past bigint — both entry points now raise."""
+    import pytest
+
+    with pytest.raises(ValueError, match="63"):
+        layout.morton_sql(["a", "b", "c", "d"], 16)
+    df = spark.range(4).selectExpr("id a", "id b", "id c", "id d")
+    with pytest.raises(ValueError, match="bits"):
+        layout.with_zorder(df, ["a", "b", "c", "d"], bits=16)
+    # the documented fallback works: 4 cols at bits=15 stays in range
+    z = layout.with_zorder(df, ["a", "b", "c", "d"], bits=15)
+    assert z.count() == 4
