@@ -20,29 +20,20 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r04 window: positions 3-11 are new or changed this round (the
-bloom-pruned semi join, z-order encoding, sketch bounds twin +
-SemDeDup trained-centroid composition are new; rfm_segments/
-order_value_deciles got the cache-lifetime fix,
-dedup_simhash/_pairs the bits<=64 contract, and
-dedup_embedding_cosine a threshold that actually fires on the
-synthetic corpus), 12-50 are the 39 queries whose green row dates
-from r02 (VERDICT r03 item 1: the registry's own staleness
-invariant); the exact/minhash/cluster dedup sentries sit just past
-the window with fresh r03 evidence.
+r05 window: positions 3-7 are NEW this round — the incremental-dedup
+family's driver proofs (VERDICT r04 "What's missing" #1: exact digest
+index, minhash signature index, simhash fingerprint index — each a
+two-batch ingest whose oracle replays the screen in plain SQL), the
+bloom-split upsert invariance twin (the r04 rotation note's earmark),
+and the manifest-planned pruned scan (VERDICT r04 ask #4).  Positions
+8-50 are the 43 specs whose last green row dates from r03 (computed
+from CORRECTNESS_r03 ∖ CORRECTNESS_r04 — the registry's staleness
+invariant, VERDICT r04 ask #1).  Positions 51+ are the 48 specs green
+in r04.  2 + 5 + 43 = 50 exactly: the window is full and nothing
+oracle-paired goes two rounds unverified.
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
 verified slot.
-
-r05 rotation note: when the backlog drains, consider registered
-invariance twins for (a) the bloom-split upsert (upsert via
-bloom_anti_join vs the plain-SQL MERGE oracle — the salted_rollup
-precedent: driver-proving that an internal shuffle optimization
-never changes results) and (b) the incremental dedup screens'
-fresh-row projections (batch ⟕anti index is plain SQL).  Both have
-property/unit coverage today but no driver row; they did not fit
-r04's window without evicting one of the 39 staleness-backlog
-queries.
 """
 
 from __future__ import annotations
@@ -71,7 +62,212 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-10: NEW or CHANGED since the last verified round ----------------
+# --- 3-7: NEW this round -----------------------------------------------
+register(
+    "incremental_exact_fresh",
+    xq.incremental_exact_fresh,
+    xq.INCREMENTAL_EXACT_SQL,
+    ("dedup", "incremental", "bloom", "index-screen"),
+)
+register(
+    "incremental_minhash_fresh",
+    xq.incremental_minhash_fresh,
+    xq.INCREMENTAL_MINHASH_SQL,
+    ("dedup", "incremental", "lsh", "index-screen"),
+)
+register(
+    "incremental_simhash_fresh",
+    xq.incremental_simhash_fresh,
+    xq.INCREMENTAL_SIMHASH_SQL,
+    ("dedup", "incremental", "simhash", "index-screen"),
+)
+register(
+    "upsert_bloom_orders",
+    rq.upsert_bloom_orders,
+    rq.UPSERT_BLOOM_SQL,
+    ("sink", "merge", "bloom", "invariance-twin"),
+)
+register(
+    "manifest_pruned_orders",
+    rq.manifest_pruned_orders,
+    rq.MANIFEST_PRUNED_SQL,
+    ("layout", "manifest", "data-skipping", "agg"),
+)
+
+# --- 8-50: rotation backlog — last green row dates from r03 ------------
+register(
+    "semdedup_pairs",
+    gq.semdedup_pairs,
+    gq.SEMDEDUP_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup"),
+)
+register(
+    "corpus_lm_quality",
+    xc.corpus_lm_quality,
+    xc.CORPUS_LM_QUALITY_SQL,
+    ("corpus", "quality", "lm"),
+)
+register(
+    "ivm_spend_refresh",
+    rq.ivm_spend_refresh,
+    rq.IVM_SPEND_REFRESH_SQL,
+    ("sink", "ivm", "incremental"),
+)
+register(
+    "corpus_chunk_documents",
+    xc.corpus_chunk_documents,
+    xc.CORPUS_CHUNK_SQL,
+    ("corpus", "chunking"),
+)
+register(
+    "salted_rollup_events",
+    rq.salted_rollup_events,
+    rq.SALTED_ROLLUP_SQL,
+    ("agg", "skew", "salted"),
+)
+register(
+    "customer_rolling_7d_spend",
+    aq.customer_rolling_7d_spend,
+    aq.CUSTOMER_ROLLING_7D_SQL,
+    ("window", "range-frame", "temporal"),
+)
+register(
+    "graph_degree_profile",
+    gq.graph_degree_profile,
+    gq.GRAPH_DEGREE_PROFILE_SQL,
+    ("graph", "degree"),
+)
+register(
+    "graph_triangle_count",
+    gq.graph_triangle_count,
+    gq.GRAPH_TRIANGLE_COUNT_SQL,
+    ("graph", "triangles"),
+)
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register(
+    "asof_events_orders",
+    aq.asof_events_orders,
+    aq.ASOF_EVENTS_ORDERS_SQL,
+    ("join", "asof", "temporal"),
+)
+register(
+    "q3_shipping_priority",
+    aq.q3_shipping_priority,
+    aq.Q3_SHIPPING_PRIORITY_SQL,
+    ("join", "agg", "topk"),
+)
+register(
+    "events_sessionize",
+    rq.events_sessionize,
+    rq.EVENTS_SESSIONIZE_SQL,
+    ("window", "session"),
+)
+register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
+register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register(
+    "coerce_timestamps_orders",
+    cq.coerce_timestamps_orders,
+    cq.COERCE_TIMESTAMPS_SQL,
+    ("timestamps",),
+)
+register(
+    "normalize_strings_customer",
+    cq.normalize_strings_customer,
+    cq.NORMALIZE_STRINGS_SQL,
+    ("strings",),
+)
+register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register(
+    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+)
+register(
+    "customer_running_spend",
+    rq.customer_running_spend,
+    rq.CUSTOMER_RUNNING_SPEND_SQL,
+    ("window",),
+)
+register(
+    "correlated_above_avg_orders",
+    aq.correlated_above_avg_orders,
+    aq.CORRELATED_ABOVE_AVG_SQL,
+    ("subquery",),
+)
+register(
+    "customer_spend_slope",
+    aq.customer_spend_slope,
+    aq.CUSTOMER_SPEND_SLOPE_SQL,
+    ("agg", "regression"),
+)
+register(
+    "scalar_functions_part",
+    gq.scalar_functions_part,
+    gq.SCALAR_FUNCTIONS_SQL,
+    ("scalar",),
+)
+register(
+    "array_functions_documents",
+    fq.array_functions_documents,
+    fq.ARRAY_FUNCTIONS_SQL,
+    ("scalar", "array"),
+)
+register(
+    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
+)
+register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
+register(
+    "explode_document_tokens",
+    rq.explode_document_tokens,
+    rq.EXPLODE_TOKENS_SQL,
+    ("explode",),
+)
+register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
+register(
+    "agg_cardinality_lineitem",
+    rq.agg_cardinality_lineitem,
+    rq.AGG_CARDINALITY_SQL,
+    ("agg",),
+)
+register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
+register(
+    "struct_flatten_roundtrip",
+    rq.struct_flatten_roundtrip,
+    rq.STRUCT_FLATTEN_SQL,
+    ("struct",),
+)
+register(
+    "region_nation_list",
+    aq.region_nation_list,
+    aq.REGION_NATION_LIST_SQL,
+    ("agg", "string-agg"),
+)
+register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
+register(
+    "dedup_ngram_jaccard",
+    xq.dedup_ngram_jaccard,
+    xq.DEDUP_NGRAM_JACCARD_SQL,
+    ("dedup", "all-pairs", "bounded-baseline"),
+)
+register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
+register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
+register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
+register(
+    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
+)
+register(
+    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
+)
+register(
+    "dedup_clusters",
+    gq.dedup_clusters,
+    gq.DEDUP_CLUSTERS_SQL,
+    ("dedup", "iterative", "graph"),
+)
+
+# --- 51+: green in r04 (freshest evidence; next round's backlog) -------
 register(
     "bloom_semi_lineitem",
     rq.bloom_semi_lineitem,
@@ -126,8 +322,6 @@ register(
     xq.DEDUP_EMBEDDING_COSINE_SQL,
     ("dedup", "similarity", "all-pairs", "bounded-baseline"),
 )
-
-# --- 9-47: rotation backlog — last green row dates from r02 ------------
 register("text_fingerprint", xq.text_fingerprint, xq.TEXT_FINGERPRINT_SQL, ("text",))
 register("embedding_topk", xq.embedding_topk, xq.EMBEDDING_TOPK_SQL, ("similarity",))
 register("embedding_ann", xq.embedding_ann, xq.EMBEDDING_ANN_SQL, ("similarity",))
@@ -336,181 +530,6 @@ register(
     aq.WINDOW_TIME_ORDERS_SQL,
     ("window", "scalar", "time", "merged-variants"),
 )
-
-# --- 48-50: training-data-pipeline sentries (green r03, re-proven) -----
-register(
-    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
-)
-register(
-    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
-)
-register(
-    "dedup_clusters",
-    gq.dedup_clusters,
-    gq.DEDUP_CLUSTERS_SQL,
-    ("dedup", "iterative", "graph"),
-)
-
-# --- 51+: green in r03 (freshest evidence; next round's backlog) -------
-register(
-    "semdedup_pairs",
-    gq.semdedup_pairs,
-    gq.SEMDEDUP_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup"),
-)
-register(
-    "corpus_lm_quality",
-    xc.corpus_lm_quality,
-    xc.CORPUS_LM_QUALITY_SQL,
-    ("corpus", "quality", "lm"),
-)
-register(
-    "ivm_spend_refresh",
-    rq.ivm_spend_refresh,
-    rq.IVM_SPEND_REFRESH_SQL,
-    ("sink", "ivm", "incremental"),
-)
-register(
-    "corpus_chunk_documents",
-    xc.corpus_chunk_documents,
-    xc.CORPUS_CHUNK_SQL,
-    ("corpus", "chunking"),
-)
-register(
-    "salted_rollup_events",
-    rq.salted_rollup_events,
-    rq.SALTED_ROLLUP_SQL,
-    ("agg", "skew", "salted"),
-)
-register(
-    "customer_rolling_7d_spend",
-    aq.customer_rolling_7d_spend,
-    aq.CUSTOMER_ROLLING_7D_SQL,
-    ("window", "range-frame", "temporal"),
-)
-register(
-    "graph_degree_profile",
-    gq.graph_degree_profile,
-    gq.GRAPH_DEGREE_PROFILE_SQL,
-    ("graph", "degree"),
-)
-register(
-    "graph_triangle_count",
-    gq.graph_triangle_count,
-    gq.GRAPH_TRIANGLE_COUNT_SQL,
-    ("graph", "triangles"),
-)
-register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
-register(
-    "asof_events_orders",
-    aq.asof_events_orders,
-    aq.ASOF_EVENTS_ORDERS_SQL,
-    ("join", "asof", "temporal"),
-)
-register(
-    "q3_shipping_priority",
-    aq.q3_shipping_priority,
-    aq.Q3_SHIPPING_PRIORITY_SQL,
-    ("join", "agg", "topk"),
-)
-register(
-    "events_sessionize",
-    rq.events_sessionize,
-    rq.EVENTS_SESSIONIZE_SQL,
-    ("window", "session"),
-)
-register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
-register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
-register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
-register(
-    "coerce_timestamps_orders",
-    cq.coerce_timestamps_orders,
-    cq.COERCE_TIMESTAMPS_SQL,
-    ("timestamps",),
-)
-register(
-    "normalize_strings_customer",
-    cq.normalize_strings_customer,
-    cq.NORMALIZE_STRINGS_SQL,
-    ("strings",),
-)
-register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
-register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
-register(
-    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
-)
-register(
-    "customer_running_spend",
-    rq.customer_running_spend,
-    rq.CUSTOMER_RUNNING_SPEND_SQL,
-    ("window",),
-)
-register(
-    "correlated_above_avg_orders",
-    aq.correlated_above_avg_orders,
-    aq.CORRELATED_ABOVE_AVG_SQL,
-    ("subquery",),
-)
-register(
-    "customer_spend_slope",
-    aq.customer_spend_slope,
-    aq.CUSTOMER_SPEND_SLOPE_SQL,
-    ("agg", "regression"),
-)
-register(
-    "scalar_functions_part",
-    gq.scalar_functions_part,
-    gq.SCALAR_FUNCTIONS_SQL,
-    ("scalar",),
-)
-register(
-    "array_functions_documents",
-    fq.array_functions_documents,
-    fq.ARRAY_FUNCTIONS_SQL,
-    ("scalar", "array"),
-)
-register(
-    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
-)
-register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
-register(
-    "explode_document_tokens",
-    rq.explode_document_tokens,
-    rq.EXPLODE_TOKENS_SQL,
-    ("explode",),
-)
-register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
-register(
-    "agg_cardinality_lineitem",
-    rq.agg_cardinality_lineitem,
-    rq.AGG_CARDINALITY_SQL,
-    ("agg",),
-)
-register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
-register(
-    "struct_flatten_roundtrip",
-    rq.struct_flatten_roundtrip,
-    rq.STRUCT_FLATTEN_SQL,
-    ("struct",),
-)
-register(
-    "region_nation_list",
-    aq.region_nation_list,
-    aq.REGION_NATION_LIST_SQL,
-    ("agg", "string-agg"),
-)
-register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
-register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
-register(
-    "dedup_ngram_jaccard",
-    xq.dedup_ngram_jaccard,
-    xq.DEDUP_NGRAM_JACCARD_SQL,
-    ("dedup", "all-pairs", "bounded-baseline"),
-)
-register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
-register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
-register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
 
 # --- last: rows-only specs (no oracle by design) -----------------------
 register(

@@ -193,6 +193,41 @@ UNION ALL
 SELECT * FROM updates
 """
 
+def upsert_bloom_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-split MERGE invariance twin (the r04 rotation note's
+    candidate, now registered): identical semantics to
+    ``upsert_orders`` but the target⟕anti⟕updates leg routes through
+    ``operators.bloom.bloom_anti_join`` — target rows missing the
+    update-batch's bloom are provably unmatched and bypass the anti
+    join's exchange.  The oracle is the PLAIN MERGE SQL, so the green
+    hash is a driver proof that the bloom split never changes results
+    (the salted_rollup precedent: driver-proving an internal shuffle
+    optimization is semantics-free).  2^18 bits ≈ 12 bits/key for the
+    sf0.1 update batch (~21 K keys) keeps fp under 1%."""
+    from ..operators.bloom import bloom_anti_join
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    updates = o.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice", exact_round(F.col("o_totalprice") * 1.05, 2)
+    )
+    unmatched = bloom_anti_join(o, updates, "o_orderkey", num_bits=1 << 18)
+    return unmatched.unionByName(updates)
+
+
+UPSERT_BLOOM_SQL = f"""
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         {sql_exact_round("o_totalprice * 1.05", 2)} AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 7 = 0
+)
+SELECT * FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.o_orderkey = o.o_orderkey)
+UNION ALL
+SELECT * FROM updates
+"""
+
+
 # --- J4: FK referential actions (cascade delete) ---------------------------
 
 
@@ -758,3 +793,44 @@ SELECT o_orderkey, {morton_sql(['b0', 'b1'], 16)} AS zvalue FROM b
 
 
 ZORDER_ORDERS_SQL = _zorder_orders_sql()
+
+
+def manifest_pruned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end manifest-planned scan (VERDICT r04 ask #4): write a
+    z-ordered copy of orders, derive the per-file min/max manifest,
+    then answer a selective customer-range aggregate by opening ONLY
+    the files whose envelope intersects the predicate.  The oracle
+    runs the plain predicate over the logical table — EXACTNESS is
+    what the driver hash checks (the envelope test is necessary, not
+    sufficient, and read_pruned re-applies the predicate); the
+    file-skip COUNT is asserted in tests/test_layout.py where it
+    belongs.  At 100 TB this is the planner path every table format
+    runs: manifest rows ≈ #files, the pruned read touches the
+    selectivity fraction of files, and the z-order layout is what
+    makes the envelopes narrow enough to skip on a non-sort column."""
+    import tempfile
+
+    from ..operators.layout import file_manifest, read_pruned, write_zorder
+
+    o = load_tables(spark, sf_dir, ("orders",))["orders"]
+    path = tempfile.mkdtemp(prefix="manifest_pruned_") + "/orders_z"
+    write_zorder(
+        o, ["o_custkey", "o_totalprice"], path, bits=16, num_files=16
+    )
+    z = spark.read.parquet(path)
+    manifest = file_manifest(z, ["o_custkey", "o_totalprice"])
+    pruned = read_pruned(spark, manifest, "o_custkey", 100, 200)
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(sql_exact_sum("o_totalprice", 2)).alias("sum_price"),
+    )
+
+
+MANIFEST_PRUNED_SQL = f"""
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       {sql_exact_sum("o_totalprice", 2)} AS sum_price
+FROM orders
+WHERE o_custkey BETWEEN 100 AND 200
+GROUP BY o_orderstatus
+"""

@@ -154,3 +154,21 @@ def test_never_checked_specs_sit_inside_window():
         if i >= 50 and s.oracle is not None and n not in checked
     ]
     assert outside == [], outside
+
+
+def test_every_spec_benched_or_explicitly_excluded():
+    """VERDICT r04 ask #7: no silently-unbenched registry spec — every
+    name is either in HEADLINE (timed) or in BENCH_EXCLUDED (with a
+    documented reason in bench.py), and never both."""
+    sys.path.insert(0, _REPO)
+    from data_engineering_for_e_commerce_logistics_spark.plans.registry import (
+        all_specs,
+    )
+
+    specs = set(all_specs())
+    benched = set(bench.HEADLINE)
+    silent = specs - benched - bench.BENCH_EXCLUDED
+    assert silent == set(), silent
+    assert benched & bench.BENCH_EXCLUDED == set()
+    # the exclusion list names only real specs (no typo rot)
+    assert bench.BENCH_EXCLUDED <= specs
