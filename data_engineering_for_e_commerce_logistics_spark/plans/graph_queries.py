@@ -808,12 +808,20 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the scale path for embedding dedup: the quadratic pair
     scan that dedup_embedding_cosine bounds to small inputs runs here
-    per-cell, where cell size is controlled by the centroid count
-    (k-means-refined in production; sqrt(n) cells keep expected cell
-    size sqrt(n)).  One broadcast join for assignment, one cell-keyed
-    self-join, one bounded per-cell window — no global pair
-    explosion.  Cosines are strict left-fold sums, bit-equal to the
-    DuckDB oracle's list_reduce."""
+    per-cell, where cell size is controlled by the centroid count.
+    The seed-centroid count AUTO-SCALES as ceil(sqrt(n)) (r05, from
+    the measured sf0.5 lesson: holding it fixed at 8 made per-cell
+    pair mining superlinear — 53× wall at 5× data; sqrt(n) cells keep
+    expected cell size sqrt(n) and the pair scan ~linear).  The count
+    rides along as a 1-row broadcast (no driver pull), and the oracle
+    computes the identical scalar subquery, so the knob itself is
+    driver-verified.  ``semdedup_trained_pairs`` remains the
+    production entry (k-means-refined centroids, explicit k); this
+    seed variant is the cheap first-pass with a now-safe default.
+    One broadcast join for assignment, one cell-keyed self-join, one
+    bounded per-cell window — no global pair explosion.  Cosines are
+    strict left-fold sums, bit-equal to the DuckDB oracle's
+    list_reduce."""
     from pyspark.sql import Window
 
     from ..operators.similarity import _as_double_vec, _fold_sum
@@ -824,9 +832,14 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
     )
-    centroids = vecs.select(
-        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
-    ).filter(F.col("centroid_id") < N_CENTROIDS)
+    k = vecs.agg(
+        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("__k")
+    )
+    centroids = (
+        vecs.crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("__k"))
+        .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
+    )
     scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
         "dist",
         _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))),
@@ -880,7 +893,8 @@ n AS (
          sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
   FROM e
 ),
-c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
 scored AS (
   SELECT n.vec_id, n.v, n.nrm, c.centroid_id,
          list_reduce(list_transform(list_zip(n.v, c.cv),

@@ -140,6 +140,53 @@ def build_sf05() -> None:
     conn.close()
 
 
+def incremental_rehearsal(spark) -> None:
+    """r05 (VERDICT r04 ask #6): the defining property of the
+    incremental-dedup design is that PER-BATCH cost stays flat as the
+    INDEX grows — steady-state shuffle ≈ |batch| + fp·|index|, not
+    |index|.  Rehearse it at sf0.5: ingest the five 5 K-doc replicas
+    as consecutive batches against a persisted digest index (grows
+    0 → 20 K while the batch stays 5 K), timing screen + delta-append
+    per batch; then replay batch 0 as a sixth batch to prove the
+    screen catches 100% of a full re-ingest (fresh = 0) at the
+    largest index."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
+    idx_path = os.path.join(_REPO, ".scale", "inc_index")
+    shutil.rmtree(idx_path, ignore_errors=True)
+    out = []
+    batches = list(range(N_REPLICAS)) + [0]  # final: replay batch 0
+    for step, r in enumerate(batches):
+        batch = docs.where(F.floor(F.col("doc_id") / SHIFT) == r)
+        have_idx = os.path.exists(idx_path)
+        idx = spark.read.parquet(idx_path) if have_idx else None
+        idx_before = idx.count() if have_idx else 0
+        t0 = time.time()
+        fresh, delta = incremental_exact_dedup(batch, idx, bloom_bits=1 << 20)
+        delta.write.mode("append").parquet(idx_path)
+        n_fresh = (
+            spark.read.parquet(idx_path).count() - idx_before
+        )  # appended rows == fresh digests, no second job over the batch
+        sec = round(time.time() - t0, 2)
+        row = {
+            "step": step,
+            "replica": r,
+            "index_before": idx_before,
+            "fresh": n_fresh,
+            "sec": sec,
+        }
+        out.append(row)
+        print(f"incremental batch {row}")
+    print(json.dumps({"incremental_exact_sf0.5": out}, indent=1))
+
+
 def main() -> None:
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(DST, "embeddings.parquet")
@@ -156,6 +203,10 @@ def main() -> None:
     sc = spark.sparkContext
     specs = all_specs()
     results: dict[str, dict] = {}
+
+    if "--incremental" in sys.argv:
+        incremental_rehearsal(spark)
+        return
 
     # optional positional names: rehearse a subset (e.g. new queries)
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
