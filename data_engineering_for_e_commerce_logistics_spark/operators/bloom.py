@@ -172,21 +172,43 @@ def _barrier_join(
     return tagged.join(keys, cond, how).drop("__bloom_tag")
 
 
+def bloom_auto_size(
+    keys: DataFrame, key_col: str, fpp: float = 0.01
+) -> tuple[int, int]:
+    """(num_bits, num_hashes) sized for the ACTUAL build-side key
+    cardinality: one ``approx_count_distinct`` pass feeds
+    ``bloom_sizing``.  The r04 measurements are why this exists — an
+    undersized filter saturates silently (2^16 bits at 30 K keys →
+    ~60% fp, pruning power 1.49× instead of 4.98×) and an oversized
+    one wastes broadcast bytes; neither affects correctness, which is
+    exactly why the mis-sizing goes unnoticed without a knob that
+    tracks n.  The single-scalar driver pull is the same bounded
+    planner action every cost-based optimizer performs (HLL ±2% error
+    moves m by ±2%, far inside the sizing slack)."""
+    n = keys.agg(F.approx_count_distinct(key_col).alias("n")).first()["n"]
+    return bloom_sizing(int(n), fpp)
+
+
 def bloom_semi_join(
     probe: DataFrame,
     build: DataFrame,
     probe_key: str,
     build_key: str | None = None,
-    num_bits: int = 1 << 20,
+    num_bits: int | None = 1 << 20,
     num_hashes: int = 5,
+    fpp: float = 0.01,
 ) -> DataFrame:
     """EXACT left-semi join with bloom pre-pruning: semantically
     identical to ``probe.join(build, key, 'left_semi')``; the bloom
     pass just keeps non-matching probe rows out of the semi join's
     shuffle.  At 100 TB this is the difference between exchanging the
-    full fact table and exchanging only the ~selectivity fraction."""
+    full fact table and exchanging only the ~selectivity fraction.
+    ``num_bits=None`` auto-sizes from the build-side cardinality via
+    ``bloom_auto_size`` (then ``num_hashes`` is derived too)."""
     build_key = build_key or probe_key
     keys = build.select(F.col(build_key).alias(probe_key)).distinct()
+    if num_bits is None:
+        num_bits, num_hashes = bloom_auto_size(keys, probe_key, fpp)
     bloom = bloom_build(keys, probe_key, num_bits, num_hashes)
     pruned = bloom_prune(probe, probe_key, bloom, num_bits, num_hashes)
     return _barrier_join(pruned, keys, probe_key, "left_semi")
@@ -197,8 +219,9 @@ def bloom_anti_join(
     right: DataFrame,
     left_key: str,
     right_key: str | None = None,
-    num_bits: int = 1 << 20,
+    num_bits: int | None = 1 << 20,
     num_hashes: int = 5,
+    fpp: float = 0.01,
 ) -> DataFrame:
     """EXACT left-anti join with bloom splitting — the MERGE/upsert
     accelerator.  A plain ``target ⟕anti batch`` shuffles the WHOLE
@@ -211,9 +234,12 @@ def bloom_anti_join(
     At 100 TB this is the row-level analogue of Delta/Iceberg's
     file-level MERGE pruning: anti-join shuffle volume drops from
     |target| to ≈|matches|, and the pass-through branch is a pure
-    scan-stage filter."""
+    scan-stage filter.  ``num_bits=None`` auto-sizes from the
+    build-side cardinality via ``bloom_auto_size``."""
     right_key = right_key or left_key
     keys = right.select(F.col(right_key).alias(left_key)).distinct()
+    if num_bits is None:
+        num_bits, num_hashes = bloom_auto_size(keys, left_key, fpp)
     bloom = bloom_build(keys, left_key, num_bits, num_hashes)
     tagged = left.crossJoin(F.broadcast(bloom))
     test = bloom_might_contain(F.col(left_key), num_bits, num_hashes)

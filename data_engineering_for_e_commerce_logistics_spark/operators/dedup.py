@@ -560,11 +560,17 @@ def incremental_minhash_dedup(
     Scale shape: one signature pass over the BATCH only; the band join
     shuffles on bucket keys (persist the banded index too at corpus
     scale to skip re-banding); per-candidate verify is K column
-    compares against two broadcast-or-hash-joined signature rows."""
+    compares against two broadcast-or-hash-joined signature rows.
+    The batch signature frame is CACHED: it feeds the band
+    expansion, the verify join, and both outputs — without the cache
+    each reference re-derives the shingle→md5→min aggregation (r05,
+    measured 3× sig recompute in the registered two-batch spec).  The
+    cache is K longs per batch doc; the INDEX is deliberately not
+    cached (caller-owned, corpus-sized, usually a parquet scan)."""
     sig_cols = [f"mh{i}" for i in range(num_hashes)]
     new_sig = minhash_signature(
         new_docs, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
-    )
+    ).cache()
     if sig_index is None:
         fresh_ids = new_sig.select(id_col)
     else:
@@ -669,9 +675,13 @@ def incremental_simhash_dedup(
             f"n_bands={n_bands} must divide 64 — a remainder leaves the "
             "top 64 % n_bands bits out of every band"
         )
+    # cached for the same reason as incremental_minhash_dedup: the
+    # simhash subtree (shingle explode → md5 → 64 vote sums) feeds
+    # bands + anti join + both outputs; 16 bytes/doc buys back a 3×
+    # recompute (r05 bench: 8.6s → ~3s on the registered spec).
     new_sig = simhash(new_docs, text_col, id_col, shingle_k=shingle_k).select(
         id_col, "simhash"
-    )
+    ).cache()
     if sig_index is None:
         fresh_ids = new_sig.select(id_col)
     else:

@@ -359,3 +359,98 @@ def brute_force_topk_arrow(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def two_level_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cv",
+    n_super: int | None = None,
+) -> DataFrame:
+    """Coarse-routed (two-level) centroid assignment — the sub-n·k
+    path the sf0.5 SemDeDup rehearsal points at.  Flat broadcast
+    assignment costs n·k distance evaluations; once k tracks sqrt(n)
+    (the SemDeDup cell rule) that is n^1.5 total work.  Routing
+    through a coarse level cuts it to ≈ 2n·sqrt(k):
+
+    1. the first ``n_super`` centroids (by id — the deterministic
+       seed convention used everywhere here) become SUPER-centroids;
+       every centroid is grouped under its nearest super (k×n_super
+       work — trivial);
+    2. each vector routes to its nearest super (n·n_super, broadcast
+       scored), then scores ONLY that super's centroid group
+       (n·k/n_super expected, one broadcast join on super_id).
+
+    With ``n_super = ceil(sqrt(k))`` both levels cost n·sqrt(k).
+    APPROXIMATE by construction: a vector whose true nearest centroid
+    lives under a different super mis-assigns (recall measured in
+    tests; exactness returns when ``n_super == k`` since every
+    centroid is then its own super and level 2 degenerates to the
+    flat scan of a 1-centroid group... with level 1 doing the real
+    work).  Every step is deterministic (dist asc, id asc ties), so
+    the operator is SQL-oracle-able for a future registry slot.
+
+    Returns (id_col, cell) like ``kmeans`` — drop-in for the SemDeDup
+    assignment stage.  100 TB shape: two broadcast joins (supers ≈
+    sqrt(k) rows, grouped centroids k rows — megabytes at k=10^4),
+    zero shuffles before the caller's per-cell work."""
+    import math
+
+    vecs = df.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        _as_double_vec(centroid_vec_col).alias("__cv"),
+    )
+    if n_super is None:
+        k = cents.count()  # centroid table: bounded, planner-sized pull
+        n_super = max(1, math.ceil(math.sqrt(k)))
+
+    sq = lambda a, b: _fold_sum(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    )
+
+    # level-0: the first n_super centroids by id are the supers
+    w_seed = Window.orderBy("__cid")
+    supers = (
+        cents.withColumn("__srn", F.row_number().over(w_seed))
+        .filter(F.col("__srn") <= n_super)
+        .select(F.col("__cid").alias("__sid"), F.col("__cv").alias("__sv"))
+    )
+    # group every centroid under its nearest super (k × n_super)
+    w_c = Window.partitionBy("__cid").orderBy(
+        F.col("__sdist").asc(), F.col("__sid").asc()
+    )
+    grouped = (
+        F.broadcast(supers)
+        .crossJoin(cents)
+        .withColumn("__sdist", sq(F.col("__cv"), F.col("__sv")))
+        .withColumn("__rn", F.row_number().over(w_c))
+        .filter(F.col("__rn") == 1)
+        .select("__sid", "__cid", "__cv")
+    )
+    # level-1: route each vector to its nearest super
+    w_v = Window.partitionBy(id_col).orderBy(
+        F.col("__sdist").asc(), F.col("__sid").asc()
+    )
+    routed = (
+        F.broadcast(supers)
+        .crossJoin(vecs)
+        .withColumn("__sdist", sq(F.col("v"), F.col("__sv")))
+        .withColumn("__rn", F.row_number().over(w_v))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "v", "__sid")
+    )
+    # level-2: exact scan of the routed super's centroid group only
+    w_f = Window.partitionBy(id_col).orderBy(
+        F.col("__dist").asc(), F.col("__cid").asc()
+    )
+    return (
+        routed.join(F.broadcast(grouped), "__sid")
+        .withColumn("__dist", sq(F.col("v"), F.col("__cv")))
+        .withColumn("__rn", F.row_number().over(w_f))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__cid").alias("cell"))
+    )

@@ -259,3 +259,26 @@ def test_bloom_sizing_degenerate():
 
     with _pt.raises(ValueError):
         bloom.bloom_sizing(100, fpp=1.5)
+
+
+def test_auto_sized_joins_exact_and_well_sized(spark, frames):
+    """num_bits=None sizes the filter from approx_count_distinct of
+    the build keys: results stay identical to the plain joins, and
+    the chosen m lands at ≈ -n·ln(p)/ln²2 for the true cardinality."""
+    probe, build = frames
+    semi = bloom.bloom_semi_join(probe, build, "k", num_bits=None)
+    want_semi = probe.join(build.distinct(), "k", "left_semi")
+    assert sorted(r.payload for r in semi.collect()) == sorted(
+        r.payload for r in want_semi.collect()
+    )
+    anti = bloom.bloom_anti_join(probe, build, "k", num_bits=None)
+    want_anti = probe.join(build.distinct(), "k", "left_anti")
+    assert sorted(r.payload for r in anti.collect()) == sorted(
+        r.payload for r in want_anti.collect()
+    )
+    n_true = build.distinct().count()
+    m, k = bloom.bloom_auto_size(build.distinct(), "k", fpp=0.01)
+    lo, _ = bloom.bloom_sizing(int(n_true * 0.9), 0.01)
+    hi, _ = bloom.bloom_sizing(int(n_true * 1.1), 0.01)
+    assert lo <= m <= hi  # HLL error stays inside sizing slack
+    assert 1 <= k <= 16
