@@ -454,3 +454,33 @@ def two_level_assign(
         .filter(F.col("__rn") == 1)
         .select(F.col(id_col), F.col("__cid").alias("cell"))
     )
+
+
+def semdedup_prune(
+    df: DataFrame,
+    pairs: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    score_col: str = "cosine",
+) -> DataFrame:
+    """SemDeDup's FINAL step (Abbas et al. 2023): given mined
+    within-cell near-dup pairs, produce the PRUNED corpus — drop
+    every item that is the higher id of some pair scoring >= tau,
+    keep everything else.  Matches the paper's keep-lowest-index rule
+    deterministically: an item survives iff no lower-id item sits
+    within tau of it in its cell (chains a~b~c with a<b<c drop both
+    b and c — the standard greedy transitive behavior).
+
+    Composes with either pair miner (``semdedup_pairs`` seed variant
+    or the trained-centroid path).  100 TB shape: the drop set is
+    |qualifying pairs| ids after a distinct — one short anti join
+    against the corpus, no new quadratic work; all the heavy lifting
+    already happened cell-bounded in the miner."""
+    drop = (
+        pairs.where(F.col(score_col) >= tau)
+        .select(F.col(id_b).alias(id_col))
+        .distinct()
+    )
+    return df.join(drop, id_col, "left_anti")

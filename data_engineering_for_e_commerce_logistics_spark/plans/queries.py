@@ -34,6 +34,14 @@ oracle-paired goes two rounds unverified.
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
 verified slot.
+
+r06 rotation note: the 48 specs at positions 51+ (green r04) become
+the backlog; new-spec candidates with unit coverage but no driver row
+yet are (a) ``similarity.two_level_assign`` — coarse-routed centroid
+assignment, deterministic and SQL-expressible (supers CTE → route →
+within-group nearest), and (b) a ``semdedup_prune`` keep-set spec
+composing pairs → drop-higher-id — both debuted r05 unit-first like
+the incremental family did in r04.
 """
 
 from __future__ import annotations

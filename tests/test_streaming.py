@@ -560,3 +560,66 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     kept = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
     assert kept == [1, 2, 11], kept
     assert spark.read.parquet(index).count() == 3
+
+
+def test_streaming_incremental_neardedup_foreachbatch(spark, tmp_path):
+    """Near-dup twin of the streaming ingest+dedup loop: micro-batches
+    screen against the persisted SIMHASH index, so a *slightly edited*
+    re-post arriving batches later is dropped (hamming <= 3) while
+    genuinely new content passes — the stateless-stream + persisted-
+    index pattern extends beyond exact matches."""
+    import os
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_simhash_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    toks = [f"w{i}" for i in range(120)]
+    spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id int, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def dedup_batch(batch_df, batch_id):
+        idx = (
+            batch_df.sparkSession.read.parquet(index)
+            if os.path.exists(index)
+            else None
+        )
+        fresh, delta = incremental_simhash_dedup(batch_df, idx, max_hamming=3)
+        fresh.persist()
+        fresh.write.mode("append").parquet(corpus)
+        delta.write.mode("append").parquet(index)
+        fresh.unpersist()
+
+    def run_once():
+        q = (
+            spark.readStream.schema("doc_id int, text string")
+            .parquet(src)
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(corpus).count() == 1
+
+    # later batch: a one-token edit of doc 1 (near-dup) + unrelated text
+    spark.createDataFrame(
+        [
+            (10, " ".join(toks[:-1] + ["zzz"])),
+            (11, " ".join(f"q{i}" for i in range(120))),
+        ],
+        "doc_id int, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 11], kept
+    assert spark.read.parquet(index).count() == 2

@@ -85,3 +85,68 @@ def test_two_level_assign_deterministic(emb, centroids):
     a = sorted(map(tuple, two_level_assign(emb, centroids).collect()))
     b = sorted(map(tuple, two_level_assign(emb, centroids).collect()))
     assert a == b
+
+
+def test_semdedup_prune_keep_lowest_and_chains(spark):
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(6)], "vec_id int, payload string"
+    )
+    # chain 0~1~2 (all >= tau), isolated pair 3~4 below tau, 5 alone
+    pairs = spark.createDataFrame(
+        [(0, 1, 0.99), (1, 2, 0.97), (3, 4, 0.5)],
+        "id_a int, id_b int, cosine double",
+    )
+    kept = sorted(
+        r.vec_id for r in semdedup_prune(corpus, pairs, tau=0.9).collect()
+    )
+    # 1 and 2 drop (higher side of a >=tau pair); 3,4 survive (below tau)
+    assert kept == [0, 3, 4, 5]
+
+
+def test_two_level_assign_matches_duckdb_oracle(spark, emb, centroids):
+    """Full cross-engine differential for the coarse-routed assignment
+    (pre-registration evidence for its r06 registry debut): DuckDB
+    replays supers → grouping → routing → within-group nearest with
+    the same strict-fold distance and (dist asc, id asc) ties."""
+    import duckdb
+
+    got = sorted(
+        map(tuple, two_level_assign(emb, centroids, n_super=4).collect())
+    )
+    dist = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    sql = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM read_parquet('{SF}/embeddings.parquet')
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+s AS (SELECT cid AS sid, cv AS sv FROM c WHERE cid < 4),
+grouped AS (
+  SELECT sid, cid, cv FROM (
+    SELECT s.sid, c.cid, c.cv, row_number() OVER (
+        PARTITION BY c.cid
+        ORDER BY {dist.format(a='c.cv', b='s.sv')} ASC, s.sid ASC) AS rn
+    FROM c, s) WHERE rn = 1
+),
+routed AS (
+  SELECT vec_id, v, sid FROM (
+    SELECT e.vec_id, e.v, s.sid, row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {dist.format(a='e.v', b='s.sv')} ASC, s.sid ASC) AS rn
+    FROM e, s) WHERE rn = 1
+)
+SELECT vec_id, cell FROM (
+  SELECT r.vec_id, g.cid AS cell, row_number() OVER (
+      PARTITION BY r.vec_id
+      ORDER BY {dist.format(a='r.v', b='g.cv')} ASC, g.cid ASC) AS rn
+  FROM routed r JOIN grouped g USING (sid)) WHERE rn = 1
+"""
+    want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
+    assert got == want
