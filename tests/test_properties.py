@@ -289,3 +289,83 @@ def test_incremental_dedup_converges_to_batch_dedup(spark, batches):
     fingerprints = [r[0] for r in index_rows]
     assert len(fingerprints) == len(set(fingerprints))  # no digest twice
     assert len(fingerprints) == len(set(all_texts))  # one per distinct text
+
+
+@given(
+    vecs=st.lists(
+        st.tuples(st.floats(-4, 4, allow_nan=False), st.floats(-4, 4, allow_nan=False)),
+        min_size=3,
+        max_size=12,
+    ),
+    k=st.integers(min_value=2, max_value=3),
+)
+@settings(**SETTINGS)
+def test_two_level_assign_exact_when_supers_cover(spark, vecs, k):
+    """n_super == k (every centroid its own super) must reduce the
+    coarse-routed assignment to the exact nearest-centroid map for ANY
+    vector set — the degenerate-configuration law of the router."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        _as_double_vec,
+        _fold_sum,
+        two_level_assign,
+    )
+
+    rows = [(i, list(v)) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    cents = spark.createDataFrame(
+        rows[:k], "centroid_id int, cv array<double>"
+    )
+    got = {
+        r.vec_id: r.cell
+        for r in two_level_assign(df, cents, n_super=k).collect()
+    }
+    base = df.select("vec_id", _as_double_vec("embedding").alias("v"))
+    c = cents.select(
+        F.col("centroid_id").alias("cid"), _as_double_vec("cv").alias("cv")
+    )
+    from pyspark.sql import Window
+
+    scored = F.broadcast(c).crossJoin(base).withColumn(
+        "d",
+        _fold_sum(F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y))),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    want = {
+        r.vec_id: r.cid
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, 7), st.integers(0, 7), st.floats(0, 1, allow_nan=False)
+        ),
+        max_size=10,
+    ),
+    tau=st.floats(0.1, 0.9),
+)
+@settings(**SETTINGS)
+def test_semdedup_prune_idempotent_and_monotone(spark, pairs, tau):
+    """Pruning twice with the same pairs changes nothing (the dropped
+    ids are already gone), and a higher tau never keeps fewer docs."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    pairs = [(a, b, s) for a, b, s in pairs if a < b]
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(8)], "vec_id int"
+    )
+    pdf = spark.createDataFrame(
+        pairs or [(0, 0, -1.0)], "id_a int, id_b int, cosine double"
+    ).where(F.col("id_a") < F.col("id_b"))
+    once = semdedup_prune(corpus, pdf, tau)
+    twice = semdedup_prune(once, pdf, tau)
+    kept_once = sorted(r.vec_id for r in once.collect())
+    assert sorted(r.vec_id for r in twice.collect()) == kept_once
+    looser = semdedup_prune(corpus, pdf, min(tau + 0.05, 1.0))
+    assert len(sorted(r.vec_id for r in looser.collect())) >= len(kept_once)
