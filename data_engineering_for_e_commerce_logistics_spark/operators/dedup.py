@@ -408,30 +408,69 @@ def simhash(
     ).select(F.col(id_col), F.md5(F.col("shingle")).alias("h"))
     # Project the hash bits ONCE per row as two 32-bit halves (2 convs,
     # not 16 per-nibble convs — the conv/substring pair dominates the
-    # per-row cost; 64 aggregate expressions each embedding
-    # conv(substring(md5(...))) would be worse still, recomputing the
-    # md5 per vote since there is no CSE across aggregates).
-    # Nibble i (hex digit i, most-significant first) recovers as
-    # (half >> (7 - i mod 8)*4) & 15 — same bit layout as the oracle.
-    halves = ex.select(
+    # per-row cost), then fold them into ONE 64-bit word so the vote
+    # counting can run SWAR-packed (r05; measured: 64 per-bit
+    # conditional sums cost ~1.0s of the 1.6s signature pass at sf0.1).
+    #
+    # SWAR packing: (w >> g) & 0x0001000100010001 extracts the four
+    # bits at positions g, g+16, g+32, g+48 into four 16-bit LANES of
+    # one long — one shift + one AND per row instead of four
+    # shift/AND/CASE chains — and a plain SUM accumulates all four
+    # ones-counts at once.  16 packed sums + one row count replace 64
+    # conditional sums; vote_j = 2*ones_j - n recovers the EXACT
+    # per-bit vote, so signatures stay bit-identical to the DuckDB
+    # oracle.  Lane capacity: the top lane's count sits at bit 48 of
+    # the signed accumulator, so documents above 2^15 = 32,768
+    # shingles would overflow — far past any chunked corpus (enforced
+    # upstream by chunking; the reference corpus peaks at ~10³).
+    #
+    # Bit placement: vote bit j lives in the md5 at nibble i = j//4
+    # (hex digit, MSB first), bit j%4 — i.e. position
+    # 32 + (7 - i)*4 + j%4 of w = (hi << 32) | lo for i < 8, else
+    # (15 - i)*4 + j%4.  The lane→vote wiring below just inverts that
+    # compile-time permutation.
+    w64 = ex.select(
         F.col(id_col),
-        F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long").alias("hi"),
-        F.conv(F.substring(F.col("h"), 9, 8), 16, 10).cast("long").alias("lo"),
+        (
+            F.shiftleft(
+                F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long"), 32
+            ).bitwiseOR(
+                F.conv(F.substring(F.col("h"), 9, 8), 16, 10).cast("long")
+            )
+        ).alias("w"),
     )
-    votes = []
-    for j in range(bits):
-        i = j // 4  # nibble index (hex digit position, MSB first)
-        half = F.col("hi") if i < 8 else F.col("lo")
-        shift = (7 - (i % 8)) * 4 + (j % 4)
-        bit = F.shiftrightunsigned(half, shift).bitwiseAND(F.lit(1))
-        votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{j}"))
-    voted = halves.groupBy(id_col).agg(*votes)
+    lane_mask = 0x0001000100010001
+    packed = [
+        F.sum(
+            F.shiftrightunsigned(F.col("w"), g).bitwiseAND(F.lit(lane_mask))
+        ).alias(f"p{g}")
+        for g in range(16)
+    ]
+    voted = w64.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"), *packed
+    )
+
+    def _pos(j: int) -> int:
+        i = j // 4
+        return (
+            32 + (7 - i) * 4 + (j % 4) if i < 8 else (15 - i) * 4 + (j % 4)
+        )
+
+    def _ones(j: int):
+        q = _pos(j)
+        g, lane = q % 16, q // 16
+        return F.shiftrightunsigned(F.col(f"p{g}"), lane * 16).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
     sig = None
     for j in range(bits):
-        term = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("long")).otherwise(
+        # vote_j > 0  ⟺  2*ones_j > n
+        positive = (_ones(j) * 2) > F.col("__n")
+        term = F.when(positive, F.lit(1).cast("long")).otherwise(
             F.lit(0).cast("long")
         ) * F.lit(2**j).cast("long") if j < 63 else F.when(
-            F.col(f"v{j}") > 0, F.lit(-(2**63)).cast("long")
+            positive, F.lit(-(2**63)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return voted.select(F.col(id_col), sig.alias("simhash"))
