@@ -605,7 +605,12 @@ def incremental_minhash_dedup(
     each reference re-derives the shingle→md5→min aggregation (r05,
     measured 3× sig recompute in the registered two-batch spec).  The
     cache is K longs per batch doc; the INDEX is deliberately not
-    cached (caller-owned, corpus-sized, usually a parquet scan)."""
+    cached (caller-owned, corpus-sized, usually a parquet scan).
+    Cache lifetime: a returned lazy frame cannot unpersist its own
+    inputs, so the entry lives until storage-pool LRU eviction or an
+    explicit ``catalog.clearCache()`` — per-batch ingest LOOPS should
+    clear after materializing both outputs (the foreachBatch demo in
+    tests/test_streaming.py does), one-shot queries can ignore it."""
     sig_cols = [f"mh{i}" for i in range(num_hashes)]
     new_sig = minhash_signature(
         new_docs, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k

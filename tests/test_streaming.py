@@ -595,6 +595,10 @@ def test_streaming_incremental_neardedup_foreachbatch(spark, tmp_path):
         fresh.write.mode("append").parquet(corpus)
         delta.write.mode("append").parquet(index)
         fresh.unpersist()
+        # drop the operator's batch-signature cache now that both
+        # outputs are materialized (cache-lifetime discipline for
+        # long-running ingest loops; see the operator docstring)
+        batch_df.sparkSession.catalog.clearCache()
 
     def run_once():
         q = (

@@ -189,6 +189,7 @@ def incremental_rehearsal(spark) -> None:
             spark.read.parquet(idx_path).count() - idx_before
         )  # appended rows == fresh digests, no second job over the batch
         sec = round(time.time() - t0, 2)
+        spark.catalog.clearCache()  # operator sig cache: per-batch lifetime
         row = {
             "step": step,
             "replica": r,
