@@ -552,6 +552,19 @@ def incremental_exact_dedup(
     return fresh.drop("fingerprint", "__n_copies"), index_delta
 
 
+def bands_of(
+    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """Public banding projection: (id, band, bucket) rows for a
+    signature frame.  Persist this next to the signature index and
+    append ``bands_of(sig_delta)`` per batch so
+    ``incremental_minhash_dedup`` can skip re-banding the whole index
+    every batch (pass it as ``banded_index``) — at corpus scale the
+    re-banding is an O(index × bands) explode per batch, the one
+    index-proportional step the screen otherwise keeps."""
+    return _bands_of(sig, id_col, num_hashes, bands)
+
+
 def _bands_of(
     sig: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
@@ -583,6 +596,7 @@ def incremental_minhash_dedup(
     bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.6,
+    banded_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup sibling of ``incremental_exact_dedup``: screen a new
     batch against the persisted corpus SIGNATURE index (one
@@ -621,9 +635,14 @@ def incremental_minhash_dedup(
         nb = _bands_of(new_sig, id_col, num_hashes, bands).withColumnRenamed(
             id_col, "__new_id"
         )
-        ib = _bands_of(sig_index, id_col, num_hashes, bands).withColumnRenamed(
-            id_col, "__idx_id"
-        )
+        # A persisted banded index (see ``bands_of``) skips the
+        # per-batch O(index × bands) re-banding explode — the verify
+        # join still reads signatures from ``sig_index``.
+        ib = (
+            banded_index
+            if banded_index is not None
+            else _bands_of(sig_index, id_col, num_hashes, bands)
+        ).withColumnRenamed(id_col, "__idx_id")
         cand = (
             nb.join(ib, ["band", "bucket"])
             .select("__new_id", "__idx_id")

@@ -245,3 +245,32 @@ def test_incremental_exact_dedup_bloom_prunes_index_side(spark):
     # before the anti join), i.e. the plan contains the membership test
     assert "__bloom_words" in plan
     assert fresh.count() == 5
+
+
+def test_incremental_minhash_banded_index_equivalence(spark):
+    """Passing a persisted banded index (bands_of of the signature
+    index) must give identical screening to re-banding in place —
+    the corpus-scale fast path is semantics-free."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        bands_of,
+        incremental_minhash_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "one two three four five six seven eight nine ten")],
+        "doc_id int, text string",
+    )
+    _, sig1 = incremental_minhash_dedup(b1, None)
+    sig1 = sig1.cache()
+    b2 = spark.createDataFrame(
+        [(10, base.replace("kappa", "lambda")), (11, "wholly different words")],
+        "doc_id int, text string",
+    )
+    f_plain, _ = incremental_minhash_dedup(b2, sig1, threshold=0.5)
+    f_banded, _ = incremental_minhash_dedup(
+        b2, sig1, threshold=0.5, banded_index=bands_of(sig1)
+    )
+    assert sorted(r.doc_id for r in f_plain.collect()) == sorted(
+        r.doc_id for r in f_banded.collect()
+    )

@@ -155,12 +155,20 @@ def incremental_rehearsal(spark) -> None:
     from pyspark.sql import functions as F
 
     from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        bands_of,
         incremental_exact_dedup,
+        incremental_minhash_dedup,
         incremental_simhash_dedup,
     )
 
     docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
-    family = "simhash" if "--simhash" in sys.argv else "exact"
+    family = (
+        "simhash"
+        if "--simhash" in sys.argv
+        else "minhash" if "--minhash" in sys.argv else "exact"
+    )
+    idx_path = os.path.join(_REPO, ".scale", f"inc_index_{family}")
+    bands_path = idx_path + "_bands"
 
     def screen(batch, idx):
         if family == "simhash":
@@ -171,10 +179,21 @@ def incremental_rehearsal(spark) -> None:
             # ingested volume.  That is the near-dup family's defining
             # scale property.
             return incremental_simhash_dedup(batch, idx, max_hamming=3)
+        if family == "minhash":
+            # banded-index fast path: the persisted band projection
+            # skips the per-batch O(index × bands) re-banding explode.
+            banded = (
+                spark.read.parquet(bands_path)
+                if os.path.exists(bands_path)
+                else None
+            )
+            return incremental_minhash_dedup(
+                batch, idx, threshold=0.6, banded_index=banded
+            )
         return incremental_exact_dedup(batch, idx, bloom_bits=1 << 20)
 
-    idx_path = os.path.join(_REPO, ".scale", f"inc_index_{family}")
     shutil.rmtree(idx_path, ignore_errors=True)
+    shutil.rmtree(bands_path, ignore_errors=True)
     out = []
     batches = list(range(N_REPLICAS)) + [0]  # final: replay batch 0
     for step, r in enumerate(batches):
@@ -185,6 +204,10 @@ def incremental_rehearsal(spark) -> None:
         t0 = time.time()
         fresh, delta = screen(batch, idx)
         delta.write.mode("append").parquet(idx_path)
+        if family == "minhash":
+            # delta derives from the operator's cached batch signature
+            # frame, so banding it again costs one cheap projection
+            bands_of(delta).write.mode("append").parquet(bands_path)
         n_fresh = (
             spark.read.parquet(idx_path).count() - idx_before
         )  # appended rows == fresh digests, no second job over the batch
