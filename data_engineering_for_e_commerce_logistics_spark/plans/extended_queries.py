@@ -538,9 +538,13 @@ b2_first AS (
 )
 SELECT fingerprint, kept_id, n_copies FROM idx1
 UNION ALL
-SELECT fingerprint, kept_id, n_copies FROM b2_first
-WHERE fingerprint NOT IN (SELECT fingerprint FROM idx1)
+SELECT fingerprint, kept_id, n_copies FROM b2_first b
+WHERE NOT EXISTS (SELECT 1 FROM idx1 i WHERE i.fingerprint = b.fingerprint)
 """
+# NOT EXISTS, not NOT IN: a NULL fingerprint (null text) makes
+# `x NOT IN (...)` evaluate to NULL and silently drop the row, while
+# Spark's left_anti KEEPS rows whose key matches nothing — NOT EXISTS
+# replays the left_anti semantics exactly for every input.
 
 
 def incremental_simhash_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -629,7 +633,7 @@ dup AS (
   WHERE ({agree})::DOUBLE / {NUM_HASHES} >= {THRESHOLD}
 )
 SELECT doc_id, {mh_cols} FROM b2
-WHERE doc_id NOT IN (SELECT new_id FROM dup)
+WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.new_id = b2.doc_id)
 """
 
 
