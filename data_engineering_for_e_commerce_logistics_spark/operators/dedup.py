@@ -514,7 +514,16 @@ def incremental_exact_dedup(
     corpus grows.  (``bloom_bits``: filter size; ≈10 bits per batch
     key keeps fp ≈1%; None = plain anti join.)  Composes with the
     near-dup family by feeding ``fresh`` into minhash/simhash
-    afterwards."""
+    afterwards.
+
+    NULL-text contract (pinned by test): md5 of a NULL normalization
+    is NULL, so null-text rows collapse WITHIN a batch (window groups
+    nulls together) but are never matched ACROSS batches (anti-join
+    keys don't equal NULL) — each batch's first null-text row is kept
+    and its null digest re-appended.  Deliberate: content-less rows
+    are a quality-filter concern (``corpus_quality_funnel``), not a
+    dedup identity, and the SQL oracle (NOT EXISTS on equality)
+    replays exactly this."""
     from .bloom import bloom_build, bloom_prune  # local: avoid import cycle
 
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), "\\s+", " ")

@@ -274,3 +274,23 @@ def test_incremental_minhash_banded_index_equivalence(spark):
     assert sorted(r.doc_id for r in f_plain.collect()) == sorted(
         r.doc_id for r in f_banded.collect()
     )
+
+
+def test_incremental_exact_null_text_contract(spark):
+    """Pins the documented NULL-text behavior: nulls collapse within a
+    batch, never match across batches (anti-join key equality), and
+    the keep is deterministic — so the contract is a choice, not an
+    accident."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_exact_dedup,
+    )
+
+    b1 = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real content")], "doc_id int, text string"
+    )
+    fresh1, delta1 = incremental_exact_dedup(b1, None)
+    assert sorted(r.doc_id for r in fresh1.collect()) == [1, 3]
+    b2 = spark.createDataFrame([(10, None)], "doc_id int, text string")
+    fresh2, _ = incremental_exact_dedup(b2, delta1)
+    # the null digest in the index does NOT screen batch 2's null row
+    assert [r.doc_id for r in fresh2.collect()] == [10]
