@@ -140,7 +140,7 @@ routed AS (
     SELECT e.vec_id, e.v, s.sid, row_number() OVER (
         PARTITION BY e.vec_id
         ORDER BY {dist.format(a='e.v', b='s.sv')} ASC, s.sid ASC) AS rn
-    FROM e, s) WHERE rn = 1
+    FROM e, s) WHERE rn <= 2  -- default n_probe
 )
 SELECT vec_id, cell FROM (
   SELECT r.vec_id, g.cid AS cell, row_number() OVER (
@@ -150,3 +150,25 @@ SELECT vec_id, cell FROM (
 """
     want = sorted(map(tuple, duckdb.sql(sql).fetchall()))
     assert got == want
+
+
+def test_trained_supers_lift_agreement(emb, centroids):
+    """train_supers Lloyd rounds over the centroid set must not hurt —
+    and on this clustered corpus measurably help — agreement with the
+    exact assignment at the same n_probe."""
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    cents = centroids.select(
+        F.col("centroid_id").alias("__cid"), _as_double_vec("cv").alias("__cv")
+    )
+    want = {r.vec_id: r.cell for r in _flat_assign(vecs, cents).collect()}
+    n = len(want)
+
+    def agreement(**kw):
+        got = {
+            r.vec_id: r.cell for r in two_level_assign(emb, centroids, **kw).collect()
+        }
+        return sum(1 for k in want if got.get(k) == want[k]) / n
+
+    seeded = agreement(n_probe=2, train_supers=0)
+    trained = agreement(n_probe=2, train_supers=3)
+    assert trained >= seeded - 0.02, (seeded, trained)
