@@ -61,6 +61,12 @@ QUERIES = [
     # r04 additions: explicit runtime-filter join + layout encoding
     "bloom_semi_lineitem",
     "zorder_orders",
+    # r05 additions: the round's five new registered specs
+    "incremental_exact_fresh",
+    "incremental_minhash_fresh",
+    "incremental_simhash_fresh",
+    "upsert_bloom_orders",
+    "manifest_pruned_orders",
 ]
 
 
