@@ -1077,3 +1077,139 @@ SELECT cell, pair_rank, id_a, id_b, cosine FROM (
   FROM pairs
 ) WHERE pair_rank <= {SEMDEDUP_TOPK}
 """
+
+
+# --- SemDeDup with coarse-routed assignment (r06 registry candidate) --------
+
+
+def semdedup_routed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup pair mining with the assignment stage swapped for
+    ``similarity.two_level_assign`` (seed supers, n_probe=2): the
+    sub-n·k routed assignment measured 4.2× faster than the flat scan
+    at n=10 K/k=100, and a mis-routed vector merely mines its pairs
+    in an adjacent cell — the SemDeDup failure mode routing can
+    afford, unlike top-k search.  Deterministic end to end, so the
+    DuckDB twin (tests/test_two_level_assign.py drives it pre-
+    registration; SEMDEDUP_ROUTED_PAIRS_SQL below) replays supers →
+    multi-probe routing → within-group nearest → per-cell top-k
+    bit-exactly.  Not yet registered: the r05 correctness window is
+    full (50/50) — named in plans/queries.py's r06 rotation note."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _as_double_vec,
+        _fold_sum,
+        two_level_assign,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    k = emb.agg(
+        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("__k")
+    )
+    centroids = (
+        emb.crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("__k"))
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    cells = two_level_assign(emb, centroids, n_probe=2)
+    vecs = emb.select(
+        "vec_id", _as_double_vec("embedding").alias("v")
+    ).withColumn(
+        "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+    assigned = vecs.join(cells, "vec_id")
+    a = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            _fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+            / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+        )
+    )
+    w_rank = Window.partitionBy("cell").orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    )
+    return (
+        pairs.withColumn("pair_rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("pair_rank") <= SEMDEDUP_TOPK)
+        .select("cell", "pair_rank", "id_a", "id_b", "cosine")
+    )
+
+
+def _semdedup_routed_sql() -> str:
+    dist = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e
+      WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)),
+s AS (SELECT cid AS sid, cv AS sv FROM (
+        SELECT cid, cv, row_number() OVER (ORDER BY cid) AS srn FROM c)
+      WHERE srn <= (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM c)),
+grouped AS (
+  SELECT sid, cid, cv FROM (
+    SELECT s.sid, c.cid, c.cv, row_number() OVER (
+        PARTITION BY c.cid
+        ORDER BY {dist.format(a='c.cv', b='s.sv')} ASC, s.sid ASC) AS rn
+    FROM c, s) WHERE rn = 1
+),
+routed AS (
+  SELECT vec_id, v, sid FROM (
+    SELECT e.vec_id, e.v, s.sid, row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {dist.format(a='e.v', b='s.sv')} ASC, s.sid ASC) AS rn
+    FROM e, s) WHERE rn <= 2
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT r.vec_id, g.cid AS cell, row_number() OVER (
+        PARTITION BY r.vec_id
+        ORDER BY {dist.format(a='r.v', b='g.cv')} ASC, g.cid ASC) AS rn
+    FROM routed r JOIN grouped g USING (sid)) WHERE rn = 1
+),
+assigned AS (
+  SELECT n.vec_id, n.v, n.nrm, cells.cell
+  FROM n JOIN cells USING (vec_id)
+),
+pairs AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+                     (x, y) -> x + y) / nullif(a.nrm * b.nrm, 0) AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+)
+SELECT cell, pair_rank, id_a, id_b, cosine FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY cell ORDER BY cosine DESC, id_a ASC, id_b ASC) AS pair_rank
+  FROM pairs
+) WHERE pair_rank <= {SEMDEDUP_TOPK}
+"""
+
+
+SEMDEDUP_ROUTED_PAIRS_SQL = _semdedup_routed_sql()

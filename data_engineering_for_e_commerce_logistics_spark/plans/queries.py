@@ -40,8 +40,12 @@ the backlog; new-spec candidates with unit coverage but no driver row
 yet are (a) ``similarity.two_level_assign`` — coarse-routed centroid
 assignment, deterministic and SQL-expressible (supers CTE → route →
 within-group nearest), and (b) a ``semdedup_prune`` keep-set spec
-composing pairs → drop-higher-id — both debuted r05 unit-first like
-the incremental family did in r04.
+composing pairs → drop-higher-id, and (c) ``semdedup_routed_pairs``
+(graph_queries.py) — the full SemDeDup composition over the routed
+assignment, already bit-exact against SEMDEDUP_ROUTED_PAIRS_SQL in
+pytest — all debuted r05 unit-first like the incremental family did
+in r04.  ``tools/rotate_registry.py`` computes the window mechanically
+from the CORRECTNESS artifacts.
 """
 
 from __future__ import annotations

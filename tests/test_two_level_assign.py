@@ -172,3 +172,26 @@ def test_trained_supers_lift_agreement(emb, centroids):
     seeded = agreement(n_probe=2, train_supers=0)
     trained = agreement(n_probe=2, train_supers=3)
     assert trained >= seeded - 0.02, (seeded, trained)
+
+
+def test_semdedup_routed_pairs_matches_duckdb_oracle(spark):
+    """Full differential for the routed SemDeDup composition (r06
+    registry candidate): seed centroids → multi-probe routed
+    assignment → per-cell top-k pairs, replayed bit-exactly by
+    SEMDEDUP_ROUTED_PAIRS_SQL."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(gq.SEMDEDUP_ROUTED_PAIRS_SQL).fetchdf()
+    finally:
+        conn.close()
+    spdf = gq.semdedup_routed_pairs(spark, sf).toPandas()
+    assert compare_frames(spdf, opdf, "semdedup_routed_pairs") == []
