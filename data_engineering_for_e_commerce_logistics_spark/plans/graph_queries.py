@@ -1213,3 +1213,38 @@ SELECT cell, pair_rank, id_a, id_b, cosine FROM (
 
 
 SEMDEDUP_ROUTED_PAIRS_SQL = _semdedup_routed_sql()
+
+
+# tau sits below the synthetic corpus's max pair cosine (0.49 at
+# sf0.01) so the drop path actually fires — a keep-all threshold
+# would leave the anti join untested.
+SEMDEDUP_TAU = 0.4
+
+
+def semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup end-to-end PRUNE (r06 registry candidate): mine
+    within-cell pairs (the auto-scaled seed-centroid miner) and emit
+    the KEPT corpus ids — every vector except those that are the
+    higher id of a pair scoring >= tau.  This is the actual training
+    ingest contract: what stays in the dataset, not just the pair
+    evidence.  Deterministic, so the oracle wraps the pair SQL in a
+    NOT EXISTS (left-anti semantics, null-safe by construction since
+    pair ids are never null)."""
+    from ..operators.similarity import semdedup_prune
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pairs = semdedup_pairs(spark, sf_dir)
+    return semdedup_prune(
+        emb.select("vec_id", "label"), pairs, tau=SEMDEDUP_TAU
+    ).orderBy("vec_id")
+
+
+SEMDEDUP_KEEP_SQL = f"""
+WITH pairs AS ({SEMDEDUP_PAIRS_SQL})
+SELECT vec_id, label FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs p
+  WHERE p.id_b = e.vec_id AND p.cosine >= {SEMDEDUP_TAU}
+)
+ORDER BY vec_id
+"""

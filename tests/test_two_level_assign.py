@@ -195,3 +195,27 @@ def test_semdedup_routed_pairs_matches_duckdb_oracle(spark):
         conn.close()
     spdf = gq.semdedup_routed_pairs(spark, sf).toPandas()
     assert compare_frames(spdf, opdf, "semdedup_routed_pairs") == []
+
+
+def test_semdedup_keep_matches_duckdb_oracle(spark):
+    """End-to-end SemDeDup prune (r06 candidate): pair mining + the
+    keep-set anti join, replayed by SEMDEDUP_KEEP_SQL — at the chosen
+    tau the drop path fires (some rows ARE removed), so the
+    differential covers both kept and dropped sides."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(gq.SEMDEDUP_KEEP_SQL).fetchdf()
+    finally:
+        conn.close()
+    spdf = gq.semdedup_keep(spark, sf).toPandas()
+    assert len(spdf) < 500  # the prune actually dropped something
+    assert compare_frames(spdf, opdf, "semdedup_keep") == []
