@@ -233,3 +233,13 @@ def test_salted_rollup_two_phase(spark):
     plan = _plan(spark, "salted_rollup_events")
     assert plan.count("HashAggregate") >= 4  # partial+final × 2 phases
     assert "SinglePartition" not in plan
+
+
+def test_profile_and_cardinality_have_no_expand(spark):
+    """r05: multiple countDistinct in one aggregation lowers to an
+    Expand (one duplicated input row per distinct group — N+1× the
+    exchange volume).  Both profilers now split exact distincts into
+    per-column pre-aggregated jobs, so no Expand node may appear."""
+    for name in ("profile_lineitem", "agg_cardinality_lineitem"):
+        plan = _plan(spark, name)
+        assert "Expand" not in plan, name
