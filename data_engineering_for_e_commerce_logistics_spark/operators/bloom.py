@@ -243,7 +243,15 @@ def bloom_anti_join(
     bloom = bloom_build(keys, left_key, num_bits, num_hashes)
     tagged = left.crossJoin(F.broadcast(bloom))
     test = bloom_might_contain(F.col(left_key), num_bits, num_hashes)
-    certain_miss = tagged.where(~test).drop(_BLOOM_COL)
+    # NULL-key left rows must survive like plain left_anti keeps them
+    # (a null key matches nothing on the right).  Today they do either
+    # way — F.hash maps NULL to a seed-derived NON-null value, so the
+    # test never evaluates NULL and a null-key row that reaches the
+    # `maybe` branch still passes its anti join — but the explicit
+    # isNull() arm makes the row-identical contract robust to any
+    # future hash that propagates NULL (ADVICE r05; pinned by
+    # test_anti_join_null_keys_kept).
+    certain_miss = tagged.where(test.isNull() | ~test).drop(_BLOOM_COL)
     maybe = tagged.where(test).drop(_BLOOM_COL)
     # Same planning barrier as bloom_semi_join: PushDownLeftSemiAntiJoin
     # covers LeftAnti too and would re-order the join below the filter.

@@ -35,6 +35,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# SWAR vote counting packs four per-bit ones-counts into 16-bit lanes
+# of one signed long; the top lane sits at bit 48, so per-document
+# shingle counts past 2^15 - 1 would carry across lanes (sign-bit
+# interaction at 2^15).  ``simhash`` enforces this at runtime.
+_SWAR_MAX_SHINGLES = (1 << 15) - 1
+
 # ---------------------------------------------------------------------------
 # Shingling
 # ---------------------------------------------------------------------------
@@ -396,7 +402,13 @@ def simhash(
     ``plans/extended_queries.py`` DEDUP_SIMHASH_SQL /
     DEDUP_SIMHASH_PAIRS_SQL replay the same two-half nibble recovery
     (driver-green since r03), so this is hash-checked, not rows-only.
-    """
+
+    Per-document shingle cap (enforced at runtime, ADVICE r05): the
+    SWAR-packed vote counting accumulates each bit's ones-count in a
+    16-bit lane, so a document may carry at most ``2^15 - 1 = 32767``
+    shingles — far past any chunked corpus.  Oversized documents
+    raise at execution time instead of producing a silently corrupt
+    signature; chunk first (``corpus_chunk_documents``)."""
     # The two-half recovery below reads md5 hex digits 0-15 (128 bits as
     # two 64-bit halves); bits beyond 64 would silently re-read the lo
     # half (ADVICE r03), so the contract is explicit:
@@ -473,7 +485,26 @@ def simhash(
             positive, F.lit(-(2**63)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
-    return voted.select(F.col(id_col), sig.alias("simhash"))
+    # Runtime guard on the SWAR lane capacity (ADVICE r05): a document
+    # with more than 2^15-1 shingles would carry a lane count past the
+    # 16-bit boundary and silently corrupt every higher lane (the old
+    # per-bit code had no such bound).  __n is already aggregated, so
+    # the check is one comparison per DOCUMENT row — fail loudly
+    # instead of emitting a wrong signature.
+    overflow = F.when(
+        F.col("__n") > F.lit(_SWAR_MAX_SHINGLES),
+        F.raise_error(
+            F.concat(
+                F.lit("simhash: document exceeds "),
+                F.lit(str(_SWAR_MAX_SHINGLES)),
+                F.lit(" shingles ("),
+                F.col("__n").cast("string"),
+                F.lit(") — SWAR 16-bit lane capacity; chunk upstream"
+                      " (e.g. corpus_chunk_documents) before hashing"),
+            )
+        ).cast("long"),
+    ).otherwise(sig)
+    return voted.select(F.col(id_col), overflow.alias("simhash"))
 
 
 def incremental_exact_dedup(

@@ -50,8 +50,11 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     profile = li.agg(*aggs)
     for c in _PROFILE_COLS:
+        # isNotNull before distinct = countDistinct semantics (the
+        # oracle's count(DISTINCT c) excludes NULL; ADVICE r05).
         d = (
             li.select(c)
+            .where(F.col(c).isNotNull())
             .distinct()
             .agg(F.count(F.lit(1)).alias(f"{c}__distinct"))
         )
@@ -98,11 +101,21 @@ def agg_cardinality_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast."""
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
     base = li.agg(F.count(F.lit(1)).alias("n_rows"))
-    o = li.select("l_orderkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_orders")
+    # single-column distincts filter NULL first: the oracle's
+    # count(DISTINCT c) is null-excluding (ADVICE r05).  The composite
+    # job keeps nulls — count(DISTINCT (a, b)) counts null-bearing
+    # tuples because a ROW with null fields is itself non-null.
+    o = (
+        li.select("l_orderkey")
+        .where(F.col("l_orderkey").isNotNull())
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    p = li.select("l_partkey").distinct().agg(
-        F.count(F.lit(1)).alias("n_parts")
+    p = (
+        li.select("l_partkey")
+        .where(F.col("l_partkey").isNotNull())
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_parts"))
     )
     k = (
         li.select("l_orderkey", "l_partkey")

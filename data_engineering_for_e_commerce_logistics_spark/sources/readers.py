@@ -206,8 +206,13 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> dict:
             ]
     fused = df.agg(*aggs)
     for c in columns:
+        # NULL is excluded before the distinct so the count matches
+        # countDistinct / SQL count(DISTINCT c) / pandas nunique() —
+        # the bare select(c).distinct() would count NULL as one extra
+        # distinct value on nullable columns (ADVICE r05).
         d = (
             df.select(c)
+            .where(F.col(c).isNotNull())
             .distinct()
             .agg(F.count(F.lit(1)).alias(f"{c}__distinct"))
         )

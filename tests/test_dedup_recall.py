@@ -60,6 +60,28 @@ def test_simhash_rejects_bits_over_64(spark, docs):
         dedup.simhash(docs, bits=65)
 
 
+def test_simhash_swar_lane_overflow_raises(spark):
+    """ADVICE r05: the SWAR vote packing caps per-document shingles at
+    2^15 - 1 (16-bit lane capacity).  An oversized un-chunked document
+    must raise at execution time, not emit a corrupt signature; a
+    same-shape document under the cap must still hash fine."""
+    import pytest
+
+    big = " ".join(f"t{i}" for i in range(33000))  # ~33k 2-shingles
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    # surfaces as SparkRuntimeException/Py4JJavaError depending on the
+    # client; match on the message, not the wrapper type
+    with pytest.raises(Exception, match="SWAR 16-bit lane capacity"):
+        dedup.simhash(df, shingle_k=2).collect()
+
+    ok = " ".join(f"t{i}" for i in range(1000))
+    out = dedup.simhash(
+        spark.createDataFrame([(1, ok)], "doc_id long, text string"),
+        shingle_k=2,
+    ).collect()
+    assert len(out) == 1 and out[0].simhash is not None
+
+
 def test_exact_duplicates_no_false_positives(spark, docs):
     out = dedup.exact_duplicates(docs)
     # corpus has no exact dups: every fingerprint group has one member

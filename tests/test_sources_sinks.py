@@ -141,6 +141,10 @@ def test_profile_table(spark):
     assert prof["row_count"] == 3
     assert prof["columns"]["v"]["null_count"] == 1
     assert prof["columns"]["id"]["distinct_count"] == 2
+    # nullable column: NULL must NOT count as a distinct value —
+    # countDistinct / count(DISTINCT) / pandas nunique() semantics
+    # (ADVICE r05: the bare distinct() rewrite inflated this to 3).
+    assert prof["columns"]["v"]["distinct_count"] == 2
     assert prof["columns"]["v"]["min"] == 1.0
 
 

@@ -53,6 +53,11 @@ def main() -> None:
 
     specs = all_specs()
     green = last_green()
+    if not green:
+        sys.exit(
+            "no parseable CORRECTNESS_r*.json artifacts found — "
+            "nothing to rotate against (run from the repo root?)"
+        )
     newest = max(green.values())
     oracle = [n for n, s in specs.items() if s.oracle is not None]
     rows_only = [n for n, s in specs.items() if s.oracle is None]
