@@ -133,6 +133,10 @@ HEADLINE = [
     "sql_api_params",
     "dedup_clusters",
     "sketch_aggregates_events",
+    # r06 additions: the routed SemDeDup production path's registry
+    # debut (trained two-level assignment + the routed pair miner)
+    "routed_assign_embeddings",
+    "semdedup_routed_pairs",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion
@@ -151,11 +155,16 @@ HEADLINE = [
 #                            naive O(n²) baseline at sf0.1 measures the
 #                            baseline, not the engine, at ~100× the
 #                            sf0.01 cost.
+#   semdedup_keep          — re-runs the full semdedup_pairs miner
+#                            (which IS timed) plus one short anti
+#                            join; benching it double-counts the
+#                            miner, same rule as corpus_cluster_reps.
 BENCH_EXCLUDED = {
     "graph_degree_profile",
     "corpus_cluster_reps",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "semdedup_keep",
 }
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of
@@ -293,6 +302,16 @@ def main() -> None:
         samples: list[float] = []
         try:
             spark.catalog.clearCache()
+            # VERDICT r05 ask #6 (in-session drift chase): a long
+            # many-query session accumulates old-gen garbage that a
+            # later query's samples pay for (kmeans_iterations read
+            # 2.55s in-session vs 1.02s solo in r05).  Force a full
+            # collection OUTSIDE the timed region so each query starts
+            # from a drained heap, like its solo run would.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass  # py4j hiccup must not kill the bench
             # untimed warmup (codegen compile + parquet footer cache)
             spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             for _ in range(3):

@@ -371,6 +371,7 @@ def two_level_assign(
     n_super: int | None = None,
     n_probe: int = 2,
     train_supers: int = 0,
+    exact_means: bool = False,
 ) -> DataFrame:
     """Coarse-routed (two-level) centroid assignment — the sub-n·k
     path the sf0.5 SemDeDup rehearsal points at.  Flat broadcast
@@ -397,9 +398,11 @@ def two_level_assign(
     near-isotropic vectors distance concentration defeats any
     quantizer and agreement stays mediocre at small n_probe; raise
     n_probe (cost grows sublinearly) or train supers.  Trained super
-    means use double averages (fine for a router — the final
-    within-group argmin is what decides); an oracle-paired variant
-    would want decimal-exact means like ``kmeans_refine``.
+    means default to double averages (fine for a router — the final
+    within-group argmin is what decides); ``exact_means=True`` switches
+    to the decimal(28,8)-exact per-dimension means ``kmeans_refine``
+    uses, making the trained path engine-reproducible for an
+    oracle-paired registry spec (``routed_assign_embeddings``).
     APPROXIMATE by construction: a vector whose true nearest centroid
     lives under a different super mis-assigns (recall measured in
     tests; exactness returns when ``n_super == k`` since every
@@ -439,6 +442,15 @@ def two_level_assign(
     )
     # optional: refine the supers with Lloyd rounds over the centroid
     # set only (k rows per round — never touches the vectors)
+    mean_of_val = (
+        # decimal-exact per-dimension mean: bit-identical across
+        # engines, same pattern as kmeans_refine (needed when the
+        # trained path feeds an oracle-paired spec)
+        F.expr("cast(sum(cast(__val as decimal(28,8))) as double)")
+        / F.count(F.lit(1))
+        if exact_means
+        else F.avg("__val")
+    )
     for _ in range(train_supers):
         asg = (
             F.broadcast(supers)
@@ -451,7 +463,7 @@ def two_level_assign(
         supers = (
             asg.select("__sid", F.posexplode("__cv").alias("__dim", "__val"))
             .groupBy("__sid", "__dim")
-            .agg(F.avg("__val").alias("__m"))
+            .agg(mean_of_val.alias("__m"))
             .groupBy("__sid")
             .agg(
                 F.transform(

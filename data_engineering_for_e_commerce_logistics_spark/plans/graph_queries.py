@@ -1089,11 +1089,11 @@ def semdedup_routed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     at n=10 K/k=100, and a mis-routed vector merely mines its pairs
     in an adjacent cell — the SemDeDup failure mode routing can
     afford, unlike top-k search.  Deterministic end to end, so the
-    DuckDB twin (tests/test_two_level_assign.py drives it pre-
+    DuckDB twin (tests/test_two_level_assign.py drove it pre-
     registration; SEMDEDUP_ROUTED_PAIRS_SQL below) replays supers →
     multi-probe routing → within-group nearest → per-cell top-k
-    bit-exactly.  Not yet registered: the r05 correctness window is
-    full (50/50) — named in plans/queries.py's r06 rotation note."""
+    bit-exactly.  Registered r06 (VERDICT r05 ask #1): the driver hash
+    proves the full routed SemDeDup production path end-to-end."""
     from pyspark.sql import Window
 
     from ..operators.similarity import (
@@ -1248,3 +1248,95 @@ WHERE NOT EXISTS (
 )
 ORDER BY vec_id
 """
+
+
+# --- Trained coarse-routed assignment (registered r06) ----------------------
+
+ROUTED_K = 16       # codebook: the first 16 vectors by id
+ROUTED_SUPERS = 4   # = ceil(sqrt(ROUTED_K))
+ROUTED_PROBE = 2    # multi-probe width (the IVF-nprobe recall knob)
+
+
+def routed_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (coarse-routed) centroid assignment with ONE trained
+    super round and decimal-exact super means — the registered form of
+    ``similarity.two_level_assign`` (VERDICT r05 ask #1/#3).  The sub-
+    n·k path SemDeDup needs at 100 TB: route each vector through
+    ``ROUTED_SUPERS`` trained super-centroids (n·√k broadcast work),
+    then scan only the probed supers' centroid groups.  ``exact_means``
+    makes the trained supers decimal(28,8)-reproducible so every
+    routing — and therefore every final cell — is bit-identical to the
+    DuckDB replay; the driver hash pins the full supers → Lloyd round →
+    grouping → multi-probe routing → within-group-nearest chain.
+    100 TB shape: two broadcast joins, no shuffle before the caller's
+    per-cell work (see two_level_assign docstring)."""
+    from ..operators.similarity import two_level_assign
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < ROUTED_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    return two_level_assign(
+        emb,
+        centroids,
+        n_super=ROUTED_SUPERS,
+        n_probe=ROUTED_PROBE,
+        train_supers=1,
+        exact_means=True,
+    ).orderBy("vec_id")
+
+
+def _routed_assign_sql() -> str:
+    dist = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {ROUTED_K}),
+s0 AS (SELECT cid AS sid, cv AS sv FROM c WHERE cid < {ROUTED_SUPERS}),
+casg AS (
+  SELECT sid, cid, cv FROM (
+    SELECT s0.sid, c.cid, c.cv, row_number() OVER (
+        PARTITION BY c.cid
+        ORDER BY {dist.format(a='c.cv', b='s0.sv')} ASC, s0.sid ASC) AS rn
+    FROM c, s0) WHERE rn = 1
+),
+sdims AS (
+  SELECT sid, unnest(cv) AS val, generate_subscripts(cv, 1) - 1 AS dim
+  FROM casg
+),
+s AS (
+  SELECT sid, list(m ORDER BY dim) AS sv FROM (
+    SELECT sid, dim,
+           cast(sum(cast(val as decimal(28,8))) as double) / count(*) AS m
+    FROM sdims GROUP BY 1, 2
+  ) GROUP BY sid
+),
+grouped AS (
+  SELECT sid, cid, cv FROM (
+    SELECT s.sid, c.cid, c.cv, row_number() OVER (
+        PARTITION BY c.cid
+        ORDER BY {dist.format(a='c.cv', b='s.sv')} ASC, s.sid ASC) AS rn
+    FROM c, s) WHERE rn = 1
+),
+routed AS (
+  SELECT vec_id, v, sid FROM (
+    SELECT e.vec_id, e.v, s.sid, row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {dist.format(a='e.v', b='s.sv')} ASC, s.sid ASC) AS rn
+    FROM e, s) WHERE rn <= {ROUTED_PROBE}
+)
+SELECT vec_id, cell FROM (
+  SELECT r.vec_id, g.cid AS cell, row_number() OVER (
+      PARTITION BY r.vec_id
+      ORDER BY {dist.format(a='r.v', b='g.cv')} ASC, g.cid ASC) AS rn
+  FROM routed r JOIN grouped g USING (sid)) WHERE rn = 1
+ORDER BY vec_id
+"""
+
+
+ROUTED_ASSIGN_SQL = _routed_assign_sql()

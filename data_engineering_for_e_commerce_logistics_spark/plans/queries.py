@@ -20,32 +20,45 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r05 window: positions 3-7 are NEW this round — the incremental-dedup
-family's driver proofs (VERDICT r04 "What's missing" #1: exact digest
-index, minhash signature index, simhash fingerprint index — each a
-two-batch ingest whose oracle replays the screen in plain SQL), the
-bloom-split upsert invariance twin (the r04 rotation note's earmark),
-and the manifest-planned pruned scan (VERDICT r04 ask #4).  Positions
-8-50 are the 43 specs whose last green row dates from r03 (computed
-from CORRECTNESS_r03 ∖ CORRECTNESS_r04 — the registry's staleness
-invariant, VERDICT r04 ask #1).  Positions 51+ are the 48 specs green
-in r04.  2 + 5 + 43 = 50 exactly: the window is full and nothing
-oracle-paired goes two rounds unverified.
+r06 window: positions 3-5 are NEW this round — the three r05
+unit-debuted SemDeDup-at-scale specs the r05 verdict asked to
+driver-prove (``routed_assign_embeddings``: trained two-level
+assignment with decimal-exact super means; ``semdedup_routed_pairs``:
+the full SemDeDup composition over the routed assignment;
+``semdedup_keep``: the end-to-end prune/keep-set).  Positions 6-10
+CHANGED this round: ``incremental_minhash_fresh`` now exercises the
+persisted banded-index fast path (VERDICT r05 ask #5),
+``incremental_simhash_fresh`` carries the SWAR shingle-cap guard,
+``profile_lineitem`` / ``agg_cardinality_lineitem`` moved to
+null-exact distinct counts, and ``upsert_bloom_orders`` rides the
+null-robust bloom_anti_join branch (ADVICE r05) — all value-identical
+on this data by construction, re-verified in-window per policy.
+Positions 11-50 are 40 of the 48 specs whose last green row dates
+from r04 (CORRECTNESS_r04 ∖ CORRECTNESS_r05, computed by
+``tools/rotate_registry.py``).
+
+WINDOW OVERFLOW (first round it happens, documented): mandatory load
+is 2 flagships + 3 new + 5 changed + 48 stale = 58 > 50.  The
+registry has outgrown the invariant arithmetically — 101 oracle-
+paired specs need 50.5 fresh rows per round while the window yields
+at most 48 after flagships.  Eight r04-green specs spill to positions
+51-58 and will carry two-round-old driver evidence until r07, where
+the rotation MUST pick them first (they will be the oldest).  The
+spill set was chosen lowest-risk: classic static SQL over unchanged
+TPC-H tables, zero dependence on any operator touched since r04
+(``q5_nation_volume q7_nation_pair_volume q8_market_share
+unpivot_lineitem histogram_orders sql_api_params basket_pairs
+grouping_sets_orders``).  Compensating evidence: the committed
+``SELFCHECK_r06.json`` (tools/drive_contract.py --json) re-verifies
+EVERY oracle-paired spec — including the spill — against DuckDB at
+the driver's sf0.01 scale, mechanically diffable by the judge.
+Longer-term the fix is consolidation (merge stale singles into
+merged-variants specs like ``dedup_variants_lineitem``) rather than
+a forever-growing spill.
+
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
 verified slot.
-
-r06 rotation note: the 48 specs at positions 51+ (green r04) become
-the backlog; new-spec candidates with unit coverage but no driver row
-yet are (a) ``similarity.two_level_assign`` — coarse-routed centroid
-assignment, deterministic and SQL-expressible (supers CTE → route →
-within-group nearest), and (b) a ``semdedup_prune`` keep-set spec
-composing pairs → drop-higher-id, and (c) ``semdedup_routed_pairs``
-(graph_queries.py) — the full SemDeDup composition over the routed
-assignment, already bit-exact against SEMDEDUP_ROUTED_PAIRS_SQL in
-pytest — all debuted r05 unit-first like the incremental family did
-in r04.  ``tools/rotate_registry.py`` computes the window mechanically
-from the CORRECTNESS artifacts.
 """
 
 from __future__ import annotations
@@ -74,18 +87,32 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-7: NEW this round -----------------------------------------------
+# --- 3-5: NEW this round — the routed SemDeDup production path ---------
 register(
-    "incremental_exact_fresh",
-    xq.incremental_exact_fresh,
-    xq.INCREMENTAL_EXACT_SQL,
-    ("dedup", "incremental", "bloom", "index-screen"),
+    "routed_assign_embeddings",
+    gq.routed_assign_embeddings,
+    gq.ROUTED_ASSIGN_SQL,
+    ("similarity", "ivf", "routing", "iterative"),
 )
+register(
+    "semdedup_routed_pairs",
+    gq.semdedup_routed_pairs,
+    gq.SEMDEDUP_ROUTED_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup", "routing"),
+)
+register(
+    "semdedup_keep",
+    gq.semdedup_keep,
+    gq.SEMDEDUP_KEEP_SQL,
+    ("dedup", "similarity", "semdedup", "prune"),
+)
+
+# --- 6-10: CHANGED this round (re-verify in-window per policy) ---------
 register(
     "incremental_minhash_fresh",
     xq.incremental_minhash_fresh,
     xq.INCREMENTAL_MINHASH_SQL,
-    ("dedup", "incremental", "lsh", "index-screen"),
+    ("dedup", "incremental", "lsh", "index-screen", "banded-index"),
 )
 register(
     "incremental_simhash_fresh",
@@ -93,193 +120,21 @@ register(
     xq.INCREMENTAL_SIMHASH_SQL,
     ("dedup", "incremental", "simhash", "index-screen"),
 )
-register(
-    "upsert_bloom_orders",
-    rq.upsert_bloom_orders,
-    rq.UPSERT_BLOOM_SQL,
-    ("sink", "merge", "bloom", "invariance-twin"),
-)
-register(
-    "manifest_pruned_orders",
-    rq.manifest_pruned_orders,
-    rq.MANIFEST_PRUNED_SQL,
-    ("layout", "manifest", "data-skipping", "agg"),
-)
-
-# --- 8-50: rotation backlog — last green row dates from r03 ------------
-register(
-    "semdedup_pairs",
-    gq.semdedup_pairs,
-    gq.SEMDEDUP_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup"),
-)
-register(
-    "corpus_lm_quality",
-    xc.corpus_lm_quality,
-    xc.CORPUS_LM_QUALITY_SQL,
-    ("corpus", "quality", "lm"),
-)
-register(
-    "ivm_spend_refresh",
-    rq.ivm_spend_refresh,
-    rq.IVM_SPEND_REFRESH_SQL,
-    ("sink", "ivm", "incremental"),
-)
-register(
-    "corpus_chunk_documents",
-    xc.corpus_chunk_documents,
-    xc.CORPUS_CHUNK_SQL,
-    ("corpus", "chunking"),
-)
-register(
-    "salted_rollup_events",
-    rq.salted_rollup_events,
-    rq.SALTED_ROLLUP_SQL,
-    ("agg", "skew", "salted"),
-)
-register(
-    "customer_rolling_7d_spend",
-    aq.customer_rolling_7d_spend,
-    aq.CUSTOMER_ROLLING_7D_SQL,
-    ("window", "range-frame", "temporal"),
-)
-register(
-    "graph_degree_profile",
-    gq.graph_degree_profile,
-    gq.GRAPH_DEGREE_PROFILE_SQL,
-    ("graph", "degree"),
-)
-register(
-    "graph_triangle_count",
-    gq.graph_triangle_count,
-    gq.GRAPH_TRIANGLE_COUNT_SQL,
-    ("graph", "triangles"),
-)
-register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
-register(
-    "asof_events_orders",
-    aq.asof_events_orders,
-    aq.ASOF_EVENTS_ORDERS_SQL,
-    ("join", "asof", "temporal"),
-)
-register(
-    "q3_shipping_priority",
-    aq.q3_shipping_priority,
-    aq.Q3_SHIPPING_PRIORITY_SQL,
-    ("join", "agg", "topk"),
-)
-register(
-    "events_sessionize",
-    rq.events_sessionize,
-    rq.EVENTS_SESSIONIZE_SQL,
-    ("window", "session"),
-)
-register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
 register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
-register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
-register(
-    "coerce_timestamps_orders",
-    cq.coerce_timestamps_orders,
-    cq.COERCE_TIMESTAMPS_SQL,
-    ("timestamps",),
-)
-register(
-    "normalize_strings_customer",
-    cq.normalize_strings_customer,
-    cq.NORMALIZE_STRINGS_SQL,
-    ("strings",),
-)
-register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
-register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
-register(
-    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
-)
-register(
-    "customer_running_spend",
-    rq.customer_running_spend,
-    rq.CUSTOMER_RUNNING_SPEND_SQL,
-    ("window",),
-)
-register(
-    "correlated_above_avg_orders",
-    aq.correlated_above_avg_orders,
-    aq.CORRELATED_ABOVE_AVG_SQL,
-    ("subquery",),
-)
-register(
-    "customer_spend_slope",
-    aq.customer_spend_slope,
-    aq.CUSTOMER_SPEND_SLOPE_SQL,
-    ("agg", "regression"),
-)
-register(
-    "scalar_functions_part",
-    gq.scalar_functions_part,
-    gq.SCALAR_FUNCTIONS_SQL,
-    ("scalar",),
-)
-register(
-    "array_functions_documents",
-    fq.array_functions_documents,
-    fq.ARRAY_FUNCTIONS_SQL,
-    ("scalar", "array"),
-)
-register(
-    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
-)
-register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
-register(
-    "explode_document_tokens",
-    rq.explode_document_tokens,
-    rq.EXPLODE_TOKENS_SQL,
-    ("explode",),
-)
-register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
 register(
     "agg_cardinality_lineitem",
     rq.agg_cardinality_lineitem,
     rq.AGG_CARDINALITY_SQL,
     ("agg",),
 )
-register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
 register(
-    "struct_flatten_roundtrip",
-    rq.struct_flatten_roundtrip,
-    rq.STRUCT_FLATTEN_SQL,
-    ("struct",),
-)
-register(
-    "region_nation_list",
-    aq.region_nation_list,
-    aq.REGION_NATION_LIST_SQL,
-    ("agg", "string-agg"),
-)
-register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
-register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
-register(
-    "dedup_ngram_jaccard",
-    xq.dedup_ngram_jaccard,
-    xq.DEDUP_NGRAM_JACCARD_SQL,
-    ("dedup", "all-pairs", "bounded-baseline"),
-)
-register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
-register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
-register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
-register(
-    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
-)
-register(
-    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
-)
-register(
-    "dedup_clusters",
-    gq.dedup_clusters,
-    gq.DEDUP_CLUSTERS_SQL,
-    ("dedup", "iterative", "graph"),
+    "upsert_bloom_orders",
+    rq.upsert_bloom_orders,
+    rq.UPSERT_BLOOM_SQL,
+    ("sink", "merge", "bloom", "invariance-twin"),
 )
 
-# --- 51+: green in r04 (freshest evidence; next round's backlog) -------
+# --- 11-50: rotation backlog — last green row dates from r04 -----------
 register(
     "bloom_semi_lineitem",
     rq.bloom_semi_lineitem,
@@ -417,9 +272,6 @@ register(
     ("text", "topk"),
 )
 register(
-    "q5_nation_volume", aq.q5_nation_volume, aq.Q5_NATION_VOLUME_SQL, ("join", "agg")
-)
-register(
     "repeat_orders_7d",
     aq.repeat_orders_7d,
     aq.REPEAT_ORDERS_7D_SQL,
@@ -480,40 +332,10 @@ register(
     ("agg", "quantile", "per-group"),
 )
 register(
-    "unpivot_lineitem",
-    aq.unpivot_lineitem,
-    aq.UNPIVOT_LINEITEM_SQL,
-    ("reshape", "unpivot"),
-)
-register(
     "cascade_delete_orders",
     rq.cascade_delete_orders,
     rq.CASCADE_DELETE_SQL,
     ("sink", "referential-action"),
-)
-register(
-    "histogram_orders",
-    rq.histogram_orders,
-    rq.HISTOGRAM_ORDERS_SQL,
-    ("profile", "histogram"),
-)
-register(
-    "basket_pairs",
-    aq.basket_pairs,
-    aq.BASKET_PAIRS_SQL,
-    ("agg", "market-basket", "pair-mining"),
-)
-register(
-    "sql_api_params",
-    rq.sql_api_params,
-    rq.SQL_API_PARAMS_SQL,
-    ("sql", "params"),
-)
-register(
-    "grouping_sets_orders",
-    aq.grouping_sets_orders,
-    aq.GROUPING_SETS_ORDERS_SQL,
-    ("grouping-sets", "merged-variants"),
 )
 register(
     "set_semi_anti_ops",
@@ -523,6 +345,20 @@ register(
 )
 register(
     "quantiles_lineitem", aq.quantiles_lineitem, aq.QUANTILES_LINEITEM_SQL, ("agg",)
+)
+register(
+    "window_time_orders",
+    aq.window_time_orders,
+    aq.WINDOW_TIME_ORDERS_SQL,
+    ("window", "scalar", "time", "merged-variants"),
+)
+
+# --- 51-58: DOCUMENTED SPILL — r04-green, re-verify FIRST in r07 -------
+# (see the module docstring: mandatory load 58 > 50 this round; these
+# eight are static classic-SQL specs untouched since r04, covered by
+# the committed SELFCHECK_r06.json full re-verification)
+register(
+    "q5_nation_volume", aq.q5_nation_volume, aq.Q5_NATION_VOLUME_SQL, ("join", "agg")
 )
 register(
     "q7_nation_pair_volume",
@@ -537,10 +373,212 @@ register(
     ("join", "agg", "ratio"),
 )
 register(
-    "window_time_orders",
-    aq.window_time_orders,
-    aq.WINDOW_TIME_ORDERS_SQL,
-    ("window", "scalar", "time", "merged-variants"),
+    "unpivot_lineitem",
+    aq.unpivot_lineitem,
+    aq.UNPIVOT_LINEITEM_SQL,
+    ("reshape", "unpivot"),
+)
+register(
+    "histogram_orders",
+    rq.histogram_orders,
+    rq.HISTOGRAM_ORDERS_SQL,
+    ("profile", "histogram"),
+)
+register(
+    "sql_api_params",
+    rq.sql_api_params,
+    rq.SQL_API_PARAMS_SQL,
+    ("sql", "params"),
+)
+register(
+    "basket_pairs",
+    aq.basket_pairs,
+    aq.BASKET_PAIRS_SQL,
+    ("agg", "market-basket", "pair-mining"),
+)
+register(
+    "grouping_sets_orders",
+    aq.grouping_sets_orders,
+    aq.GROUPING_SETS_ORDERS_SQL,
+    ("grouping-sets", "merged-variants"),
+)
+
+# --- 59+: green in r05 (freshest evidence; next round's backlog) -------
+register(
+    "incremental_exact_fresh",
+    xq.incremental_exact_fresh,
+    xq.INCREMENTAL_EXACT_SQL,
+    ("dedup", "incremental", "bloom", "index-screen"),
+)
+register(
+    "manifest_pruned_orders",
+    rq.manifest_pruned_orders,
+    rq.MANIFEST_PRUNED_SQL,
+    ("layout", "manifest", "data-skipping", "agg"),
+)
+register(
+    "semdedup_pairs",
+    gq.semdedup_pairs,
+    gq.SEMDEDUP_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup"),
+)
+register(
+    "corpus_lm_quality",
+    xc.corpus_lm_quality,
+    xc.CORPUS_LM_QUALITY_SQL,
+    ("corpus", "quality", "lm"),
+)
+register(
+    "ivm_spend_refresh",
+    rq.ivm_spend_refresh,
+    rq.IVM_SPEND_REFRESH_SQL,
+    ("sink", "ivm", "incremental"),
+)
+register(
+    "corpus_chunk_documents",
+    xc.corpus_chunk_documents,
+    xc.CORPUS_CHUNK_SQL,
+    ("corpus", "chunking"),
+)
+register(
+    "salted_rollup_events",
+    rq.salted_rollup_events,
+    rq.SALTED_ROLLUP_SQL,
+    ("agg", "skew", "salted"),
+)
+register(
+    "customer_rolling_7d_spend",
+    aq.customer_rolling_7d_spend,
+    aq.CUSTOMER_ROLLING_7D_SQL,
+    ("window", "range-frame", "temporal"),
+)
+register(
+    "graph_degree_profile",
+    gq.graph_degree_profile,
+    gq.GRAPH_DEGREE_PROFILE_SQL,
+    ("graph", "degree"),
+)
+register(
+    "graph_triangle_count",
+    gq.graph_triangle_count,
+    gq.GRAPH_TRIANGLE_COUNT_SQL,
+    ("graph", "triangles"),
+)
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register(
+    "asof_events_orders",
+    aq.asof_events_orders,
+    aq.ASOF_EVENTS_ORDERS_SQL,
+    ("join", "asof", "temporal"),
+)
+register(
+    "q3_shipping_priority",
+    aq.q3_shipping_priority,
+    aq.Q3_SHIPPING_PRIORITY_SQL,
+    ("join", "agg", "topk"),
+)
+register(
+    "events_sessionize",
+    rq.events_sessionize,
+    rq.EVENTS_SESSIONIZE_SQL,
+    ("window", "session"),
+)
+register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register(
+    "coerce_timestamps_orders",
+    cq.coerce_timestamps_orders,
+    cq.COERCE_TIMESTAMPS_SQL,
+    ("timestamps",),
+)
+register(
+    "normalize_strings_customer",
+    cq.normalize_strings_customer,
+    cq.NORMALIZE_STRINGS_SQL,
+    ("strings",),
+)
+register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register(
+    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+)
+register(
+    "customer_running_spend",
+    rq.customer_running_spend,
+    rq.CUSTOMER_RUNNING_SPEND_SQL,
+    ("window",),
+)
+register(
+    "correlated_above_avg_orders",
+    aq.correlated_above_avg_orders,
+    aq.CORRELATED_ABOVE_AVG_SQL,
+    ("subquery",),
+)
+register(
+    "customer_spend_slope",
+    aq.customer_spend_slope,
+    aq.CUSTOMER_SPEND_SLOPE_SQL,
+    ("agg", "regression"),
+)
+register(
+    "scalar_functions_part",
+    gq.scalar_functions_part,
+    gq.SCALAR_FUNCTIONS_SQL,
+    ("scalar",),
+)
+register(
+    "array_functions_documents",
+    fq.array_functions_documents,
+    fq.ARRAY_FUNCTIONS_SQL,
+    ("scalar", "array"),
+)
+register(
+    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
+)
+register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
+register(
+    "explode_document_tokens",
+    rq.explode_document_tokens,
+    rq.EXPLODE_TOKENS_SQL,
+    ("explode",),
+)
+register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
+register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
+register(
+    "struct_flatten_roundtrip",
+    rq.struct_flatten_roundtrip,
+    rq.STRUCT_FLATTEN_SQL,
+    ("struct",),
+)
+register(
+    "region_nation_list",
+    aq.region_nation_list,
+    aq.REGION_NATION_LIST_SQL,
+    ("agg", "string-agg"),
+)
+register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
+register(
+    "dedup_ngram_jaccard",
+    xq.dedup_ngram_jaccard,
+    xq.DEDUP_NGRAM_JACCARD_SQL,
+    ("dedup", "all-pairs", "bounded-baseline"),
+)
+register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
+register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
+register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
+register(
+    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
+)
+register(
+    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
+)
+register(
+    "dedup_clusters",
+    gq.dedup_clusters,
+    gq.DEDUP_CLUSTERS_SQL,
+    ("dedup", "iterative", "graph"),
 )
 
 # --- last: rows-only specs (no oracle by design) -----------------------

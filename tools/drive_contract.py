@@ -2,7 +2,14 @@
 defaults, no engine conf), import __spark_entry__, smoke entry(), and
 diff every queries() entry against its oracle_sql() via DuckDB at
 sf0.01 with atol=0 — stricter than the pytest harness.  Run from the
-repo root: python tools/drive_contract.py"""
+repo root: python tools/drive_contract.py [sf_dir] [--json PATH]
+
+--json writes a CORRECTNESS-shaped artifact (one row per spec with
+rows/schema/hash-equivalent booleans) covering EVERY registration —
+not just the driver's 50-slot window.  Committed per round (e.g.
+SELFCHECK_r06.json) it is the compensating evidence for specs the
+window cannot hold (see plans/queries.py "WINDOW OVERFLOW")."""
+import json
 import os
 import sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -23,7 +30,14 @@ rows = df.collect()
 print(f"ENTRY rows={len(rows)}")
 
 qs, osql = e.queries(), e.oracle_sql()
-sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+argv = list(sys.argv[1:])
+json_path = None
+if "--json" in argv:
+    i = argv.index("--json")
+    json_path = argv[i + 1]
+    del argv[i : i + 2]
+sf = argv[0] if argv else "/root/testdata/sf0.01"
+report: dict[str, dict] = {}
 conn = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     p = f"{sf}/{t}.parquet"
@@ -36,11 +50,13 @@ for name, fn in qs.items():
         spdf = fn(spark, sf).toPandas()
     except Exception as ex:
         print(f"FAIL {name}: spark error {str(ex)[:140]}")
+        report[name] = {"err": str(ex)[:200]}
         fails += 1
         continue
     t_spark = time.time() - t0
     if name not in osql:
         print(f"OK(rows-only) {name}: rows={len(spdf)} spark={t_spark:.1f}s")
+        report[name] = {"spark_rows": len(spdf), "rows_only": True, "err": None}
         continue
     t0 = time.time()
     odf = conn.execute(osql[name]).fetchdf()
@@ -80,4 +96,16 @@ for name, fn in qs.items():
     if status == "FAIL": fails += 1
     dt = f" dtypemm={dtype_mm}" if dtype_mm else ""
     print(f"{status} {name}: rows {len(spdf)}/{len(odf)} cols:{ok_cols} cellmm={mismatch}{dt} spark={t_spark:.1f}s duck={t_duck:.1f}s")
+    report[name] = {
+        "rows_match": ok_rows,
+        "schema_match": ok_cols and not dtype_mm,
+        "hash_match": status == "OK",
+        "spark_rows": len(spdf),
+        "oracle_rows": len(odf),
+        "err": None,
+    }
 print("TOTAL FAILS:", fails)
+if json_path:
+    with open(json_path, "w") as f:
+        json.dump({"sf_dir": sf, "total_fails": fails, "specs": report}, f, indent=1, sort_keys=True)
+    print(f"wrote {json_path} ({len(report)} specs)")
