@@ -67,6 +67,11 @@ QUERIES = [
     "incremental_simhash_fresh",
     "upsert_bloom_orders",
     "manifest_pruned_orders",
+    # r06 additions: the routed SemDeDup registrations (the deeper
+    # routed-vs-flat sweep lives in tools/routed_rehearsal.py)
+    "routed_assign_embeddings",
+    "semdedup_routed_pairs",
+    "semdedup_keep",
 ]
 
 
