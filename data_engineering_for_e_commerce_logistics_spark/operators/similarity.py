@@ -540,3 +540,113 @@ def semdedup_prune(
         .distinct()
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def incremental_semdedup(
+    new_vecs: DataFrame,
+    corpus_index: DataFrame | None,
+    centroids: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cv",
+) -> tuple[DataFrame, DataFrame]:
+    """Fourth incremental-dedup family member (exact digests, MinHash
+    signatures, SimHash fingerprints — and now SEMANTIC embeddings):
+    screen a new batch of embeddings against the persisted KEPT-corpus
+    cell index without rescanning the corpus.
+
+    The index rows are ``(id, v, nrm, cell)`` — the batch's own
+    ``index_delta`` from prior calls: double-cast vector, precomputed
+    L2 norm, and the cell under the SHARED codebook (``centroids`` is
+    the operator's fixed quantizer, the analogue of the hash functions
+    a signature index pins; changing it invalidates the index).  Per
+    batch:
+
+    1. assign the batch to cells — broadcast nearest-centroid scan
+       (dist asc, id asc ties), the exact assignment every SemDeDup
+       stage here uses;
+    2. drop a batch vector if ANY same-cell INDEX member sits within
+       cosine >= tau (the cross-batch SemDeDup screen), or if a
+       LOWER-id same-cell BATCH member does (the within-batch greedy —
+       exactly ``semdedup_prune``'s drop-higher-id-of-firing-pair
+       rule, chains included);
+    3. return ``(fresh, index_delta)``: surviving original rows, and
+       their ``(id, v, nrm, cell)`` rows to append.
+
+    Zero-norm vectors: cosine is NULL (nullif guard), NULL >= tau is
+    never true, so they are always kept — content-free embeddings are
+    a quality-filter concern, mirroring the exact family's NULL-text
+    contract.
+
+    100 TB shape: the corpus is never re-read; per-batch cost is one
+    broadcast assignment over |batch| plus a cell-keyed join that
+    touches only the index cells the batch lands in — partition the
+    persisted index by ``cell`` and the join co-locates, so
+    steady-state shuffle tracks |batch| × cell occupancy, not |index|.
+    Index growth tracks NOVEL content only, like the simhash family.
+    Deterministic end to end and SQL-expressible (NOT EXISTS twice) —
+    oracle-ready for a registry slot (r07 candidate,
+    ``plans/graph_queries.py:incremental_semdedup_fresh``)."""
+    vecs = new_vecs.select(
+        F.col(id_col), _as_double_vec(vec_col).alias("v")
+    ).withColumn(
+        "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+    )
+    cents = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        _as_double_vec(centroid_vec_col).alias("__cv"),
+    )
+    sq_dist = _fold_sum(
+        F.zip_with(F.col("v"), F.col("__cv"), lambda x, y: (x - y) * (x - y))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__dist").asc(), F.col("__cid").asc()
+    )
+    assigned = (
+        F.broadcast(cents)
+        .crossJoin(vecs)
+        .withColumn("__dist", sq_dist)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "v", "nrm", F.col("__cid").alias("cell"))
+    )
+
+    def _cos(av, bv, an, bn):
+        return _fold_sum(F.zip_with(av, bv, lambda x, y: x * y)) / F.nullif(
+            an * bn, F.lit(0.0)
+        )
+
+    # same-cell rivals: every index member, plus every LOWER-id batch
+    # member (the within-batch greedy); one unioned join keeps it to a
+    # single cell-keyed exchange
+    rivals = assigned.select(
+        "cell",
+        F.col(id_col).alias("__rid"),
+        F.col("v").alias("__rv"),
+        F.col("nrm").alias("__rn_"),
+        F.lit(True).alias("__same_batch"),
+    )
+    if corpus_index is not None:
+        rivals = corpus_index.select(
+            "cell",
+            F.col(id_col).alias("__rid"),
+            F.col("v").alias("__rv"),
+            F.col("nrm").alias("__rn_"),
+            F.lit(False).alias("__same_batch"),
+        ).unionByName(rivals)
+    dup_ids = (
+        assigned.join(rivals, "cell")
+        .where(
+            (~F.col("__same_batch") | (F.col("__rid") < F.col(id_col)))
+            & (_cos(F.col("v"), F.col("__rv"), F.col("nrm"), F.col("__rn_"))
+               >= F.lit(tau))
+        )
+        .select(id_col)
+        .distinct()
+    )
+    kept = assigned.join(dup_ids, id_col, "left_anti")
+    fresh = new_vecs.join(kept.select(id_col), id_col, "left_semi")
+    index_delta = kept.select(id_col, "v", "nrm", "cell")
+    return fresh, index_delta

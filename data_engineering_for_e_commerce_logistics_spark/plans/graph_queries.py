@@ -1340,3 +1340,113 @@ ORDER BY vec_id
 
 
 ROUTED_ASSIGN_SQL = _routed_assign_sql()
+
+
+# --- Incremental SemDeDup (fourth incremental family; r07 candidate) --------
+
+INC_SEM_TAU = 0.4  # same firing threshold as SEMDEDUP_TAU
+
+
+def incremental_semdedup_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic sibling of ``incremental_{exact,minhash,simhash}_fresh``
+    (r04's unit-first debut pattern; registration earmarked for the r07
+    window — the r06 window is full, see plans/queries.py): batch 1
+    builds the cell index under the shared 16-centroid codebook
+    (its own within-batch SemDeDup screen applied), batch 2 — whose
+    vec_id%10 ∈ [3,5) slice re-ingests 20% of batch 1's vectors
+    verbatim, cosine 1.0, so the cross-batch screen provably fires —
+    dedups against the index, and the query returns the ACCRUED index
+    (vec_id, cell, ingest_batch).  The oracle replays assignment and
+    both NOT EXISTS screens in plain SQL."""
+    from ..operators.similarity import incremental_semdedup
+    from .extended_queries import INC_B1_LT, INC_B2_GE, INC_OFFSET
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < ROUTED_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    b1 = emb.where(F.col("vec_id") % 10 < INC_B1_LT)
+    b2 = emb.where(F.col("vec_id") % 10 >= INC_B2_GE).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(INC_OFFSET)
+    )
+    _, delta1 = incremental_semdedup(b1, None, centroids, tau=INC_SEM_TAU)
+    _, delta2 = incremental_semdedup(b2, delta1, centroids, tau=INC_SEM_TAU)
+    accrued = delta1.select(
+        "vec_id", "cell", F.lit(1).alias("ingest_batch")
+    ).unionByName(delta2.select("vec_id", "cell", F.lit(2).alias("ingest_batch")))
+    return accrued.orderBy("vec_id")
+
+
+def _incremental_semdedup_sql() -> str:
+    dist = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    cos = (
+        # lambda params deliberately avoid x/y — those are the outer
+        # NOT EXISTS table aliases and DuckDB's binder rejects shadowed
+        # lambda parameters
+        "list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]),"
+        " (s, t) -> s + t) / nullif({an} * {bn}, 0)"
+    )
+    from .extended_queries import INC_B1_LT, INC_B2_GE, INC_OFFSET
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+  FROM e
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {ROUTED_K}),
+b1 AS (SELECT * FROM n WHERE vec_id % 10 < {INC_B1_LT}),
+b2 AS (
+  SELECT vec_id + {INC_OFFSET} AS vec_id, v, nrm
+  FROM n WHERE vec_id % 10 >= {INC_B2_GE}
+),
+a1 AS (
+  SELECT vec_id, v, nrm, cell FROM (
+    SELECT b.vec_id, b.v, b.nrm, c.cid AS cell, row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {dist.format(a='b.v', b='c.cv')} ASC, c.cid ASC) AS rn
+    FROM b1 b, c) WHERE rn = 1
+),
+idx1 AS (
+  SELECT * FROM a1 x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM a1 y
+    WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+      AND {cos.format(a='x.v', b='y.v', an='x.nrm', bn='y.nrm')} >= {INC_SEM_TAU}
+  )
+),
+a2 AS (
+  SELECT vec_id, v, nrm, cell FROM (
+    SELECT b.vec_id, b.v, b.nrm, c.cid AS cell, row_number() OVER (
+        PARTITION BY b.vec_id
+        ORDER BY {dist.format(a='b.v', b='c.cv')} ASC, c.cid ASC) AS rn
+    FROM b2 b, c) WHERE rn = 1
+),
+fresh2 AS (
+  SELECT * FROM a2 x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM idx1 i
+    WHERE i.cell = x.cell
+      AND {cos.format(a='x.v', b='i.v', an='x.nrm', bn='i.nrm')} >= {INC_SEM_TAU}
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM a2 y
+    WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+      AND {cos.format(a='x.v', b='y.v', an='x.nrm', bn='y.nrm')} >= {INC_SEM_TAU}
+  )
+)
+SELECT vec_id, cell, 1 AS ingest_batch FROM idx1
+UNION ALL
+SELECT vec_id, cell, 2 AS ingest_batch FROM fresh2
+ORDER BY vec_id
+"""
+
+
+INCREMENTAL_SEMDEDUP_SQL = _incremental_semdedup_sql()

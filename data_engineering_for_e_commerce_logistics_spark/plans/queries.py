@@ -56,6 +56,14 @@ Longer-term the fix is consolidation (merge stale singles into
 merged-variants specs like ``dedup_variants_lineitem``) rather than
 a forever-growing spill.
 
+r07 rotation note: the never-checked candidate is
+``incremental_semdedup_fresh`` (``plans/graph_queries.py`` — the
+fourth incremental-dedup family member, semantic embeddings vs a
+persisted cell index; bit-exact DuckDB differential already green in
+``tests/test_incremental_semdedup.py``, r04's unit-first debut
+pattern).  The r06 spill (positions 51-58) re-verifies FIRST, then
+the 43 r05-green specs not re-greened in r06.
+
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
 verified slot.
