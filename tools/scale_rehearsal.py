@@ -171,17 +171,38 @@ def incremental_rehearsal(spark) -> None:
         incremental_minhash_dedup,
         incremental_simhash_dedup,
     )
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        incremental_semdedup,
+    )
 
-    docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
     family = (
-        "simhash"
+        "semdedup"
+        if "--semdedup" in sys.argv
+        else "simhash"
         if "--simhash" in sys.argv
         else "minhash" if "--minhash" in sys.argv else "exact"
     )
+    if family == "semdedup":
+        # r06: the fourth family ingests the EMBEDDINGS replicas — the
+        # sf0.5 corpus perturbs each replica's vectors slightly
+        # (nonlinear direction change), so a high tau screens replica
+        # re-ingests as semantic near-dups and the index grows with
+        # novel content only, like the simhash family's property.
+        docs = spark.read.parquet(os.path.join(DST, "embeddings.parquet"))
+        id_col = "vec_id"
+        centroids = docs.where(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+        )
+    else:
+        docs = spark.read.parquet(os.path.join(DST, "documents.parquet"))
+        id_col = "doc_id"
     idx_path = os.path.join(_REPO, ".scale", f"inc_index_{family}")
     bands_path = idx_path + "_bands"
 
     def screen(batch, idx):
+        if family == "semdedup":
+            return incremental_semdedup(batch, idx, centroids, tau=0.95)
         if family == "simhash":
             # NOTE the sf0.5 corpus construction makes replicas NEAR-dups
             # of each other (one appended token), so here batches 1-4
@@ -208,7 +229,7 @@ def incremental_rehearsal(spark) -> None:
     out = []
     batches = list(range(N_REPLICAS)) + [0]  # final: replay batch 0
     for step, r in enumerate(batches):
-        batch = docs.where(F.floor(F.col("doc_id") / SHIFT) == r)
+        batch = docs.where(F.floor(F.col(id_col) / SHIFT) == r)
         have_idx = os.path.exists(idx_path)
         idx = spark.read.parquet(idx_path) if have_idx else None
         idx_before = idx.count() if have_idx else 0
