@@ -627,3 +627,71 @@ def test_streaming_incremental_neardedup_foreachbatch(spark, tmp_path):
     kept = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
     assert kept == [1, 11], kept
     assert spark.read.parquet(index).count() == 2
+
+def test_streaming_incremental_semdedup_foreachbatch(spark, tmp_path):
+    """Semantic twin of the streaming ingest+dedup loop (r06, fourth
+    family): micro-batches of embeddings screen against the persisted
+    (id, v, nrm, cell) index under a fixed codebook, so a slightly
+    PERTURBED re-post arriving batches later is dropped (cosine >=
+    tau) while genuinely different content passes — semantic identity
+    through the same stateless-stream + persisted-index pattern."""
+    import os
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        incremental_semdedup,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id long, cv array<double>",
+    )
+    spark.createDataFrame(
+        [(1, [0.9, 0.1, 0.0])], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def dedup_batch(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        idx = sess.read.parquet(index) if os.path.exists(index) else None
+        fresh, delta = incremental_semdedup(
+            batch_df, idx, centroids, tau=0.95
+        )
+        fresh.persist()
+        fresh.write.mode("append").parquet(corpus)
+        delta.write.mode("append").parquet(index)
+        fresh.unpersist()
+
+    def run_once():
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .parquet(src)
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(corpus).count() == 1
+
+    # later batch: a small perturbation of vec 1 (semantic near-dup,
+    # cos ~0.999) + a genuinely different direction in the same cell
+    spark.createDataFrame(
+        [
+            (10, [0.92, 0.09, 0.01]),
+            (11, [0.7, 0.1, 0.7]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    kept = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 11], kept
+    idx_rows = spark.read.parquet(index)
+    assert idx_rows.count() == 2
+    assert set(idx_rows.columns) == {"vec_id", "v", "nrm", "cell"}
