@@ -42,8 +42,6 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality",
     "text_lang_id",
-    "embedding_topk",
-    "embedding_ann",
     "events_sessionize",
     "binary_features",
     "quantiles_lineitem",
@@ -85,7 +83,6 @@ HEADLINE = [
     "events_gapfill_hourly",
     "events_zscore_outliers",
     "supplier_pagerank",
-    "ivf_topk",
     "basket_pairs",
     # r03 additions: graph primitives' contract debut + simhash family
     # (now oracle-checked); degree profile is timed inside the triangle
@@ -136,6 +133,7 @@ HEADLINE = [
     "routed_assign_embeddings",
     "semdedup_routed_pairs",
     "tpch_join_suite",
+    "embedding_retrieval_suite",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion
@@ -185,6 +183,11 @@ RENAMED_FROM = {
         "q5_nation_volume",
         "q7_nation_pair_volume",
         "q8_market_share",
+    ],
+    "embedding_retrieval_suite": [
+        "embedding_topk",
+        "embedding_ann",
+        "ivf_topk",
     ],
 }
 

@@ -237,6 +237,75 @@ SELECT query_id, cell, neighbor_id, cosine, rank FROM (
 """
 
 
+def embedding_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation of the three top-k retrieval legs
+    (r06, second application of the plans/queries.py "WINDOW OVERFLOW"
+    remedy): brute-force exact cosine (the baseline), sign-bucket LSH,
+    and probe-limited IVF union into ONE spec — they are one operator
+    family with one natural output shape (query, neighbor, cosine,
+    rank), differing only in the locality structure that bounds the
+    candidate set:
+
+    * ``brute_force``: locality NULL — every candidate scored,
+    * ``sign_bucket``: locality = the ANN_BITS sign bucket string,
+    * ``ivf_probe``: locality = the probed cell id (as string).
+
+    The three underlying builders stay importable; plan shape per
+    variant is unchanged under the union (broadcast queries/centroids,
+    per-query top-k windows).  Bench baseline = the parts' sum via
+    RENAMED_FROM, same as ``tpch_join_suite``."""
+    from . import extended_queries as xq
+
+    nulls = F.lit(None).cast("string")
+    brute = xq.embedding_topk(spark, sf_dir).select(
+        F.lit("brute_force").alias("variant"),
+        "query_id",
+        nulls.alias("locality"),
+        "neighbor_id",
+        "cosine",
+        "rank",
+    )
+    ann = xq.embedding_ann(spark, sf_dir).select(
+        F.lit("sign_bucket").alias("variant"),
+        "query_id",
+        F.col("bucket").alias("locality"),
+        "neighbor_id",
+        "cosine",
+        "rank",
+    )
+    ivf = ivf_topk(spark, sf_dir).select(
+        F.lit("ivf_probe").alias("variant"),
+        "query_id",
+        F.col("cell").cast("string").alias("locality"),
+        "neighbor_id",
+        "cosine",
+        "rank",
+    )
+    return brute.unionByName(ann).unionByName(ivf)
+
+
+def _retrieval_suite_sql() -> str:
+    from . import extended_queries as xq
+
+    return f"""
+WITH brute AS ({xq.EMBEDDING_TOPK_SQL}),
+ann AS ({xq.EMBEDDING_ANN_SQL}),
+ivf AS ({IVF_TOPK_SQL})
+SELECT 'brute_force' AS variant, query_id, CAST(NULL AS VARCHAR) AS locality,
+       neighbor_id, cosine, rank
+FROM brute
+UNION ALL
+SELECT 'sign_bucket', query_id, bucket, neighbor_id, cosine, rank
+FROM ann
+UNION ALL
+SELECT 'ivf_probe', query_id, cell::VARCHAR, neighbor_id, cosine, rank
+FROM ivf
+"""
+
+
+EMBEDDING_RETRIEVAL_SUITE_SQL = _retrieval_suite_sql()
+
+
 # --- One k-means (Lloyd) refinement over the IVF cells ----------------------
 
 
