@@ -50,9 +50,14 @@ registry outgrew the invariant arithmetically (100+ oracle specs need
   original output cell is preserved in the padded unions;
   ``bench.py`` RENAMED_FROM keeps each perf-gate baseline as the
   parts' sum (the r02 merge mechanism).  Registry count drops
-  101 → 97 oracle-paired; steady state needs ≤96 to fit a 2-round
-  window, so ONE more small merge in r07 closes the arithmetic for
-  good.
+  101 → 97 oracle-paired.  Steady-state arithmetic: flagships hold
+  their 2 slots every round, leaving 48/round = 96 per 2-round
+  cycle for the other 95 oracle specs — it FITS again, and this
+  round's spill is the transitional cost of an 8-spec new+changed
+  burst.  Projected r07 mandatory load: 2 flagships + 4 spill
+  (oldest) + 43 r05-green-not-re-greened + 1 new
+  (``incremental_semdedup_fresh``) = 50 exactly — zero spill,
+  provided r07 debuts at most one spec and changes none.
 * DOCUMENTED SPILL for the remainder: four r04-green specs sit at
   positions 51-54 with two-round-old driver evidence until r07,
   where the rotation MUST pick them first (they will be the oldest).
@@ -70,8 +75,9 @@ r07 rotation note: the never-checked candidate is
 fourth incremental-dedup family member, semantic embeddings vs a
 persisted cell index; bit-exact DuckDB differential already green in
 ``tests/test_incremental_semdedup.py``, r04's unit-first debut
-pattern).  The r06 spill (positions 51-58) re-verifies FIRST, then
-the 43 r05-green specs not re-greened in r06.
+pattern).  The r06 spill (positions 51-54) re-verifies FIRST, then
+the 43 r05-green specs not re-greened in r06 — a perfect-fit 50 per
+the overflow note's projection.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

@@ -17,6 +17,14 @@ def _plan(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _plan_of(spark, builder) -> str:
+    """Plan of a builder that is no longer registered under its own
+    name (r06 consolidation merged q5/q7/q8 and the retrieval legs
+    into suites) — the per-variant plan guards still pin each branch,
+    which the suite union executes unchanged."""
+    return builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
 def test_filter_pushdown_pricing(spark):
     plan = _plan(spark, "pricing_summary")
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
@@ -42,7 +50,11 @@ def test_topk_is_take_ordered(spark):
 
 
 def test_query_id_pushdown_embeddings(spark):
-    plan = _plan(spark, "embedding_topk")
+    from data_engineering_for_e_commerce_logistics_spark.plans.extended_queries import (
+        embedding_topk,
+    )
+
+    plan = _plan_of(spark, embedding_topk)
     assert "In(vec_id" in plan
 
 
@@ -79,8 +91,14 @@ def test_missing_source_raises(spark):
 def test_q7_q8_broadcast_dims_single_fact_shuffle(spark):
     """The Q7/Q8 shapes keep every dimension join broadcast; the only
     exchanges are the lineitem⨝orders sides and the final aggregate."""
-    for name in ("q7_nation_pair_volume", "q8_market_share"):
-        plan = _plan(spark, name)
+    from data_engineering_for_e_commerce_logistics_spark.plans.analytics_queries import (
+        q7_nation_pair_volume,
+        q8_market_share,
+    )
+
+    for builder in (q7_nation_pair_volume, q8_market_share):
+        plan = _plan_of(spark, builder)
+        name = builder.__name__
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan or plan.count("Exchange hashpartitioning") <= 4, name
 
@@ -118,7 +136,11 @@ def test_ivf_topk_broadcasts_probes(spark):
     """The probe→cell join must broadcast the (queries × nprobe) side;
     a shuffled candidate join would move the corpus for a handful of
     query rows."""
-    plan = _plan(spark, "ivf_topk")
+    from data_engineering_for_e_commerce_logistics_spark.plans.graph_queries import (
+        ivf_topk,
+    )
+
+    plan = _plan_of(spark, ivf_topk)
     assert "BroadcastHashJoin" in plan
 
 
