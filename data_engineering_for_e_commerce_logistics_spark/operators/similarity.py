@@ -580,6 +580,16 @@ def incremental_semdedup(
     a quality-filter concern, mirroring the exact family's NULL-text
     contract.
 
+    Chain semantics ACROSS batches (pinned by test): the cross-batch
+    screen compares against KEPT index members only — a batch-2
+    vector near a batch-1 vector that was itself dropped is KEPT,
+    because nothing it duplicates exists in the corpus.  This is
+    deliberately NOT the single-corpus ``semdedup_prune`` greedy
+    (which drops the higher id of ANY firing pair, dropped lower ids
+    included): dedup-against-what-you-kept is the correct ingest
+    contract, and it is what every incremental family here does
+    (a digest/signature index only ever holds kept content).
+
     100 TB shape: the corpus is never re-read; per-batch cost is one
     broadcast assignment over |batch| plus a cell-keyed join that
     touches only the index cells the batch lands in — partition the

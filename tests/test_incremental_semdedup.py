@@ -115,3 +115,29 @@ def test_incremental_semdedup_matches_duckdb_oracle(spark):
     n_b2 = (spdf["ingest_batch"] == 2).sum()
     assert 0 < n_b2 < 350  # 350 = |b2| at sf0.01 (70% of 500)
     assert compare_frames(spdf, opdf, "incremental_semdedup_fresh") == []
+
+
+def test_cross_batch_chain_screens_against_kept_only(spark, centroids):
+    """Chain a~b in batch 1 (b dropped), then c in batch 2 near b but
+    NOT near a: c is KEPT — the index holds only kept content, so
+    there is nothing in the corpus c duplicates.  This deliberately
+    diverges from the single-corpus greedy (which drops the higher id
+    of any firing pair, dropped lower ids included); the docstring
+    pins it as the ingest contract shared by all incremental
+    families."""
+    import math
+
+    # unit vectors in the x-y plane at angles 0, 30, 60 degrees:
+    # cos(a,b)=cos30=0.866 >= 0.8 (b drops); cos(b,c)=0.866 would
+    # fire, but b is not indexed; cos(a,c)=cos60=0.5 < 0.8 -> c kept
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r), 0.0]
+
+    tau = 0.8
+    b1 = _batch(spark, [(0, at(0)), (1, at(30))])
+    _, delta1 = incremental_semdedup(b1, None, centroids, tau=tau)
+    assert [r.vec_id for r in delta1.collect()] == [0]  # b dropped
+    b2 = _batch(spark, [(10, at(60))])
+    fresh, _ = incremental_semdedup(b2, delta1, centroids, tau=tau)
+    assert [r.vec_id for r in fresh.collect()] == [10]
