@@ -481,18 +481,26 @@ def two_level_assign(
         .filter(F.col("__rn") == 1)
         .select("__sid", "__cid", "__cv")
     )
-    # level-1: route each vector to its ``n_probe`` nearest supers —
-    # the IVF-nprobe recall knob: a vector whose true centroid lives
-    # under the SECOND-nearest super (common near super boundaries) is
-    # still recovered; cost grows only by the extra probed groups
-    # (measured at n=10K/k=100: n_probe=1 agrees with the exact
-    # assignment on 33% of vectors, n_probe=2/3 climbs steeply while
-    # staying far below the flat n·k scan).
+    # level-1: route each vector to its ``n_probe`` nearest LIVE
+    # supers — the IVF-nprobe recall knob: a vector whose true
+    # centroid lives under the SECOND-nearest super (common near
+    # super boundaries) is still recovered; cost grows only by the
+    # extra probed groups (measured at n=10K/k=100: n_probe=1 agrees
+    # with the exact assignment on 33% of vectors, n_probe=2/3 climbs
+    # steeply while staying far below the flat n·k scan).
+    # LIVE = owning ≥1 centroid: a trained super can end up with an
+    # empty group, and a vector probing only empty supers would join
+    # nothing and silently VANISH from the assignment — restricting
+    # routing to live supers makes totality structural (r06; with
+    # untrained seed supers every super owns at least itself, so this
+    # is a no-op there).
+    live = grouped.select("__sid").distinct()
+    supers_live = supers.join(live, "__sid", "left_semi")
     w_v = Window.partitionBy(id_col).orderBy(
         F.col("__sdist").asc(), F.col("__sid").asc()
     )
     routed = (
-        F.broadcast(supers)
+        F.broadcast(supers_live)
         .crossJoin(vecs)
         .withColumn("__sdist", sq(F.col("v"), F.col("__sv")))
         .withColumn("__rn", F.row_number().over(w_v))

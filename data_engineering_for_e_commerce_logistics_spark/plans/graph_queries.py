@@ -1248,12 +1248,16 @@ grouped AS (
         ORDER BY {dist.format(a='c.cv', b='s.sv')} ASC, s.sid ASC) AS rn
     FROM c, s) WHERE rn = 1
 ),
+s_live AS (
+  -- totality-guard mirror (no-op for seed supers: each owns itself)
+  SELECT s.* FROM s WHERE EXISTS (SELECT 1 FROM grouped g WHERE g.sid = s.sid)
+),
 routed AS (
   SELECT vec_id, v, sid FROM (
     SELECT e.vec_id, e.v, s.sid, row_number() OVER (
         PARTITION BY e.vec_id
         ORDER BY {dist.format(a='e.v', b='s.sv')} ASC, s.sid ASC) AS rn
-    FROM e, s) WHERE rn <= 2
+    FROM e, s_live s) WHERE rn <= 2
 ),
 cells AS (
   SELECT vec_id, cell FROM (
@@ -1392,12 +1396,17 @@ grouped AS (
         ORDER BY {dist.format(a='c.cv', b='s.sv')} ASC, s.sid ASC) AS rn
     FROM c, s) WHERE rn = 1
 ),
+s_live AS (
+  -- mirror the operator's totality guard: route only against supers
+  -- owning >= 1 centroid (a no-op unless training emptied a group)
+  SELECT s.* FROM s WHERE EXISTS (SELECT 1 FROM grouped g WHERE g.sid = s.sid)
+),
 routed AS (
   SELECT vec_id, v, sid FROM (
     SELECT e.vec_id, e.v, s.sid, row_number() OVER (
         PARTITION BY e.vec_id
         ORDER BY {dist.format(a='e.v', b='s.sv')} ASC, s.sid ASC) AS rn
-    FROM e, s) WHERE rn <= {ROUTED_PROBE}
+    FROM e, s_live s) WHERE rn <= {ROUTED_PROBE}
 )
 SELECT vec_id, cell FROM (
   SELECT r.vec_id, g.cid AS cell, row_number() OVER (
