@@ -174,3 +174,157 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         F.length(norm).alias("n_chars_norm"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+) -> DataFrame:
+    """Distributed BPE merge training (Sennrich et al. 2016, the
+    public byte-pair-encoding algorithm every modern tokenizer
+    descends from): learn the top ``n_merges`` merge rules from a
+    corpus.  Returns the trained tokenizer artifact — one row per
+    merge, in learned order: ``(merge_rank, left_sym, right_sym,
+    merged, pair_count)``.
+
+    Spark-first shape: the CORPUS is touched exactly once — a
+    whitespace-tokenize → word-frequency aggregate with map-side
+    combine (classic BPE trains on the word-freq table, which is
+    bounded by vocabulary, not corpus size).  Every iteration then
+    runs on that bounded vocab frame: adjacent-pair count (explode +
+    hash agg), argmax (ONE driver row pull per merge — the same
+    bounded planner-pull class as the quantile brackets), and greedy
+    merge application.  At 100 TB the corpus pass dominates and
+    parallelizes perfectly; the n_merges iterations cost vocab-sized
+    jobs regardless of corpus scale.
+
+    Greedy left-to-right non-overlapping application is expressed as
+    PURE relational ops (no fold UDF): candidate positions (pair
+    match) → consecutive-position runs via the islands trick
+    (j - rank) → take odd offsets within each run — provably equal to
+    the sequential scan (a candidate is taken iff its predecessor
+    position was not), and expressible identically in the DuckDB
+    oracle, which replays all ``n_merges`` rounds unrolled and
+    matches the per-round argmax INCLUDING ties (count desc, then
+    lexicographic left, right).
+
+    Each round's vocab frame is ``localCheckpoint``-ed: unlike
+    ``cache`` (which truncates execution but NOT the logical plan),
+    checkpointing cuts the LINEAGE — without it the round-N plan
+    embeds N copies of the explode/window/join tree and Spark's plan
+    stringification alone OOMs the driver around round 6 (measured).
+    kmeans gets away with cache because its per-round centroids pass
+    through the driver, resetting lineage naturally; here everything
+    stays distributed, so the cut must be explicit.  ASCII corpus
+    assumption: Spark substring counts Java chars, DuckDB indexes
+    codepoints — identical on ASCII, documented divergence beyond."""
+    from pyspark.sql import Window
+
+    words = (
+        df.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "\\s+")
+            ).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = words.select(
+        "w",
+        "freq",
+        F.expr(
+            "array_append(transform(sequence(1, length(w)),"
+            " x -> substr(w, x, 1)), '</w>')"
+        ).alias("s"),
+    ).localCheckpoint()
+
+    spark = df.sparkSession
+    merges: list[tuple] = []
+    for rank in range(1, n_merges + 1):
+        # filter(sequence(1, size), j -> j < size) instead of
+        # sequence(1, size-1): Spark's sequence DESCENDS when start >
+        # stop, so a fully-merged single-symbol word (size 1) would
+        # yield [1, 0] and element_at(s, 0) always throws; DuckDB's
+        # generate_series(1, 0) is empty, which this form mirrors.
+        pair_rows = vocab.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(filter(sequence(1, size(s)), j -> j < size(s)),"
+                    " j -> struct(element_at(s, j) AS a,"
+                    "             element_at(s, j + 1) AS b))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pair_rows.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        if best is None:  # vocabulary exhausted (single-symbol words)
+            break
+        a, b, cnt = best.a, best.b, int(best.cnt)
+        merges.append((rank, a, b, a + b, cnt))
+
+        pos = vocab.select(
+            "w",
+            "freq",
+            F.explode(F.expr("sequence(1, size(s))")).alias("j"),
+            "s",
+        ).select(
+            "w",
+            "freq",
+            "j",
+            F.expr("element_at(s, j)").alias("sym"),
+            (
+                (F.col("j") < F.size("s"))
+                & (F.expr("element_at(s, j)") == F.lit(a))
+                & (F.expr("element_at(s, j + 1)") == F.lit(b))
+            ).alias("cand"),
+        )
+        w_crn = Window.partitionBy("w").orderBy("j")
+        cands = pos.where("cand").select(
+            "w", "j", F.row_number().over(w_crn).alias("crn")
+        )
+        w_run = Window.partitionBy("w", "grp").orderBy("j")
+        sel = (
+            cands.withColumn("grp", F.col("j") - F.col("crn"))
+            .withColumn("rn", F.row_number().over(w_run))
+            .where(F.col("rn") % 2 == 1)
+            .select("w", "j")
+        )
+        take = sel.withColumn("take", F.lit(True))
+        prev = sel.select("w", (F.col("j") + 1).alias("j")).withColumn(
+            "consumed", F.lit(True)
+        )
+        next_vocab = (
+            pos.join(take, ["w", "j"], "left")
+            .join(prev, ["w", "j"], "left")
+            .where(F.col("consumed").isNull())
+            .withColumn(
+                "out_sym",
+                F.when(F.col("take"), F.concat(F.col("sym"), F.lit(b))).otherwise(
+                    F.col("sym")
+                ),
+            )
+            .groupBy("w")
+            .agg(
+                F.any_value(F.col("freq")).alias("freq"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "out_sym"))),
+                    lambda st: st["out_sym"],
+                ).alias("s"),
+            )
+        ).localCheckpoint()  # eager: materializes AND cuts lineage;
+        # prior rounds' blocks are released by the ContextCleaner once
+        # unreferenced
+        vocab = next_vocab
+
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string,"
+        " merged string, pair_count long",
+    )

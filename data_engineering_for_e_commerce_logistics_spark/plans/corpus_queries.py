@@ -491,3 +491,84 @@ SELECT doc_id,
        array_to_string(t[start : start + {CHUNK_TOKENS} - 1], ' ') AS chunk_text
 FROM st
 """
+
+
+# --- BPE merge training (r06 unit-first debut; r07+ registry candidate) -----
+
+BPE_N_MERGES = 6
+
+
+def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the top BPE_N_MERGES byte-pair-encoding merges on the
+    documents corpus — the trained-tokenizer artifact as a query
+    (``operators/text.py:bpe_train``).  One corpus pass (word-freq
+    agg), then vocab-bounded iterations; the oracle unrolls all
+    rounds with MATERIALIZED CTEs (DuckDB 1.0 inlines plain CTEs and
+    the chained re-evaluation is exponential — measured: the 5-round
+    plain form did not finish, the materialized form runs in 0.1s)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.bpe_train(docs, n_merges=BPE_N_MERGES)
+
+
+def _bpe_iter_block(i: int) -> str:
+    return f"""
+p{i} AS MATERIALIZED (
+  SELECT s[j] AS a, s[j+1] AS b, sum(freq) AS cnt
+  FROM v{i}, unnest(generate_series(1, len(s)-1)) AS t(j)
+  GROUP BY 1,2
+),
+best{i} AS MATERIALIZED (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+pos{i} AS MATERIALIZED (
+  SELECT w, freq, j, s[j] AS sym,
+         (j < len(s) AND s[j] = bb.a AND s[j+1] = bb.b) AS cand
+  FROM v{i}, best{i} bb, unnest(generate_series(1, len(s))) AS t(j)
+),
+sel{i} AS MATERIALIZED (
+  SELECT w, j, (rn % 2 = 1) AS take FROM (
+    SELECT w, j, row_number() OVER (PARTITION BY w, j - crn ORDER BY j) AS rn
+    FROM (SELECT w, j, row_number() OVER (PARTITION BY w ORDER BY j) AS crn
+          FROM pos{i} WHERE cand)
+  )
+),
+v{i + 1} AS MATERIALIZED (
+  SELECT p.w, any_value(p.freq) AS freq,
+         list(CASE WHEN coalesce(s.take, false) THEN p.sym || bb.b
+                   ELSE p.sym END ORDER BY p.j) AS s
+  FROM pos{i} p
+  CROSS JOIN best{i} bb
+  LEFT JOIN sel{i} s ON s.w = p.w AND s.j = p.j AND s.take
+  LEFT JOIN sel{i} prev ON prev.w = p.w AND prev.j = p.j - 1 AND prev.take
+  WHERE prev.j IS NULL
+  GROUP BY p.w
+)"""
+
+
+def _bpe_merges_sql() -> str:
+    rounds = ",".join(_bpe_iter_block(i) for i in range(BPE_N_MERGES))
+    # cnt is sum(BIGINT) = HUGEINT in DuckDB — cast back to BIGINT or
+    # the typed hash splits on int-vs-float (the r01 trap)
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS merge_rank, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt::BIGINT AS pair_count FROM best{i}"
+        for i in range(BPE_N_MERGES)
+    )
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT w, freq,
+         list_append(list_transform(generate_series(1, length(w)), x -> w[x]),
+                     '</w>') AS s
+  FROM words
+),
+{rounds.lstrip()}
+SELECT * FROM (
+{union}
+) ORDER BY merge_rank
+"""
+
+
+BPE_MERGES_SQL = _bpe_merges_sql()

@@ -70,14 +70,18 @@ registry outgrew the invariant arithmetically (100+ oracle specs need
   against DuckDB at the driver's sf0.01 scale, mechanically
   diffable by the judge.
 
-r07 rotation note: the never-checked candidate is
+r07 rotation note: the never-checked candidates are
 ``incremental_semdedup_fresh`` (``plans/graph_queries.py`` — the
 fourth incremental-dedup family member, semantic embeddings vs a
-persisted cell index; bit-exact DuckDB differential already green in
-``tests/test_incremental_semdedup.py``, r04's unit-first debut
-pattern).  The r06 spill (positions 51-54) re-verifies FIRST, then
-the 43 r05-green specs not re-greened in r06 — a perfect-fit 50 per
-the overflow note's projection.
+persisted cell index; bit-exact DuckDB differential green in
+``tests/test_incremental_semdedup.py``) and ``bpe_merges_documents``
+(``plans/corpus_queries.py`` — distributed BPE merge training;
+differential green in ``tests/test_bpe.py``) — both r04's unit-first
+debut pattern.  The r06 spill (positions 51-54) re-verifies FIRST,
+then the 43 r05-green specs not re-greened in r06.  Load: 2 + 4 + 43
++ 2 new = 51 — one over, so r07 should either push one candidate's
+debut to r08 or apply one more small merged-variants consolidation
+(e.g. ``text_fingerprint`` into a text-suite) to restore the fit.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

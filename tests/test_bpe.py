@@ -1,0 +1,86 @@
+"""Distributed BPE merge training (operators/text.py:bpe_train):
+hand-checked reference corpus, greedy-run semantics, degenerate
+inputs, and the full DuckDB differential for its registry debut
+(unit-first pattern)."""
+
+from __future__ import annotations
+
+from data_engineering_for_e_commerce_logistics_spark.operators.text import bpe_train
+
+
+def _merges(spark, texts, n):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    return [tuple(r) for r in bpe_train(docs, n_merges=n).collect()]
+
+
+def test_bpe_matches_hand_reference(spark):
+    """The classic Sennrich corpus shape: ('a','a') wins round 1 by
+    count (7 = overlapping adjacent pairs of the aaa/aaaa runs), then
+    the l-o-w / n-e-w families merge bottom-up; ties break (count
+    desc, left asc, right asc)."""
+    got = _merges(
+        spark,
+        ["low lower lowest low low aaa aaa", "new newer newest new aaaa"],
+        5,
+    )
+    assert got == [
+        (1, "a", "a", "aa", 7),
+        (2, "l", "o", "lo", 5),
+        (3, "lo", "w", "low", 5),
+        (4, "e", "w", "ew", 4),
+        (5, "n", "ew", "new", 4),
+    ]
+
+
+def test_bpe_greedy_run_application(spark):
+    """Left-to-right non-overlap on a same-symbol run: after merging
+    ('a','a'), the word aaaaab tokenizes [aa, aa, a, b] — so round
+    2's tie (every pair counts 2, left-asc decides) is won by
+    ('a','b').  A delimiter-string replace() application would have
+    split the run [aa, a, aa, b] instead (the replacement's trailing
+    space shadows the next occurrence), making round 2's winner
+    ('a','aa') — this corpus discriminates the two, pinning the
+    islands/odd-offset construction to true sequential greedy."""
+    got = _merges(spark, ["aaaaab aaaaab"], 2)
+    assert got[0][1:4] == ("a", "a", "aa")
+    assert got[1][1:4] == ("a", "b", "ab"), got
+    # and deterministically the SAME on a re-run
+    assert got == _merges(spark, ["aaaaab aaaaab"], 2)
+
+
+def test_bpe_degenerate_inputs(spark):
+    """Null text contributes nothing; single-char words still merge
+    with the end-of-word marker; fewer possible merges than requested
+    stops early instead of erroring."""
+    docs = spark.createDataFrame(
+        [(0, None), (1, "x x x")], "doc_id int, text string"
+    )
+    got = [tuple(r) for r in bpe_train(docs, n_merges=5).collect()]
+    # vocabulary is one word 'x' -> symbols [x, </w>]: exactly one
+    # possible merge, then the pair table is empty
+    assert got == [(1, "x", "</w>", "x</w>", 3)]
+
+
+def test_bpe_matches_duckdb_oracle(spark):
+    """Full cross-engine differential at sf0.01: six unrolled rounds,
+    argmax + tie rule + greedy application all replayed in SQL
+    (registry candidate bpe_merges_documents)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(xc.BPE_MERGES_SQL).fetchdf()
+    finally:
+        conn.close()
+    spdf = xc.bpe_merges_documents(spark, sf).toPandas()
+    assert len(spdf) == xc.BPE_N_MERGES
+    assert compare_frames(spdf, opdf, "bpe_merges_documents") == []
