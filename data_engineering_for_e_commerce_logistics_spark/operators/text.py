@@ -180,7 +180,8 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
-) -> DataFrame:
+    return_vocab: bool = False,
+):
     """Distributed BPE merge training (Sennrich et al. 2016, the
     public byte-pair-encoding algorithm every modern tokenizer
     descends from): learn the top ``n_merges`` merge rules from a
@@ -323,8 +324,67 @@ def bpe_train(
         # unreferenced
         vocab = next_vocab
 
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         "merge_rank int, left_sym string, right_sym string,"
         " merged string, pair_count long",
+    )
+    if return_vocab:
+        # (w, freq, s): the fully-merged segmentation of every corpus
+        # word — the lookup table bpe_encode joins against
+        return merges_df, vocab
+    return merges_df
+
+
+def bpe_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a trained BPE segmentation
+    (``bpe_train(..., return_vocab=True)``): per document, whitespace
+    words look up their merged symbol sequence in the vocab table and
+    the sequences flatten back in word order.  Returns
+    ``(id, tokens array<string>, n_tokens)``.
+
+    This is the scale-correct ENCODE path: applying N merge rules
+    sequentially would cost N corpus passes, but BPE segmentation is
+    a pure function of the word, so one word-level lookup join (vocab
+    is bounded — broadcast) replaces all of them.  Out-of-vocabulary
+    words (encoding a DIFFERENT corpus than the training one) fall
+    back to their character sequence + '</w>' — the merge-free
+    segmentation; a serving-grade encoder would replay the merge
+    table on them, which the relational form deliberately trades away
+    (documented approximation, exact on the training corpus where OOV
+    is impossible)."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "\\s+")
+        ).alias("wpos", "w"),
+    ).where(F.col("w") != "")
+    looked = words.join(
+        F.broadcast(vocab.select("w", "s")), "w", "left"
+    ).withColumn(
+        "toks",
+        F.coalesce(
+            F.col("s"),
+            F.expr(
+                "array_append(transform(sequence(1, length(w)),"
+                " x -> substr(w, x, 1)), '</w>')"
+            ),
+        ),
+    )
+    return (
+        looked.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("wpos", "toks"))),
+                    lambda st: st["toks"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
     )

@@ -84,3 +84,30 @@ def test_bpe_matches_duckdb_oracle(spark):
     spdf = xc.bpe_merges_documents(spark, sf).toPandas()
     assert len(spdf) == xc.BPE_N_MERGES
     assert compare_frames(spdf, opdf, "bpe_merges_documents") == []
+
+
+def test_bpe_encode_roundtrip_and_merges_applied(spark):
+    """Encoding the training corpus with the trained vocab: every
+    document's tokens concatenate back to its normalized words (with
+    end-of-word markers), trained merges actually appear as multi-char
+    tokens, and an OOV word falls back to characters."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.text import (
+        bpe_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low aaa aaa"), (2, "new newer newest new aaaa")],
+        "doc_id int, text string",
+    )
+    merges, vocab = bpe_train(docs, n_merges=5, return_vocab=True)
+    enc = {r.doc_id: r for r in bpe_encode(docs, vocab).collect()}
+    # lossless: concatenated tokens == words + markers, in order
+    joined = "".join(enc[1].tokens)
+    assert joined == "low</w>lower</w>lowest</w>low</w>low</w>aaa</w>aaa</w>"
+    # merges applied: 'low' became one token (merges lo, low)
+    assert enc[1].tokens[:2] == ["low", "</w>"]
+    assert enc[1].n_tokens == len(enc[1].tokens)
+    # OOV fallback: unseen word -> characters + marker
+    oov = spark.createDataFrame([(9, "zzq")], "doc_id int, text string")
+    got = bpe_encode(oov, vocab).collect()[0]
+    assert got.tokens == ["z", "z", "q", "</w>"]
