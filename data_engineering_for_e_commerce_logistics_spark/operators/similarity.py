@@ -588,6 +588,17 @@ def incremental_semdedup(
     a quality-filter concern, mirroring the exact family's NULL-text
     contract.
 
+    PRECONDITION — ids are unique (ADVICE r06): ``id_col`` must be
+    unique within a batch AND across batches.  Two batch rows sharing
+    an id are mutually invisible to the within-batch greedy (the
+    strict ``__rid < id`` tie-break sees neither as "lower"), and
+    re-ingesting an already-indexed id whose vector drifted past tau
+    appends a SECOND index row under that id.  Callers ingesting
+    at-least-once streams should dedupe ids per batch (e.g.
+    ``dropDuplicates([id_col])``) and anti-join ids already in the
+    index first — the same contract the exact/minhash/simhash ingest
+    loops satisfy by keying on content digests.
+
     Chain semantics ACROSS batches (pinned by test): the cross-batch
     screen compares against KEPT index members only — a batch-2
     vector near a batch-1 vector that was itself dropped is KEPT,

@@ -280,10 +280,15 @@ def bpe_train(
             "freq",
             "j",
             F.expr("element_at(s, j)").alias("sym"),
+            # least() keeps the lookahead in-bounds structurally (at
+            # j = size(s) it degenerates to element_at(s, j), masked by
+            # the j < size conjunct) instead of relying on And
+            # short-circuit to dodge the ANSI out-of-bounds error —
+            # same structural guard as pair_rows above (ADVICE r06).
             (
                 (F.col("j") < F.size("s"))
                 & (F.expr("element_at(s, j)") == F.lit(a))
-                & (F.expr("element_at(s, j + 1)") == F.lit(b))
+                & (F.expr("element_at(s, least(j + 1, size(s)))") == F.lit(b))
             ).alias("cand"),
         )
         w_crn = Window.partitionBy("w").orderBy("j")
@@ -341,32 +346,43 @@ def bpe_encode(
     vocab: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Tokenize a corpus with a trained BPE segmentation
     (``bpe_train(..., return_vocab=True)``): per document, whitespace
     words look up their merged symbol sequence in the vocab table and
     the sequences flatten back in word order.  Returns
-    ``(id, tokens array<string>, n_tokens)``.
+    ``(id, tokens array<string>, n_tokens)`` — one row per INPUT
+    document: documents whose text is NULL/empty/whitespace-only come
+    back with ``tokens = []`` and ``n_tokens = 0`` rather than being
+    silently dropped (ADVICE r06), via a left join from the id spine.
 
     This is the scale-correct ENCODE path: applying N merge rules
     sequentially would cost N corpus passes, but BPE segmentation is
-    a pure function of the word, so one word-level lookup join (vocab
-    is bounded — broadcast) replaces all of them.  Out-of-vocabulary
-    words (encoding a DIFFERENT corpus than the training one) fall
-    back to their character sequence + '</w>' — the merge-free
-    segmentation; a serving-grade encoder would replay the merge
-    table on them, which the relational form deliberately trades away
-    (documented approximation, exact on the training corpus where OOV
-    is impossible)."""
+    a pure function of the word, so one word-level lookup join
+    replaces all of them.  Broadcast caveat: ``broadcast_vocab=True``
+    assumes the distinct-word table fits an executor (fine for the
+    word-freq vocab a single training corpus produces, i.e. millions
+    of rows); web-scale corpora reach BILLIONS of distinct words, at
+    which point pass ``broadcast_vocab=False`` to take a shuffle hash
+    join on ``w`` instead — same plan class both engines pick for
+    oversized dims (ADVICE r06).  Out-of-vocabulary words (encoding a
+    DIFFERENT corpus than the training one) fall back to their
+    character sequence + '</w>' — the merge-free segmentation; a
+    serving-grade encoder would replay the merge table on them, which
+    the relational form deliberately trades away (documented
+    approximation, exact on the training corpus where OOV is
+    impossible)."""
     words = df.select(
         F.col(id_col),
         F.posexplode(
             F.split(F.lower(F.col(text_col)), "\\s+")
         ).alias("wpos", "w"),
     ).where(F.col("w") != "")
-    looked = words.join(
-        F.broadcast(vocab.select("w", "s")), "w", "left"
-    ).withColumn(
+    vocab_side = vocab.select("w", "s")
+    if broadcast_vocab:
+        vocab_side = F.broadcast(vocab_side)
+    looked = words.join(vocab_side, "w", "left").withColumn(
         "toks",
         F.coalesce(
             F.col("s"),
@@ -376,15 +392,22 @@ def bpe_encode(
             ),
         ),
     )
+    encoded = looked.groupBy(id_col).agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("wpos", "toks"))),
+                lambda st: st["toks"],
+            )
+        ).alias("tokens")
+    )
+    # Re-attach the id spine: wordless documents produce no rows in
+    # `words`, so without this they'd vanish from the output entirely.
     return (
-        looked.groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("wpos", "toks"))),
-                    lambda st: st["toks"],
-                )
-            ).alias("tokens")
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .withColumn(
+            "tokens",
+            F.coalesce(F.col("tokens"), F.expr("array()").cast("array<string>")),
         )
         .withColumn("n_tokens", F.size("tokens").cast("long"))
     )

@@ -111,3 +111,28 @@ def test_bpe_encode_roundtrip_and_merges_applied(spark):
     oov = spark.createDataFrame([(9, "zzq")], "doc_id int, text string")
     got = bpe_encode(oov, vocab).collect()[0]
     assert got.tokens == ["z", "z", "q", "</w>"]
+
+
+def test_bpe_encode_keeps_wordless_documents(spark):
+    """NULL / empty / whitespace-only documents come back as
+    (id, [], 0) — one output row per input row, never dropped
+    (ADVICE r06); the shuffle-join path agrees with broadcast."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.text import (
+        bpe_encode,
+    )
+
+    train = spark.createDataFrame([(1, "ab ab ab")], "doc_id int, text string")
+    _, vocab = bpe_train(train, n_merges=2, return_vocab=True)
+    docs = spark.createDataFrame(
+        [(1, "ab"), (2, None), (3, ""), (4, "   \t ")],
+        "doc_id int, text string",
+    )
+    for bcast in (True, False):
+        out = {
+            r.doc_id: r
+            for r in bpe_encode(docs, vocab, broadcast_vocab=bcast).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}
+        assert out[1].tokens == ["ab</w>"]
+        for d in (2, 3, 4):
+            assert out[d].tokens == [] and out[d].n_tokens == 0

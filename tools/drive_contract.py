@@ -34,6 +34,8 @@ argv = list(sys.argv[1:])
 json_path = None
 if "--json" in argv:
     i = argv.index("--json")
+    if i + 1 >= len(argv):
+        sys.exit("usage: drive_contract.py [sf_dir] --json PATH (a path must follow --json)")
     json_path = argv[i + 1]
     del argv[i : i + 2]
 sf = argv[0] if argv else "/root/testdata/sf0.01"
@@ -50,7 +52,16 @@ for name, fn in qs.items():
         spdf = fn(spark, sf).toPandas()
     except Exception as ex:
         print(f"FAIL {name}: spark error {str(ex)[:140]}")
-        report[name] = {"err": str(ex)[:200]}
+        # Same key set as success rows so artifact diffing never needs
+        # key-existence guards (ADVICE r06).
+        report[name] = {
+            "rows_match": False,
+            "schema_match": False,
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": str(ex)[:200],
+        }
         fails += 1
         continue
     t_spark = time.time() - t0
