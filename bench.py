@@ -40,8 +40,6 @@ HEADLINE = [
     "validate_orders",
     "dedup_exact_documents",
     "dedup_minhash_lsh",
-    "text_quality",
-    "text_lang_id",
     "events_sessionize",
     "binary_features",
     "quantiles_lineitem",
@@ -121,9 +119,7 @@ HEADLINE = [
     "agg_cardinality_lineitem",
     "struct_flatten_roundtrip",
     "region_nation_list",
-    "text_token_stats",
     "dedup_simhash",
-    "text_fingerprint",
     "sql_api_params",
     "dedup_clusters",
     "sketch_aggregates_events",
@@ -134,6 +130,12 @@ HEADLINE = [
     "semdedup_routed_pairs",
     "tpch_join_suite",
     "embedding_retrieval_suite",
+    # r07 additions: the text-analysis consolidation (baseline = its
+    # four parts' sum via RENAMED_FROM) and the two unit-first debuts
+    # (incremental semantic dedup, distributed BPE merge training)
+    "text_analysis_suite",
+    "incremental_semdedup_fresh",
+    "bpe_merges_documents",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion
@@ -188,6 +190,14 @@ RENAMED_FROM = {
         "embedding_topk",
         "embedding_ann",
         "ivf_topk",
+    ],
+    # r07 consolidation: the text suite's baseline is the four retired
+    # per-document text legs' sum
+    "text_analysis_suite": [
+        "text_token_stats",
+        "text_quality",
+        "text_lang_id",
+        "text_fingerprint",
     ],
 }
 

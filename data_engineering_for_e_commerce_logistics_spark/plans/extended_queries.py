@@ -335,6 +335,156 @@ SELECT doc_id,
 FROM documents
 """
 
+
+def text_analysis_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation of the four per-document
+    text-analysis legs (r07, third application of the
+    plans/queries.py "WINDOW OVERFLOW" remedy): token_stats /
+    quality / lang_id / fingerprint union into ONE spec — one
+    operator family (per-row JVM expression maps over ``documents``,
+    zero shuffles, zero UDFs), one NULL-padded output shape keyed by
+    ``(variant, doc_id)``.  Every original output cell is preserved.
+
+    Numeric cells are cast to double on BOTH engines: the padding
+    NULLs would make pandas upcast nullable int columns to float64
+    anyway, so pinning double explicitly keeps the driver's TYPED
+    value-hash deterministic (int→double is exact for these counts,
+    and the exact_round decimals convert to the same nearest double
+    in both engines).  The four underlying builders stay importable;
+    per-leg plan shape is unchanged under the union.  Bench baseline
+    = the parts' sum via bench.py RENAMED_FROM (the r02 merge
+    mechanism, applied to suites in r06)."""
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+
+    def dbl(c: str):
+        return F.col(c).cast("double").alias(c)
+
+    ts = text_token_stats(spark, sf_dir).select(
+        F.lit("token_stats").alias("variant"),
+        "doc_id",
+        dbl("n_chars"),
+        dbl("n_tokens"),
+        dbl("n_distinct_tokens"),
+        dbl("n_bpe_est"),
+        dbl("avg_token_len"),
+        nd.alias("type_token_ratio"),
+        nd.alias("stopword_hits"),
+        nd.alias("alpha_ratio"),
+        nd.alias("quality_score"),
+        ns.alias("labeled_lang"),
+        nd.alias("best_hits"),
+        ns.alias("detected_lang"),
+        ns.alias("fingerprint"),
+        nd.alias("n_chars_norm"),
+    )
+    q = text_quality(spark, sf_dir).select(
+        F.lit("quality").alias("variant"),
+        "doc_id",
+        nd.alias("n_chars"),
+        nd.alias("n_tokens"),
+        dbl("n_distinct_tokens"),
+        nd.alias("n_bpe_est"),
+        nd.alias("avg_token_len"),
+        dbl("type_token_ratio"),
+        dbl("stopword_hits"),
+        dbl("alpha_ratio"),
+        dbl("quality_score"),
+        ns.alias("labeled_lang"),
+        nd.alias("best_hits"),
+        ns.alias("detected_lang"),
+        ns.alias("fingerprint"),
+        nd.alias("n_chars_norm"),
+    )
+    li = text_lang_id(spark, sf_dir).select(
+        F.lit("lang_id").alias("variant"),
+        "doc_id",
+        nd.alias("n_chars"),
+        nd.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        nd.alias("n_bpe_est"),
+        nd.alias("avg_token_len"),
+        nd.alias("type_token_ratio"),
+        nd.alias("stopword_hits"),
+        nd.alias("alpha_ratio"),
+        nd.alias("quality_score"),
+        F.col("labeled_lang"),
+        dbl("best_hits"),
+        F.col("detected_lang"),
+        ns.alias("fingerprint"),
+        nd.alias("n_chars_norm"),
+    )
+    fp = text_fingerprint(spark, sf_dir).select(
+        F.lit("fingerprint").alias("variant"),
+        "doc_id",
+        nd.alias("n_chars"),
+        nd.alias("n_tokens"),
+        nd.alias("n_distinct_tokens"),
+        nd.alias("n_bpe_est"),
+        nd.alias("avg_token_len"),
+        nd.alias("type_token_ratio"),
+        nd.alias("stopword_hits"),
+        nd.alias("alpha_ratio"),
+        nd.alias("quality_score"),
+        ns.alias("labeled_lang"),
+        nd.alias("best_hits"),
+        ns.alias("detected_lang"),
+        F.col("fingerprint"),
+        dbl("n_chars_norm"),
+    )
+    return ts.unionByName(q).unionByName(li).unionByName(fp)
+
+
+def _text_suite_leg_sql(variant: str, src: str, cols: dict[str, str]) -> str:
+    """One UNION ALL leg: present columns cast to double (or passed
+    through for strings), absent columns NULL-padded with the same
+    type — mirroring the Spark side exactly."""
+    schema = [
+        ("n_chars", "num"),
+        ("n_tokens", "num"),
+        ("n_distinct_tokens", "num"),
+        ("n_bpe_est", "num"),
+        ("avg_token_len", "num"),
+        ("type_token_ratio", "num"),
+        ("stopword_hits", "num"),
+        ("alpha_ratio", "num"),
+        ("quality_score", "num"),
+        ("labeled_lang", "str"),
+        ("best_hits", "num"),
+        ("detected_lang", "str"),
+        ("fingerprint", "str"),
+        ("n_chars_norm", "num"),
+    ]
+    parts = []
+    for name, kind in schema:
+        if name in cols:
+            expr = cols[name]
+            if kind == "num":
+                expr = f"CAST({expr} AS DOUBLE)"
+        else:
+            expr = f"CAST(NULL AS {'DOUBLE' if kind == 'num' else 'VARCHAR'})"
+        parts.append(f"{expr} AS {name}")
+    return (
+        f"SELECT '{variant}' AS variant, doc_id, "
+        + ", ".join(parts)
+        + f" FROM {src}"
+    )
+
+
+TEXT_ANALYSIS_SUITE_SQL = f"""
+WITH ts AS ({TEXT_TOKEN_STATS_SQL}),
+q AS ({TEXT_QUALITY_SQL}),
+li AS ({TEXT_LANG_ID_SQL}),
+fp AS ({TEXT_FINGERPRINT_SQL})
+{_text_suite_leg_sql('token_stats', 'ts', {c: c for c in ('n_chars', 'n_tokens', 'n_distinct_tokens', 'n_bpe_est', 'avg_token_len')})}
+UNION ALL
+{_text_suite_leg_sql('quality', 'q', {c: c for c in ('n_distinct_tokens', 'type_token_ratio', 'stopword_hits', 'alpha_ratio', 'quality_score')})}
+UNION ALL
+{_text_suite_leg_sql('lang_id', 'li', {c: c for c in ('labeled_lang', 'best_hits', 'detected_lang')})}
+UNION ALL
+{_text_suite_leg_sql('fingerprint', 'fp', {c: c for c in ('fingerprint', 'n_chars_norm')})}
+"""
+
 # --- Embedding-cosine near-dedup -------------------------------------------
 
 # 0.45 rather than a realistic near-dup 0.95: the synthetic embeddings

@@ -20,68 +20,48 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r06 window: positions 3-5 are NEW this round — the three r05
-unit-debuted SemDeDup-at-scale specs the r05 verdict asked to
-driver-prove (``routed_assign_embeddings``: trained two-level
-assignment with decimal-exact super means; ``semdedup_routed_pairs``:
-the full SemDeDup composition over the routed assignment;
-``semdedup_keep``: the end-to-end prune/keep-set).  Positions 6-10
-CHANGED this round: ``incremental_minhash_fresh`` now exercises the
-persisted banded-index fast path (VERDICT r05 ask #5),
-``incremental_simhash_fresh`` carries the SWAR shingle-cap guard,
-``profile_lineitem`` / ``agg_cardinality_lineitem`` moved to
-null-exact distinct counts, and ``upsert_bloom_orders`` rides the
-null-robust bloom_anti_join branch (ADVICE r05) — all value-identical
-on this data by construction, re-verified in-window per policy.
-Positions 11-50 are 40 of the 48 specs whose last green row dates
-from r04 (CORRECTNESS_r04 ∖ CORRECTNESS_r05, computed by
-``tools/rotate_registry.py``).
+r07 window: positions 3-6 are the r06 DOCUMENTED SPILL, re-verified
+FIRST exactly as the r06 docstring committed to (their last driver
+row is r04 — the only specs whose evidence is two rounds old).
+Positions 7-9 are NEW this round:
 
-WINDOW OVERFLOW (first round it happens, documented): mandatory load
-was 2 flagships + 3 new + 5 changed + 48 stale = 58 > 50 — the
-registry outgrew the invariant arithmetically (100+ oracle specs need
->48 fresh rows per round).  Two remedies applied THIS round:
+* ``text_analysis_suite`` — the r06-promised third consolidation:
+  the four per-document text legs (token_stats / quality / lang_id /
+  fingerprint) merge into one padded-union spec, restoring the
+  window arithmetic (see WINDOW ARITHMETIC below).  Every original
+  output cell is preserved; bench baselines carry over as the parts'
+  sum via bench.py RENAMED_FROM.
+* ``incremental_semdedup_fresh`` — the fourth incremental-dedup
+  family member's registry debut (unit-first in r06:
+  tests/test_incremental_semdedup.py bit-exact DuckDB differential).
+* ``bpe_merges_documents`` — distributed BPE merge training's debut
+  (unit-first in r06: tests/test_bpe.py differential with 6 unrolled
+  MATERIALIZED oracle rounds).
 
-* CONSOLIDATION (the structural fix, applied twice now rather than
-  promised): the three classic TPC-H join rollups merge into
-  ``tpch_join_suite`` and the three top-k retrieval legs
-  (brute-force / sign-bucket LSH / IVF probe — one operator family,
-  one output shape) into ``embedding_retrieval_suite``.  Every
-  original output cell is preserved in the padded unions;
-  ``bench.py`` RENAMED_FROM keeps each perf-gate baseline as the
-  parts' sum (the r02 merge mechanism).  Registry count drops
-  101 → 97 oracle-paired.  Steady-state arithmetic: flagships hold
-  their 2 slots every round, leaving 48/round = 96 per 2-round
-  cycle for the other 95 oracle specs — it FITS again, and this
-  round's spill is the transitional cost of an 8-spec new+changed
-  burst.  Projected r07 mandatory load: 2 flagships + 4 spill
-  (oldest) + 43 r05-green-not-re-greened + 1 new
-  (``incremental_semdedup_fresh``) = 50 exactly — zero spill,
-  provided r07 debuts at most one spec and changes none.
-* DOCUMENTED SPILL for the remainder: four r04-green specs sit at
-  positions 51-54 with two-round-old driver evidence until r07,
-  where the rotation MUST pick them first (they will be the oldest).
-  Chosen lowest-risk: static classic SQL over unchanged TPC-H
-  tables, zero dependence on any operator touched since r04
-  (``sql_api_params basket_pairs grouping_sets_orders
-  cohort_retention``).  Compensating evidence: the committed
-  ``SELFCHECK_r06.json`` (tools/drive_contract.py --json)
-  re-verifies EVERY oracle-paired spec — including the spill —
-  against DuckDB at the driver's sf0.01 scale, mechanically
-  diffable by the judge.
+Positions 10-49 are the 40 specs whose last green row dates from r05
+(CORRECTNESS_r05 ∖ CORRECTNESS_r06, minus the three text legs retired
+into the suite — computed by ``tools/rotate_registry.py``).  Position
+50 is a regression sentry: ``semdedup_keep`` (r06-green; it
+anti-joins the same prune semantics ``incremental_semdedup_fresh``
+screens with, so the pair is verified against the same data in the
+same window).
 
-r07 rotation note: the never-checked candidates are
-``incremental_semdedup_fresh`` (``plans/graph_queries.py`` — the
-fourth incremental-dedup family member, semantic embeddings vs a
-persisted cell index; bit-exact DuckDB differential green in
-``tests/test_incremental_semdedup.py``) and ``bpe_merges_documents``
-(``plans/corpus_queries.py`` — distributed BPE merge training;
-differential green in ``tests/test_bpe.py``) — both r04's unit-first
-debut pattern.  The r06 spill (positions 51-54) re-verifies FIRST,
-then the 43 r05-green specs not re-greened in r06.  Load: 2 + 4 + 43
-+ 2 new = 51 — one over, so r07 should either push one candidate's
-debut to r08 or apply one more small merged-variants consolidation
-(e.g. ``text_fingerprint`` into a text-suite) to restore the fit.
+WINDOW ARITHMETIC (restored this round): after the r07 consolidation
+the registry is 97 specs / 96 oracle-paired.  Steady state: flagships
+hold 2 slots every round, leaving 48/round = 96 per 2-round cycle for
+the other 94 oracle specs — fits with 2 slots of debut headroom per
+cycle.  r07 actual load: 2 flagships + 4 spill + 3 new + 40 stale +
+1 sentry = 50 exactly, zero spill, and no oracle spec's last driver
+row predates r06 once CORRECTNESS_r07 lands (the spill four get their
+r07 rows at positions 3-6).
+
+r08 rotation note: the backlog will be the 46 r06-green specs at
+positions 51+ (plus any r07 debut that fails).  46 + 2 flagships = 48
+mandatory, leaving 2 debut slots.  Candidates:
+``routed_recall_sweep``-derived default knobs need no new spec; a
+compaction-envelope spec (``compact_files`` wired into the ingest
+demos, VERDICT r06 ask #7) is the natural next debut if it gains an
+oracle form.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
@@ -114,7 +94,236 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-7: NEW this round — routed SemDeDup path + the consolidations ---
+# --- 3-6: the r06 documented spill — re-verified FIRST (r04-green) -----
+register(
+    "sql_api_params",
+    rq.sql_api_params,
+    rq.SQL_API_PARAMS_SQL,
+    ("sql", "params"),
+)
+register(
+    "basket_pairs",
+    aq.basket_pairs,
+    aq.BASKET_PAIRS_SQL,
+    ("agg", "market-basket", "pair-mining"),
+)
+register(
+    "grouping_sets_orders",
+    aq.grouping_sets_orders,
+    aq.GROUPING_SETS_ORDERS_SQL,
+    ("grouping-sets", "merged-variants"),
+)
+register(
+    "cohort_retention",
+    aq.cohort_retention,
+    aq.COHORT_RETENTION_SQL,
+    ("agg", "cohort", "temporal"),
+)
+
+# --- 7-9: NEW this round — text suite + the two unit-first debuts ------
+register(
+    "text_analysis_suite",
+    xq.text_analysis_suite,
+    xq.TEXT_ANALYSIS_SUITE_SQL,
+    ("text", "merged-variants"),
+)
+register(
+    "incremental_semdedup_fresh",
+    gq.incremental_semdedup_fresh,
+    gq.INCREMENTAL_SEMDEDUP_SQL,
+    ("dedup", "incremental", "similarity", "semdedup", "index-screen"),
+)
+register(
+    "bpe_merges_documents",
+    xc.bpe_merges_documents,
+    xc.BPE_MERGES_SQL,
+    ("text", "tokenizer", "bpe", "iterative", "multi-round"),
+)
+
+# --- 10-49: rotation backlog — last green row dates from r05 -----------
+register(
+    "array_functions_documents",
+    fq.array_functions_documents,
+    fq.ARRAY_FUNCTIONS_SQL,
+    ("scalar", "array"),
+)
+register(
+    "asof_events_orders",
+    aq.asof_events_orders,
+    aq.ASOF_EVENTS_ORDERS_SQL,
+    ("join", "asof", "temporal"),
+)
+register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
+register(
+    "coerce_timestamps_orders",
+    cq.coerce_timestamps_orders,
+    cq.COERCE_TIMESTAMPS_SQL,
+    ("timestamps",),
+)
+register(
+    "corpus_chunk_documents",
+    xc.corpus_chunk_documents,
+    xc.CORPUS_CHUNK_SQL,
+    ("corpus", "chunking"),
+)
+register(
+    "corpus_lm_quality",
+    xc.corpus_lm_quality,
+    xc.CORPUS_LM_QUALITY_SQL,
+    ("corpus", "quality", "lm"),
+)
+register(
+    "correlated_above_avg_orders",
+    aq.correlated_above_avg_orders,
+    aq.CORRELATED_ABOVE_AVG_SQL,
+    ("subquery",),
+)
+register(
+    "customer_rolling_7d_spend",
+    aq.customer_rolling_7d_spend,
+    aq.CUSTOMER_ROLLING_7D_SQL,
+    ("window", "range-frame", "temporal"),
+)
+register(
+    "customer_running_spend",
+    rq.customer_running_spend,
+    rq.CUSTOMER_RUNNING_SPEND_SQL,
+    ("window",),
+)
+register(
+    "customer_spend_slope",
+    aq.customer_spend_slope,
+    aq.CUSTOMER_SPEND_SLOPE_SQL,
+    ("agg", "regression"),
+)
+register(
+    "dedup_clusters",
+    gq.dedup_clusters,
+    gq.DEDUP_CLUSTERS_SQL,
+    ("dedup", "iterative", "graph"),
+)
+register(
+    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
+)
+register(
+    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
+)
+register(
+    "dedup_ngram_jaccard",
+    xq.dedup_ngram_jaccard,
+    xq.DEDUP_NGRAM_JACCARD_SQL,
+    ("dedup", "all-pairs", "bounded-baseline"),
+)
+register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
+register(
+    "events_sessionize",
+    rq.events_sessionize,
+    rq.EVENTS_SESSIONIZE_SQL,
+    ("window", "session"),
+)
+register(
+    "explode_document_tokens",
+    rq.explode_document_tokens,
+    rq.EXPLODE_TOKENS_SQL,
+    ("explode",),
+)
+register(
+    "graph_degree_profile",
+    gq.graph_degree_profile,
+    gq.GRAPH_DEGREE_PROFILE_SQL,
+    ("graph", "degree"),
+)
+register(
+    "graph_triangle_count",
+    gq.graph_triangle_count,
+    gq.GRAPH_TRIANGLE_COUNT_SQL,
+    ("graph", "triangles"),
+)
+register(
+    "incremental_exact_fresh",
+    xq.incremental_exact_fresh,
+    xq.INCREMENTAL_EXACT_SQL,
+    ("dedup", "incremental", "bloom", "index-screen"),
+)
+register(
+    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+)
+register(
+    "ivm_spend_refresh",
+    rq.ivm_spend_refresh,
+    rq.IVM_SPEND_REFRESH_SQL,
+    ("sink", "ivm", "incremental"),
+)
+register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
+register(
+    "manifest_pruned_orders",
+    rq.manifest_pruned_orders,
+    rq.MANIFEST_PRUNED_SQL,
+    ("layout", "manifest", "data-skipping", "agg"),
+)
+register(
+    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
+)
+register(
+    "normalize_strings_customer",
+    cq.normalize_strings_customer,
+    cq.NORMALIZE_STRINGS_SQL,
+    ("strings",),
+)
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register(
+    "q3_shipping_priority",
+    aq.q3_shipping_priority,
+    aq.Q3_SHIPPING_PRIORITY_SQL,
+    ("join", "agg", "topk"),
+)
+register(
+    "region_nation_list",
+    aq.region_nation_list,
+    aq.REGION_NATION_LIST_SQL,
+    ("agg", "string-agg"),
+)
+register(
+    "salted_rollup_events",
+    rq.salted_rollup_events,
+    rq.SALTED_ROLLUP_SQL,
+    ("agg", "skew", "salted"),
+)
+register(
+    "scalar_functions_part",
+    gq.scalar_functions_part,
+    gq.SCALAR_FUNCTIONS_SQL,
+    ("scalar",),
+)
+register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register(
+    "semdedup_pairs",
+    gq.semdedup_pairs,
+    gq.SEMDEDUP_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup"),
+)
+register(
+    "struct_flatten_roundtrip",
+    rq.struct_flatten_roundtrip,
+    rq.STRUCT_FLATTEN_SQL,
+    ("struct",),
+)
+register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
+register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+
+# --- 50: regression sentry (r06-green; pairs with the semdedup debut) --
+register(
+    "semdedup_keep",
+    gq.semdedup_keep,
+    gq.SEMDEDUP_KEEP_SQL,
+    ("dedup", "similarity", "semdedup", "prune"),
+)
+
+# --- 51+: green in r06 (freshest evidence; next round's backlog) -------
 register(
     "routed_assign_embeddings",
     gq.routed_assign_embeddings,
@@ -128,12 +337,6 @@ register(
     ("dedup", "similarity", "ivf", "semdedup", "routing"),
 )
 register(
-    "semdedup_keep",
-    gq.semdedup_keep,
-    gq.SEMDEDUP_KEEP_SQL,
-    ("dedup", "similarity", "semdedup", "prune"),
-)
-register(
     "tpch_join_suite",
     aq.tpch_join_suite,
     aq.TPCH_JOIN_SUITE_SQL,
@@ -145,8 +348,6 @@ register(
     gq.EMBEDDING_RETRIEVAL_SUITE_SQL,
     ("similarity", "ann", "ivf", "topk", "merged-variants"),
 )
-
-# --- 8-12: CHANGED this round (re-verify in-window per policy) ---------
 register(
     "incremental_minhash_fresh",
     xq.incremental_minhash_fresh,
@@ -172,8 +373,6 @@ register(
     rq.UPSERT_BLOOM_SQL,
     ("sink", "merge", "bloom", "invariance-twin"),
 )
-
-# --- 13-50: rotation backlog — last green row dates from r04 -----------
 register(
     "bloom_semi_lineitem",
     rq.bloom_semi_lineitem,
@@ -228,7 +427,6 @@ register(
     xq.DEDUP_EMBEDDING_COSINE_SQL,
     ("dedup", "similarity", "all-pairs", "bounded-baseline"),
 )
-register("text_fingerprint", xq.text_fingerprint, xq.TEXT_FINGERPRINT_SQL, ("text",))
 register("ivf_assign", gq.ivf_assign, gq.IVF_ASSIGN_SQL, ("similarity", "ivf"))
 register(
     "unpivot_lineitem",
@@ -388,214 +586,6 @@ register(
     aq.window_time_orders,
     aq.WINDOW_TIME_ORDERS_SQL,
     ("window", "scalar", "time", "merged-variants"),
-)
-
-# --- 51-54: DOCUMENTED SPILL — r04-green, re-verify FIRST in r07 -------
-# (see the module docstring: these four are static classic-SQL specs
-# untouched since r04, covered by the committed SELFCHECK_r06.json
-# full re-verification; q5/q7/q8 retired into tpch_join_suite and
-# embedding_topk/embedding_ann/ivf_topk into embedding_retrieval_suite)
-register(
-    "sql_api_params",
-    rq.sql_api_params,
-    rq.SQL_API_PARAMS_SQL,
-    ("sql", "params"),
-)
-register(
-    "basket_pairs",
-    aq.basket_pairs,
-    aq.BASKET_PAIRS_SQL,
-    ("agg", "market-basket", "pair-mining"),
-)
-register(
-    "grouping_sets_orders",
-    aq.grouping_sets_orders,
-    aq.GROUPING_SETS_ORDERS_SQL,
-    ("grouping-sets", "merged-variants"),
-)
-register(
-    "cohort_retention",
-    aq.cohort_retention,
-    aq.COHORT_RETENTION_SQL,
-    ("agg", "cohort", "temporal"),
-)
-
-# --- 55+: green in r05 (freshest evidence; next round's backlog) -------
-register(
-    "incremental_exact_fresh",
-    xq.incremental_exact_fresh,
-    xq.INCREMENTAL_EXACT_SQL,
-    ("dedup", "incremental", "bloom", "index-screen"),
-)
-register(
-    "manifest_pruned_orders",
-    rq.manifest_pruned_orders,
-    rq.MANIFEST_PRUNED_SQL,
-    ("layout", "manifest", "data-skipping", "agg"),
-)
-register(
-    "semdedup_pairs",
-    gq.semdedup_pairs,
-    gq.SEMDEDUP_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup"),
-)
-register(
-    "corpus_lm_quality",
-    xc.corpus_lm_quality,
-    xc.CORPUS_LM_QUALITY_SQL,
-    ("corpus", "quality", "lm"),
-)
-register(
-    "ivm_spend_refresh",
-    rq.ivm_spend_refresh,
-    rq.IVM_SPEND_REFRESH_SQL,
-    ("sink", "ivm", "incremental"),
-)
-register(
-    "corpus_chunk_documents",
-    xc.corpus_chunk_documents,
-    xc.CORPUS_CHUNK_SQL,
-    ("corpus", "chunking"),
-)
-register(
-    "salted_rollup_events",
-    rq.salted_rollup_events,
-    rq.SALTED_ROLLUP_SQL,
-    ("agg", "skew", "salted"),
-)
-register(
-    "customer_rolling_7d_spend",
-    aq.customer_rolling_7d_spend,
-    aq.CUSTOMER_ROLLING_7D_SQL,
-    ("window", "range-frame", "temporal"),
-)
-register(
-    "graph_degree_profile",
-    gq.graph_degree_profile,
-    gq.GRAPH_DEGREE_PROFILE_SQL,
-    ("graph", "degree"),
-)
-register(
-    "graph_triangle_count",
-    gq.graph_triangle_count,
-    gq.GRAPH_TRIANGLE_COUNT_SQL,
-    ("graph", "triangles"),
-)
-register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
-register(
-    "asof_events_orders",
-    aq.asof_events_orders,
-    aq.ASOF_EVENTS_ORDERS_SQL,
-    ("join", "asof", "temporal"),
-)
-register(
-    "q3_shipping_priority",
-    aq.q3_shipping_priority,
-    aq.Q3_SHIPPING_PRIORITY_SQL,
-    ("join", "agg", "topk"),
-)
-register(
-    "events_sessionize",
-    rq.events_sessionize,
-    rq.EVENTS_SESSIONIZE_SQL,
-    ("window", "session"),
-)
-register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
-register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
-register(
-    "coerce_timestamps_orders",
-    cq.coerce_timestamps_orders,
-    cq.COERCE_TIMESTAMPS_SQL,
-    ("timestamps",),
-)
-register(
-    "normalize_strings_customer",
-    cq.normalize_strings_customer,
-    cq.NORMALIZE_STRINGS_SQL,
-    ("strings",),
-)
-register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
-register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
-register(
-    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
-)
-register(
-    "customer_running_spend",
-    rq.customer_running_spend,
-    rq.CUSTOMER_RUNNING_SPEND_SQL,
-    ("window",),
-)
-register(
-    "correlated_above_avg_orders",
-    aq.correlated_above_avg_orders,
-    aq.CORRELATED_ABOVE_AVG_SQL,
-    ("subquery",),
-)
-register(
-    "customer_spend_slope",
-    aq.customer_spend_slope,
-    aq.CUSTOMER_SPEND_SLOPE_SQL,
-    ("agg", "regression"),
-)
-register(
-    "scalar_functions_part",
-    gq.scalar_functions_part,
-    gq.SCALAR_FUNCTIONS_SQL,
-    ("scalar",),
-)
-register(
-    "array_functions_documents",
-    fq.array_functions_documents,
-    fq.ARRAY_FUNCTIONS_SQL,
-    ("scalar", "array"),
-)
-register(
-    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
-)
-register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
-register(
-    "explode_document_tokens",
-    rq.explode_document_tokens,
-    rq.EXPLODE_TOKENS_SQL,
-    ("explode",),
-)
-register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
-register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
-register(
-    "struct_flatten_roundtrip",
-    rq.struct_flatten_roundtrip,
-    rq.STRUCT_FLATTEN_SQL,
-    ("struct",),
-)
-register(
-    "region_nation_list",
-    aq.region_nation_list,
-    aq.REGION_NATION_LIST_SQL,
-    ("agg", "string-agg"),
-)
-register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
-register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
-register(
-    "dedup_ngram_jaccard",
-    xq.dedup_ngram_jaccard,
-    xq.DEDUP_NGRAM_JACCARD_SQL,
-    ("dedup", "all-pairs", "bounded-baseline"),
-)
-register("text_token_stats", xq.text_token_stats, xq.TEXT_TOKEN_STATS_SQL, ("text",))
-register("text_quality", xq.text_quality, xq.TEXT_QUALITY_SQL, ("text",))
-register("text_lang_id", xq.text_lang_id, xq.TEXT_LANG_ID_SQL, ("text",))
-register(
-    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
-)
-register(
-    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
-)
-register(
-    "dedup_clusters",
-    gq.dedup_clusters,
-    gq.DEDUP_CLUSTERS_SQL,
-    ("dedup", "iterative", "graph"),
 )
 
 # --- last: rows-only specs (no oracle by design) -----------------------
