@@ -216,3 +216,47 @@ def compact_files(
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def parquet_file_count(path: str) -> int:
+    """Data files currently in a parquet directory (the fragmentation
+    metric compaction bounds)."""
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def compact_in_place(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    sort_col: str | None = None,
+) -> tuple[int, int]:
+    """Compact a fragmented append-only table at its OWN path via the
+    write-new + swap dance (``compact_files`` into a sibling temp dir,
+    then two renames), so long-running ingest loops can invoke it
+    every N batches without changing any reader's path.  Returns
+    ``(files_before, files_after)``.
+
+    Crash safety: the rewrite lands fully in the temp dir before the
+    original moves aside, so an interruption leaves either the
+    original or the compacted table — never a merge of both.  Callers
+    must hold no open scans over ``path`` across the call (the ingest
+    loops here re-read per batch and ``clearCache()`` after each).
+    At 100 TB the same rhythm applies per PARTITION of the index
+    (compact only partitions whose small-file count crossed the
+    threshold), keeping each rewrite bounded by partition size, not
+    table size."""
+    import os
+    import shutil
+
+    files_before = parquet_file_count(path)
+    tmp, old = path + ".compact-tmp", path + ".compact-old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    compact_files(spark, path, tmp, target_rows_per_file, sort_col)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return files_before, parquet_file_count(path)
