@@ -361,6 +361,40 @@ def brute_force_topk_arrow(
     )
 
 
+# Production knob derivation — sf0.5 sweep, SCALE.md "Round-7
+# rehearsal" (tools/routed_rehearsal.py): on the worst-case
+# near-isotropic corpus at k=100/n_super=10, the EXACT two-stage
+# assignment (n_probe = n_super, untrained) is 2.35× cheaper than the
+# flat n·k scan at recall 1.0 — the win is the plan shape (two narrow
+# row_number windows instead of one n·k-wide one), not the
+# approximation.  Approximating (n_probe < n_super) only starts
+# paying once level-2 work dominates, around n_super ≳ 100; there,
+# one Lloyd round + probing 80% of supers measured pair recall 0.96
+# at the isotropic floor (clustered corpora reach it far earlier).
+ROUTED_EXACT_MAX_SUPERS = 32
+ROUTED_PROBE_FRACTION = 0.8
+ROUTED_TRAIN_SUPERS = 1
+
+
+def routed_defaults(n_super: int) -> dict:
+    """Recommended ``two_level_assign`` knobs for a given coarse-level
+    size, derived from the measured recall/cost curve (SCALE.md r07):
+    exact two-stage while the super count is small enough that probing
+    everything is still ~2× cheaper than flat; beyond that, trained
+    supers + 80%-probe for measured recall ≥0.96.  ``exact_means``
+    stays True so the trained path remains engine-reproducible for
+    oracle-paired specs."""
+    import math
+
+    if n_super <= ROUTED_EXACT_MAX_SUPERS:
+        return {"n_probe": n_super, "train_supers": 0, "exact_means": True}
+    return {
+        "n_probe": math.ceil(ROUTED_PROBE_FRACTION * n_super),
+        "train_supers": ROUTED_TRAIN_SUPERS,
+        "exact_means": True,
+    }
+
+
 def two_level_assign(
     df: DataFrame,
     centroids: DataFrame,

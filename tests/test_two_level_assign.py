@@ -87,6 +87,34 @@ def test_two_level_assign_deterministic(emb, centroids):
     assert a == b
 
 
+def test_routed_defaults_regimes(emb, centroids):
+    """The measured default (SCALE.md r07): small coarse level →
+    exact two-stage (n_probe = n_super, recall 1.0 by construction);
+    large coarse level → trained supers + 80% probe.  The small-k
+    branch must literally reproduce the flat assignment."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        routed_defaults,
+    )
+
+    small = routed_defaults(10)
+    assert small == {"n_probe": 10, "train_supers": 0, "exact_means": True}
+    large = routed_defaults(100)
+    assert large == {"n_probe": 80, "train_supers": 1, "exact_means": True}
+
+    got = {
+        r.vec_id: r.cell
+        for r in two_level_assign(
+            emb, centroids, n_super=4, **routed_defaults(4)
+        ).collect()
+    }
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    cents = centroids.select(
+        F.col("centroid_id").alias("__cid"), _as_double_vec("cv").alias("__cv")
+    )
+    want = {r.vec_id: r.cell for r in _flat_assign(vecs, cents).collect()}
+    assert got == want
+
+
 def test_semdedup_prune_keep_lowest_and_chains(spark):
     from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
         semdedup_prune,

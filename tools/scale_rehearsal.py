@@ -289,6 +289,92 @@ def incremental_rehearsal(spark) -> None:
     print(json.dumps({f"incremental_{family}_sf0.5": out}, indent=1))
 
 
+def bpe_rehearsal(spark) -> None:
+    """r07 (VERDICT r06 ask #6): BPE train's scale LAW is asserted in
+    the operator docstring — the corpus is touched exactly once (the
+    word-freq aggregate), and every merge round then runs on the
+    VOCAB frame, so per-round cost tracks distinct words, not corpus
+    rows.  Measure it: train at sf0.1 (5K docs) and sf0.5 (25K docs,
+    5× rows but replicas share words so the vocab grows far less than
+    5×), splitting corpus-pass wall from merge-round wall, then
+    encode each corpus with its trained vocab.  The law holds if the
+    per-round cost ratio between the corpora tracks the VOCAB ratio
+    (≈1×) rather than the corpus-row ratio (5×)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    N_MERGES = 6
+    out: dict[str, dict] = {}
+    for label, path in (("sf0.1", SRC), ("sf0.5", DST)):
+        docs = spark.read.parquet(os.path.join(path, "documents.parquet"))
+        n_docs = docs.count()
+        spark.catalog.clearCache()
+        # corpus pass alone: the word-freq aggregate bpe_train opens
+        # with (timed via the same localCheckpoint materialization)
+        t0 = time.time()
+        words = (
+            docs.select(
+                F.explode(F.split(F.lower(F.col("text")), "\\s+")).alias("w")
+            )
+            .where(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .localCheckpoint()
+        )
+        n_vocab = words.count()
+        t_corpus = time.time() - t0
+        # full train (re-runs its own corpus pass; merge wall = total
+        # minus this corpus pass, amortized over the rounds)
+        t0 = time.time()
+        merges, vocab = bpe_train(docs, n_merges=N_MERGES, return_vocab=True)
+        n_merges_got = merges.count()
+        t_train = time.time() - t0
+        t0 = time.time()
+        enc = bpe_encode(docs, vocab)
+        n_tokens = enc.agg(F.sum("n_tokens")).collect()[0][0]
+        t_encode = time.time() - t0
+        out[label] = {
+            "docs": n_docs,
+            "distinct_words": n_vocab,
+            "corpus_pass_sec": round(t_corpus, 2),
+            "train_total_sec": round(t_train, 2),
+            "merge_rounds_sec": round(t_train - t_corpus, 2),
+            "per_round_sec": round((t_train - t_corpus) / max(n_merges_got, 1), 2),
+            "n_merges": n_merges_got,
+            "encode_sec": round(t_encode, 2),
+            "total_tokens": int(n_tokens),
+        }
+        print(label, out[label])
+    r = out["sf0.5"], out["sf0.1"]
+    print(
+        json.dumps(
+            {
+                "bpe_rehearsal": out,
+                "ratios_sf05_over_sf01": {
+                    "docs": round(r[0]["docs"] / r[1]["docs"], 2),
+                    "distinct_words": round(
+                        r[0]["distinct_words"] / r[1]["distinct_words"], 2
+                    ),
+                    "corpus_pass": round(
+                        r[0]["corpus_pass_sec"] / max(r[1]["corpus_pass_sec"], 1e-9), 2
+                    ),
+                    "per_round": round(
+                        r[0]["per_round_sec"] / max(r[1]["per_round_sec"], 1e-9), 2
+                    ),
+                    "encode": round(
+                        r[0]["encode_sec"] / max(r[1]["encode_sec"], 1e-9), 2
+                    ),
+                },
+            },
+            indent=1,
+        )
+    )
+
+
 def main() -> None:
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(DST, "embeddings.parquet")
@@ -308,6 +394,10 @@ def main() -> None:
 
     if "--incremental" in sys.argv:
         incremental_rehearsal(spark)
+        return
+
+    if "--bpe" in sys.argv:
+        bpe_rehearsal(spark)
         return
 
     # optional positional names: rehearse a subset (e.g. new queries)
