@@ -572,3 +572,72 @@ SELECT * FROM (
 
 
 BPE_MERGES_SQL = _bpe_merges_sql()
+
+
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the BPE segmentation trained on it —
+    train + encode as one query (``text.bpe_train(return_vocab=True)``
+    → ``text.bpe_encode``).  Output is one row per INPUT document
+    (wordless docs come back as ('', 0) — the ADVICE r06 contract):
+    ``(doc_id, tokens_str, n_tokens)``, with the token sequence
+    space-joined into a scalar so the driver's typed value-hash
+    compares strings, not array cells (tokens cannot contain spaces —
+    they descend from whitespace-split words).
+
+    r07 unit-first debut (differential in tests/test_bpe.py), r08
+    registry candidate.  The oracle replays all BPE_N_MERGES training
+    rounds (the MATERIALIZED chain ``BPE_MERGES_SQL`` documents), then
+    joins each word position against the final vocab with the
+    character-fallback for OOV — OOV is impossible here (same corpus)
+    but the fallback keeps the expression total."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    _, vocab = text.bpe_train(
+        docs, n_merges=BPE_N_MERGES, return_vocab=True
+    )
+    enc = text.bpe_encode(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        "n_tokens",
+    )
+
+
+def _bpe_encode_sql() -> str:
+    rounds = ",".join(_bpe_iter_block(i) for i in range(BPE_N_MERGES))
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT w, freq,
+         list_append(list_transform(generate_series(1, length(w)), x -> w[x]),
+                     '</w>') AS s
+  FROM words
+),
+{rounds.lstrip()},
+tokpos AS MATERIALIZED (
+  SELECT doc_id, j AS wpos, toks[j] AS w
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents) d,
+       unnest(generate_series(1, len(toks))) AS t(j)
+  WHERE toks[j] <> ''
+),
+enc AS (
+  SELECT tp.doc_id,
+         flatten(list(coalesce(v.s,
+           list_append(list_transform(generate_series(1, length(tp.w)),
+                                      x -> tp.w[x]), '</w>'))
+           ORDER BY tp.wpos)) AS tokens
+  FROM tokpos tp LEFT JOIN v{BPE_N_MERGES} v ON v.w = tp.w
+  GROUP BY tp.doc_id
+)
+SELECT d.doc_id,
+       coalesce(array_to_string(e.tokens, ' '), '') AS tokens_str,
+       coalesce(len(e.tokens), 0)::BIGINT AS n_tokens
+FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()

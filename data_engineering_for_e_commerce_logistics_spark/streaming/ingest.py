@@ -443,3 +443,82 @@ def start_sliding_rollup_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def start_dedup_ingest_stream(
+    spark: SparkSession,
+    source_path: str,
+    corpus_path: str,
+    index_path: str,
+    checkpoint_path: str,
+    screen,
+    schema: str | T.StructType = "doc_id int, text string",
+    compact_every: int = 8,
+    compact_target_rows: int = 1_000_000,
+    compact_sort_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """The production shape of the stateless-stream + persisted-index
+    dedup ingest loop (the pattern every incremental family shares —
+    exact digests, MinHash, SimHash, semantic): each micro-batch
+
+    1. reads the current index (None on first batch),
+    2. screens via ``screen(batch_df, index_df) -> (fresh, delta)``
+       — any of ``incremental_exact_dedup`` / ``_minhash_`` /
+       ``_simhash_`` / ``incremental_semdedup`` partials fits,
+    3. appends ``fresh`` to the corpus sink and ``delta`` to the
+       index, then drops the operator's per-batch signature cache,
+    4. every ``compact_every`` batches, swap-compacts the index
+       (``layout.compact_in_place``) so index fragmentation is
+       bounded by index SIZE, not ingest AGE (VERDICT r06 ask #7 —
+       without this a long-running loop accumulates one small file
+       per batch per partition, and the per-batch index read slows
+       with file COUNT even while index rows stay flat).
+
+    Duplicates arriving in LATER batches are dropped even though the
+    stateless stream never saw the earlier ones — cross-batch memory
+    lives entirely in the persisted index, so the stream itself needs
+    no state store and restarts resume from the checkpointed offsets
+    plus the on-disk index.  Compaction keys off ``batch_id`` (not a
+    Python counter) so the rhythm survives restarts.
+
+    At scale: partition the index by the screen's join key (``cell``
+    for semdedup, band for minhash/simhash) and pass it as
+    ``compact_sort_col`` — the compaction rewrite then restores the
+    clustering the cell-keyed screen join co-locates on."""
+    import os
+
+    from ..operators.layout import compact_in_place
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        idx = (
+            sess.read.parquet(index_path)
+            if os.path.exists(index_path)
+            else None
+        )
+        fresh, delta = screen(batch_df, idx)
+        fresh.persist()
+        fresh.write.mode("append").parquet(corpus_path)
+        delta.write.mode("append").parquet(index_path)
+        fresh.unpersist()
+        # cache-lifetime discipline: the incremental operators cache
+        # their batch signature frame for the caller's batch lifetime
+        sess.catalog.clearCache()
+        if (batch_id + 1) % compact_every == 0:
+            compact_in_place(
+                sess,
+                index_path,
+                target_rows_per_file=compact_target_rows,
+                sort_col=compact_sort_col,
+            )
+
+    reader = spark.readStream.schema(schema)
+    writer = (
+        reader.parquet(source_path)
+        .writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -86,6 +86,28 @@ def test_bpe_matches_duckdb_oracle(spark):
     assert compare_frames(spdf, opdf, "bpe_merges_documents") == []
 
 
+def test_bpe_encode_documents_matches_duckdb_oracle(spark):
+    """r08 registry candidate's unit-first differential: the full
+    train+encode spec (space-joined token sequences, wordless docs as
+    ('', 0)) is cell-exact vs the DuckDB oracle that replays all
+    training rounds plus the vocab lookup join with char fallback, at
+    the driver's own sf0.01 scale."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(xc.BPE_ENCODE_SQL).fetchdf()
+    finally:
+        conn.close()
+    spdf = xc.bpe_encode_documents(spark, sf).toPandas()
+    assert len(spdf) == 500  # one row per input document, none dropped
+    assert compare_frames(spdf, opdf, "bpe_encode_documents") == []
+
+
 def test_bpe_encode_roundtrip_and_merges_applied(spark):
     """Encoding the training corpus with the trained vocab: every
     document's tokens concatenate back to its normalized words (with

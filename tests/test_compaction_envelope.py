@@ -132,3 +132,66 @@ def test_compact_sorted_restores_clustering(spark, tmp_path):
     for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi < lo2
     assert spark.read.parquet(path).count() == 400
+
+
+def test_start_dedup_ingest_stream_compacts_and_dedups(spark, tmp_path):
+    """The packaged streaming loop (start_dedup_ingest_stream): exact
+    screen over micro-batches, cross-batch dup dropped, and the index
+    swap-compacted on the batch_id rhythm — file count bounded by size
+    while the corpus and index stay semantically intact."""
+    from functools import partial
+
+    from data_engineering_for_e_commerce_logistics_spark.streaming.ingest import (
+        start_dedup_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    def screen(batch_df, idx):
+        return incremental_exact_dedup(batch_df, idx, bloom_bits=1 << 12)
+
+    run = partial(
+        start_dedup_ingest_stream,
+        spark,
+        src,
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+        screen,
+        compact_every=2,  # compact on batch_ids 1, 3, ...
+        compact_target_rows=TARGET_ROWS,
+    )
+
+    # batch 0: two docs
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id int, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 2
+
+    # batch 1: one cross-batch dup (normalized match) + one new doc —
+    # batch_id 1 triggers compaction afterwards
+    spark.createDataFrame(
+        [(10, "ALPHA  beta"), (11, "epsilon zeta")], "doc_id int, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 2, 11], kept
+    assert spark.read.parquet(index).count() == 3
+    # the compaction on batch_id 1 left the whole index in one file
+    assert parquet_file_count(index) == 1
+    assert not os.path.exists(index + ".compact-tmp")
+
+    # batch 2: replay everything — zero fresh, no compaction this batch
+    spark.createDataFrame(
+        [(20, "alpha beta"), (21, "epsilon  ZETA")], "doc_id int, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(corpus).collect()
+    ) == [1, 2, 11]
+    assert spark.read.parquet(index).count() == 3
