@@ -55,7 +55,8 @@ COMPACT_TARGET_ROWS = 50_000
 
 QUERIES = [
     "v_order_summary",
-    "q5_nation_volume",
+    # q5_nation_volume retired into the suite at r06 (RENAMED_FROM)
+    "tpch_join_suite",
     "rfm_segments",
     "order_value_deciles",
     "customer_rolling_7d_spend",
@@ -78,6 +79,10 @@ QUERIES = [
     "routed_assign_embeddings",
     "semdedup_routed_pairs",
     "semdedup_keep",
+    # r07 additions: the round's three new registrations
+    "text_analysis_suite",
+    "incremental_semdedup_fresh",
+    "bpe_merges_documents",
 ]
 
 
