@@ -195,3 +195,67 @@ def test_start_dedup_ingest_stream_compacts_and_dedups(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(corpus).collect()
     ) == [1, 2, 11]
     assert spark.read.parquet(index).count() == 3
+
+
+def test_semdedup_ingest_stream_with_cell_sorted_compaction(spark, tmp_path):
+    """The SEMANTIC family through the packaged streaming loop:
+    incremental_semdedup as the screen partial, cell-sorted swap
+    compaction, cross-batch semantic dup dropped while the orthogonal
+    vector passes."""
+    from functools import partial
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        incremental_semdedup,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.streaming.ingest import (
+        start_dedup_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id long, cv array<double>",
+    )
+
+    def screen(batch_df, idx):
+        return incremental_semdedup(batch_df, idx, centroids, tau=0.9)
+
+    run = partial(
+        start_dedup_ingest_stream,
+        spark,
+        src,
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+        screen,
+        schema="vec_id long, embedding array<double>",
+        compact_every=2,
+        compact_target_rows=TARGET_ROWS,
+        compact_sort_col="cell",
+    )
+
+    spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 2
+
+    # batch 1: a near-parallel re-embed of vec 0 (cosine ≈ 1 > tau)
+    # plus a genuinely new direction; batch_id 1 → compaction after
+    spark.createDataFrame(
+        [(10, [0.999, 0.01, 0.0]), (11, [0.0, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+
+    kept = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert kept == [0, 1, 11], kept
+    idx_df = spark.read.parquet(index)
+    assert idx_df.count() == 3
+    assert set(idx_df.columns) == {"vec_id", "v", "nrm", "cell"}
+    assert parquet_file_count(index) == 1  # cell-sorted compaction ran
