@@ -87,3 +87,66 @@ def triangle_count(
         closing, ["b", "c"]
     )
     return tris.agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Connected components over an undirected pair list via min-label
+    propagation to fixpoint (the standard Pregel-less Spark pattern,
+    extracted r07 from the ``dedup_clusters`` spec so the leakage-safe
+    split can reuse it): labels start as own id; each iteration takes
+    the min of own and neighbors' labels; stop when nothing changes.
+    Returns ``(node, label)`` for every node APPEARING IN A PAIR —
+    isolated items are absent by construction (callers left-join and
+    coalesce to own id).
+
+    Iterations = component diameter — each is one join + one
+    aggregate.  The edge list is cached before looping (every fixpoint
+    action otherwise re-executes the whole upstream pair miner —
+    measured 32s → ~3s at sf0.01 for the LSH pipeline); edges are
+    O(duplicate pairs), tiny relative to the corpus.  At billion-edge
+    scale checkpoint per iteration to truncate lineage, semantics
+    unchanged."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    edges = edges.cache()
+    edges.count()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    labels.cache()
+    labels.count()
+
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            labels.node.alias("node"),
+            F.least(
+                labels.label, F.coalesce(F.col("nlabel"), labels.label)
+            ).alias("label"),
+        )
+        new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

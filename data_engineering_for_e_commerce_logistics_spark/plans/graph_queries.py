@@ -31,7 +31,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate lineage, semantics unchanged.
 
     Pairs come from the LSH pipeline (not the quadratic all-pairs
-    scan), so the whole operator is corpus-scale-safe."""
+    scan), so the whole operator is corpus-scale-safe.  The fixpoint
+    loop itself lives in ``operators/graph.py:connected_components``
+    (extracted r07, behavior-identical — edge-list cached before
+    looping, measured 32s → ~3s at sf0.01)."""
+    from ..operators.graph import connected_components
+
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     pairs = dedup.minhash_lsh_dedup(
         docs,
@@ -40,54 +45,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_k=SHINGLE_K,
         threshold=THRESHOLD,
     )
-
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-    )
-    # Materialize the edge list before looping: every fixpoint action
-    # otherwise re-executes the whole upstream LSH pipeline (measured
-    # 32s → ~3s at sf0.01).  Edges are O(duplicate pairs) — tiny
-    # relative to the corpus.
-    edges = edges.cache()
-    edges.count()
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-    )
-    labels.cache()
-    labels.count()
-
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                labels.node.alias("node"),
-                F.least(
-                    labels.label, F.coalesce(F.col("nlabel"), labels.label)
-                ).alias("label"),
-            )
-        )
-        new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-
-    return labels.select(
+    return connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
 
@@ -110,6 +68,88 @@ reach(node, root) AS (
 )
 SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 """
+
+def corpus_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (r07 unit-first debut, r08
+    registry candidate): near-duplicate documents MUST land in the
+    same split, or eval examples leak into training as near-copies —
+    the standard contamination trap a per-document hash split
+    (``corpus_split_sample``) cannot avoid.  The fix: key the split
+    hash on the near-dup COMPONENT representative (min doc_id over
+    the connected component of the LSH pair graph), so an entire
+    duplicate cluster moves as one unit; singleton docs key on
+    themselves and reproduce the plain split exactly.
+
+    Plan: the LSH miner (corpus-scale-safe banding, no all-pairs) →
+    ``connected_components`` fixpoint → left join the label back to
+    the corpus (absent ⇒ own id) → the same md5-nibble split rule as
+    ``split_assign``, applied to the representative.  Output:
+    ``(doc_id, rep_id, split)``.  Invariant (pinned by unit test and
+    by construction): for every mined pair, split(id_a) ==
+    split(id_b)."""
+    from ..operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_lsh_dedup(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=THRESHOLD,
+    )
+    comps = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("__rep")
+    )
+    rep = (
+        docs.select("doc_id")
+        .join(comps, "doc_id", "left")
+        .withColumn(
+            "rep_id", F.coalesce(F.col("__rep"), F.col("doc_id")).cast("long")
+        )
+    )
+    nibble = F.substring(F.md5(F.col("rep_id").cast("string")), 1, 1)
+    return rep.select(
+        "doc_id",
+        "rep_id",
+        F.when(nibble < "d", "train")
+        .when(nibble < "f", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def _split_no_leakage_sql() -> str:
+    return f"""
+WITH RECURSIVE
+{minhash_pipeline_ctes()},
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, min(root) AS rep FROM reach GROUP BY node),
+keyed AS (
+  SELECT d.doc_id, coalesce(c.rep, d.doc_id)::BIGINT AS rep_id
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+)
+SELECT doc_id, rep_id,
+       CASE WHEN substr(md5(rep_id::VARCHAR), 1, 1) < 'd' THEN 'train'
+            WHEN substr(md5(rep_id::VARCHAR), 1, 1) < 'f' THEN 'val'
+            ELSE 'test' END AS split
+FROM keyed
+"""
+
+
+CORPUS_SPLIT_NO_LEAKAGE_SQL = _split_no_leakage_sql()
+
 
 # --- IVF centroid assignment (vector quantization) -------------------------
 

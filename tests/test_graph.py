@@ -85,3 +85,66 @@ def test_copurchase_window_subset_of_full(spark):
     assert windowed.count() > 0
     assert windowed.exceptAll(full).count() == 0
     assert full.count() >= windowed.count()
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Extracted CC primitive: a 3-chain collapses to one min label, a
+    separate pair keeps its own, isolated nodes are absent."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.node: r.label for r in graph.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_corpus_split_no_leakage_matches_duckdb_and_invariant(spark):
+    """r08 registry candidate's unit-first differential + the property
+    the spec exists for: every mined near-dup pair lands in ONE split,
+    and singleton docs reproduce the plain hash split exactly."""
+    from data_engineering_for_e_commerce_logistics_spark.operators import dedup
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        extended_queries as xq,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.catalog import load_tables
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = gq.corpus_split_no_leakage(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(gq.CORPUS_SPLIT_NO_LEAKAGE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert len(spdf) == 500  # one row per document
+    assert compare_frames(spdf, opdf, "corpus_split_no_leakage") == []
+
+    split_of = dict(zip(spdf.doc_id, spdf.split))
+    rep_of = dict(zip(spdf.doc_id, spdf.rep_id))
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    pairs = dedup.minhash_lsh_dedup(
+        docs,
+        num_hashes=xq.NUM_HASHES,
+        bands=xq.BANDS,
+        shingle_k=xq.SHINGLE_K,
+        threshold=xq.THRESHOLD,
+    ).collect()
+    assert pairs, "fixture must mine at least one near-dup pair"
+    for p in pairs:
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+        assert rep_of[p.id_a] == rep_of[p.id_b]
+    # singletons (never in a pair) key on themselves → identical to
+    # the per-document split rule
+    in_pairs = {p.id_a for p in pairs} | {p.id_b for p in pairs}
+    import hashlib
+
+    for doc_id, rep in rep_of.items():
+        if doc_id not in in_pairs:
+            assert rep == doc_id
+            nib = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+            want = "train" if nib < "d" else ("val" if nib < "f" else "test")
+            assert split_of[doc_id] == want
