@@ -57,11 +57,17 @@ r07 rows at positions 3-6).
 
 r08 rotation note: the backlog will be the 46 r06-green specs at
 positions 51+ (plus any r07 debut that fails).  46 + 2 flagships = 48
-mandatory, leaving 2 debut slots.  Candidates:
-``routed_recall_sweep``-derived default knobs need no new spec; a
-compaction-envelope spec (``compact_files`` wired into the ingest
-demos, VERDICT r06 ask #7) is the natural next debut if it gains an
-oracle form.
+mandatory, leaving exactly 2 debut slots — and exactly two specs
+debuted unit-first this round, so r08 fits at 50 with zero spill:
+
+* ``bpe_encode_documents`` (``plans/corpus_queries.py``) — train +
+  encode in one query, space-joined token strings; differential vs
+  the full unrolled-rounds + vocab-lookup oracle green in
+  ``tests/test_bpe.py``.
+* ``corpus_split_no_leakage`` (``plans/graph_queries.py``) —
+  train/val/test split keyed on near-dup component representatives;
+  differential vs a WITH RECURSIVE oracle plus the pair-invariant
+  green in ``tests/test_graph.py``.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
