@@ -265,3 +265,41 @@ def test_profile_and_cardinality_have_no_expand(spark):
     for name in ("profile_lineitem", "agg_cardinality_lineitem"):
         plan = _plan(spark, name)
         assert "Expand" not in plan, name
+
+
+def test_text_analysis_suite_no_exchange(spark):
+    """The merged text suite is four per-row expression legs under one
+    union: NO Exchange anywhere (any shuffle here would be a regression
+    — the legs are pure maps), and every leg's scan prunes to the
+    columns it needs (never the full documents table)."""
+    plan = _plan(spark, "text_analysis_suite")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan parquet") == 4
+    for seg in plan.split("ReadSchema: ")[1:]:
+        rs = seg.split("\n")[0]
+        assert "source" not in rs and "label" not in rs  # unused columns
+
+
+def test_incremental_semdedup_fresh_broadcast_only_prework(spark):
+    """The fourth family's screen: centroid assignment is a BROADCAST
+    nested-loop over the bounded codebook (never a shuffled cross
+    join), and the cell-keyed rival join stays a hash join — the plan
+    whose exchange tracks batch cells, not |index|."""
+    plan = _plan(spark, "incremental_semdedup_fresh")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the two NOT-EXISTS screens + fresh semi-join surface as hash joins
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_routed_assign_two_broadcast_levels(spark):
+    """Two-level routing: both the super table and the grouped
+    centroid table ride broadcasts — no shuffle before the per-vector
+    windows (the final spec orderBy's range partitioning is the only
+    non-window exchange allowed)."""
+    plan = _plan(spark, "routed_assign_embeddings")
+    assert "BroadcastNestedLoopJoin" in plan  # vectors × supers scoring
+    assert "BroadcastHashJoin" in plan  # routed join to centroid groups
+    assert "CartesianProduct" not in plan
