@@ -425,3 +425,92 @@ def redact_digits(
     return df.withColumn(f"{col}_masked", masked).withColumn(
         f"{col}_digits_redacted", n_masked.cast("long")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+) -> DataFrame:
+    """Cross-document EXACT SPAN dedup — the C4/RefinedWeb "line
+    dedup" stage generalized to corpora without line structure: chunk
+    every document into consecutive ``window``-token spans (last span
+    may be shorter) and keep only each distinct span's GLOBAL first
+    occurrence (min (doc_id, span_idx)); every other occurrence —
+    later documents AND later repeats inside the same document — is
+    removed, and the surviving spans re-join in order.  This is the
+    between-document boilerplate killer document-level dedup cannot
+    express: two docs sharing one viral paragraph are not near-dups,
+    but the second copy of the paragraph still goes.
+
+    Returns one row per INPUT document (wordless docs → ('', 0, 0)):
+    ``(id, text_clean, n_spans, n_spans_dropped)``.
+
+    Plan shape: tokenize → span chunking as a per-row expression
+    (``filter(sequence(...))`` keeps the index range structural — no
+    descending-sequence trap on empty docs) → posexplode → ONE
+    shuffle keyed on span text (the window that ranks occurrences) →
+    one hash-agg back to documents.  At 100 TB: span strings hash-
+    partition uniformly (they are content, not keys), the rank window
+    is width-bounded per distinct span, and reconstruction is a
+    groupBy on the document id — the same two-exchange budget as
+    exact doc-level dedup, on spans."""
+    # Materialize the token array before chunking: an inline split()
+    # inside the lambdas re-evaluates per element (this module's
+    # decontaminate lesson — O(n²) per document otherwise).
+    toked = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+    )
+    # greatest(size, 0): size(NULL) is -1 under legacy sizeOfNull (the
+    # engine session) and NULL under ANSI — either way sequence(0, ·)
+    # must not descend (a descending sequence yields i = -1, which the
+    # i*W < size filter does NOT reject when size is -1).  With the
+    # clamp, NULL/empty docs produce zero spans in both session
+    # flavors and the id spine restores their ('', 0, 0) row.
+    spans_arr = F.expr(
+        f"transform(filter(sequence(0, greatest(size(__t), 0)),"
+        f"                 i -> i * {window} < size(__t)),"
+        f"           i -> array_join(slice(__t, i * {window} + 1,"
+        f"                                 {window}), ' '))"
+    )
+    spans = toked.select(
+        F.col(id_col),
+        F.posexplode(spans_arr).alias("span_idx", "span_text"),
+    )
+    w = Window.partitionBy("span_text").orderBy(
+        F.col(id_col).asc(), F.col("span_idx").asc()
+    )
+    ranked = spans.withColumn("__keep", F.row_number().over(w) == 1)
+    rebuilt = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_spans_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"),
+                            F.struct("span_idx", "span_text"),
+                        )
+                    )
+                ),
+                lambda s: s["span_text"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            F.coalesce(F.col("n_spans"), F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce(F.col("n_spans_dropped"), F.lit(0).cast("long")).alias(
+                "n_spans_dropped"
+            ),
+        )
+    )

@@ -493,6 +493,53 @@ FROM st
 """
 
 
+# --- Cross-document span dedup (C4-style line dedup, generalized) -----------
+
+SPAN_WINDOW = 10
+
+
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-document span dedup (``corpus.span_dedup``): every
+    distinct 10-token span keeps its global first occurrence only —
+    the C4/RefinedWeb line-dedup stage for corpora without line
+    structure.  One shuffle on span text + one reassembly agg; r07
+    unit-first debut (differential in tests/test_corpus.py), r08+
+    registry candidate."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.span_dedup(docs, window=SPAN_WINDOW)
+
+
+CORPUS_SPAN_DEDUP_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(tok[i * {SPAN_WINDOW} + 1 : i * {SPAN_WINDOW} + {SPAN_WINDOW}], ' ') AS span_text
+  FROM t, unnest(range(CAST(ceil(len(tok) / {SPAN_WINDOW}.0) AS INT))) AS r(i)
+),
+ranked AS (
+  SELECT doc_id, span_idx, span_text,
+         row_number() OVER (PARTITION BY span_text
+                            ORDER BY doc_id, span_idx) = 1 AS keep
+  FROM spans
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::BIGINT AS n_spans,
+         sum((NOT keep)::INT)::BIGINT AS n_spans_dropped,
+         string_agg(CASE WHEN keep THEN span_text END, ' '
+                    ORDER BY span_idx) AS text_clean
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       coalesce(a.n_spans, 0)::BIGINT AS n_spans,
+       coalesce(a.n_spans_dropped, 0)::BIGINT AS n_spans_dropped
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
 # --- BPE merge training (r06 unit-first debut; r07+ registry candidate) -----
 
 BPE_N_MERGES = 6

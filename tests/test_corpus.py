@@ -254,3 +254,56 @@ def test_redact_digits_full_and_keep_last(spark):
     kept = corpus.redact_digits(df, "c_name", keep_last=4).first()
     assert kept.c_name_masked == "Customer######3456"
     assert kept.c_name_digits_redacted == 5
+
+
+# --- cross-document span dedup ----------------------------------------------
+
+
+def test_span_dedup_semantics(spark):
+    """Global first occurrence survives; later copies drop across AND
+    within documents; wordless docs come back as ('', 0, 0)."""
+    w = 3
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # spans: "a b c", "d e f"
+            (2, "a b c x y z a b c"),    # dup of doc1's span + own dup
+            (3, None),                   # wordless
+            (4, "d e f"),                # dup of doc1's second span
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r for r in corpus.span_dedup(docs, window=w).collect()
+    }
+    assert out[1].text_clean == "a b c d e f"
+    assert out[1].n_spans == 2 and out[1].n_spans_dropped == 0
+    # doc 2: "a b c" (pos 0) dropped vs doc1; "x y z" kept; trailing
+    # "a b c" (pos 2) dropped too (within-corpus repeat)
+    assert out[2].text_clean == "x y z"
+    assert out[2].n_spans == 3 and out[2].n_spans_dropped == 2
+    assert out[3].text_clean == "" and out[3].n_spans == 0
+    assert out[4].text_clean == "" and out[4].n_spans_dropped == 1
+
+
+def test_corpus_span_dedup_matches_duckdb_oracle(spark):
+    """r08+ registry candidate's unit-first differential at the
+    driver's sf0.01 scale."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = xc.corpus_span_dedup(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(xc.CORPUS_SPAN_DEDUP_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert len(spdf) == 500
+    # the synthetic corpus's tiny vocab guarantees both kept and
+    # dropped spans exist — the interesting case is exercised
+    assert (spdf.n_spans_dropped > 0).any() and (
+        spdf.n_spans_dropped < spdf.n_spans
+    ).any()
+    assert compare_frames(spdf, opdf, "corpus_span_dedup") == []
