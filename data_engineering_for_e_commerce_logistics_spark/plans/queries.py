@@ -57,8 +57,14 @@ r07 rows at positions 3-6).
 
 r08 rotation note: the backlog will be the 46 r06-green specs at
 positions 51+ (plus any r07 debut that fails).  46 + 2 flagships = 48
-mandatory, leaving exactly 2 debut slots — and exactly two specs
-debuted unit-first this round, so r08 fits at 50 with zero spill:
+mandatory, leaving 2 debut slots for the THREE specs that debuted
+unit-first this round — so r08 applies one more merged-variants
+consolidation: ``corpus_split_no_leakage`` and the registered
+``corpus_split_sample`` share the md5-nibble split rule and the
+documents spine — merge them into a ``corpus_split_suite`` (plain
+hash split + leakage-safe rep-keyed split as variants).  Arithmetic:
+2 flagships + 45 backlog (corpus_split_sample retired into the
+suite) + 1 suite + 2 debuts = 50 exactly.  The candidates:
 
 * ``bpe_encode_documents`` (``plans/corpus_queries.py``) — train +
   encode in one query, space-joined token strings; differential vs
@@ -67,7 +73,10 @@ debuted unit-first this round, so r08 fits at 50 with zero spill:
 * ``corpus_split_no_leakage`` (``plans/graph_queries.py``) —
   train/val/test split keyed on near-dup component representatives;
   differential vs a WITH RECURSIVE oracle plus the pair-invariant
-  green in ``tests/test_graph.py``.
+  green in ``tests/test_graph.py``.  (→ the suite above.)
+* ``corpus_span_dedup`` (``plans/corpus_queries.py``) — C4-style
+  cross-document span dedup; semantics unit + sf0.01 differential
+  green in ``tests/test_corpus.py``.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
