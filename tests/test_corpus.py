@@ -307,3 +307,45 @@ def test_corpus_span_dedup_matches_duckdb_oracle(spark):
         spdf.n_spans_dropped < spdf.n_spans
     ).any()
     assert compare_frames(spdf, opdf, "corpus_span_dedup") == []
+
+
+def test_span_dedup_conservation_law(spark):
+    """Global law: across ALL cleaned documents, every distinct input
+    span appears EXACTLY once (the kept copy), and re-running on the
+    cleaned corpus is a fixpoint for full windows (idempotence —
+    nothing left to drop except re-chunked partial-span boundaries,
+    absent here by construction)."""
+    w = 4
+    docs = spark.createDataFrame(
+        [
+            (1, "p q r s t u v w"),      # 2 full spans
+            (2, "p q r s a b c d"),      # 1 dup span + 1 new
+            (3, "t u v w t u v w"),      # dup of doc1 span, twice
+            (4, "a b c d p q r s"),      # both spans already seen
+        ],
+        "doc_id long, text string",
+    )
+    out = corpus.span_dedup(docs, window=w)
+    rows = out.collect()
+    # conservation: multiset of spans across text_clean == distinct input spans
+    def spans_of(text):
+        toks = text.split(" ") if text else []
+        return [
+            " ".join(toks[i : i + w]) for i in range(0, len(toks), w)
+        ]
+
+    all_clean = [s for r in rows for s in spans_of(r.text_clean)]
+    distinct_input = {
+        s
+        for r in docs.collect()
+        if r.text is not None
+        for s in spans_of(r.text)
+    }
+    assert sorted(all_clean) == sorted(distinct_input)
+    assert len(all_clean) == len(set(all_clean))  # no span twice
+    # idempotence on the cleaned corpus
+    clean_docs = out.select(
+        "doc_id", F.col("text_clean").alias("text")
+    ).where(F.col("text") != "")
+    again = corpus.span_dedup(clean_docs, window=w)
+    assert again.agg(F.sum("n_spans_dropped")).first()[0] == 0
