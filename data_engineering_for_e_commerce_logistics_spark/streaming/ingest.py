@@ -456,6 +456,7 @@ def start_dedup_ingest_stream(
     compact_every: int = 8,
     compact_target_rows: int = 1_000_000,
     compact_sort_col: str | None = None,
+    sidecars: dict | None = None,
     trigger_available_now: bool = True,
 ):
     """The production shape of the stateless-stream + persisted-index
@@ -485,7 +486,17 @@ def start_dedup_ingest_stream(
     At scale: partition the index by the screen's join key (``cell``
     for semdedup, band for minhash/simhash) and pass it as
     ``compact_sort_col`` — the compaction rewrite then restores the
-    clustering the cell-keyed screen join co-locates on."""
+    clustering the cell-keyed screen join co-locates on.
+
+    ``sidecars`` carries derived index projections alongside the main
+    index — the minhash family's persisted BANDED index is the
+    motivating case (``bands_of(delta)`` appended per batch lets the
+    screen skip the per-batch O(index × bands) re-banding explode).
+    Shape: ``{name: (path, delta_projection)}``.  When present, the
+    loaded sidecar frames (None before first append) are passed to
+    ``screen`` as a third argument ``{name: DataFrame | None}``, each
+    projection of the batch's delta appends to its path, and sidecar
+    paths compact on the same batch_id rhythm as the index."""
     import os
 
     from ..operators.layout import compact_in_place
@@ -497,11 +508,24 @@ def start_dedup_ingest_stream(
             if os.path.exists(index_path)
             else None
         )
-        fresh, delta = screen(batch_df, idx)
+        if sidecars:
+            loaded = {
+                name: (
+                    sess.read.parquet(path) if os.path.exists(path) else None
+                )
+                for name, (path, _) in sidecars.items()
+            }
+            fresh, delta = screen(batch_df, idx, loaded)
+        else:
+            fresh, delta = screen(batch_df, idx)
         fresh.persist()
+        delta.persist()
         fresh.write.mode("append").parquet(corpus_path)
         delta.write.mode("append").parquet(index_path)
+        for name, (path, project) in (sidecars or {}).items():
+            project(delta).write.mode("append").parquet(path)
         fresh.unpersist()
+        delta.unpersist()
         # cache-lifetime discipline: the incremental operators cache
         # their batch signature frame for the caller's batch lifetime
         sess.catalog.clearCache()
@@ -512,6 +536,11 @@ def start_dedup_ingest_stream(
                 target_rows_per_file=compact_target_rows,
                 sort_col=compact_sort_col,
             )
+            for name, (path, _) in (sidecars or {}).items():
+                if os.path.exists(path):
+                    compact_in_place(
+                        sess, path, target_rows_per_file=compact_target_rows
+                    )
 
     reader = spark.readStream.schema(schema)
     writer = (

@@ -259,3 +259,74 @@ def test_semdedup_ingest_stream_with_cell_sorted_compaction(spark, tmp_path):
     assert idx_df.count() == 3
     assert set(idx_df.columns) == {"vec_id", "v", "nrm", "cell"}
     assert parquet_file_count(index) == 1  # cell-sorted compaction ran
+
+
+def test_minhash_ingest_stream_with_banded_sidecar(spark, tmp_path):
+    """The MinHash family through the packaged loop, exercising the
+    sidecar machinery: the banded-index projection appends alongside
+    the signature index, the screen consumes it (skipping index
+    re-banding), and both paths compact on the same rhythm.  A
+    one-token edit arriving batches later is dropped (near-dup) while
+    new content passes."""
+    from functools import partial
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        bands_of,
+        incremental_minhash_dedup,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.streaming.ingest import (
+        start_dedup_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    bands = str(tmp_path / "bands")
+    os.makedirs(src)
+
+    def screen(batch_df, idx, sidecar_frames):
+        return incremental_minhash_dedup(
+            batch_df,
+            idx,
+            threshold=0.6,
+            banded_index=sidecar_frames["bands"],
+        )
+
+    run = partial(
+        start_dedup_ingest_stream,
+        spark,
+        src,
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+        screen,
+        compact_every=2,
+        compact_target_rows=TARGET_ROWS,
+        sidecars={"bands": (bands, bands_of)},
+    )
+
+    toks = [f"tok{i}" for i in range(40)]
+    spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id int, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 1
+    assert os.path.exists(bands)
+
+    # batch 1: near-dup (one appended token) + unrelated doc;
+    # batch_id 1 → both paths compact afterwards
+    other = [f"zz{i}" for i in range(40)]
+    spark.createDataFrame(
+        [(10, " ".join(toks + ["extra"])), (11, " ".join(other))],
+        "doc_id int, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 11], kept
+    assert spark.read.parquet(index).count() == 2
+    # bands sidecar: 8 band rows per indexed signature, one file after
+    # the rhythm compaction
+    assert spark.read.parquet(bands).count() == 16
+    assert parquet_file_count(index) == 1
+    assert parquet_file_count(bands) == 1
