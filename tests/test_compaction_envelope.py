@@ -330,3 +330,58 @@ def test_minhash_ingest_stream_with_banded_sidecar(spark, tmp_path):
     assert spark.read.parquet(bands).count() == 16
     assert parquet_file_count(index) == 1
     assert parquet_file_count(bands) == 1
+
+
+def test_simhash_ingest_stream(spark, tmp_path):
+    """Fourth of four: the SimHash family through the packaged loop
+    (no sidecar — its band keys derive from the 64-bit fingerprint in
+    the index itself), completing the all-families matrix."""
+    from functools import partial
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_simhash_dedup,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.streaming.ingest import (
+        start_dedup_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    def screen(batch_df, idx):
+        return incremental_simhash_dedup(batch_df, idx, max_hamming=3)
+
+    run = partial(
+        start_dedup_ingest_stream,
+        spark,
+        src,
+        corpus,
+        index,
+        str(tmp_path / "ckpt"),
+        screen,
+        compact_every=2,
+        compact_target_rows=TARGET_ROWS,
+    )
+
+    toks = [f"w{i}" for i in range(120)]
+    spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id int, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+
+    # later batch: a one-token edit (hamming <= 3 of doc 1) + new text
+    spark.createDataFrame(
+        [
+            (10, " ".join(toks[:-1] + ["edited"])),
+            (11, " ".join(f"q{i}" for i in range(120))),
+        ],
+        "doc_id int, text string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+
+    kept = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 11], kept
+    assert spark.read.parquet(index).count() == 2
+    assert parquet_file_count(index) == 1  # batch_id-1 compaction ran
