@@ -118,10 +118,11 @@ def corpus_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _split_no_leakage_sql() -> str:
-    return f"""
-WITH RECURSIVE
-{minhash_pipeline_ctes()},
+def _split_no_leakage_ctes() -> str:
+    """The CTE chain (sans WITH RECURSIVE header) shared by the
+    standalone oracle and the r08 ``corpus_split_suite`` oracle, which
+    embeds it under its own WITH RECURSIVE."""
+    return f"""{minhash_pipeline_ctes()},
 nodes AS (
   SELECT DISTINCT id FROM (
     SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified)
@@ -136,19 +137,83 @@ reach(node, root) AS (
   SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
 ),
 comp AS (SELECT node, min(root) AS rep FROM reach GROUP BY node),
-keyed AS (
-  SELECT d.doc_id, coalesce(c.rep, d.doc_id)::BIGINT AS rep_id
+split_keyed AS (
+  SELECT d.doc_id, coalesce(c.rep, d.doc_id)::BIGINT AS rep_id,
+         CASE WHEN substr(md5(coalesce(c.rep, d.doc_id)::VARCHAR), 1, 1) < 'd'
+                THEN 'train'
+              WHEN substr(md5(coalesce(c.rep, d.doc_id)::VARCHAR), 1, 1) < 'f'
+                THEN 'val'
+              ELSE 'test' END AS split
   FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
-)
-SELECT doc_id, rep_id,
-       CASE WHEN substr(md5(rep_id::VARCHAR), 1, 1) < 'd' THEN 'train'
-            WHEN substr(md5(rep_id::VARCHAR), 1, 1) < 'f' THEN 'val'
-            ELSE 'test' END AS split
-FROM keyed
+)"""
+
+
+CORPUS_SPLIT_NO_LEAKAGE_SQL = f"""
+WITH RECURSIVE
+{_split_no_leakage_ctes()}
+SELECT doc_id, rep_id, split FROM split_keyed
 """
 
 
-CORPUS_SPLIT_NO_LEAKAGE_SQL = _split_no_leakage_sql()
+def corpus_split_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation earmarked for r08 (pre-built and
+    differential-proven in r07 so registration is a pure rotation
+    move): the plain hash split + stratified sample
+    (``corpus_split_sample``) and the leakage-safe rep-keyed split
+    (``corpus_split_no_leakage``) union under one padded shape —
+    one splitting family, one spec, every original output cell
+    preserved.  Numeric pad columns cast to double on both engines
+    (the text-suite convention: pandas upcasts nullable ints anyway,
+    so pin it).  Bench baseline at registration = the parts' sum via
+    bench.py RENAMED_FROM."""
+    from . import corpus_queries as xc
+
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    plain = xc.corpus_split_sample(spark, sf_dir).select(
+        F.lit("plain").alias("variant"),
+        "doc_id",
+        "lang",
+        "hash_key",
+        "split",
+        F.col("sample_rank").cast("double").alias("sample_rank"),
+        F.col("in_sample").cast("double").alias("in_sample"),
+        nd.alias("rep_id"),
+    )
+    leak = corpus_split_no_leakage(spark, sf_dir).select(
+        F.lit("no_leakage").alias("variant"),
+        "doc_id",
+        ns.alias("lang"),
+        ns.alias("hash_key"),
+        "split",
+        nd.alias("sample_rank"),
+        nd.alias("in_sample"),
+        F.col("rep_id").cast("double").alias("rep_id"),
+    )
+    return plain.unionByName(leak)
+
+
+def _corpus_split_suite_sql() -> str:
+    from . import corpus_queries as xc
+
+    return f"""
+WITH RECURSIVE
+{_split_no_leakage_ctes()},
+plain AS ({xc.CORPUS_SPLIT_SAMPLE_SQL})
+SELECT 'plain' AS variant, doc_id, lang, hash_key, split,
+       CAST(sample_rank AS DOUBLE) AS sample_rank,
+       CAST(in_sample::INT AS DOUBLE) AS in_sample,
+       CAST(NULL AS DOUBLE) AS rep_id
+FROM plain
+UNION ALL
+SELECT 'no_leakage', doc_id, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       split, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(rep_id AS DOUBLE)
+FROM split_keyed
+"""
+
+
+CORPUS_SPLIT_SUITE_SQL = _corpus_split_suite_sql()
 
 
 # --- IVF centroid assignment (vector quantization) -------------------------

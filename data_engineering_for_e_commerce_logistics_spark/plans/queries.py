@@ -62,7 +62,10 @@ unit-first this round — so r08 applies one more merged-variants
 consolidation: ``corpus_split_no_leakage`` and the registered
 ``corpus_split_sample`` share the md5-nibble split rule and the
 documents spine — merge them into a ``corpus_split_suite`` (plain
-hash split + leakage-safe rep-keyed split as variants).  Arithmetic:
+hash split + leakage-safe rep-keyed split as variants; ALREADY built
+and differential-proven this round, ``plans/graph_queries.py`` +
+``tests/test_graph.py``, so r08 registration is a pure rotation
+move).  Arithmetic:
 2 flagships + 45 backlog (corpus_split_sample retired into the
 suite) + 1 suite + 2 debuts = 50 exactly.  The candidates:
 

@@ -148,3 +148,23 @@ def test_corpus_split_no_leakage_matches_duckdb_and_invariant(spark):
             nib = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
             want = "train" if nib < "d" else ("val" if nib < "f" else "test")
             assert split_of[doc_id] == want
+
+
+def test_corpus_split_suite_matches_duckdb_oracle(spark):
+    """The r08 consolidation's differential, proven pre-registration:
+    padded union of the plain split+sample and the leakage-safe split,
+    cell-exact vs the single WITH RECURSIVE oracle at sf0.01."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = gq.corpus_split_suite(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(gq.CORPUS_SPLIT_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert len(spdf) == 1000  # 500 docs × 2 variants
+    assert compare_frames(spdf, opdf, "corpus_split_suite") == []
