@@ -314,7 +314,7 @@ def bpe_rehearsal(spark) -> None:
 
     N_MERGES = 6
     out: dict[str, dict] = {}
-    for label, path in (("sf0.1", SRC), ("sf0.5", DST)):
+    for label, path in (("sf0.1", SRC), (os.path.basename(DST), DST)):
         docs = spark.read.parquet(os.path.join(path, "documents.parquet"))
         n_docs = docs.count()
         spark.catalog.clearCache()
@@ -381,6 +381,16 @@ def bpe_rehearsal(spark) -> None:
 
 
 def main() -> None:
+    global DST, N_REPLICAS
+    # --factor N: build/use an N× replica corpus instead of the default
+    # 5× (e.g. --factor 25 → .scale/sf2.5 — the second scaling decade).
+    if "--factor" in sys.argv:
+        i = sys.argv.index("--factor")
+        n = int(sys.argv[i + 1])
+        del sys.argv[i : i + 2]
+        N_REPLICAS = n
+        DST = os.path.join(_REPO, ".scale", f"sf{0.1 * n:g}")
+
     if "--rebuild" in sys.argv or not os.path.exists(
         os.path.join(DST, "embeddings.parquet")
     ):
@@ -414,7 +424,7 @@ def main() -> None:
         # codegen warmup at the small scale
         spec.build(spark, SRC).write.format("noop").mode("overwrite").save()
         row: dict[str, float | int] = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf0.5", DST)):
+        for label, sf_dir in (("sf0.1", SRC), (os.path.basename(DST), DST)):
             spark.catalog.clearCache()
             group = f"{name}@{label}"
             sc.setJobGroup(group, group)
@@ -427,7 +437,9 @@ def main() -> None:
             jobs = len(sc.statusTracker().getJobIdsForGroup(group))
             row[f"{label}_sec"] = round(sec, 2)
             row[f"{label}_jobs"] = jobs
-        row["ratio"] = round(row["sf0.5_sec"] / max(row["sf0.1_sec"], 1e-9), 1)
+        row["ratio"] = round(
+            row[f"{os.path.basename(DST)}_sec"] / max(row["sf0.1_sec"], 1e-9), 1
+        )
         results[name] = row
         print(f"{name}: {row}")
 
