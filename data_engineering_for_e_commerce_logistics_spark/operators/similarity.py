@@ -593,11 +593,25 @@ def incremental_semdedup(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "cv",
+    routed: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Fourth incremental-dedup family member (exact digests, MinHash
     signatures, SimHash fingerprints — and now SEMANTIC embeddings):
     screen a new batch of embeddings against the persisted KEPT-corpus
     cell index without rescanning the corpus.
+
+    ``routed=True`` swaps the flat broadcast assignment for the
+    two-stage ``two_level_assign`` under ``routed_defaults`` — at
+    production codebook sizes (k tracks sqrt(corpus), so hundreds+)
+    the flat n·k window is the per-batch cost center, and the
+    two-stage plan measured 92.5s → 16.0s on the same assignment at
+    n=50K/k=224 (SCALE.md r07).  In the defaults' exact regime
+    (n_super ≤ 32, n_probe = n_super) the assignment — and therefore
+    every screen decision — is bit-identical to the flat scan
+    (equality pinned by test); past that the documented ≥0.96-recall
+    approximation applies and a mis-routed vector merely screens
+    against an adjacent cell.  The flat default stays for small
+    codebooks and oracle-pinned specs.
 
     The index rows are ``(id, v, nrm, cell)`` — the batch's own
     ``index_delta`` from prior calls: double-cast vector, precomputed
@@ -661,20 +675,39 @@ def incremental_semdedup(
         F.col(centroid_id_col).alias("__cid"),
         _as_double_vec(centroid_vec_col).alias("__cv"),
     )
-    sq_dist = _fold_sum(
-        F.zip_with(F.col("v"), F.col("__cv"), lambda x, y: (x - y) * (x - y))
-    )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__dist").asc(), F.col("__cid").asc()
-    )
-    assigned = (
-        F.broadcast(cents)
-        .crossJoin(vecs)
-        .withColumn("__dist", sq_dist)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "v", "nrm", F.col("__cid").alias("cell"))
-    )
+    if routed:
+        import math
+
+        k = cents.count()  # bounded codebook: planner-sized pull
+        n_super = max(1, math.ceil(math.sqrt(k)))
+        cells = two_level_assign(
+            new_vecs,
+            centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+            centroid_id_col=centroid_id_col,
+            centroid_vec_col=centroid_vec_col,
+            n_super=n_super,
+            **routed_defaults(n_super),
+        )
+        assigned = vecs.join(cells, id_col).select(
+            id_col, "v", "nrm", "cell"
+        )
+    else:
+        sq_dist = _fold_sum(
+            F.zip_with(F.col("v"), F.col("__cv"), lambda x, y: (x - y) * (x - y))
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("__dist").asc(), F.col("__cid").asc()
+        )
+        assigned = (
+            F.broadcast(cents)
+            .crossJoin(vecs)
+            .withColumn("__dist", sq_dist)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, "v", "nrm", F.col("__cid").alias("cell"))
+        )
 
     def _cos(av, bv, an, bn):
         return _fold_sum(F.zip_with(av, bv, lambda x, y: x * y)) / F.nullif(

@@ -141,3 +141,38 @@ def test_cross_batch_chain_screens_against_kept_only(spark, centroids):
     b2 = _batch(spark, [(10, at(60))])
     fresh, _ = incremental_semdedup(b2, delta1, centroids, tau=tau)
     assert [r.vec_id for r in fresh.collect()] == [10]
+
+
+def test_routed_assignment_mode_is_bit_identical(spark):
+    """routed=True (two-stage assignment under routed_defaults' exact
+    regime) makes every screen decision identically to the flat scan:
+    same fresh ids, same index_delta rows, across a two-batch flow
+    with a 64-centroid codebook (n_super=8, all supers probed)."""
+    import random
+
+    random.seed(7)
+    k = 64
+    dims = 8
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(dims)])
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+
+    def run(routed):
+        f1, d1 = incremental_semdedup(b1, None, cents, tau=0.8, routed=routed)
+        d1 = d1.localCheckpoint()
+        f2, d2 = incremental_semdedup(b2, d1, cents, tau=0.8, routed=routed)
+        return (
+            sorted(r.vec_id for r in f1.collect()),
+            sorted(r.vec_id for r in f2.collect()),
+            sorted((r.vec_id, r.cell) for r in d1.collect()),
+            sorted((r.vec_id, r.cell) for r in d2.collect()),
+        )
+
+    assert run(False) == run(True)
