@@ -514,3 +514,79 @@ def span_dedup(
             ),
         )
     )
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    span_window: int = 10,
+    token_budget: int = 512,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end training-data preparation — the capstone composition
+    of this module's operators in the order real pipelines run them
+    (quality-filter FIRST so dedup never pays for junk; span dedup
+    BEFORE exact dedup because span surgery changes the exact
+    fingerprint):
+
+    1. quality gate: drop documents violating any ``_funnel_rules``
+       predicate (the Gopher/C4 battery, per-row expressions);
+    2. ``span_dedup``: remove cross-document boilerplate spans, drop
+       documents left empty;
+    3. exact dedup on the span-cleaned text (md5 keep-first);
+    4. deterministic split assignment (``split_assign`` on the doc id
+       — swap in the rep-keyed leakage-safe split when a near-dup
+       miner runs upstream);
+    5. ``pack_sequences`` over the train split only (eval splits stay
+       document-shaped for evaluation).
+
+    Returns ``(packed_train, report)`` where report is a 1-row frame
+    counting survivors at each stage — the lineage a data-governance
+    review asks for.  Every stage is the operator already tested in
+    isolation; this function adds ONLY wiring (no new shuffles beyond
+    the stages' own), so its scale story is the sum of its parts'.
+    """
+    from .dedup import exact_duplicates
+
+    n_input = docs.count()
+    toked = docs.select(
+        "*", tokens_col(text_col).alias("__toks")
+    )
+    rules = _funnel_rules(text_col, F.col("__toks"))
+    keep = None
+    for cond in rules.values():
+        keep = ~cond if keep is None else (keep & ~cond)
+    passed = toked.where(keep).drop("__toks")
+    n_quality = passed.count()
+
+    cleaned = span_dedup(passed, text_col, id_col, window=span_window)
+    survivors = (
+        passed.drop(text_col)
+        .join(cleaned.where(F.col("text_clean") != ""), id_col)
+        .withColumnRenamed("text_clean", text_col)
+    )
+    n_span = survivors.count()
+
+    kept_ids = exact_duplicates(survivors, text_col, id_col).select(
+        F.col("kept_id").alias(id_col)
+    )
+    unique_docs = survivors.join(kept_ids, id_col, "left_semi")
+    n_exact = unique_docs.count()
+
+    split_docs = split_assign(unique_docs, id_col)
+    train = split_docs.where(F.col("split") == "train")
+    n_train = train.count()
+
+    packed = pack_sequences(
+        train, token_budget=token_budget, id_col=id_col,
+        source_col=source_col, text_col=text_col,
+    )
+
+    spark = docs.sparkSession
+    report = spark.createDataFrame(
+        [(n_input, n_quality, n_span, n_exact, n_train)],
+        "n_input long, n_quality long, n_span_dedup long,"
+        " n_exact_dedup long, n_train long",
+    )
+    return packed, report

@@ -349,3 +349,37 @@ def test_span_dedup_conservation_law(spark):
     ).where(F.col("text") != "")
     again = corpus.span_dedup(clean_docs, window=w)
     assert again.agg(F.sum("n_spans_dropped")).first()[0] == 0
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    """Capstone composition on the real sf0.001 documents: each stage
+    count is monotone non-increasing, the report matches direct
+    recomputation of the quality gate, packed sequences exist, and
+    every packed sequence honors the token budget."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import load_tables
+    from data_engineering_for_e_commerce_logistics_spark.operators.corpus import (
+        prepare_training_corpus,
+        quality_funnel,
+    )
+
+    docs = load_tables(spark, "/root/testdata/sf0.001", ("documents",))[
+        "documents"
+    ]
+    packed, report = prepare_training_corpus(docs, token_budget=128)
+    r = report.collect()[0]
+    assert (
+        r.n_input >= r.n_quality >= r.n_span_dedup >= r.n_exact_dedup >= r.n_train
+    )
+    assert r.n_input == docs.count()
+    # quality-stage count agrees with the fused funnel report
+    funnel = quality_funnel(docs).collect()[0]
+    assert r.n_quality == funnel.n_retained
+    assert r.n_train > 0
+    rows = packed.collect()
+    # concat-then-chunk: one row per surviving train doc, each assigned
+    # to the budget bin where its token stream starts
+    assert len(rows) == r.n_train
+    assert all(row.bin_id >= 0 for row in rows)
+    # bin start offsets honor the chunk rule: a doc's bin is exactly
+    # floor(start_offset / budget)
+    assert all(row.bin_id == row.start_offset // 128 for row in rows)
