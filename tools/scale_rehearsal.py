@@ -28,7 +28,11 @@ never EXECUTED above 600k lineitem rows.  This script:
    job count regardless of scale; ``graph_triangle_count`` grows
    ~linearly (disconnected replicas: nodes ×5, edges ×5).
 
-Usage: python tools/scale_rehearsal.py [--rebuild]
+Usage: python tools/scale_rehearsal.py [--rebuild] [--factor N]
+       [--incremental [--exact|--minhash|--simhash|--semdedup]]
+       [--bpe] [query ...]
+--factor N replicates sf0.1 N× into .scale/sf{0.1*N:g} (default 5 →
+sf0.5; --factor 25 built the r07 second-decade sf2.5 corpus).
 """
 
 from __future__ import annotations
