@@ -444,7 +444,9 @@ def span_dedup(
     express: two docs sharing one viral paragraph are not near-dups,
     but the second copy of the paragraph still goes.
 
-    Returns one row per INPUT document (wordless docs → ('', 0, 0)):
+    Returns one row per INPUT document (wordless docs — NULL, empty,
+    or whitespace-only text; empty tokens are pre-filtered so ''
+    never becomes a span → ('', 0, 0)):
     ``(id, text_clean, n_spans, n_spans_dropped)``.
 
     Plan shape: tokenize → span chunking as a per-row expression
@@ -460,7 +462,10 @@ def span_dedup(
     # inside the lambdas re-evaluates per element (this module's
     # decontaminate lesson — O(n²) per document otherwise).
     toked = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__t")
+        F.col(id_col),
+        F.filter(
+            F.split(F.col(text_col), " "), lambda t: t != ""
+        ).alias("__t"),
     )
     # greatest(size, 0): size(NULL) is -1 under legacy sizeOfNull (the
     # engine session) and NULL under ANSI — either way sequence(0, ·)
@@ -544,8 +549,12 @@ def prepare_training_corpus(
     Returns ``(packed_train, report)`` where report is a 1-row frame
     counting survivors at each stage — the lineage a data-governance
     review asks for.  Every stage is the operator already tested in
-    isolation; this function adds ONLY wiring (no new shuffles beyond
-    the stages' own), so its scale story is the sum of its parts'.
+    isolation; this function adds ONLY wiring, and each stage output
+    is ``localCheckpoint``-ed before its count (ADVICE r07) so the
+    quality gate and the span-dedup shuffle run EXACTLY once — the
+    downstream stages and the final packing read the materialized
+    cut, not the recomputed lineage.  At 100 TB the same cut is a
+    checkpoint/staging-table write between stages.
     """
     from .dedup import exact_duplicates
 
@@ -557,7 +566,7 @@ def prepare_training_corpus(
     keep = None
     for cond in rules.values():
         keep = ~cond if keep is None else (keep & ~cond)
-    passed = toked.where(keep).drop("__toks")
+    passed = toked.where(keep).drop("__toks").localCheckpoint()
     n_quality = passed.count()
 
     cleaned = span_dedup(passed, text_col, id_col, window=span_window)
@@ -565,13 +574,14 @@ def prepare_training_corpus(
         passed.drop(text_col)
         .join(cleaned.where(F.col("text_clean") != ""), id_col)
         .withColumnRenamed("text_clean", text_col)
+        .localCheckpoint()
     )
     n_span = survivors.count()
 
     kept_ids = exact_duplicates(survivors, text_col, id_col).select(
         F.col("kept_id").alias(id_col)
     )
-    unique_docs = survivors.join(kept_ids, id_col, "left_semi")
+    unique_docs = survivors.join(kept_ids, id_col, "left_semi").localCheckpoint()
     n_exact = unique_docs.count()
 
     split_docs = split_assign(unique_docs, id_col)

@@ -241,7 +241,12 @@ def compact_in_place(
 
     Crash safety: the rewrite lands fully in the temp dir before the
     original moves aside, so an interruption leaves either the
-    original or the compacted table — never a merge of both.  Callers
+    original or the compacted table — never a merge of both.  Entry
+    RECOVERS before it cleans (ADVICE r07): if ``path`` is missing —
+    the crash landed between the two renames, so the only surviving
+    copies are ``.compact-old`` / ``.compact-tmp`` — the old table is
+    renamed back into place first; the stale siblings are deleted
+    only once ``path`` itself exists.  Callers
     must hold no open scans over ``path`` across the call (the ingest
     loops here re-read per batch and ``clearCache()`` after each).
     At 100 TB the same rhythm applies per PARTITION of the index
@@ -251,8 +256,21 @@ def compact_in_place(
     import os
     import shutil
 
-    files_before = parquet_file_count(path)
     tmp, old = path + ".compact-tmp", path + ".compact-old"
+    if not os.path.exists(path):
+        # Interrupted mid-swap: restore the pre-compaction table (the
+        # tmp copy may be complete too, but old is the known-good
+        # original; re-compaction next cycle is cheap, data loss not).
+        if os.path.exists(old):
+            os.rename(old, path)
+        elif os.path.exists(tmp):
+            os.rename(tmp, path)
+        else:
+            raise FileNotFoundError(
+                f"compact_in_place: {path} missing and no"
+                " .compact-old/.compact-tmp to recover from"
+            )
+    files_before = parquet_file_count(path)
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(old, ignore_errors=True)
     compact_files(spark, path, tmp, target_rows_per_file, sort_col)

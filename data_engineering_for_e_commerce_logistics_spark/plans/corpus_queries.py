@@ -511,7 +511,9 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CORPUS_SPAN_DEDUP_SQL = f"""
 WITH t AS (
-  SELECT doc_id, string_split(text, ' ') AS tok FROM documents
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), tk -> tk <> '') AS tok
+  FROM documents
 ),
 spans AS (
   SELECT doc_id, i AS span_idx,

@@ -467,8 +467,10 @@ def start_dedup_ingest_stream(
     2. screens via ``screen(batch_df, index_df) -> (fresh, delta)``
        — any of ``incremental_exact_dedup`` / ``_minhash_`` /
        ``_simhash_`` / ``incremental_semdedup`` partials fits,
-    3. appends ``fresh`` to the corpus sink and ``delta`` to the
-       index, then drops the operator's per-batch signature cache,
+    3. writes ``fresh`` to a batch_id-keyed partition of the corpus
+       sink (idempotent under micro-batch replay — see the in-body
+       comment) and appends ``delta`` to the index, then drops the
+       operator's per-batch signature cache,
     4. every ``compact_every`` batches, swap-compacts the index
        (``layout.compact_in_place``) so index fragmentation is
        bounded by index SIZE, not ingest AGE (VERDICT r06 ask #7 —
@@ -520,7 +522,24 @@ def start_dedup_ingest_stream(
             fresh, delta = screen(batch_df, idx)
         fresh.persist()
         delta.persist()
-        fresh.write.mode("append").parquet(corpus_path)
+        # Idempotent corpus write (ADVICE r07): a crash between the
+        # corpus and index writes replays this batch_id, and the
+        # recomputed ``fresh`` (the index still lacks delta) would
+        # APPEND the same rows twice.  Writing under a batch_id-keyed
+        # partition directory makes the replay per-batch: overwrite
+        # replaces any PARTIAL attempt (no ``_SUCCESS``), and a
+        # COMMITTED partition is left untouched — the skip matters
+        # because a replay after the index append recomputes an EMPTY
+        # ``fresh`` (the batch's own signatures screen it out), which
+        # must not clobber the committed rows.  The index append is
+        # naturally idempotent for the same reason: post-index-crash
+        # replays recompute an empty delta.  Net: exactly-once corpus
+        # rows without a state store; readers scan ``corpus_path`` as
+        # a partitioned table (batch_id becomes a discovered,
+        # prunable lineage column).
+        part_dir = os.path.join(corpus_path, f"batch_id={batch_id}")
+        if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            fresh.write.mode("overwrite").parquet(part_dir)
         delta.write.mode("append").parquet(index_path)
         for name, (path, project) in (sidecars or {}).items():
             project(delta).write.mode("append").parquet(path)

@@ -134,6 +134,43 @@ def test_compact_sorted_restores_clustering(spark, tmp_path):
     assert spark.read.parquet(path).count() == 400
 
 
+def test_compact_in_place_recovers_from_mid_swap_crash(spark, tmp_path):
+    """ADVICE r07 (medium): a crash between the two renames leaves
+    ``path`` absent with the only copies at .compact-old (and maybe
+    .compact-tmp).  The next invocation must RECOVER the table, not
+    rmtree both surviving copies — which would permanently lose the
+    index and re-admit every duplicate."""
+    import shutil
+
+    path = str(tmp_path / "idx")
+    spark.range(0, 100).select(
+        F.col("id").cast("int").alias("doc_id")
+    ).coalesce(1).write.parquet(path)
+
+    # Simulate the crash window: rename(path, old) done, rename(tmp,
+    # path) not — path gone, old holds the original, tmp a rewrite.
+    old, tmp = path + ".compact-old", path + ".compact-tmp"
+    os.rename(path, old)
+    shutil.copytree(old, tmp)
+    assert not os.path.exists(path)
+
+    before, after = compact_in_place(spark, path, target_rows_per_file=1000)
+    assert os.path.exists(path)
+    assert spark.read.parquet(path).count() == 100  # nothing lost
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+    assert after == 1
+
+    # Variant: only tmp survives (old already cleaned) — still recovers.
+    os.rename(path, tmp)
+    before, after = compact_in_place(spark, path, target_rows_per_file=1000)
+    assert spark.read.parquet(path).count() == 100
+
+    # Nothing to recover from → explicit error, not silent rebuild.
+    shutil.rmtree(path)
+    with pytest.raises(FileNotFoundError):
+        compact_in_place(spark, path, target_rows_per_file=1000)
+
+
 def test_start_dedup_ingest_stream_compacts_and_dedups(spark, tmp_path):
     """The packaged streaming loop (start_dedup_ingest_stream): exact
     screen over micro-batches, cross-batch dup dropped, and the index
@@ -195,6 +232,52 @@ def test_start_dedup_ingest_stream_compacts_and_dedups(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(corpus).collect()
     ) == [1, 2, 11]
     assert spark.read.parquet(index).count() == 3
+
+
+def test_dedup_ingest_stream_replay_is_corpus_exactly_once(spark, tmp_path):
+    """ADVICE r07 (low): micro-batch REPLAY must not duplicate corpus
+    rows.  Simulate the worst crash window — corpus committed, index
+    appended, checkpoint commit lost — by wiping the checkpoint AND
+    the index after a run, then re-running the same source: every
+    batch_id replays, the recomputed ``fresh`` is non-empty (the
+    index is gone), yet the committed batch partitions are skipped so
+    the corpus holds each doc exactly once."""
+    import shutil
+    from functools import partial
+
+    from data_engineering_for_e_commerce_logistics_spark.streaming.ingest import (
+        start_dedup_ingest_stream,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def screen(batch_df, idx):
+        return incremental_exact_dedup(batch_df, idx, bloom_bits=1 << 12)
+
+    run = partial(
+        start_dedup_ingest_stream, spark, src, corpus, index, ckpt, screen
+    )
+
+    spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id int, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    run().awaitTermination(120)
+    assert spark.read.parquet(corpus).count() == 2
+
+    # replay-from-zero: checkpoint and index gone, corpus partitions
+    # committed — the _SUCCESS guard must skip the rewrite
+    shutil.rmtree(ckpt)
+    shutil.rmtree(index)
+    run().awaitTermination(120)
+    rows = spark.read.parquet(corpus).collect()
+    assert sorted(r.doc_id for r in rows) == [1, 2]  # no duplicates
+    # the discovered batch_id lineage column is present and prunable
+    assert "batch_id" in spark.read.parquet(corpus).columns
+    assert spark.read.parquet(index).count() == 2  # index rebuilt
 
 
 def test_semdedup_ingest_stream_with_cell_sorted_compaction(spark, tmp_path):

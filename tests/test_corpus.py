@@ -269,6 +269,8 @@ def test_span_dedup_semantics(spark):
             (2, "a b c x y z a b c"),    # dup of doc1's span + own dup
             (3, None),                   # wordless
             (4, "d e f"),                # dup of doc1's second span
+            (5, "   "),                  # whitespace-only: zero spans
+            (6, ""),                     # empty: zero spans
         ],
         "doc_id long, text string",
     )
@@ -283,6 +285,13 @@ def test_span_dedup_semantics(spark):
     assert out[2].n_spans == 3 and out[2].n_spans_dropped == 2
     assert out[3].text_clean == "" and out[3].n_spans == 0
     assert out[4].text_clean == "" and out[4].n_spans_dropped == 1
+    # ADVICE r07 contract fix: empty tokens are pre-filtered, so
+    # whitespace-only / empty docs have ZERO spans (no '' span
+    # competing in the global ranking), same as NULL text.
+    for wordless in (5, 6):
+        assert out[wordless].text_clean == ""
+        assert out[wordless].n_spans == 0
+        assert out[wordless].n_spans_dropped == 0
 
 
 def test_corpus_span_dedup_matches_duckdb_oracle(spark):

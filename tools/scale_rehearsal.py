@@ -358,12 +358,13 @@ def bpe_rehearsal(spark) -> None:
             "total_tokens": int(n_tokens),
         }
         print(label, out[label])
-    r = out["sf0.5"], out["sf0.1"]
+    big_label = os.path.basename(DST)  # tracks --factor (ADVICE r07)
+    r = out[big_label], out["sf0.1"]
     print(
         json.dumps(
             {
                 "bpe_rehearsal": out,
-                "ratios_sf05_over_sf01": {
+                f"ratios_{big_label.replace('.', '')}_over_sf01": {
                     "docs": round(r[0]["docs"] / r[1]["docs"], 2),
                     "distinct_words": round(
                         r[0]["distinct_words"] / r[1]["distinct_words"], 2
