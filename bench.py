@@ -66,7 +66,6 @@ HEADLINE = [
     "corpus_decontaminate",
     "corpus_quality_funnel",
     "corpus_repetition",
-    "corpus_split_sample",
     "corpus_tfidf_topk",
     "pii_redact_customer",
     "corpus_pack_sequences",
@@ -136,6 +135,13 @@ HEADLINE = [
     "text_analysis_suite",
     "incremental_semdedup_fresh",
     "bpe_merges_documents",
+    # r08 additions: the split-family consolidation (baseline = the
+    # retired corpus_split_sample via RENAMED_FROM; the no-leakage
+    # variant was never separately benched) and the two unit-first
+    # debuts (BPE train+encode, cross-document span dedup)
+    "corpus_split_suite",
+    "bpe_encode_documents",
+    "corpus_span_dedup",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion
@@ -199,6 +205,12 @@ RENAMED_FROM = {
         "text_lang_id",
         "text_fingerprint",
     ],
+    # r08 consolidation: parts = plain split (benched since r02) +
+    # the rep-keyed no-leakage variant (debuted inside the suite,
+    # never benched standalone) — the ffill_bfill precedent: the
+    # all-parts guard skips the regression check until the first full
+    # recording of the merged form becomes the baseline.
+    "corpus_split_suite": ["corpus_split_sample", "corpus_split_no_leakage"],
 }
 
 

@@ -20,66 +20,40 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r07 window: positions 3-6 are the r06 DOCUMENTED SPILL, re-verified
-FIRST exactly as the r06 docstring committed to (their last driver
-row is r04 — the only specs whose evidence is two rounds old).
-Positions 7-9 are NEW this round:
+r08 window — EXACTLY the rotation the r07 docstring committed to
+(VERDICT r07 ask #1):
 
-* ``text_analysis_suite`` — the r06-promised third consolidation:
-  the four per-document text legs (token_stats / quality / lang_id /
-  fingerprint) merge into one padded-union spec, restoring the
-  window arithmetic (see WINDOW ARITHMETIC below).  Every original
-  output cell is preserved; bench baselines carry over as the parts'
-  sum via bench.py RENAMED_FROM.
-* ``incremental_semdedup_fresh`` — the fourth incremental-dedup
-  family member's registry debut (unit-first in r06:
-  tests/test_incremental_semdedup.py bit-exact DuckDB differential).
-* ``bpe_merges_documents`` — distributed BPE merge training's debut
-  (unit-first in r06: tests/test_bpe.py differential with 6 unrolled
-  MATERIALIZED oracle rounds).
+* positions 3-47: the complete r06-green stale backlog (CORRECTNESS
+  r06 ∖ r07, oldest evidence first), 45 specs after
+  ``corpus_split_sample`` retires into the suite below.
+* position 48: ``corpus_split_suite`` — the merged-variants
+  consolidation (plain hash split + stratified sample, UNION the
+  leakage-safe rep-keyed split) built and differential-proven in r07
+  (``plans/graph_queries.py`` + ``tests/test_graph.py``); bench
+  baseline carries via bench.py RENAMED_FROM.
+* positions 49-50: the two r07 unit-first debuts —
+  ``bpe_encode_documents`` (train + encode in one query,
+  ``tests/test_bpe.py`` differential) and ``corpus_span_dedup``
+  (C4-style cross-document span dedup, ``tests/test_corpus.py``
+  semantics + sf0.01 differential).
 
-Positions 10-49 are the 40 specs whose last green row dates from r05
-(CORRECTNESS_r05 ∖ CORRECTNESS_r06, minus the three text legs retired
-into the suite — computed by ``tools/rotate_registry.py``).  Position
-50 is a regression sentry: ``semdedup_keep`` (r06-green; it
-anti-joins the same prune semantics ``incremental_semdedup_fresh``
-screens with, so the pair is verified against the same data in the
-same window).
+Arithmetic: 2 flagships + 45 backlog + 1 suite + 2 debuts = 50
+exactly.  Positions 51+ are the 48 r07-green specs.  Once
+CORRECTNESS_r08 lands, no oracle spec's last driver row predates r07
+— the freshness invariant holds with zero spill.
 
-WINDOW ARITHMETIC (restored this round): after the r07 consolidation
-the registry is 97 specs / 96 oracle-paired.  Steady state: flagships
-hold 2 slots every round, leaving 48/round = 96 per 2-round cycle for
-the other 94 oracle specs — fits with 2 slots of debut headroom per
-cycle.  r07 actual load: 2 flagships + 4 spill + 3 new + 40 stale +
-1 sentry = 50 exactly, zero spill, and no oracle spec's last driver
-row predates r06 once CORRECTNESS_r07 lands (the spill four get their
-r07 rows at positions 3-6).
-
-r08 rotation note: the backlog will be the 46 r06-green specs at
-positions 51+ (plus any r07 debut that fails).  46 + 2 flagships = 48
-mandatory, leaving 2 debut slots for the THREE specs that debuted
-unit-first this round — so r08 applies one more merged-variants
-consolidation: ``corpus_split_no_leakage`` and the registered
-``corpus_split_sample`` share the md5-nibble split rule and the
-documents spine — merge them into a ``corpus_split_suite`` (plain
-hash split + leakage-safe rep-keyed split as variants; ALREADY built
-and differential-proven this round, ``plans/graph_queries.py`` +
-``tests/test_graph.py``, so r08 registration is a pure rotation
-move).  Arithmetic:
-2 flagships + 45 backlog (corpus_split_sample retired into the
-suite) + 1 suite + 2 debuts = 50 exactly.  The candidates:
-
-* ``bpe_encode_documents`` (``plans/corpus_queries.py``) — train +
-  encode in one query, space-joined token strings; differential vs
-  the full unrolled-rounds + vocab-lookup oracle green in
-  ``tests/test_bpe.py``.
-* ``corpus_split_no_leakage`` (``plans/graph_queries.py``) —
-  train/val/test split keyed on near-dup component representatives;
-  differential vs a WITH RECURSIVE oracle plus the pair-invariant
-  green in ``tests/test_graph.py``.  (→ the suite above.)
-* ``corpus_span_dedup`` (``plans/corpus_queries.py``) — C4-style
-  cross-document span dedup; semantics unit + sf0.01 differential
-  green in ``tests/test_corpus.py``.
+WINDOW ARITHMETIC going forward: the registry is now 99 specs / 98
+oracle-paired.  Steady state: flagships hold 2 slots every round,
+leaving 48/round = 96 per 2-round cycle for the other 96 oracle
+specs — EXACTLY saturated, zero debut headroom.  Consequence for
+r09: the 48 specs now at positions 51+ become the stale backlog, so
+r09's mandatory load is 2 + 48 = 50 exactly.  ANY r09 debut therefore
+requires a paired consolidation (or retirement) to free its slot;
+new operators built in r08 stay unit-first until that trade is
+chosen.  Candidate consolidations for r09, in preference order:
+merge ``dedup_simhash`` into ``dedup_simhash_pairs`` (same hamming
+family, shared fingerprint pass), or ``kmeans_iterations`` into
+``kmeans_refine`` (same Lloyd step, different round counts).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
@@ -98,6 +72,7 @@ from . import relational_queries as rq
 from . import views
 from .registry import register
 
+
 # --- 1-2: Flagship analytic views (always in-window) -------------------
 register(
     "v_order_summary",
@@ -112,7 +87,293 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-6: the r06 documented spill — re-verified FIRST (r04-green) -----
+# --- 3-47: the r06-green stale backlog (oldest evidence first; the
+# --- complete CORRECTNESS_r06 ∖ r07 set minus corpus_split_sample,
+# --- retired into the suite at position 48) ------------------------
+register(
+    "agg_cardinality_lineitem",
+    rq.agg_cardinality_lineitem,
+    rq.AGG_CARDINALITY_SQL,
+    ("agg",),
+)
+register(
+    "bloom_semi_lineitem",
+    rq.bloom_semi_lineitem,
+    rq.BLOOM_SEMI_SQL,
+    ("join", "semi", "bloom", "runtime-filter"),
+)
+register(
+    "cascade_delete_orders",
+    rq.cascade_delete_orders,
+    rq.CASCADE_DELETE_SQL,
+    ("sink", "referential-action"),
+)
+register(
+    "corpus_cluster_reps",
+    xc.corpus_cluster_reps,
+    xc.CORPUS_CLUSTER_REPS_SQL,
+    ("corpus", "dedup", "iterative"),
+)
+register(
+    "corpus_decontaminate",
+    xc.corpus_decontaminate,
+    xc.CORPUS_DECONTAMINATE_SQL,
+    ("corpus", "decontamination"),
+)
+register(
+    "corpus_domain_mix",
+    xc.corpus_domain_mix,
+    xc.CORPUS_DOMAIN_MIX_SQL,
+    ("corpus", "sampling"),
+)
+register(
+    "corpus_pack_sequences",
+    xc.corpus_pack_sequences,
+    xc.CORPUS_PACK_SQL,
+    ("corpus", "packing", "window"),
+)
+register(
+    "corpus_quality_funnel",
+    xc.corpus_quality_funnel,
+    xc.CORPUS_QUALITY_FUNNEL_SQL,
+    ("corpus", "quality", "fused-agg"),
+)
+register(
+    "corpus_repetition",
+    xc.corpus_repetition,
+    xc.CORPUS_REPETITION_SQL,
+    ("corpus", "quality"),
+)
+register(
+    "corpus_tfidf_topk",
+    xc.corpus_tfidf_topk,
+    xc.CORPUS_TFIDF_SQL,
+    ("corpus", "text", "topk"),
+)
+register(
+    "dedup_embedding_cosine",
+    xq.dedup_embedding_cosine,
+    xq.DEDUP_EMBEDDING_COSINE_SQL,
+    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
+)
+register(
+    "dedup_simhash",
+    xq.dedup_simhash,
+    xq.DEDUP_SIMHASH_SQL,
+    ("dedup", "simhash"),
+)
+register(
+    "dedup_simhash_pairs",
+    xq.dedup_simhash_pairs,
+    xq.DEDUP_SIMHASH_PAIRS_SQL,
+    ("dedup", "simhash", "banded"),
+)
+register(
+    "dedup_variants_lineitem",
+    cq.dedup_variants_lineitem,
+    cq.DEDUP_VARIANTS_SQL,
+    ("dedup", "merged-variants"),
+)
+register(
+    "embedding_retrieval_suite",
+    gq.embedding_retrieval_suite,
+    gq.EMBEDDING_RETRIEVAL_SUITE_SQL,
+    ("similarity", "ann", "ivf", "topk", "merged-variants"),
+)
+register(
+    "events_gapfill_hourly",
+    aq.events_gapfill_hourly,
+    aq.EVENTS_GAPFILL_SQL,
+    ("temporal", "gapfill", "locf"),
+)
+register(
+    "events_zscore_outliers",
+    aq.events_zscore_outliers,
+    aq.EVENTS_ZSCORE_SQL,
+    ("agg", "anomaly"),
+)
+register(
+    "ffill_bfill_events",
+    cq.ffill_bfill_events,
+    cq.FFILL_BFILL_SQL,
+    ("nulls", "window", "merged-variants"),
+)
+register(
+    "fill_strategies_events",
+    cq.fill_strategies_events,
+    cq.FILL_STRATEGIES_SQL,
+    ("nulls", "merged-variants"),
+)
+register(
+    "funnel_events",
+    aq.funnel_events,
+    aq.FUNNEL_EVENTS_SQL,
+    ("agg", "funnel", "fused-agg"),
+)
+register(
+    "group_quantiles_events",
+    aq.group_quantiles_events,
+    aq.GROUP_QUANTILES_SQL,
+    ("agg", "quantile", "per-group"),
+)
+register(
+    "histogram_orders",
+    rq.histogram_orders,
+    rq.HISTOGRAM_ORDERS_SQL,
+    ("profile", "histogram"),
+)
+register(
+    "incremental_minhash_fresh",
+    xq.incremental_minhash_fresh,
+    xq.INCREMENTAL_MINHASH_SQL,
+    ("dedup", "incremental", "lsh", "index-screen", "banded-index"),
+)
+register(
+    "incremental_simhash_fresh",
+    xq.incremental_simhash_fresh,
+    xq.INCREMENTAL_SIMHASH_SQL,
+    ("dedup", "incremental", "simhash", "index-screen"),
+)
+register("ivf_assign", gq.ivf_assign, gq.IVF_ASSIGN_SQL, ("similarity", "ivf"))
+register(
+    "kmeans_iterations",
+    gq.kmeans_iterations,
+    gq.KMEANS_ITERATIONS_SQL,
+    ("similarity", "iterative", "multi-round"),
+)
+register(
+    "kmeans_refine",
+    gq.kmeans_refine,
+    gq.KMEANS_REFINE_SQL,
+    ("similarity", "ivf", "iterative"),
+)
+register(
+    "ngram_frequencies",
+    gq.ngram_frequencies,
+    gq.NGRAM_FREQUENCIES_SQL,
+    ("text", "topk"),
+)
+register(
+    "order_value_deciles",
+    aq.order_value_deciles,
+    aq.ORDER_VALUE_DECILES_SQL,
+    ("agg", "quantile", "discretizer", "exact-selection"),
+)
+register(
+    "pii_redact_customer",
+    xc.pii_redact_customer,
+    xc.PII_REDACT_SQL,
+    ("corpus", "pii", "strings"),
+)
+register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
+register(
+    "quantiles_lineitem", aq.quantiles_lineitem, aq.QUANTILES_LINEITEM_SQL, ("agg",)
+)
+register(
+    "repeat_orders_7d",
+    aq.repeat_orders_7d,
+    aq.REPEAT_ORDERS_7D_SQL,
+    ("join", "range", "temporal"),
+)
+register(
+    "rfm_segments",
+    aq.rfm_segments,
+    aq.RFM_SEGMENTS_SQL,
+    ("window", "segmentation", "exact-selection"),
+)
+register(
+    "routed_assign_embeddings",
+    gq.routed_assign_embeddings,
+    gq.ROUTED_ASSIGN_SQL,
+    ("similarity", "ivf", "routing", "iterative"),
+)
+register(
+    "semdedup_routed_pairs",
+    gq.semdedup_routed_pairs,
+    gq.SEMDEDUP_ROUTED_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup", "routing"),
+)
+register(
+    "semdedup_trained_pairs",
+    gq.semdedup_trained_pairs,
+    gq.SEMDEDUP_TRAINED_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup", "iterative"),
+)
+register(
+    "set_semi_anti_ops",
+    aq.set_semi_anti_ops,
+    aq.SET_SEMI_ANTI_OPS_SQL,
+    ("set-ops", "join", "merged-variants"),
+)
+register(
+    "sketch_bounds_events",
+    aq.sketch_bounds_events,
+    aq.SKETCH_BOUNDS_EVENTS_SQL,
+    ("agg", "sketch", "bounds-twin"),
+)
+register(
+    "supplier_pagerank",
+    gq.supplier_pagerank,
+    gq.SUPPLIER_PAGERANK_SQL,
+    ("graph", "iterative", "multi-round"),
+)
+register(
+    "tpch_join_suite",
+    aq.tpch_join_suite,
+    aq.TPCH_JOIN_SUITE_SQL,
+    ("join", "agg", "merged-variants", "ratio", "multi-role-dim"),
+)
+register(
+    "unpivot_lineitem",
+    aq.unpivot_lineitem,
+    aq.UNPIVOT_LINEITEM_SQL,
+    ("reshape", "unpivot"),
+)
+register(
+    "upsert_bloom_orders",
+    rq.upsert_bloom_orders,
+    rq.UPSERT_BLOOM_SQL,
+    ("sink", "merge", "bloom", "invariance-twin"),
+)
+register(
+    "window_time_orders",
+    aq.window_time_orders,
+    aq.WINDOW_TIME_ORDERS_SQL,
+    ("window", "scalar", "time", "merged-variants"),
+)
+register(
+    "zorder_orders",
+    rq.zorder_orders,
+    rq.ZORDER_ORDERS_SQL,
+    ("layout", "zorder", "data-skipping"),
+)
+
+# --- 48: consolidation — corpus_split_sample + corpus_split_no_leakage
+# --- merge into one padded-union suite (bench baseline carries via
+# --- bench.py RENAMED_FROM) ----------------------------------------
+register(
+    "corpus_split_suite",
+    gq.corpus_split_suite,
+    gq.CORPUS_SPLIT_SUITE_SQL,
+    ("corpus", "split", "suite", "graph"),
+)
+
+# --- 49-50: r07 unit-first debuts --------------------------------------
+register(
+    "bpe_encode_documents",
+    xc.bpe_encode_documents,
+    xc.BPE_ENCODE_SQL,
+    ("corpus", "tokenize", "bpe"),
+)
+register(
+    "corpus_span_dedup",
+    xc.corpus_span_dedup,
+    xc.CORPUS_SPAN_DEDUP_SQL,
+    ("corpus", "dedup", "span"),
+)
+
+# --- 51+: r07-green fresh remainder (freshest evidence, lowest
+# --- re-check urgency; rotates back into the window next round) --------
 register(
     "sql_api_params",
     rq.sql_api_params,
@@ -137,8 +398,6 @@ register(
     aq.COHORT_RETENTION_SQL,
     ("agg", "cohort", "temporal"),
 )
-
-# --- 7-9: NEW this round — text suite + the two unit-first debuts ------
 register(
     "text_analysis_suite",
     xq.text_analysis_suite,
@@ -157,8 +416,6 @@ register(
     xc.BPE_MERGES_SQL,
     ("text", "tokenizer", "bpe", "iterative", "multi-round"),
 )
-
-# --- 10-49: rotation backlog — last green row dates from r05 -----------
 register(
     "array_functions_documents",
     fq.array_functions_documents,
@@ -332,8 +589,6 @@ register(
 register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
 register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
 register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-
-# --- 50: regression sentry (r06-green; pairs with the semdedup debut) --
 register(
     "semdedup_keep",
     gq.semdedup_keep,
@@ -341,272 +596,7 @@ register(
     ("dedup", "similarity", "semdedup", "prune"),
 )
 
-# --- 51+: green in r06 (freshest evidence; next round's backlog) -------
-register(
-    "routed_assign_embeddings",
-    gq.routed_assign_embeddings,
-    gq.ROUTED_ASSIGN_SQL,
-    ("similarity", "ivf", "routing", "iterative"),
-)
-register(
-    "semdedup_routed_pairs",
-    gq.semdedup_routed_pairs,
-    gq.SEMDEDUP_ROUTED_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup", "routing"),
-)
-register(
-    "tpch_join_suite",
-    aq.tpch_join_suite,
-    aq.TPCH_JOIN_SUITE_SQL,
-    ("join", "agg", "merged-variants", "ratio", "multi-role-dim"),
-)
-register(
-    "embedding_retrieval_suite",
-    gq.embedding_retrieval_suite,
-    gq.EMBEDDING_RETRIEVAL_SUITE_SQL,
-    ("similarity", "ann", "ivf", "topk", "merged-variants"),
-)
-register(
-    "incremental_minhash_fresh",
-    xq.incremental_minhash_fresh,
-    xq.INCREMENTAL_MINHASH_SQL,
-    ("dedup", "incremental", "lsh", "index-screen", "banded-index"),
-)
-register(
-    "incremental_simhash_fresh",
-    xq.incremental_simhash_fresh,
-    xq.INCREMENTAL_SIMHASH_SQL,
-    ("dedup", "incremental", "simhash", "index-screen"),
-)
-register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
-register(
-    "agg_cardinality_lineitem",
-    rq.agg_cardinality_lineitem,
-    rq.AGG_CARDINALITY_SQL,
-    ("agg",),
-)
-register(
-    "upsert_bloom_orders",
-    rq.upsert_bloom_orders,
-    rq.UPSERT_BLOOM_SQL,
-    ("sink", "merge", "bloom", "invariance-twin"),
-)
-register(
-    "bloom_semi_lineitem",
-    rq.bloom_semi_lineitem,
-    rq.BLOOM_SEMI_SQL,
-    ("join", "semi", "bloom", "runtime-filter"),
-)
-register(
-    "zorder_orders",
-    rq.zorder_orders,
-    rq.ZORDER_ORDERS_SQL,
-    ("layout", "zorder", "data-skipping"),
-)
-register(
-    "sketch_bounds_events",
-    aq.sketch_bounds_events,
-    aq.SKETCH_BOUNDS_EVENTS_SQL,
-    ("agg", "sketch", "bounds-twin"),
-)
-register(
-    "semdedup_trained_pairs",
-    gq.semdedup_trained_pairs,
-    gq.SEMDEDUP_TRAINED_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup", "iterative"),
-)
-register(
-    "rfm_segments",
-    aq.rfm_segments,
-    aq.RFM_SEGMENTS_SQL,
-    ("window", "segmentation", "exact-selection"),
-)
-register(
-    "order_value_deciles",
-    aq.order_value_deciles,
-    aq.ORDER_VALUE_DECILES_SQL,
-    ("agg", "quantile", "discretizer", "exact-selection"),
-)
-register(
-    "dedup_simhash",
-    xq.dedup_simhash,
-    xq.DEDUP_SIMHASH_SQL,
-    ("dedup", "simhash"),
-)
-register(
-    "dedup_simhash_pairs",
-    xq.dedup_simhash_pairs,
-    xq.DEDUP_SIMHASH_PAIRS_SQL,
-    ("dedup", "simhash", "banded"),
-)
-register(
-    "dedup_embedding_cosine",
-    xq.dedup_embedding_cosine,
-    xq.DEDUP_EMBEDDING_COSINE_SQL,
-    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
-)
-register("ivf_assign", gq.ivf_assign, gq.IVF_ASSIGN_SQL, ("similarity", "ivf"))
-register(
-    "unpivot_lineitem",
-    aq.unpivot_lineitem,
-    aq.UNPIVOT_LINEITEM_SQL,
-    ("reshape", "unpivot"),
-)
-register(
-    "histogram_orders",
-    rq.histogram_orders,
-    rq.HISTOGRAM_ORDERS_SQL,
-    ("profile", "histogram"),
-)
-register(
-    "corpus_decontaminate",
-    xc.corpus_decontaminate,
-    xc.CORPUS_DECONTAMINATE_SQL,
-    ("corpus", "decontamination"),
-)
-register(
-    "corpus_quality_funnel",
-    xc.corpus_quality_funnel,
-    xc.CORPUS_QUALITY_FUNNEL_SQL,
-    ("corpus", "quality", "fused-agg"),
-)
-register(
-    "corpus_repetition",
-    xc.corpus_repetition,
-    xc.CORPUS_REPETITION_SQL,
-    ("corpus", "quality"),
-)
-register(
-    "corpus_split_sample",
-    xc.corpus_split_sample,
-    xc.CORPUS_SPLIT_SAMPLE_SQL,
-    ("corpus", "sampling", "window"),
-)
-register(
-    "corpus_tfidf_topk",
-    xc.corpus_tfidf_topk,
-    xc.CORPUS_TFIDF_SQL,
-    ("corpus", "text", "topk"),
-)
-register(
-    "corpus_cluster_reps",
-    xc.corpus_cluster_reps,
-    xc.CORPUS_CLUSTER_REPS_SQL,
-    ("corpus", "dedup", "iterative"),
-)
-register(
-    "pii_redact_customer",
-    xc.pii_redact_customer,
-    xc.PII_REDACT_SQL,
-    ("corpus", "pii", "strings"),
-)
-register(
-    "corpus_pack_sequences",
-    xc.corpus_pack_sequences,
-    xc.CORPUS_PACK_SQL,
-    ("corpus", "packing", "window"),
-)
-register(
-    "corpus_domain_mix",
-    xc.corpus_domain_mix,
-    xc.CORPUS_DOMAIN_MIX_SQL,
-    ("corpus", "sampling"),
-)
-register(
-    "kmeans_refine",
-    gq.kmeans_refine,
-    gq.KMEANS_REFINE_SQL,
-    ("similarity", "ivf", "iterative"),
-)
-register(
-    "kmeans_iterations",
-    gq.kmeans_iterations,
-    gq.KMEANS_ITERATIONS_SQL,
-    ("similarity", "iterative", "multi-round"),
-)
-register(
-    "ngram_frequencies",
-    gq.ngram_frequencies,
-    gq.NGRAM_FREQUENCIES_SQL,
-    ("text", "topk"),
-)
-register(
-    "repeat_orders_7d",
-    aq.repeat_orders_7d,
-    aq.REPEAT_ORDERS_7D_SQL,
-    ("join", "range", "temporal"),
-)
-register(
-    "dedup_variants_lineitem",
-    cq.dedup_variants_lineitem,
-    cq.DEDUP_VARIANTS_SQL,
-    ("dedup", "merged-variants"),
-)
-register(
-    "events_gapfill_hourly",
-    aq.events_gapfill_hourly,
-    aq.EVENTS_GAPFILL_SQL,
-    ("temporal", "gapfill", "locf"),
-)
-register(
-    "fill_strategies_events",
-    cq.fill_strategies_events,
-    cq.FILL_STRATEGIES_SQL,
-    ("nulls", "merged-variants"),
-)
-register(
-    "ffill_bfill_events",
-    cq.ffill_bfill_events,
-    cq.FFILL_BFILL_SQL,
-    ("nulls", "window", "merged-variants"),
-)
-register(
-    "events_zscore_outliers",
-    aq.events_zscore_outliers,
-    aq.EVENTS_ZSCORE_SQL,
-    ("agg", "anomaly"),
-)
-register(
-    "supplier_pagerank",
-    gq.supplier_pagerank,
-    gq.SUPPLIER_PAGERANK_SQL,
-    ("graph", "iterative", "multi-round"),
-)
-register(
-    "funnel_events",
-    aq.funnel_events,
-    aq.FUNNEL_EVENTS_SQL,
-    ("agg", "funnel", "fused-agg"),
-)
-register(
-    "group_quantiles_events",
-    aq.group_quantiles_events,
-    aq.GROUP_QUANTILES_SQL,
-    ("agg", "quantile", "per-group"),
-)
-register(
-    "cascade_delete_orders",
-    rq.cascade_delete_orders,
-    rq.CASCADE_DELETE_SQL,
-    ("sink", "referential-action"),
-)
-register(
-    "set_semi_anti_ops",
-    aq.set_semi_anti_ops,
-    aq.SET_SEMI_ANTI_OPS_SQL,
-    ("set-ops", "join", "merged-variants"),
-)
-register(
-    "quantiles_lineitem", aq.quantiles_lineitem, aq.QUANTILES_LINEITEM_SQL, ("agg",)
-)
-register(
-    "window_time_orders",
-    aq.window_time_orders,
-    aq.WINDOW_TIME_ORDERS_SQL,
-    ("window", "scalar", "time", "merged-variants"),
-)
-
-# --- last: rows-only specs (no oracle by design) -----------------------
+# --- rows-only last (no oracle by design) ------------------------------
 register(
     "sketch_aggregates_events",
     aq.sketch_aggregates_events,
