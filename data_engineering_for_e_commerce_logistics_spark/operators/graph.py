@@ -114,11 +114,27 @@ def connected_components(
         .distinct()
     )
     edges = edges.cache()
-    edges.count()
+    n_edges = edges.count()
+    # Size the fixpoint's partitioning from the MEASURED edge count
+    # (r08): the loop's joins inherit the session shuffle width, and on
+    # a small duplicate-pair graph each of the ~3 jobs/iteration then
+    # pays 32-200 near-empty tasks of scheduling overhead — measured
+    # 0.5s/iteration for a 477-node graph at sf0.1.  ~2M edges per
+    # partition keeps a billion-edge graph at cluster width while a
+    # small one runs in a handful of tasks; edges and labels hash-
+    # partition on their join keys (dst ↔ node) with the SAME width so
+    # each iteration's join avoids re-exchanging the cached sides.
+    p = max(1, min(n_edges // 2_000_000 + 1,
+                   edges.sparkSession.sparkContext.defaultParallelism))
+    raw = edges
+    edges = raw.repartition(p, "dst").cache()
+    edges.count()  # materializes FROM the still-cached raw frame
+    raw.unpersist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .repartition(p, "node")
     )
     labels.cache()
     labels.count()
@@ -129,13 +145,18 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = labels.join(
-            neighbor_min, labels.node == neighbor_min.src, "left"
-        ).select(
-            labels.node.alias("node"),
-            F.least(
-                labels.label, F.coalesce(F.col("nlabel"), labels.label)
-            ).alias("label"),
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                labels.node.alias("node"),
+                F.least(
+                    labels.label, F.coalesce(F.col("nlabel"), labels.label)
+                ).alias("label"),
+            )
+            # keep the label frame node-partitioned at the measured
+            # width so the NEXT iteration's dst↔node join reuses the
+            # layout instead of re-exchanging both cached sides
+            .repartition(p, "node")
         )
         new_labels.cache()
         changed = (

@@ -66,6 +66,24 @@ def test_prior_bench_prefers_local_file_for_same_round(tmp_path):
     assert bench._prior_bench(str(tmp_path)) == {name: 0.4}
 
 
+def test_prior_bench_ignores_current_round_refresh(tmp_path):
+    """VERDICT r07 ask #3: an intra-round bench.py re-run writes
+    BENCH_LOCAL_r{N} for the CURRENT round; if that file became the
+    baseline, re-running after a regression would reset the bar to the
+    regressed numbers and mask a cross-round 2× slowdown.  The newest
+    driver artifact is r07 → current round is 8 → the r08 LOCAL
+    refresh must be excluded and the r07 numbers must stay the bar."""
+    name = bench.HEADLINE[0]
+    _write(tmp_path, "BENCH_r07.json", {"parsed": {"queries": {name: 1.0}}})
+    # same-round refresh already recorded the regressed timing
+    _write(tmp_path, "BENCH_LOCAL_r08.json", {"queries": {name: 3.0}})
+    prior = bench._prior_bench(str(tmp_path))
+    assert prior == {name: 1.0}
+    # and the gate therefore still fires on the regressed re-run
+    regs = bench._compute_regressions({name: 3.0}, prior)
+    assert name in regs and regs[name]["prev"] == 1.0
+
+
 def test_prior_bench_maps_renames_all_parts_guard():
     prior = {"ffill_events": 0.3, "dedup_keep_first": 0.2}
     mapped = bench._map_renames(prior)
