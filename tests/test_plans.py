@@ -294,6 +294,72 @@ def test_incremental_semdedup_fresh_broadcast_only_prework(spark):
     )
 
 
+def test_span_dedup_two_exchange_budget(spark):
+    """VERDICT r07 ask #7: span_dedup's scale shape is exactly one
+    span-keyed exchange (the global first-occurrence ranking) plus one
+    doc-keyed exchange (reassembly agg) — the same two-shuffle budget
+    as exact doc-level dedup, on spans.  The docs-spine restore join
+    must ride a broadcast, and nothing may expand to all-pairs."""
+    plan = _plan(spark, "corpus_span_dedup")
+    shuffles = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+        or "Exchange rangepartitioning" in line
+        or "Exchange SinglePartition" in line
+    ]
+    assert len(shuffles) == 2, shuffles
+    assert sum("span_text" in s for s in shuffles) == 1, shuffles
+    assert sum("doc_id" in s and "span_text" not in s for s in shuffles) == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # the id-spine restore
+
+
+def test_corpus_split_suite_banded_no_all_pairs(spark):
+    """VERDICT r07 ask #7: the suite's no-leakage variant mines its
+    near-dup pairs through LSH BANDING (band-struct explode → band
+    bucket join), never the quadratic all-pairs scan.  The component
+    fixpoint caches its edge list, so the banding shows up behind an
+    InMemoryTableScan in the suite's final plan — assert it on the
+    miner's own plan (the exact frame the suite feeds the fixpoint),
+    and hold the suite plan to no-cartesian plus a key whitelist on
+    every hash exchange."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import load_tables
+    from data_engineering_for_e_commerce_logistics_spark.operators import dedup
+    from data_engineering_for_e_commerce_logistics_spark.plans.extended_queries import (
+        BANDS,
+        NUM_HASHES,
+        SHINGLE_K,
+        THRESHOLD,
+    )
+
+    docs = load_tables(spark, SF, ("documents",))["documents"]
+    miner = dedup.minhash_lsh_dedup(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=THRESHOLD,
+    )
+    miner_plan = miner._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode" in miner_plan  # the band-struct explode
+    assert "hashpartitioning(band" in miner_plan  # band-bucket exchange
+    assert "CartesianProduct" not in miner_plan
+    assert "BroadcastNestedLoopJoin" not in miner_plan
+
+    plan = _plan(spark, "corpus_split_suite")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every shuffle in the suite rides a split/LSH/graph key — nothing
+    # may expand to an unkeyed exchange over documents×documents.
+    keyed = ("lang", "doc_id", "node", "src", "rep_id", "id_a", "band",
+             "split")
+    wide = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert all(any(k in s for k in keyed) for s in wide), wide
+
+
 def test_routed_assign_two_broadcast_levels(spark):
     """Two-level routing: both the super table and the grouped
     centroid table ride broadcasts — no shuffle before the per-vector
