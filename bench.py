@@ -85,7 +85,6 @@ HEADLINE = [
     # (now oracle-checked); degree profile is timed inside the triangle
     # count (its orientation step recomputes degrees).
     "graph_triangle_count",
-    "dedup_simhash_pairs",
     "semdedup_pairs",
     "corpus_lm_quality",
     "ivm_spend_refresh",
@@ -118,7 +117,6 @@ HEADLINE = [
     "agg_cardinality_lineitem",
     "struct_flatten_roundtrip",
     "region_nation_list",
-    "dedup_simhash",
     "sql_api_params",
     "dedup_clusters",
     "sketch_aggregates_events",
@@ -142,6 +140,12 @@ HEADLINE = [
     "corpus_split_suite",
     "bpe_encode_documents",
     "corpus_span_dedup",
+    # r08 additions (second wave): the simhash-family consolidation
+    # (baseline = dedup_simhash + dedup_simhash_pairs via
+    # RENAMED_FROM) and the capstone lineage report (never benched
+    # before; first recording becomes its baseline)
+    "dedup_simhash_suite",
+    "training_corpus_report",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion
@@ -211,6 +215,9 @@ RENAMED_FROM = {
     # all-parts guard skips the regression check until the first full
     # recording of the merged form becomes the baseline.
     "corpus_split_suite": ["corpus_split_sample", "corpus_split_no_leakage"],
+    # r08 consolidation: the simhash suite's baseline is the retired
+    # signature + banded-pairs specs' sum (both benched since r03/r05)
+    "dedup_simhash_suite": ["dedup_simhash", "dedup_simhash_pairs"],
 }
 
 # Per-query baseline caveats, emitted into the artifact so a judge

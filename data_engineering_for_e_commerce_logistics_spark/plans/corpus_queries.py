@@ -75,11 +75,12 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.quality_funnel(docs)
 
 
-def _funnel_sql() -> str:
-    """Mirror of corpus._funnel_rules over a tokenized CTE — each rule
-    is the same arithmetic on both engines; CASE sums cast BIGINT."""
+def _funnel_rule_conditions() -> dict[str, str]:
+    """The DuckDB twins of corpus._funnel_rules, over a CTE exposing
+    (text, ntoks, dtoks, g2) — shared by the fused funnel aggregate
+    and the training-corpus lineage oracle."""
     lo, hi = corpus.FUNNEL_WORD_LEN_RANGE
-    rules = {
+    return {
         "too_short": f"ntoks < {corpus.FUNNEL_MIN_TOKENS}",
         "too_long": f"ntoks > {corpus.FUNNEL_MAX_TOKENS}",
         "word_len_out_of_range": (
@@ -100,6 +101,12 @@ def _funnel_sql() -> str:
             f" > {corpus.FUNNEL_MAX_DUP_2GRAM}"
         ),
     }
+
+
+def _funnel_sql() -> str:
+    """Mirror of corpus._funnel_rules over a tokenized CTE — each rule
+    is the same arithmetic on both engines; CASE sums cast BIGINT."""
+    rules = _funnel_rule_conditions()
     fails = ",\n       ".join(
         f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS fail_{name}"
         for name, cond in rules.items()
@@ -690,3 +697,123 @@ FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
 
 
 BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
+# --- Training-corpus capstone lineage report (r08 driver row) ----------------
+
+
+def training_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end capstone as an oracle-checked query (VERDICT r07
+    ask #6): ``corpus.prepare_training_corpus`` chains quality gate →
+    cross-document span dedup → exact dedup → deterministic split →
+    sequence packing, and this spec returns its lineage report — the
+    per-stage survivor counts plus the packed-train shape (distinct
+    bins and total tokens) — so the whole composition, not just its
+    stages in isolation, is driver-verified.  Five stages compose;
+    every count is deterministic (hash-keyed split, md5 fingerprints,
+    global-first span ranking), so the DuckDB twin reproduces the row
+    bit-exactly."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    packed, report = corpus.prepare_training_corpus(
+        docs, span_window=SPAN_WINDOW, token_budget=PACK_TOKEN_BUDGET
+    )
+    extras = packed.agg(
+        F.countDistinct("source", "shard", "bin_id").alias("n_packed_bins"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0))
+        .cast("long")
+        .alias("train_tokens"),
+    )
+    return report.crossJoin(F.broadcast(extras))
+
+
+def _training_corpus_report_sql() -> str:
+    """DuckDB twin of the capstone chain.  Stage CTEs reuse the proven
+    building blocks verbatim: the funnel rules
+    (``_funnel_rule_conditions``, green via corpus_quality_funnel),
+    the span chunk/rank/rebuild shape (green via corpus_span_dedup),
+    the normalized-md5 exact fingerprint (green via
+    dedup_exact_documents), the md5-nibble split (green via the split
+    suite), and the (source, shard) packing window (green via
+    corpus_pack_sequences)."""
+    rules = _funnel_rule_conditions()
+    keep = " AND ".join(f"NOT ({cond})" for cond in rules.values())
+    g2 = sql_shingles("string_split(text, ' ')", 2)
+    w = SPAN_WINDOW
+    return f"""
+WITH toked AS (
+  SELECT doc_id, source, text,
+         len(string_split(text, ' ')) AS ntoks,
+         list_distinct(string_split(text, ' ')) AS dtoks,
+         {g2} AS g2
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, source, text FROM toked WHERE {keep}
+),
+qtok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), tk -> tk <> '') AS tok
+  FROM quality
+),
+spans AS (
+  SELECT doc_id, i AS span_idx,
+         array_to_string(tok[i * {w} + 1 : i * {w} + {w}], ' ') AS span_text
+  FROM qtok, unnest(range(CAST(ceil(len(tok) / {w}.0) AS INT))) AS r(i)
+),
+ranked AS (
+  SELECT doc_id, span_idx, span_text,
+         row_number() OVER (PARTITION BY span_text
+                            ORDER BY doc_id, span_idx) = 1 AS keep
+  FROM spans
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN keep THEN span_text END, ' '
+                    ORDER BY span_idx) AS text_clean
+  FROM ranked GROUP BY doc_id
+),
+survivors AS (
+  SELECT q.doc_id, q.source, r.text_clean
+  FROM quality q JOIN rebuilt r ON r.doc_id = q.doc_id
+  WHERE r.text_clean IS NOT NULL AND r.text_clean <> ''
+),
+fp AS (
+  SELECT doc_id, source, text_clean,
+         md5(regexp_replace(trim(lower(text_clean)), '\\s+', ' ', 'g'))
+           AS fingerprint
+  FROM survivors
+),
+kept AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fingerprint),
+uniq AS (SELECT f.* FROM fp f JOIN kept k ON k.doc_id = f.doc_id),
+train AS (
+  SELECT * FROM uniq WHERE substr(md5(doc_id::VARCHAR), 1, 1) < 'd'
+),
+packed AS (
+  SELECT doc_id, source,
+         md5(doc_id::VARCHAR) AS hash_key,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::INT AS shard,
+         len(string_split(text_clean, ' '))::BIGINT AS n_tokens
+  FROM train
+),
+bins AS (
+  SELECT source, shard, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY source, shard
+                                         ORDER BY hash_key
+                                         ROWS UNBOUNDED PRECEDING)
+                     - n_tokens)::DOUBLE / {PACK_TOKEN_BUDGET}) AS BIGINT)
+           AS bin_id
+  FROM packed
+)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
+       (SELECT count(*) FROM quality)::BIGINT AS n_quality,
+       (SELECT count(*) FROM survivors)::BIGINT AS n_span_dedup,
+       (SELECT count(*) FROM uniq)::BIGINT AS n_exact_dedup,
+       (SELECT count(*) FROM train)::BIGINT AS n_train,
+       (SELECT count(*) FROM
+          (SELECT DISTINCT source, shard, bin_id FROM bins))::BIGINT
+         AS n_packed_bins,
+       (SELECT coalesce(sum(n_tokens), 0) FROM bins)::BIGINT AS train_tokens
+"""
+
+
+TRAINING_CORPUS_REPORT_SQL = _training_corpus_report_sql()

@@ -228,6 +228,57 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def dedup_simhash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation (r08, the r09-earmarked trade
+    pulled forward to fund the capstone's driver row): the signature
+    table (``dedup_simhash``) and the hamming-banded near-dup pairs
+    (``dedup_simhash_pairs``) union under one padded shape — one
+    hamming family, one spec, every original output cell preserved.
+    The 64-bit signature rides as a DECIMAL STRING pad column so the
+    comparison stays bit-exact (a double pad would round past the
+    53-bit mantissa); every other numeric pad follows the suite
+    convention and casts to double.  Bench baseline at registration =
+    the parts' sum via bench.py RENAMED_FROM."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    sig = dedup.simhash(docs)
+    pairs = dedup.simhash_near_pairs(sig, max_hamming=3)
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    s = sig.select(
+        F.lit("signature").alias("variant"),
+        F.col("doc_id").cast("double").alias("doc_id"),
+        F.col("simhash").cast("string").alias("simhash_str"),
+        nd.alias("id_a"),
+        nd.alias("id_b"),
+        nd.alias("hamming"),
+    )
+    p = pairs.select(
+        F.lit("pair").alias("variant"),
+        nd.alias("doc_id"),
+        ns.alias("simhash_str"),
+        F.col("id_a").cast("double").alias("id_a"),
+        F.col("id_b").cast("double").alias("id_b"),
+        F.col("hamming").cast("double").alias("hamming"),
+    )
+    return s.unionByName(p)
+
+
+DEDUP_SIMHASH_SUITE_SQL = f"""
+WITH sig AS ({DEDUP_SIMHASH_SQL})
+SELECT 'signature' AS variant, CAST(doc_id AS DOUBLE) AS doc_id,
+       CAST(simhash AS VARCHAR) AS simhash_str,
+       CAST(NULL AS DOUBLE) AS id_a, CAST(NULL AS DOUBLE) AS id_b,
+       CAST(NULL AS DOUBLE) AS hamming
+FROM sig
+UNION ALL
+SELECT 'pair', CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+       CAST(a.doc_id AS DOUBLE), CAST(b.doc_id AS DOUBLE),
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS DOUBLE)
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 # --- Text analysis ----------------------------------------------------------
 
 

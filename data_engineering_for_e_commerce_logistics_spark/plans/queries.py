@@ -20,27 +20,38 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r08 window — EXACTLY the rotation the r07 docstring committed to
-(VERDICT r07 ask #1):
+r08 window — the rotation the r07 docstring committed to (VERDICT
+r07 ask #1), plus the consolidation VERDICT r07 ask #6 funds:
 
-* positions 3-47: the complete r06-green stale backlog (CORRECTNESS
-  r06 ∖ r07, oldest evidence first), 45 specs after
-  ``corpus_split_sample`` retires into the suite below.
-* position 48: ``corpus_split_suite`` — the merged-variants
+* positions 3-46: the r06-green stale backlog (CORRECTNESS r06 ∖
+  r07, oldest evidence first), 44 specs after ``corpus_split_sample``
+  retires into the split suite below and ``dedup_simhash`` +
+  ``dedup_simhash_pairs`` merge into ``dedup_simhash_suite`` (the
+  r09-earmarked trade pulled forward — signatures as exact decimal
+  strings UNION the hamming-banded pairs; both retired specs'
+  evidence carries through the suite, bench baseline via
+  RENAMED_FROM).
+* position 47: ``corpus_split_suite`` — the merged-variants
   consolidation (plain hash split + stratified sample, UNION the
   leakage-safe rep-keyed split) built and differential-proven in r07
   (``plans/graph_queries.py`` + ``tests/test_graph.py``); bench
   baseline carries via bench.py RENAMED_FROM.
-* positions 49-50: the two r07 unit-first debuts —
+* positions 48-49: the two r07 unit-first debuts —
   ``bpe_encode_documents`` (train + encode in one query,
   ``tests/test_bpe.py`` differential) and ``corpus_span_dedup``
   (C4-style cross-document span dedup, ``tests/test_corpus.py``
   semantics + sf0.01 differential).
+* position 50: ``training_corpus_report`` — the capstone
+  composition's lineage report (quality → span dedup → exact dedup →
+  split → pack), oracle-checked end-to-end in the slot the simhash
+  consolidation freed (VERDICT r07 ask #6).
 
-Arithmetic: 2 flagships + 45 backlog + 1 suite + 2 debuts = 50
-exactly.  Positions 51+ are the 48 r07-green specs.  Once
-CORRECTNESS_r08 lands, no oracle spec's last driver row predates r07
-— the freshness invariant holds with zero spill.
+Arithmetic: 2 flagships + 44 backlog + 2 suites + 2 debuts +
+1 capstone = 50 exactly.  Positions 51+ are the 48 r07-green specs.
+Once CORRECTNESS_r08 lands, no live oracle spec's last driver row
+predates r07 — the freshness invariant holds with zero spill
+(retired specs' semantics carry through their suites, the same
+contract as every prior consolidation).
 
 WINDOW ARITHMETIC going forward: the registry is now 99 specs / 98
 oracle-paired.  Steady state: flagships hold 2 slots every round,
@@ -50,10 +61,9 @@ r09: the 48 specs now at positions 51+ become the stale backlog, so
 r09's mandatory load is 2 + 48 = 50 exactly.  ANY r09 debut therefore
 requires a paired consolidation (or retirement) to free its slot;
 new operators built in r08 stay unit-first until that trade is
-chosen.  Candidate consolidations for r09, in preference order:
-merge ``dedup_simhash`` into ``dedup_simhash_pairs`` (same hamming
-family, shared fingerprint pass), or ``kmeans_iterations`` into
-``kmeans_refine`` (same Lloyd step, different round counts).
+chosen.  Remaining candidate consolidation for r09:
+``kmeans_iterations`` into ``kmeans_refine`` (same Lloyd step,
+different round counts).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
@@ -157,16 +167,10 @@ register(
     ("dedup", "similarity", "all-pairs", "bounded-baseline"),
 )
 register(
-    "dedup_simhash",
-    xq.dedup_simhash,
-    xq.DEDUP_SIMHASH_SQL,
-    ("dedup", "simhash"),
-)
-register(
-    "dedup_simhash_pairs",
-    xq.dedup_simhash_pairs,
-    xq.DEDUP_SIMHASH_PAIRS_SQL,
-    ("dedup", "simhash", "banded"),
+    "dedup_simhash_suite",
+    xq.dedup_simhash_suite,
+    xq.DEDUP_SIMHASH_SUITE_SQL,
+    ("dedup", "simhash", "banded", "merged-variants"),
 )
 register(
     "dedup_variants_lineitem",
@@ -370,6 +374,16 @@ register(
     xc.corpus_span_dedup,
     xc.CORPUS_SPAN_DEDUP_SQL,
     ("corpus", "dedup", "span"),
+)
+
+# --- 50: the capstone lineage report (VERDICT r07 ask #6) — slot
+# --- funded by the dedup_simhash → dedup_simhash_suite consolidation
+# --- above (the r09-earmarked trade pulled forward) -----------------
+register(
+    "training_corpus_report",
+    xc.training_corpus_report,
+    xc.TRAINING_CORPUS_REPORT_SQL,
+    ("corpus", "capstone", "lineage", "composition"),
 )
 
 # --- 51+: r07-green fresh remainder (freshest evidence, lowest

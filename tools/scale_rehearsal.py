@@ -65,7 +65,8 @@ QUERIES = [
     "order_value_deciles",
     "customer_rolling_7d_spend",
     "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
+    # dedup_simhash_pairs retired into the suite at r08 (RENAMED_FROM)
+    "dedup_simhash_suite",
     "graph_triangle_count",
     "supplier_pagerank",
     "semdedup_pairs",
