@@ -521,6 +521,115 @@ def span_dedup(
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget capping per source: walk each source's documents in
+    deterministic md5 order and keep them while the running token total
+    stays within ``token_budget`` — the "give me exactly ~B tokens of
+    domain X" step a data-mixing recipe runs after choosing its domain
+    weights (``domain_mix_sample`` balances DOC counts; training
+    budgets are set in TOKENS).
+
+    A document is kept iff the running total INCLUDING it is ≤ budget
+    (greedy prefix fill, no overflow).  Hash-ordered, so re-runs,
+    engines, and cluster sizes agree row-for-row, and growing the
+    corpus never evicts a previously-kept doc (new hashes only append
+    to or interleave AFTER the frozen prefix decision of existing
+    rows... new interleaving hashes can displace later rows — the
+    budget boundary moves; what is frozen is the ORDER, the property
+    split/pack rely on).
+
+    Scale shape — exact GLOBAL prefix-sum without a global sort: rows
+    are sharded 16 ways per source on the first hex nibble of the doc
+    hash; each shard computes its local running sum under one
+    (source, shard)-partitioned window, and the cross-shard offsets
+    come from the tiny per-(source, shard) totals aggregate (≤ 16 ×
+    n_sources rows) prefix-summed on the driver-sized side and
+    broadcast back.  Because the shard IS the hash's first nibble,
+    (shard asc, hash asc) equals plain hash order — the offsets
+    reconstruct the exact single-window cumsum the oracle computes,
+    at 16-way (widen the substring for more) parallelism per source.
+    One wide shuffle (the window), one tiny agg + broadcast join."""
+    key = F.md5(F.col(id_col).cast("string"))
+    d = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        key.alias("hash_key"),
+        F.conv(F.substring(key, 1, 1), 16, 10).cast("int").alias("shard"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w_local = (
+        Window.partitionBy(source_col, "shard")
+        .orderBy("hash_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__local_cum", F.sum("n_tokens").over(w_local))
+    totals = d.groupBy(source_col, "shard").agg(
+        F.sum("n_tokens").alias("__shard_total")
+    )
+    w_shard = (
+        Window.partitionBy(source_col)
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        source_col,
+        "shard",
+        (F.sum("__shard_total").over(w_shard) - F.col("__shard_total")).alias(
+            "__offset"
+        ),
+    )
+    return (
+        local.join(F.broadcast(offsets), [source_col, "shard"])
+        .select(
+            id_col,
+            source_col,
+            "shard",
+            "hash_key",
+            "n_tokens",
+            (F.col("__local_cum") + F.col("__offset")).alias("cum_tokens"),
+        )
+        .withColumn("kept", F.col("cum_tokens") <= F.lit(token_budget))
+    )
+
+
+def shuffle_shard(
+    df: DataFrame,
+    n_shards: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seeded deterministic training-order shuffle + shard export
+    assignment: every document gets a shuffle key md5(seed || ':' ||
+    id), an output ``shard`` (key mod n_shards — balanced in
+    expectation, no global coordination), and its ``pos`` within the
+    shard (one window per shard over the key).  Changing ``seed``
+    re-deals the entire order; fixing it makes the shuffle
+    reproducible across engines and runs — rand()-free, the epoch-
+    shuffle contract pretraining dataloaders need.
+
+    Scale shape: one hash-partitioned window per shard — no global
+    sort, no driver state; parallelism = n_shards (size it to the
+    writer parallelism you want, hundreds at 100 TB).  The mod is
+    taken on the first 8 hex digits (32 bits), so shard and order
+    derive from the same key and the oracle is plain SQL."""
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    d = df.select(
+        F.col(id_col),
+        key.alias("shuffle_key"),
+        (F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards)
+        .cast("int")
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", id_col)
+    return d.withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+
+
 def prepare_training_corpus(
     docs: DataFrame,
     text_col: str = "text",

@@ -593,25 +593,31 @@ def incremental_semdedup(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "cv",
-    routed: bool = False,
+    routed: bool | str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Fourth incremental-dedup family member (exact digests, MinHash
     signatures, SimHash fingerprints — and now SEMANTIC embeddings):
     screen a new batch of embeddings against the persisted KEPT-corpus
     cell index without rescanning the corpus.
 
-    ``routed=True`` swaps the flat broadcast assignment for the
-    two-stage ``two_level_assign`` under ``routed_defaults`` — at
-    production codebook sizes (k tracks sqrt(corpus), so hundreds+)
-    the flat n·k window is the per-batch cost center, and the
-    two-stage plan measured 92.5s → 16.0s on the same assignment at
-    n=50K/k=224 (SCALE.md r07).  In the defaults' exact regime
-    (n_super ≤ 32, n_probe = n_super) the assignment — and therefore
-    every screen decision — is bit-identical to the flat scan
-    (equality pinned by test); past that the documented ≥0.96-recall
-    approximation applies and a mis-routed vector merely screens
-    against an adjacent cell.  The flat default stays for small
-    codebooks and oracle-pinned specs.
+    ``routed`` picks the assignment plan — ``"auto"`` (the default,
+    VERDICT r07 ask #8) counts the codebook (planner-sized: k tracks
+    sqrt(corpus), hundreds even at 100 TB) and flips to the two-stage
+    ``two_level_assign`` under ``routed_defaults`` once
+    ``k > ROUTED_EXACT_MAX_SUPERS`` — the regime where the flat n·k
+    window is the per-batch cost center (measured 92.5s → 16.0s on
+    the same assignment at n=50K/k=224, SCALE.md r07; 2.35× at
+    recall 1.0 on the sf0.5 corpus).  Below the switch the flat
+    broadcast scan stays: for tiny codebooks the two-stage plan's
+    extra exchange costs more than the n·k window it removes.
+    ``True``/``False`` force either plan.  In the defaults' exact
+    regime (n_super ≤ 32, i.e. k ≤ 1024) the routed assignment — and
+    therefore every screen decision — is bit-identical to the flat
+    scan (equality pinned by test); past that the documented
+    ≥0.96-recall approximation applies and a mis-routed vector merely
+    screens against an adjacent cell.  Oracle-pinned specs keep small
+    codebooks, so ``"auto"`` resolves to the flat (exact, SQL-twin)
+    plan there.
 
     The index rows are ``(id, v, nrm, cell)`` — the batch's own
     ``index_delta`` from prior calls: double-cast vector, precomputed
@@ -675,10 +681,17 @@ def incremental_semdedup(
         F.col(centroid_id_col).alias("__cid"),
         _as_double_vec(centroid_vec_col).alias("__cv"),
     )
+    k: int | None = None
+    if isinstance(routed, str):
+        if routed != "auto":
+            raise ValueError(f"routed must be 'auto' or a bool, got {routed!r}")
+        k = cents.count()  # bounded codebook: planner-sized pull
+        routed = k > ROUTED_EXACT_MAX_SUPERS
     if routed:
         import math
 
-        k = cents.count()  # bounded codebook: planner-sized pull
+        if k is None:
+            k = cents.count()  # bounded codebook: planner-sized pull
         n_super = max(1, math.ceil(math.sqrt(k)))
         cells = two_level_assign(
             new_vecs,

@@ -817,3 +817,96 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_input,
 
 
 TRAINING_CORPUS_REPORT_SQL = _training_corpus_report_sql()
+
+
+# --- Export suite: token-budget capping + seeded shuffle-shard (r09
+# --- registry candidate, unit-first per the r08 window arithmetic) ----------
+
+EXPORT_TOKEN_BUDGET = 700   # ~half of each sf0.01 source's ~1.3K tokens
+EXPORT_N_SHARDS = 8
+EXPORT_SEED = 42
+
+
+def corpus_export_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two export-side steps a training run takes after the corpus
+    is cleaned, under one padded suite shape (the split-suite
+    convention): ``token_budget_sample`` — greedy hash-ordered prefix
+    fill of EXPORT_TOKEN_BUDGET tokens per source (the token-costed
+    sibling of ``domain_mix_sample``'s doc-count balancing, exact
+    global cumsum via per-shard offsets, no global sort) — and
+    ``shuffle_shard`` — the seeded deterministic epoch shuffle dealing
+    every doc a shard and an in-shard position (rand()-free, per-shard
+    windows only).  Reference analogue: the split/load surface of
+    transform.py + db_loader.py generalized to training-export
+    semantics; numeric pads cast double on both engines."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nd = F.lit(None).cast("double")
+    budget = corpus.token_budget_sample(docs, EXPORT_TOKEN_BUDGET).select(
+        F.lit("budget").alias("variant"),
+        "doc_id",
+        "source",
+        "shard",
+        F.col("hash_key").alias("key"),
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        F.col("cum_tokens").cast("double").alias("cum_tokens"),
+        F.col("kept").cast("double").alias("kept"),
+        nd.alias("pos"),
+    )
+    shuf = corpus.shuffle_shard(docs, EXPORT_N_SHARDS, seed=EXPORT_SEED).select(
+        F.lit("shuffle").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("source"),
+        "shard",
+        F.col("shuffle_key").alias("key"),
+        nd.alias("n_tokens"),
+        nd.alias("cum_tokens"),
+        nd.alias("kept"),
+        F.col("pos").cast("double").alias("pos"),
+    )
+    return budget.unionByName(shuf)
+
+
+CORPUS_EXPORT_SUITE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         md5(doc_id::VARCHAR) AS hash_key,
+         len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT *,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY hash_key
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d
+),
+budget AS (
+  SELECT 'budget' AS variant, doc_id, source,
+         ('0x' || substr(hash_key, 1, 1))::INT AS shard,
+         hash_key AS key,
+         n_tokens::DOUBLE AS n_tokens,
+         cum::DOUBLE AS cum_tokens,
+         CASE WHEN cum <= {EXPORT_TOKEN_BUDGET} THEN 1.0 ELSE 0.0 END AS kept,
+         NULL::DOUBLE AS pos
+  FROM c
+),
+s AS (
+  SELECT doc_id,
+         md5('{EXPORT_SEED}:' || doc_id::VARCHAR) AS skey
+  FROM documents
+),
+s2 AS (
+  SELECT doc_id, skey,
+         CAST(('0x' || substr(skey, 1, 8))::BIGINT % {EXPORT_N_SHARDS} AS INT)
+           AS shard
+  FROM s
+),
+shuf AS (
+  SELECT 'shuffle' AS variant, doc_id, NULL::VARCHAR AS source, shard,
+         skey AS key, NULL::DOUBLE AS n_tokens, NULL::DOUBLE AS cum_tokens,
+         NULL::DOUBLE AS kept,
+         (row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+          - 1)::DOUBLE AS pos
+  FROM s2
+)
+SELECT * FROM budget UNION ALL SELECT * FROM shuf
+"""

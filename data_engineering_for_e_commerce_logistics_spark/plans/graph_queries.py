@@ -638,6 +638,109 @@ def _kmeans_iterations_sql(n_iter: int = KMEANS_N_ITER) -> str:
 
 KMEANS_ITERATIONS_SQL = _kmeans_iterations_sql()
 
+
+def kmeans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation earmarked for r09 (the docstring
+    trade in plans/queries.py — pre-built unit-first in r08): the one
+    Lloyd family, one spec.  ``kmeans_refine``'s (cell_round1,
+    cell_round2) ARE the 3-round chain's round-0 and round-1
+    assignments, and ``kmeans_iterations``'s final cell is round 2 —
+    so the suite runs the shared chain ONCE (3 assigns instead of the
+    parts' 2+3) and serves both retiring specs' cells from it, every
+    original output cell preserved.  Numeric pads cast double on both
+    engines (the split-suite convention); bench baseline at
+    registration = the parts' sum via bench.py RENAMED_FROM."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import _as_double_vec, _fold_sum
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v")).cache()
+    centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+
+    rounds: list[DataFrame] = []
+    for i in range(KMEANS_N_ITER):
+        scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
+            "dist",
+            _fold_sum(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "centroid_id")
+        ).cache()
+        rounds.append(assigned)
+        if i < KMEANS_N_ITER - 1:
+            centroids = (
+                assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+                .groupBy("centroid_id", "dim")
+                .agg(
+                    (
+                        F.expr("cast(sum(cast(val as decimal(28,8))) as double)")
+                        / F.count(F.lit(1))
+                    ).alias("cval")
+                )
+                .groupBy("centroid_id")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                        lambda s: s["cval"],
+                    ).alias("cv")
+                )
+            )
+    nd = F.lit(None).cast("double")
+    refine = (
+        rounds[0]
+        .select("vec_id", F.col("centroid_id").alias("cell_round1"))
+        .join(
+            rounds[1].select("vec_id", F.col("centroid_id").alias("cell_round2")),
+            "vec_id",
+        )
+        .select(
+            F.lit("refine").alias("variant"),
+            "vec_id",
+            F.col("cell_round1").cast("double").alias("cell_round1"),
+            F.col("cell_round2").cast("double").alias("cell_round2"),
+            nd.alias("cell"),
+        )
+    )
+    iters = rounds[KMEANS_N_ITER - 1].select(
+        F.lit("iter3").alias("variant"),
+        "vec_id",
+        nd.alias("cell_round1"),
+        nd.alias("cell_round2"),
+        F.col("centroid_id").cast("double").alias("cell"),
+    )
+    return refine.unionByName(iters)
+
+
+def _kmeans_suite_sql(n_iter: int = KMEANS_N_ITER) -> str:
+    """One CTE chain, both variants read from it — generated by the
+    same unroll as the Spark loop so the two can't drift."""
+    chain = _kmeans_iterations_sql(n_iter)
+    body = chain.rsplit("\nSELECT", 1)[0]
+    return f"""{body}
+SELECT 'refine' AS variant, a0.vec_id,
+       a0.centroid_id::DOUBLE AS cell_round1,
+       a1.centroid_id::DOUBLE AS cell_round2,
+       NULL::DOUBLE AS cell
+FROM assign0 a0 JOIN assign1 a1 ON a0.vec_id = a1.vec_id
+UNION ALL
+SELECT 'iter3', vec_id, NULL::DOUBLE, NULL::DOUBLE,
+       centroid_id::DOUBLE
+FROM assign{n_iter - 1}
+"""
+
+
+KMEANS_SUITE_SQL = _kmeans_suite_sql()
+
 # --- n-gram frequency profile ----------------------------------------------
 
 

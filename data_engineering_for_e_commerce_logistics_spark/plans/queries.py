@@ -59,11 +59,17 @@ leaving 48/round = 96 per 2-round cycle for the other 96 oracle
 specs — EXACTLY saturated, zero debut headroom.  Consequence for
 r09: the 48 specs now at positions 51+ become the stale backlog, so
 r09's mandatory load is 2 + 48 = 50 exactly.  ANY r09 debut therefore
-requires a paired consolidation (or retirement) to free its slot;
-new operators built in r08 stay unit-first until that trade is
-chosen.  Remaining candidate consolidation for r09:
-``kmeans_iterations`` into ``kmeans_refine`` (same Lloyd step,
-different round counts).
+requires a paired consolidation (or retirement) to free its slot.
+THE r09 TRADE (pre-built and differential-proven in r08): retire
+``kmeans_refine`` + ``kmeans_iterations`` into ``kmeans_suite``
+(plans/graph_queries.py — one shared Lloyd chain serves both retiring
+specs' cells; tests/test_kmeans.py pins suite ↔ parts ↔ DuckDB), and
+spend the freed slot on the ``corpus_export_suite`` debut
+(plans/corpus_queries.py — token_budget_sample + shuffle_shard, the
+training-export steps; tests/test_corpus.py differential).  Post-
+trade registry: 98 specs / 97 oracle-paired — 2 flagships + 95
+backlog over 2 rounds ≈ 47.5 + 2 = saturated again, so r10 debuts
+need the next consolidation.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

@@ -392,3 +392,93 @@ def test_prepare_training_corpus_end_to_end(spark):
     # bin start offsets honor the chunk rule: a doc's bin is exactly
     # floor(start_offset / budget)
     assert all(row.bin_id == row.start_offset // 128 for row in rows)
+
+
+# --- token-budget sampling + shuffle-shard (r09 export suite) ---------------
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    """kept = exactly the hash-ordered prefix whose running total fits
+    the budget, and cum_tokens equals the plain single-window cumsum
+    (the shard-offset reconstruction is exact)."""
+    import hashlib
+
+    rows = [
+        (i, "s" + str(i % 2), " ".join(["w"] * (3 + i % 5))) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in corpus.token_budget_sample(df, token_budget=20).collect()
+    }
+    assert len(out) == 40
+    for src in ("s0", "s1"):
+        docs = sorted(
+            (i for i in range(40) if i % 2 == int(src[1])),
+            key=lambda i: hashlib.md5(str(i).encode()).hexdigest(),
+        )
+        cum = 0
+        for i in docs:
+            cum += 3 + i % 5
+            assert out[i].cum_tokens == cum
+            assert out[i].kept == (cum <= 20)
+
+
+def test_token_budget_sample_stable_order_under_growth(spark):
+    """Growing the corpus never reorders existing rows: relative
+    hash order (the frozen property) is unchanged when rows append."""
+    rows = [(i, "s", "a b c") for i in range(30)]
+    small = spark.createDataFrame(rows[:20], "doc_id long, source string, text string")
+    big = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    order_small = [
+        r.doc_id
+        for r in corpus.token_budget_sample(small, 999)
+        .orderBy("cum_tokens")
+        .collect()
+    ]
+    order_big = [
+        r.doc_id
+        for r in corpus.token_budget_sample(big, 999).orderBy("cum_tokens").collect()
+        if r.doc_id < 20
+    ]
+    assert order_small == order_big
+
+
+def test_shuffle_shard_deterministic_dense_and_seeded(spark):
+    df = spark.createDataFrame(
+        [(i,) for i in range(100)], "doc_id long"
+    )
+    a = corpus.shuffle_shard(df, 4, seed=1).collect()
+    b = corpus.shuffle_shard(df, 4, seed=1).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_shard: dict[int, list[int]] = {}
+    for r in a:
+        assert 0 <= r.shard < 4
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0..n-1
+    c = corpus.shuffle_shard(df, 4, seed=2).collect()
+    order1 = [r.doc_id for r in sorted(a, key=lambda r: (r.shard, r.pos))]
+    order2 = [r.doc_id for r in sorted(c, key=lambda r: (r.shard, r.pos))]
+    assert order1 != order2  # a new seed re-deals the order
+
+
+def test_corpus_export_suite_matches_duckdb_oracle(spark):
+    """r09 registry candidate's unit-first differential at the
+    driver's sf0.01 scale."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = xc.corpus_export_suite(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(xc.CORPUS_EXPORT_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert len(spdf) == 1000  # 500 docs × 2 variants
+    kept = spdf[spdf.variant == "budget"].kept
+    assert (kept == 1.0).any() and (kept == 0.0).any()
+    assert compare_frames(spdf, opdf, "corpus_export_suite") == []

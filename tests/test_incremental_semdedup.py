@@ -175,4 +175,40 @@ def test_routed_assignment_mode_is_bit_identical(spark):
             sorted((r.vec_id, r.cell) for r in d2.collect()),
         )
 
-    assert run(False) == run(True)
+    assert run(False) == run(True) == run("auto")
+
+
+def test_auto_routed_resolution_by_codebook_size(spark):
+    """routed="auto" (the default, VERDICT r07 ask #8) plans the flat
+    broadcast scan for codebooks at or under ROUTED_EXACT_MAX_SUPERS
+    and the two-stage routed assignment (observable as the ``__sid``
+    coarse-route join) past it — while staying bit-identical either
+    way in the exact regime."""
+    import random
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        ROUTED_EXACT_MAX_SUPERS,
+    )
+
+    random.seed(11)
+    rows = [
+        (i, [round(random.uniform(-1, 1), 3) for _ in range(6)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def plan_for(k):
+        cents = emb.where(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        )
+        _, delta = incremental_semdedup(emb, None, cents, tau=0.95)
+        return delta._jdf.queryExecution().executedPlan().toString()
+
+    assert "__sid" not in plan_for(ROUTED_EXACT_MAX_SUPERS)  # flat regime
+    assert "__sid" in plan_for(ROUTED_EXACT_MAX_SUPERS + 8)  # routed regime
+
+    with pytest.raises(ValueError, match="routed"):
+        cents = emb.limit(4).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        )
+        incremental_semdedup(emb, None, cents, tau=0.9, routed="yes")

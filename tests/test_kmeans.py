@@ -64,3 +64,35 @@ def test_kmeans_sse_non_increasing(spark):
     sse1 = sse(kmeans(emb, k=5, n_iter=1))
     sse3 = sse(kmeans(emb, k=5, n_iter=3))
     assert sse3 <= sse1 + 1e-6
+
+
+def test_kmeans_suite_matches_duckdb_and_parts(spark):
+    """r09 consolidation candidate (plans/queries.py trade): the suite
+    must reproduce BOTH retiring specs' cells from one shared Lloyd
+    chain, and match its own generated DuckDB oracle."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = gq.kmeans_suite(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(gq.KMEANS_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert len(spdf) == 1000  # 500 vectors × 2 variants
+    assert compare_frames(spdf, opdf, "kmeans_suite") == []
+
+    refine = {
+        r.vec_id: (r.cell_round1, r.cell_round2)
+        for _, r in spdf[spdf.variant == "refine"].iterrows()
+    }
+    for r in gq.kmeans_refine(spark, sf).collect():
+        assert refine[r.vec_id] == (float(r.cell_round1), float(r.cell_round2))
+    final = {
+        r.vec_id: r.cell for _, r in spdf[spdf.variant == "iter3"].iterrows()
+    }
+    for r in gq.kmeans_iterations(spark, sf).collect():
+        assert final[r.vec_id] == float(r.cell)

@@ -406,9 +406,11 @@ def test_span_dedup_conservation_for_any_corpus(spark, docs):
     assert len(rows) == len(docs)
 
     def spans_of(text):
+        # mirror the engine contract (ADVICE r07): empty tokens are
+        # pre-filtered, so ''/whitespace-only docs have ZERO spans
         if text is None:
             return []
-        toks = text.split(" ")
+        toks = [t for t in text.split(" ") if t != ""]
         return [" ".join(toks[i : i + W]) for i in range(0, len(toks), W)]
 
     by_id = dict(docs)
