@@ -703,9 +703,16 @@ def incremental_semdedup(
             n_super=n_super,
             **routed_defaults(n_super),
         )
+        # cache: the assignment feeds three plan legs (same-batch
+        # rivals, the dup join probe, and the kept/delta projection);
+        # the flat branch's single wide exchange gets ReusedExchange'd
+        # across them for free, but the routed subtree ends in a
+        # narrow join whose legs re-plan separately — without this the
+        # two-stage assignment runs ~3x and erases its own win
+        # (measured 15.7s vs 9.9s flat on the sf0.5 two-batch flow).
         assigned = vecs.join(cells, id_col).select(
             id_col, "v", "nrm", "cell"
-        )
+        ).cache()
     else:
         sq_dist = _fold_sum(
             F.zip_with(F.col("v"), F.col("__cv"), lambda x, y: (x - y) * (x - y))
