@@ -369,3 +369,64 @@ def test_routed_assign_two_broadcast_levels(spark):
     assert "BroadcastNestedLoopJoin" in plan  # vectors × supers scoring
     assert "BroadcastHashJoin" in plan  # routed join to centroid groups
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_sample_no_global_sort(spark):
+    """The exact global prefix-sum must come from per-shard window
+    cumsums + broadcast shard offsets — one (source, shard)-keyed wide
+    exchange, a broadcast join for the offsets, and NO
+    rangepartitioning (a global sort would serialize each source)."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import load_tables
+    from data_engineering_for_e_commerce_logistics_spark.operators import corpus
+
+    docs = load_tables(spark, SF, ("documents",))["documents"]
+    plan = (
+        corpus.token_budget_sample(docs, 700)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan  # tiny offsets ride a broadcast
+    wide = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    # every exchange is source-keyed: the corpus-wide window shuffles
+    # on (source, shard); the remaining source-only exchanges sit on
+    # the ≤ 16×n_sources offsets aggregate (tiny by construction)
+    assert wide and all("source" in s for s in wide), wide
+    assert any("source" in s and "shard" in s for s in wide), wide
+
+
+def test_shuffle_shard_single_shard_keyed_window(spark):
+    """One hash exchange on the shard key feeding the per-shard
+    position window; no global sort, no join at all."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import load_tables
+    from data_engineering_for_e_commerce_logistics_spark.operators import corpus
+
+    docs = load_tables(spark, SF, ("documents",))["documents"]
+    plan = (
+        corpus.shuffle_shard(docs, 8, seed=42)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan
+    wide = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(wide) == 1 and "shard" in wide[0], wide
+
+
+def test_kmeans_suite_broadcast_assignments_no_cartesian(spark):
+    """Every Lloyd assignment rides a broadcast of the (bounded)
+    centroid side — the suite must show only BroadcastNestedLoopJoin
+    over the broadcast centroids (the scored crossJoin pattern every
+    assignment here uses) plus the final vec_id-keyed refine join, and
+    never a CartesianProduct over the vectors."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.kmeans_suite)
+    assert "CartesianProduct" not in plan
