@@ -521,6 +521,82 @@ def span_dedup(
     )
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based domain rebalancing (the multilingual-corpus
+    sampling rule: target share of source s ∝ n_s^alpha): alpha = 1
+    keeps natural proportions, alpha = 0 collapses to the uniform
+    target — exactly ``domain_mix_sample``'s semantics — and the
+    usual 0 < alpha < 1 range upweights small domains without
+    flattening completely.  Same deterministic hash-thresholded
+    membership as ``domain_mix_sample`` (md5 fraction < rate; no
+    rand(); growth never flips old rows under unchanged counts).
+
+    Cross-engine exactness (the oracle-registerable form): the
+    per-source weight n_s^alpha goes through ``exact_round(·, 8)``
+    BEFORE the normalizing sum, which runs in decimal(28,8) — an
+    order-independent exact sum — so the final double arithmetic
+    ((n_total · term) / S) / n_s sees bit-identical inputs with a
+    pinned evaluation order on both engines.  alpha ∈ {0, 0.5, 1}
+    uses lit/sqrt/identity (all IEEE-exact per term); other alphas
+    go through pow(), which libm does not guarantee to the last ulp
+    across engines — fine for production mixing, not for a
+    hash-compared oracle spec (docstring contract, mirrored in the
+    suite registration which pins alpha = 0.5).
+
+    Scale shape: identical to ``domain_mix_sample`` — one tiny
+    per-source aggregate broadcast back over the corpus; no window,
+    no global state."""
+    n = F.col("n_source").cast("double")
+    if alpha == 0.5:
+        term = F.sqrt(n)
+    elif alpha == 0:
+        term = F.lit(1.0)
+    elif alpha == 1:
+        term = n
+    else:
+        term = F.pow(n, F.lit(float(alpha)))
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_source"))
+    terms = counts.select(
+        source_col, "n_source", exact_round(term, 8).alias("__term")
+    )
+    tot = terms.agg(
+        F.sum(F.col("__term").cast("decimal(28,8)")).alias("__S"),
+        F.sum("n_source").alias("n_total"),
+    )
+    rates = terms.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            (
+                (F.col("n_total").cast("double") * F.col("__term"))
+                / F.col("__S").cast("double")
+            )
+            / F.col("n_source").cast("double"),
+        ).alias("rate"),
+    )
+    frac = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.select(F.col(id_col), F.col(source_col), frac.alias("hash_frac"))
+        .join(F.broadcast(rates), source_col)
+        .select(
+            id_col,
+            source_col,
+            exact_round(F.col("hash_frac"), 8).alias("hash_frac"),
+            exact_round(F.col("rate"), 8).alias("rate"),
+            (F.col("hash_frac") < F.col("rate")).alias("kept"),
+        )
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     token_budget: int,

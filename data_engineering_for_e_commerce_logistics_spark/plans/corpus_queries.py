@@ -910,3 +910,112 @@ shuf AS (
 )
 SELECT * FROM budget UNION ALL SELECT * FROM shuf
 """
+
+
+# --- Mix suite: uniform + temperature domain rebalancing (r10 registry
+# --- candidate — the consolidation that retires corpus_domain_mix) ----------
+
+MIX_ALPHA = 0.5
+
+
+def corpus_mix_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The domain-mixing family under one suite shape: the uniform
+    target (``domain_mix_sample`` — exactly ``temperature_mix_sample``
+    at alpha = 0, kept as its own variant so the retiring spec's every
+    output cell carries through) UNION the temperature rule at
+    alpha = 0.5 (target share ∝ sqrt(n_s); the sqrt/decimal-sum path
+    is IEEE-exact per term, see the operator docstring).  Identical
+    column sets — no pads, just the variant tag.
+
+    The uniform variant mixes the FULL corpus — the retiring spec's
+    every output cell carries verbatim, the consolidation contract.
+    The temperature variant mixes the ``doc_id % 3 != 0`` subset:
+    the synthetic corpus assigns sources perfectly evenly (every
+    source exactly n/20 docs), which would pin every rate at the
+    capped 1.0 and leave the threshold compare untested — the filter
+    skews counts to 16/17-ish per source so sub-1.0 rates and
+    dropped rows actually occur (both kept values asserted in the
+    unit differential)."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    skewed = docs.where(F.col("doc_id") % 3 != 0)
+    uniform = corpus.domain_mix_sample(docs).select(
+        F.lit("uniform").alias("variant"),
+        "doc_id",
+        "source",
+        "hash_frac",
+        "rate",
+        "kept",
+    )
+    temp = corpus.temperature_mix_sample(skewed, alpha=MIX_ALPHA).select(
+        F.lit("temperature").alias("variant"),
+        "doc_id",
+        "source",
+        "hash_frac",
+        "rate",
+        "kept",
+    )
+    return uniform.unionByName(temp)
+
+
+CORPUS_MIX_SUITE_SQL = """
+WITH mixdocs AS (
+  SELECT * FROM documents WHERE doc_id % 3 != 0
+),
+ucounts AS (
+  SELECT source, count(*) AS n_source FROM documents GROUP BY source
+),
+utot AS (
+  SELECT CAST(sum(n_source) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_sources
+  FROM ucounts
+),
+urates AS (
+  SELECT source,
+         least(1.0, (n_total::DOUBLE / n_sources) / n_source) AS rate
+  FROM ucounts CROSS JOIN utot
+),
+counts AS (
+  SELECT source, count(*) AS n_source FROM mixdocs GROUP BY source
+),
+terms AS (
+  SELECT source, n_source, {term} AS term FROM counts
+),
+ttot AS (
+  SELECT sum(CAST(term AS DECIMAL(28,8))) AS S,
+         CAST(sum(n_source) AS BIGINT) AS n_total
+  FROM terms
+),
+trates AS (
+  SELECT source,
+         least(1.0, ((n_total::DOUBLE * term) / S::DOUBLE)
+                    / n_source::DOUBLE) AS rate
+  FROM terms CROSS JOIN ttot
+),
+ud AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+           / 4294967296.0 AS hash_frac
+  FROM documents
+),
+d AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+           / 4294967296.0 AS hash_frac
+  FROM mixdocs
+)
+SELECT 'uniform' AS variant, ud.doc_id, ud.source,
+       {uhf} AS hash_frac, {ur} AS rate,
+       ud.hash_frac < urates.rate AS kept
+FROM ud JOIN urates USING (source)
+UNION ALL
+SELECT 'temperature', d.doc_id, d.source,
+       {hf} AS hash_frac, {tr} AS rate,
+       d.hash_frac < trates.rate AS kept
+FROM d JOIN trates USING (source)
+""".format(
+    term=sql_exact_round("sqrt(n_source::DOUBLE)", 8),
+    hf=sql_exact_round("d.hash_frac", 8),
+    uhf=sql_exact_round("ud.hash_frac", 8),
+    ur=sql_exact_round("urates.rate", 8),
+    tr=sql_exact_round("trates.rate", 8),
+)

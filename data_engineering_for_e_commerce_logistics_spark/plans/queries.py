@@ -69,7 +69,12 @@ spend the freed slot on the ``corpus_export_suite`` debut
 training-export steps; tests/test_corpus.py differential).  Post-
 trade registry: 98 specs / 97 oracle-paired — 2 flagships + 95
 backlog over 2 rounds ≈ 47.5 + 2 = saturated again, so r10 debuts
-need the next consolidation.
+need the next consolidation.  THE r10 TRADE (pre-built in r08):
+retire ``corpus_domain_mix`` into ``corpus_mix_suite``
+(plans/corpus_queries.py — uniform variant carries the retiring
+spec's cells verbatim; temperature variant debuts the alpha=0.5
+rule; tests/test_corpus.py differential over the degeneracy-breaking
+doc_id % 3 subset).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

@@ -482,3 +482,75 @@ def test_corpus_export_suite_matches_duckdb_oracle(spark):
     kept = spdf[spdf.variant == "budget"].kept
     assert (kept == 1.0).any() and (kept == 0.0).any()
     assert compare_frames(spdf, opdf, "corpus_export_suite") == []
+
+
+# --- temperature mixing (r10 mix-suite candidate) ---------------------------
+
+
+def test_temperature_mix_alpha_limits(spark):
+    """alpha=0 reproduces domain_mix_sample exactly (uniform target);
+    alpha=1 is the identity mix (rate 1.0, everything kept)."""
+    rows = [(i, "s" + str(i % 3), "x") for i in range(60)] + [
+        (100 + i, "s0", "x") for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    a0 = sorted(
+        map(tuple, corpus.temperature_mix_sample(df, alpha=0).collect())
+    )
+    base = sorted(map(tuple, corpus.domain_mix_sample(df).collect()))
+    assert a0 == base
+    for r in corpus.temperature_mix_sample(df, alpha=1).collect():
+        assert r.rate == 1.0 and r.kept
+
+
+def test_temperature_mix_upweights_small_domains(spark):
+    """0<alpha<1 sits between natural and uniform: the dominant
+    source's keep-rate is higher than under the uniform target but
+    below 1; small sources keep rate 1."""
+    rows = [(i, "big", "x") for i in range(400)] + [
+        (1000 + i, "small", "x") for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    t = {
+        r.source: r.rate
+        for r in corpus.temperature_mix_sample(df, alpha=0.5).collect()
+    }
+    u = {r.source: r.rate for r in corpus.domain_mix_sample(df).collect()}
+    assert t["small"] == 1.0
+    assert u["big"] < t["big"] < 1.0
+
+
+def test_corpus_mix_suite_matches_duckdb_oracle(spark):
+    """r10 registry candidate's unit-first differential at the
+    driver's sf0.01 scale."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = xc.corpus_mix_suite(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(xc.CORPUS_MIX_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    # uniform = full 500 docs (retiring spec carried verbatim);
+    # temperature = the 333-doc skewed subset
+    assert len(spdf) == 833
+    # the degeneracy-breaking subset makes sub-1.0 rates real: both
+    # kept values must occur, else the threshold path went untested
+    t = spdf[spdf.variant == "temperature"]
+    assert t.kept.any() and (~t.kept).any()
+    assert compare_frames(spdf, opdf, "corpus_mix_suite") == []
+
+    # consolidation contract: the uniform variant's cells == the
+    # retiring corpus_domain_mix spec's output, row for row
+    old = xc.corpus_domain_mix(spark, sf).toPandas()
+    u = (
+        spdf[spdf.variant == "uniform"]
+        .drop(columns=["variant"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert compare_frames(u, old, "mix_suite_uniform_vs_domain_mix") == []
