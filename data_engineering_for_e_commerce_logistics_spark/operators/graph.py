@@ -145,13 +145,18 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        updated = F.least(
+            labels.label, F.coalesce(F.col("nlabel"), labels.label)
+        )
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 labels.node.alias("node"),
-                F.least(
-                    labels.label, F.coalesce(F.col("nlabel"), labels.label)
-                ).alias("label"),
+                updated.alias("label"),
+                # the convergence flag is decidable inside this join's
+                # projection (old label is a join input), so the changed
+                # count needs no second labels join per iteration
+                (updated < labels.label).alias("__changed"),
             )
             # keep the label frame node-partitioned at the measured
             # width so the NEXT iteration's dst↔node join reuses the
@@ -159,14 +164,9 @@ def connected_components(
             .repartition(p, "node")
         )
         new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("__changed")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
