@@ -155,6 +155,149 @@ def kmeans(
     return assigned.select(F.col(id_col), F.col("centroid_id").alias("cell"))
 
 
+def pq_train_encode(
+    df: DataFrame,
+    dim: int,
+    n_sub: int = 4,
+    k: int = 8,
+    n_refine: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011): split each ``dim``-d vector
+    into ``n_sub`` equal subspaces, train a ``k``-codeword codebook
+    per subspace (seeds = the first ``k`` ids' subvectors, then
+    ``n_refine`` Lloyd rounds with decimal(28,8)-exact means so the
+    codebook is bit-reproducible), and encode every vector as its
+    nearest codeword id per subspace.
+
+    Returns ``(codes, codebook)``:
+
+    * ``codes``    — ``(id_col, m, code, dist)``, ``n_sub`` rows per
+      vector; ``dist`` is the squared-L2 quantization error of
+      subspace ``m`` (the per-subspace reconstruction residual).
+    * ``codebook`` — ``(m, code, cv)``, the trained codewords.
+      Codewords that capture no vectors in the final refine round
+      drop out on both engines (groupBy produces no row for them).
+
+    100 TB shape: the codebook is ``n_sub * k`` rows — broadcast
+    everywhere it is used, so training is ``n_refine + 1`` map-side
+    scored passes over the exploded ``(id, m, sv)`` frame plus one
+    (m, code, dim)-keyed mean shuffle per refine round; encode is one
+    more broadcast pass.  Nothing is ever all-pairs, and executor
+    memory is O(n_sub * k * dim / n_sub) = O(k * dim).  The exploded
+    frame is cached once and reused by every pass.
+    """
+    from pyspark.sql import Window
+
+    if dim % n_sub:
+        raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
+    sub_d = dim // n_sub
+
+    vecs = df.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
+    subs = vecs.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.slice("v", m * sub_d + 1, sub_d) for m in range(n_sub)])
+        ).alias("m", "sv"),
+    ).cache()
+
+    def nearest(cb: DataFrame) -> DataFrame:
+        scored = subs.join(F.broadcast(cb), "m").withColumn(
+            "dist",
+            _fold_sum(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        w = Window.partitionBy(id_col, "m").orderBy(
+            F.col("dist").asc(), F.col("code").asc()
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(id_col, "m", "sv", "code", "dist")
+        )
+
+    codebook = subs.filter(F.col(id_col) < k).select(
+        "m", F.col(id_col).alias("code"), F.col("sv").alias("cv")
+    )
+    for _ in range(n_refine):
+        assigned = nearest(codebook)
+        codebook = (
+            assigned.select("m", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("m", "code", "dim")
+            .agg(
+                (
+                    F.expr("cast(sum(cast(val as decimal(28,8))) as double)")
+                    / F.count(F.lit(1))
+                ).alias("cval")
+            )
+            .groupBy("m", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                    lambda s: s["cval"],
+                ).alias("cv")
+            )
+        )
+    codes = nearest(codebook).select(id_col, "m", "code", "dist")
+    return codes, codebook
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) search over PQ codes:
+    each query's exact subvectors are scored against every codeword
+    once (a ``n_queries * n_sub * k``-row distance table — tiny,
+    broadcast), then approximate distance to a database vector is the
+    sum of its codes' table entries.  The corpus is never touched
+    beyond its codes — the whole point of PQ at 100 TB: the scan reads
+    ``n_sub`` small ints per vector instead of ``dim`` floats.
+
+    ``queries`` must be ``(query_id, m, sv)`` (exact subvectors, e.g.
+    a filtered slice of the training explode).  Returns
+    ``(query_id, id_col, adist, rank)`` with rank 1..k per query by
+    (adist asc, id asc); the query's own row is excluded.  The
+    per-subspace lookups are broadcast map-side joins; the only
+    shuffle is the (query_id, id)-keyed sum, decimal(28,8)-exact so
+    ranking ties are bit-stable across engines.
+    """
+    from pyspark.sql import Window
+
+    dtab = (
+        queries.join(F.broadcast(codebook), "m")
+        .withColumn(
+            "d",
+            _fold_sum(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        .select("query_id", "m", "code", "d")
+    )
+    adist = (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.expr("cast(sum(cast(d as decimal(28,8))) as double)").alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col(id_col).asc()
+    )
+    return (
+        adist.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adist", "rank")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     query_ids: list[int],
@@ -529,7 +672,9 @@ def two_level_assign(
     # untrained seed supers every super owns at least itself, so this
     # is a no-op there).
     live = grouped.select("__sid").distinct()
-    supers_live = supers.join(live, "__sid", "left_semi")
+    # both sides are <= n_super rows; without the hint Spark plans a
+    # sort-merge semi join (two needless sorts on a 16-row frame)
+    supers_live = supers.join(F.broadcast(live), "__sid", "left_semi")
     w_v = Window.partitionBy(id_col).orderBy(
         F.col("__sdist").asc(), F.col("__sid").asc()
     )

@@ -226,11 +226,17 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid (L2; seeds = first N vectors — deterministic, a k-means
     iteration would refine them with the same plan shape).  Broadcast
     centroids → map-side scoring, one row_number per vector."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return _ivf_assign_from(emb)
+
+
+def _ivf_assign_from(emb: DataFrame) -> DataFrame:
+    """ivf_assign's chain from an already-loaded embeddings frame, so
+    ann_assign_suite can share one cached scan across both legs."""
     from pyspark.sql import Window
 
     from ..operators.similarity import _as_double_vec, _fold_sum
 
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
     centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
@@ -1551,9 +1557,15 @@ def routed_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping → multi-probe routing → within-group-nearest chain.
     100 TB shape: two broadcast joins, no shuffle before the caller's
     per-cell work (see two_level_assign docstring)."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return _routed_assign_from(emb)
+
+
+def _routed_assign_from(emb: DataFrame) -> DataFrame:
+    """routed_assign_embeddings' chain from an already-loaded frame
+    (shared-scan hook for ann_assign_suite)."""
     from ..operators.similarity import two_level_assign
 
-    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     centroids = emb.filter(F.col("vec_id") < ROUTED_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
@@ -1626,6 +1638,218 @@ ORDER BY vec_id
 
 
 ROUTED_ASSIGN_SQL = _routed_assign_sql()
+
+
+# --- ANN coarse-assignment suite (the r11 consolidation) --------------------
+
+
+def ann_assign_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation earmarked for r11 (the docstring
+    trade in plans/queries.py — pre-built unit-first in r08): the two
+    coarse-assignment specs, one spec.  The 'ivf' variant carries
+    ``ivf_assign``'s cells + distances verbatim; the 'routed' variant
+    carries ``routed_assign_embeddings``'s two-level cells verbatim.
+    Shared work = the embeddings scan (cached once, both legs read
+    it); the assignment chains stay the parts' exact plans so every
+    original output cell survives the merge.  Numeric pads cast
+    double on both engines; bench baseline at registration = the
+    parts' sum via bench.py RENAMED_FROM."""
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].cache()
+    nd = F.lit(None).cast("double")
+    ivf = _ivf_assign_from(emb).select(
+        F.lit("ivf").alias("variant"),
+        "vec_id",
+        F.col("centroid_id").cast("double").alias("cell"),
+        "dist",
+    )
+    routed = _routed_assign_from(emb).select(
+        F.lit("routed").alias("variant"),
+        "vec_id",
+        F.col("cell").cast("double").alias("cell"),
+        nd.alias("dist"),
+    )
+    return ivf.unionByName(routed)
+
+
+ANN_ASSIGN_SUITE_SQL = f"""
+WITH ivf_leg AS ({IVF_ASSIGN_SQL}),
+routed_leg AS ({ROUTED_ASSIGN_SQL})
+SELECT 'ivf' AS variant, vec_id, CAST(centroid_id AS DOUBLE) AS cell, dist
+FROM ivf_leg
+UNION ALL
+SELECT 'routed', vec_id, CAST(cell AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM routed_leg
+"""
+
+
+# --- Product quantization suite (the r11 debut) -----------------------------
+
+PQ_SUB = 4        # subspaces (64-dim embeddings -> 16-dim subvectors)
+PQ_K = 8          # codewords per subspace codebook
+PQ_N_QUERIES = 4  # ADC query vectors: vec_id < 4 (the suite convention)
+PQ_TOPK = 5
+EMB_DIM = 64
+
+
+def pq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (train → encode → ADC search),
+    the vector-compression leg the ANN stack was missing: IVF/routed
+    give the coarse cells, PQ gives the in-cell compressed codes +
+    asymmetric-distance ranking (Jégou et al., TPAMI 2011).
+
+    Two variants, one schema:
+
+    * 'encode' — per (vector, subspace): the trained codeword id and
+      the squared-L2 quantization residual.  Codebook = first-8-ids
+      seeds + one decimal(28,8)-exact Lloyd round per subspace
+      (operators/similarity.pq_train_encode), so every code is
+      bit-reproducible against the DuckDB replay.
+    * 'adc' — top-5 neighbors per query (vec_id < 4) by asymmetric
+      distance: exact query subvectors scored against the codebook
+      once (a 4*4*8-row broadcast table), approximate distance =
+      decimal-exact sum of the 4 code lookups, self excluded.
+
+    100 TB shape: training/encode are broadcast-codebook map passes
+    over the subspace explode plus one (m, code, dim) mean shuffle;
+    ADC reads only the codes (n_sub small ints per vector, never the
+    vectors) and shuffles once on (query_id, vec_id).  No all-pairs
+    anywhere; executor memory is O(k * dim)."""
+    from ..operators.similarity import (
+        _as_double_vec,
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    codes, codebook = pq_train_encode(
+        emb, dim=EMB_DIM, n_sub=PQ_SUB, k=PQ_K, n_refine=1
+    )
+    codes = codes.cache()
+    sub_d = EMB_DIM // PQ_SUB
+    queries = (
+        emb.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            _as_double_vec("embedding").alias("v"),
+        )
+        .select(
+            "query_id",
+            F.posexplode(
+                F.array(
+                    *[F.slice("v", m * sub_d + 1, sub_d) for m in range(PQ_SUB)]
+                )
+            ).alias("m", "sv"),
+        )
+    )
+    adc = pq_adc_topk(codes, codebook, queries, k=PQ_TOPK)
+    nd = F.lit(None).cast("double")
+    enc = codes.select(
+        F.lit("encode").alias("variant"),
+        "vec_id",
+        F.col("m").cast("double").alias("m"),
+        F.col("code").cast("double").alias("code"),
+        nd.alias("query_id"),
+        "dist",
+        nd.alias("rank"),
+    )
+    a = adc.select(
+        F.lit("adc").alias("variant"),
+        "vec_id",
+        nd.alias("m"),
+        nd.alias("code"),
+        F.col("query_id").cast("double").alias("query_id"),
+        F.col("adist").alias("dist"),
+        F.col("rank").cast("double").alias("rank"),
+    )
+    return enc.unionByName(a)
+
+
+def _pq_suite_sql(
+    n_sub: int = PQ_SUB,
+    k: int = PQ_K,
+    dim: int = EMB_DIM,
+    n_q: int = PQ_N_QUERIES,
+    topk: int = PQ_TOPK,
+) -> str:
+    """Generated by the same constants as the Spark plan so the two
+    can't drift: subspace explode unrolled as a UNION ALL, one seeded
+    assign + decimal-exact mean round, re-encode, ADC lookup-sum."""
+    sub_d = dim // n_sub
+    dist = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    subs = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * sub_d + 1}:{(m + 1) * sub_d}] AS sv"
+        " FROM e"
+        for m in range(n_sub)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+subs AS (
+  {subs}
+),
+seed AS (SELECT m, vec_id AS code, sv AS cv FROM subs WHERE vec_id < {k}),
+asg0 AS (
+  SELECT vec_id, m, sv, code FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT s.vec_id, s.m, s.sv, c.code,
+                 {dist.format(a='s.sv', b='c.cv')} AS dist
+          FROM subs s JOIN seed c USING (m))
+  ) WHERE rn = 1
+),
+cb AS (
+  SELECT m, code, list(cval ORDER BY dim) AS cv FROM (
+    SELECT m, code, dim,
+           cast(sum(cast(val as decimal(28,8))) as double) / count(*) AS cval
+    FROM (SELECT m, code, unnest(sv) AS val,
+                 generate_subscripts(sv, 1) - 1 AS dim FROM asg0)
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+codes AS (
+  SELECT vec_id, m, code, dist FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT s.vec_id, s.m, c.code,
+                 {dist.format(a='s.sv', b='c.cv')} AS dist
+          FROM subs s JOIN cb c USING (m))
+  ) WHERE rn = 1
+),
+dtab AS (
+  SELECT q.vec_id AS query_id, q.m, c.code,
+         {dist.format(a='q.sv', b='c.cv')} AS d
+  FROM subs q JOIN cb c USING (m) WHERE q.vec_id < {n_q}
+),
+ad AS (
+  SELECT d.query_id, x.vec_id,
+         cast(sum(cast(d.d AS decimal(28,8))) AS double) AS adist
+  FROM codes x JOIN dtab d ON d.m = x.m AND d.code = x.code
+  WHERE x.vec_id <> d.query_id
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT query_id, vec_id, adist, rank FROM (
+    SELECT query_id, vec_id, adist, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+    FROM ad) WHERE rank <= {topk}
+)
+SELECT 'encode' AS variant, vec_id, CAST(m AS DOUBLE) AS m,
+       CAST(code AS DOUBLE) AS code, CAST(NULL AS DOUBLE) AS query_id,
+       dist, CAST(NULL AS DOUBLE) AS rank
+FROM codes
+UNION ALL
+SELECT 'adc', vec_id, NULL, NULL, CAST(query_id AS DOUBLE),
+       adist, CAST(rank AS DOUBLE)
+FROM adc
+"""
+
+
+PQ_SUITE_SQL = _pq_suite_sql()
 
 
 # --- Incremental SemDeDup (fourth incremental family; r07 candidate) --------

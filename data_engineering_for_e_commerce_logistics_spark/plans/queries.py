@@ -74,7 +74,17 @@ retire ``corpus_domain_mix`` into ``corpus_mix_suite``
 (plans/corpus_queries.py — uniform variant carries the retiring
 spec's cells verbatim; temperature variant debuts the alpha=0.5
 rule; tests/test_corpus.py differential over the degeneracy-breaking
-doc_id % 3 subset).
+doc_id % 3 subset).  THE r11 TRADE (pre-built in r08): retire
+``ivf_assign`` + ``routed_assign_embeddings`` into
+``ann_assign_suite`` (plans/graph_queries.py — one shared cached
+embeddings scan, both retiring specs' cells verbatim as 'ivf' /
+'routed' variants; tests/test_pq.py pins suite ↔ parts ↔ DuckDB,
+bench baseline = the parts' sum via RENAMED_FROM), and spend the
+freed slot on the ``pq_suite`` debut (product quantization: per-
+subspace codebook train with one decimal-exact Lloyd round, encode,
+and ADC top-k search — operators/similarity.pq_train_encode /
+pq_adc_topk; tests/test_pq.py differential plus the triangle-
+inequality ADC bound, plan-guarded broadcast-codebook-only joins).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

@@ -430,3 +430,34 @@ def test_kmeans_suite_broadcast_assignments_no_cartesian(spark):
 
     plan = _plan_of(spark, gq.kmeans_suite)
     assert "CartesianProduct" not in plan
+
+
+def test_pq_suite_broadcast_codebook_no_cartesian(spark):
+    """PQ's scale contract: the codebook (n_sub*k rows) and the ADC
+    distance table (n_q*n_sub*k rows) are the ONLY join sides, and
+    both must ride broadcasts — every assignment/lookup join is a
+    BroadcastHashJoin on the subspace key, never a shuffle join over
+    the vectors and never an all-pairs product."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.pq_suite)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ann_assign_suite_broadcast_only_joins(spark):
+    """The merged coarse-assign suite keeps both parts' shapes: every
+    centroid/super scoring join broadcasts the bounded side (the ivf
+    leg's scored crossJoin shows as BroadcastNestedLoopJoin), with no
+    CartesianProduct and no shuffle join anywhere."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.ann_assign_suite)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
