@@ -163,6 +163,8 @@ def pq_train_encode(
     n_refine: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed_offset: int = 0,
+    carry_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame]:
     """Product quantization (Jégou et al., "Product Quantization for
     Nearest Neighbor Search", TPAMI 2011): split each ``dim``-d vector
@@ -181,6 +183,17 @@ def pq_train_encode(
       Codewords that capture no vectors in the final refine round
       drop out on both engines (groupBy produces no row for them).
 
+    ``seed_offset`` shifts the seed id window to
+    ``[seed_offset, seed_offset + k)`` — callers quantizing IVF
+    RESIDUALS must skip the coarse-centroid ids, whose residuals to
+    themselves are zero vectors (k identical seeds would collapse
+    the codebook to one effective codeword).
+
+    ``carry_cols`` rides extra per-row columns (e.g. the owning IVF
+    cell) through the explode into ``codes``, so callers never need
+    an n-to-n re-join on ``id_col`` to get them back — that join
+    would be a full shuffle the carry makes free.
+
     100 TB shape: the codebook is ``n_sub * k`` rows — broadcast
     everywhere it is used, so training is ``n_refine + 1`` map-side
     scored passes over the exploded ``(id, m, sv)`` frame plus one
@@ -195,9 +208,12 @@ def pq_train_encode(
         raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
     sub_d = dim // n_sub
 
-    vecs = df.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
+    vecs = df.select(
+        F.col(id_col), _as_double_vec(vec_col).alias("v"), *carry_cols
+    )
     subs = vecs.select(
         id_col,
+        *carry_cols,
         F.posexplode(
             F.array(*[F.slice("v", m * sub_d + 1, sub_d) for m in range(n_sub)])
         ).alias("m", "sv"),
@@ -216,11 +232,13 @@ def pq_train_encode(
         return (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select(id_col, "m", "sv", "code", "dist")
+            .select(id_col, *carry_cols, "m", "sv", "code", "dist")
         )
 
-    codebook = subs.filter(F.col(id_col) < k).select(
-        "m", F.col(id_col).alias("code"), F.col("sv").alias("cv")
+    codebook = subs.filter(
+        (F.col(id_col) >= seed_offset) & (F.col(id_col) < seed_offset + k)
+    ).select(
+        "m", (F.col(id_col) - seed_offset).alias("code"), F.col("sv").alias("cv")
     )
     for _ in range(n_refine):
         assigned = nearest(codebook)
@@ -241,7 +259,7 @@ def pq_train_encode(
                 ).alias("cv")
             )
         )
-    codes = nearest(codebook).select(id_col, "m", "code", "dist")
+    codes = nearest(codebook).select(id_col, *carry_cols, "m", "code", "dist")
     return codes, codebook
 
 
@@ -295,6 +313,49 @@ def pq_adc_topk(
         adist.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "adist", "rank")
+    )
+
+
+def pq_rerank_topk(
+    shortlist: DataFrame,
+    vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact re-ranking of a PQ ADC shortlist — the refine stage of
+    the standard two-stage retrieval (FAISS's IndexRefineFlat over
+    IVFPQ): quantized distances screen the corpus cheaply, then the
+    top-R survivors' EXACT vectors are read and re-scored, and only
+    the re-ranked top-k is returned.  On near-i.i.d. data where ADC
+    rank order is noisy this recovers most of the lost recall for R
+    ≈ 10k (measured in SCALE.md).
+
+    ``shortlist`` is pq_adc_topk's output (query_id, id, adist,
+    rank); ``vecs`` / ``query_vecs`` are (id, v) / (query_id, qv)
+    exact double vectors.  100 TB shape: the shortlist is R rows per
+    query — it broadcasts into the corpus-side join, so the exact
+    vectors are read for R*n_queries rows only, never the corpus."""
+    from pyspark.sql import Window
+
+    cand = shortlist.select("query_id", id_col)
+    exact = (
+        vecs.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(query_vecs), "query_id")
+        .withColumn(
+            "dist",
+            _fold_sum(
+                F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "dist", "rank")
     )
 
 
@@ -726,7 +787,10 @@ def semdedup_prune(
         .select(F.col(id_b).alias(id_col))
         .distinct()
     )
-    return df.join(drop, id_col, "left_anti")
+    # the drop set is bounded by the mined pair count (topk per cell),
+    # orders of magnitude under the corpus — broadcast it so the anti
+    # join never shuffles the corpus side
+    return df.join(F.broadcast(drop), id_col, "left_anti")
 
 
 def incremental_semdedup(

@@ -1537,6 +1537,66 @@ ORDER BY vec_id
 """
 
 
+def semdedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation earmarked for r12 (the docstring
+    trade in plans/queries.py — pre-built unit-first in r08): the
+    SemDeDup mine + prune family, one spec.  ``semdedup_keep``
+    recomputed ``semdedup_pairs``' whole cell-bounded miner just to
+    anti-join its drop set; the suite mines the pairs ONCE (cached)
+    and serves both retiring specs' rows from that one pass — the
+    'pairs' variant is the pair evidence verbatim, the 'keep' variant
+    is the pruned corpus derived from the same cached frame.  Numeric
+    pads cast double on both engines; bench baseline at registration
+    = the parts' sum via bench.py RENAMED_FROM."""
+    from ..operators.similarity import semdedup_prune
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    pairs = semdedup_pairs(spark, sf_dir).cache()
+    kept = semdedup_prune(
+        emb.select("vec_id", "label"), pairs, tau=SEMDEDUP_TAU
+    )
+    nd = F.lit(None).cast("double")
+    nb = F.lit(None).cast("bigint")
+    p = pairs.select(
+        F.lit("pairs").alias("variant"),
+        F.col("cell").cast("double").alias("cell"),
+        F.col("pair_rank").cast("double").alias("pair_rank"),
+        "id_a",
+        "id_b",
+        "cosine",
+        nb.alias("vec_id"),
+        nd.alias("label"),
+    )
+    k = kept.select(
+        F.lit("keep").alias("variant"),
+        nd.alias("cell"),
+        nd.alias("pair_rank"),
+        nb.alias("id_a"),
+        nb.alias("id_b"),
+        nd.alias("cosine"),
+        "vec_id",
+        F.col("label").cast("double").alias("label"),
+    )
+    return p.unionByName(k)
+
+
+SEMDEDUP_SUITE_SQL = f"""
+WITH pairs AS ({SEMDEDUP_PAIRS_SQL})
+SELECT 'pairs' AS variant, CAST(cell AS DOUBLE) AS cell,
+       CAST(pair_rank AS DOUBLE) AS pair_rank, id_a, id_b, cosine,
+       CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS DOUBLE) AS label
+FROM pairs
+UNION ALL
+SELECT 'keep', NULL, NULL, NULL, NULL, NULL, vec_id,
+       CAST(label AS DOUBLE)
+FROM embeddings e
+WHERE NOT EXISTS (
+  SELECT 1 FROM pairs p
+  WHERE p.id_b = e.vec_id AND p.cosine >= {SEMDEDUP_TAU}
+)
+"""
+
+
 # --- Trained coarse-routed assignment (registered r06) ----------------------
 
 ROUTED_K = 16       # codebook: the first 16 vectors by id
@@ -1688,6 +1748,7 @@ PQ_SUB = 4        # subspaces (64-dim embeddings -> 16-dim subvectors)
 PQ_K = 8          # codewords per subspace codebook
 PQ_N_QUERIES = 4  # ADC query vectors: vec_id < 4 (the suite convention)
 PQ_TOPK = 5
+PQ_SHORTLIST = 50  # ADC screen width feeding the exact re-rank stage
 EMB_DIM = 64
 
 
@@ -1708,15 +1769,23 @@ def pq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       distance: exact query subvectors scored against the codebook
       once (a 4*4*8-row broadcast table), approximate distance =
       decimal-exact sum of the 4 code lookups, self excluded.
+    * 'rerank' — the refine stage: the top-50 ADC shortlist's exact
+      vectors re-scored by true L2, top-5 by exact distance.  On
+      this near-i.i.d. synthetic corpus raw ADC recall@5 vs exact is
+      ~0.20 (random data is the quantizer's worst case); the rerank
+      stage recovers it to ~0.62 at R=50 (measured, SCALE.md) — the
+      standard two-stage shape (FAISS IndexRefineFlat).
 
     100 TB shape: training/encode are broadcast-codebook map passes
     over the subspace explode plus one (m, code, dim) mean shuffle;
     ADC reads only the codes (n_sub small ints per vector, never the
-    vectors) and shuffles once on (query_id, vec_id).  No all-pairs
-    anywhere; executor memory is O(k * dim)."""
+    vectors) and shuffles once on (query_id, vec_id); rerank reads
+    exactly R*n_queries exact vectors via a broadcast shortlist semi
+    pattern.  No all-pairs anywhere; executor memory is O(k * dim)."""
     from ..operators.similarity import (
         _as_double_vec,
         pq_adc_topk,
+        pq_rerank_topk,
         pq_train_encode,
     )
 
@@ -1726,6 +1795,10 @@ def pq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = codes.cache()
     sub_d = EMB_DIM // PQ_SUB
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    qvecs = vecs.filter(F.col("vec_id") < PQ_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     queries = (
         emb.filter(F.col("vec_id") < PQ_N_QUERIES)
         .select(
@@ -1741,7 +1814,9 @@ def pq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m", "sv"),
         )
     )
-    adc = pq_adc_topk(codes, codebook, queries, k=PQ_TOPK)
+    shortlist = pq_adc_topk(codes, codebook, queries, k=PQ_SHORTLIST).cache()
+    adc = shortlist.filter(F.col("rank") <= PQ_TOPK)
+    rerank = pq_rerank_topk(shortlist, vecs, qvecs, k=PQ_TOPK)
     nd = F.lit(None).cast("double")
     enc = codes.select(
         F.lit("encode").alias("variant"),
@@ -1761,7 +1836,16 @@ def pq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adist").alias("dist"),
         F.col("rank").cast("double").alias("rank"),
     )
-    return enc.unionByName(a)
+    r = rerank.select(
+        F.lit("rerank").alias("variant"),
+        "vec_id",
+        nd.alias("m"),
+        nd.alias("code"),
+        F.col("query_id").cast("double").alias("query_id"),
+        "dist",
+        F.col("rank").cast("double").alias("rank"),
+    )
+    return enc.unionByName(a).unionByName(r)
 
 
 def _pq_suite_sql(
@@ -1770,10 +1854,12 @@ def _pq_suite_sql(
     dim: int = EMB_DIM,
     n_q: int = PQ_N_QUERIES,
     topk: int = PQ_TOPK,
+    shortlist: int = PQ_SHORTLIST,
 ) -> str:
     """Generated by the same constants as the Spark plan so the two
     can't drift: subspace explode unrolled as a UNION ALL, one seeded
-    assign + decimal-exact mean round, re-encode, ADC lookup-sum."""
+    assign + decimal-exact mean round, re-encode, ADC lookup-sum,
+    exact re-rank of the ADC shortlist."""
     sub_d = dim // n_sub
     dist = (
         "list_reduce(list_transform(list_zip({a}, {b}),"
@@ -1832,11 +1918,21 @@ ad AS (
   WHERE x.vec_id <> d.query_id
   GROUP BY 1, 2
 ),
-adc AS (
+short AS (
   SELECT query_id, vec_id, adist, rank FROM (
     SELECT query_id, vec_id, adist, row_number() OVER (
         PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
-    FROM ad) WHERE rank <= {topk}
+    FROM ad) WHERE rank <= {shortlist}
+),
+rerank AS (
+  SELECT query_id, vec_id, dist, rank FROM (
+    SELECT query_id, vec_id, dist, row_number() OVER (
+        PARTITION BY query_id ORDER BY dist ASC, vec_id ASC) AS rank
+    FROM (SELECT s.query_id, s.vec_id,
+                 {dist.format(a='x.v', b='q.v')} AS dist
+          FROM short s JOIN e x ON x.vec_id = s.vec_id
+                       JOIN e q ON q.vec_id = s.query_id)
+  ) WHERE rank <= {topk}
 )
 SELECT 'encode' AS variant, vec_id, CAST(m AS DOUBLE) AS m,
        CAST(code AS DOUBLE) AS code, CAST(NULL AS DOUBLE) AS query_id,
@@ -1845,11 +1941,283 @@ FROM codes
 UNION ALL
 SELECT 'adc', vec_id, NULL, NULL, CAST(query_id AS DOUBLE),
        adist, CAST(rank AS DOUBLE)
-FROM adc
+FROM short WHERE rank <= {topk}
+UNION ALL
+SELECT 'rerank', vec_id, NULL, NULL, CAST(query_id AS DOUBLE),
+       dist, CAST(rank AS DOUBLE)
+FROM rerank
 """
 
 
 PQ_SUITE_SQL = _pq_suite_sql()
+
+
+# --- IVF-PQ: residual product quantization (the r12 debut) ------------------
+
+IVFPQ_PROBE = 2
+
+
+def ivfpq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jégou et al. TPAMI 2011 §IV — the FAISS IVFPQ index,
+    the canonical billion-scale ANN layout): coarse-quantize every
+    vector to its nearest seed cell, PQ-encode the RESIDUAL x - c(x)
+    with one shared subspace codebook, and search by ADC over the
+    probed cells only — each query builds its lookup table from its
+    residual w.r.t. each probed cell's centroid, and candidates are
+    restricted to vectors OWNED by those cells.
+
+    Two variants, one schema:
+
+    * 'encode' — per (vector, subspace): owning cell, residual
+      codeword id, squared-L2 residual quantization error.  (On
+      clustered corpora residual codebooks concentrate energy near
+      zero and quantize tighter than raw-vector PQ; on this
+      i.i.d. synthetic table var(x - c) > var(x) — 531 vs 423 total
+      squared error, measured — so the suite documents the
+      corpus-dependence instead of asserting the textbook win.)
+    * 'adc' — top-5 per query (vec_id < 4) across its IVFPQ_PROBE=2
+      nearest cells, decimal-exact lookup sums, self excluded.
+
+    100 TB shape: everything pq_suite's plan note says, plus the
+    probe restriction — the ADC join hits only ~nprobe/n_cells of
+    the code table via the (cell, m, code) broadcast key, which is
+    the inverted-list pruning that makes IVF-PQ sub-linear in
+    practice.  The coarse ranking is computed ONCE and serves both
+    the rn=1 owning-cell residuals and the rn<=nprobe query routing."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _as_double_vec,
+        _fold_sum,
+        pq_train_encode,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    coarse = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cdist").asc(), F.col("cell").asc()
+    )
+    ranked = (
+        F.broadcast(coarse)
+        .crossJoin(vecs)
+        .withColumn(
+            "cdist",
+            _fold_sum(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    asg = (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y).alias("r"),
+        )
+        .cache()
+    )
+    # seed the residual codebook past the coarse-centroid ids: ids
+    # 0..n_cells-1 ARE the centroids, so their residuals are zero
+    # vectors and would collapse the seed set (see pq_train_encode)
+    codes, codebook = pq_train_encode(
+        asg,
+        dim=EMB_DIM,
+        n_sub=PQ_SUB,
+        k=PQ_K,
+        n_refine=1,
+        vec_col="r",
+        seed_offset=N_CENTROIDS,
+        carry_cols=("cell",),
+    )
+    codes = codes.cache()
+    sub_d = EMB_DIM // PQ_SUB
+    qres = ranked.filter(
+        (F.col("vec_id") < PQ_N_QUERIES) & (F.col("rn") <= IVFPQ_PROBE)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y).alias("qr"),
+    )
+    qsubs = qres.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.array(
+                *[F.slice("qr", m * sub_d + 1, sub_d) for m in range(PQ_SUB)]
+            )
+        ).alias("m", "sv"),
+    )
+    dtab = (
+        qsubs.join(F.broadcast(codebook), "m")
+        .withColumn(
+            "d",
+            _fold_sum(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        .select("query_id", "cell", "m", "code", "d")
+    )
+    adist = (
+        codes.join(F.broadcast(dtab), ["cell", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.expr("cast(sum(cast(d as decimal(28,8))) as double)").alias("adist")
+        )
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    adc = adist.withColumn("rank", F.row_number().over(w_q)).filter(
+        F.col("rank") <= PQ_TOPK
+    )
+    nd = F.lit(None).cast("double")
+    enc = codes.select(
+        F.lit("encode").alias("variant"),
+        "vec_id",
+        F.col("cell").cast("double").alias("cell"),
+        F.col("m").cast("double").alias("m"),
+        F.col("code").cast("double").alias("code"),
+        nd.alias("query_id"),
+        "dist",
+        nd.alias("rank"),
+    )
+    a = adc.select(
+        F.lit("adc").alias("variant"),
+        "vec_id",
+        nd.alias("cell"),
+        nd.alias("m"),
+        nd.alias("code"),
+        F.col("query_id").cast("double").alias("query_id"),
+        F.col("adist").alias("dist"),
+        F.col("rank").cast("double").alias("rank"),
+    )
+    return enc.unionByName(a)
+
+
+def _ivfpq_suite_sql(
+    n_sub: int = PQ_SUB,
+    k: int = PQ_K,
+    dim: int = EMB_DIM,
+    n_q: int = PQ_N_QUERIES,
+    topk: int = PQ_TOPK,
+    n_cells: int = N_CENTROIDS,
+    nprobe: int = IVFPQ_PROBE,
+) -> str:
+    """Same generator discipline as _pq_suite_sql, over residuals,
+    with the probed-cell candidate restriction in the ADC join."""
+    sub_d = dim // n_sub
+    dist = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    subs = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, r[{m * sub_d + 1}:{(m + 1) * sub_d}] AS sv"
+        " FROM res"
+        for m in range(n_sub)
+    )
+    qsubs = "\n  UNION ALL ".join(
+        f"SELECT query_id, cell, {m} AS m,"
+        f" qr[{m * sub_d + 1}:{(m + 1) * sub_d}] AS sv FROM qres"
+        for m in range(n_sub)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {n_cells}),
+ranked AS (
+  SELECT e.vec_id, c.cell, e.v, c.cv, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {dist.format(a='e.v', b='c.cv')} ASC, c.cell ASC) AS rn
+  FROM e, c
+),
+res AS (
+  SELECT vec_id, cell,
+         list_transform(list_zip(v, cv), p -> p[1] - p[2]) AS r
+  FROM ranked WHERE rn = 1
+),
+subs AS (
+  {subs}
+),
+seed AS (SELECT m, vec_id - {n_cells} AS code, sv AS cv FROM subs
+         WHERE vec_id >= {n_cells} AND vec_id < {n_cells + k}),
+asg0 AS (
+  SELECT vec_id, m, sv, code FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT s.vec_id, s.m, s.sv, c.code,
+                 {dist.format(a='s.sv', b='c.cv')} AS dist
+          FROM subs s JOIN seed c USING (m))
+  ) WHERE rn = 1
+),
+cb AS (
+  SELECT m, code, list(cval ORDER BY dim) AS cv FROM (
+    SELECT m, code, dim,
+           cast(sum(cast(val as decimal(28,8))) as double) / count(*) AS cval
+    FROM (SELECT m, code, unnest(sv) AS val,
+                 generate_subscripts(sv, 1) - 1 AS dim FROM asg0)
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+codes AS (
+  SELECT vec_id, m, code, dist FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT s.vec_id, s.m, c.code,
+                 {dist.format(a='s.sv', b='c.cv')} AS dist
+          FROM subs s JOIN cb c USING (m))
+  ) WHERE rn = 1
+),
+codesc AS (
+  SELECT x.vec_id, r.cell, x.m, x.code, x.dist
+  FROM codes x JOIN res r USING (vec_id)
+),
+qres AS (
+  SELECT vec_id AS query_id, cell,
+         list_transform(list_zip(v, cv), p -> p[1] - p[2]) AS qr
+  FROM ranked WHERE vec_id < {n_q} AND rn <= {nprobe}
+),
+qsubs AS (
+  {qsubs}
+),
+dtab AS (
+  SELECT q.query_id, q.cell, q.m, c.code,
+         {dist.format(a='q.sv', b='c.cv')} AS d
+  FROM qsubs q JOIN cb c USING (m)
+),
+ad AS (
+  SELECT d.query_id, x.vec_id,
+         cast(sum(cast(d.d AS decimal(28,8))) AS double) AS adist
+  FROM codesc x JOIN dtab d
+    ON d.cell = x.cell AND d.m = x.m AND d.code = x.code
+  WHERE x.vec_id <> d.query_id
+  GROUP BY 1, 2
+),
+adc AS (
+  SELECT query_id, vec_id, adist, rank FROM (
+    SELECT query_id, vec_id, adist, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rank
+    FROM ad) WHERE rank <= {topk}
+)
+SELECT 'encode' AS variant, vec_id, CAST(cell AS DOUBLE) AS cell,
+       CAST(m AS DOUBLE) AS m, CAST(code AS DOUBLE) AS code,
+       CAST(NULL AS DOUBLE) AS query_id, dist,
+       CAST(NULL AS DOUBLE) AS rank
+FROM codesc
+UNION ALL
+SELECT 'adc', vec_id, NULL, NULL, NULL, CAST(query_id AS DOUBLE),
+       adist, CAST(rank AS DOUBLE)
+FROM adc
+"""
+
+
+IVFPQ_SUITE_SQL = _ivfpq_suite_sql()
 
 
 # --- Incremental SemDeDup (fourth incremental family; r07 candidate) --------

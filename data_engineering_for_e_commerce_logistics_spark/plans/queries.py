@@ -85,6 +85,16 @@ subspace codebook train with one decimal-exact Lloyd round, encode,
 and ADC top-k search — operators/similarity.pq_train_encode /
 pq_adc_topk; tests/test_pq.py differential plus the triangle-
 inequality ADC bound, plan-guarded broadcast-codebook-only joins).
+THE r12 TRADE (pre-built in r08): retire ``semdedup_pairs`` +
+``semdedup_keep`` into ``semdedup_suite`` (plans/graph_queries.py —
+the keep spec recomputed the whole cell-bounded miner just to anti-
+join its drop set; the suite mines ONCE, cached, and serves both
+variants; tests/test_pq.py pins suite ↔ parts ↔ DuckDB, plan guard
+pins the single cached miner + broadcast anti join), and spend the
+freed slot on the ``ivfpq_suite`` debut (IVF-PQ residual
+quantization with probed-cell ADC, the FAISS-IVFPQ index shape —
+tests/test_pq.py differential + probe-restriction units, broadcast-
+only plan guard).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

@@ -461,3 +461,38 @@ def test_ann_assign_suite_broadcast_only_joins(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivfpq_suite_broadcast_only_no_cartesian(spark):
+    """IVF-PQ's scale contract: coarse scoring rides the broadcast
+    centroid pattern (BroadcastNestedLoopJoin), the codebook and the
+    per-query distance table ride BroadcastHashJoins, and nothing is
+    ever an unhinted shuffle join or all-pairs product."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.ivfpq_suite)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semdedup_suite_single_cached_miner(spark):
+    """The r12 consolidation's point is ONE miner pass: the suite's
+    plan must read the pair evidence from InMemoryTableScan (the
+    cached frame), the keep variant's anti join must be a broadcast
+    (the drop set is bounded by topk*cells), and the only shuffle
+    joins are the miner's own cell-keyed self-join."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.semdedup_suite)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line:
+            assert "cell" in line and "LeftAnti" not in line, line
+    assert "BroadcastHashJoin" in plan  # the LeftAnti drop-set join

@@ -52,14 +52,17 @@ def test_pq_suite_matches_duckdb(spark):
     finally:
         conn.close()
     n_vec = int((spdf.variant == "encode").sum()) // gq.PQ_SUB
-    assert len(spdf) == n_vec * gq.PQ_SUB + gq.PQ_N_QUERIES * gq.PQ_TOPK
+    assert len(spdf) == n_vec * gq.PQ_SUB + 2 * gq.PQ_N_QUERIES * gq.PQ_TOPK
     assert compare_frames(spdf, opdf, "pq_suite") == []
-    adc = spdf[spdf.variant == "adc"]
-    assert sorted(adc["rank"].tolist()) == sorted(
-        float(r) for _ in range(gq.PQ_N_QUERIES) for r in range(1, gq.PQ_TOPK + 1)
-    )
-    # ADC never returns the query itself
-    assert not any(adc.vec_id == adc.query_id)
+    for variant in ("adc", "rerank"):
+        part = spdf[spdf.variant == variant]
+        assert sorted(part["rank"].tolist()) == sorted(
+            float(r)
+            for _ in range(gq.PQ_N_QUERIES)
+            for r in range(1, gq.PQ_TOPK + 1)
+        ), variant
+        # neither stage ever returns the query itself
+        assert not any(part.vec_id == part.query_id), variant
 
 
 def test_pq_adc_tracks_exact_distance(spark):
@@ -95,6 +98,28 @@ def test_pq_adc_tracks_exact_distance(spark):
         assert abs(math.sqrt(row.dist) - math.sqrt(exact)) <= (
             math.sqrt(resid[int(row.vec_id)]) + 1e-6
         )
+    # the refine stage's distances are EXACT L2, and re-ranking the
+    # shortlist never does worse than raw ADC order against exact
+    # ground truth (the whole point of the two-stage shape)
+    rerank = suite[suite.variant == "rerank"]
+    by_q = {}
+    for vid, v in vecs.items():
+        for qid in range(gq.PQ_N_QUERIES):
+            if vid == qid:
+                continue
+            d = sum((a - b) * (a - b) for a, b in zip(vecs[qid], v))
+            by_q.setdefault(qid, []).append((d, vid))
+    recall = {"adc": 0, "rerank": 0}
+    for qid, ds in by_q.items():
+        gt = {vid for _, vid in sorted(ds)[: gq.PQ_TOPK]}
+        for name, part in (("adc", adc), ("rerank", rerank)):
+            got = set(part[part.query_id == qid].vec_id.astype(int))
+            recall[name] += len(gt & got)
+    assert recall["rerank"] >= recall["adc"]
+    for _, row in rerank.iterrows():
+        q, x = vecs[int(row.query_id)], vecs[int(row.vec_id)]
+        exact = sum((a - b) * (a - b) for a, b in zip(q, x))
+        assert math.isclose(row.dist, exact, rel_tol=1e-12, abs_tol=1e-12)
 
 
 def test_ann_assign_suite_matches_duckdb_and_parts(spark):
@@ -121,3 +146,67 @@ def test_ann_assign_suite_matches_duckdb_and_parts(spark):
     }
     for r in gq.routed_assign_embeddings(spark, SF).collect():
         assert routed[r.vec_id] == float(r.cell)
+
+
+def test_ivfpq_suite_matches_duckdb(spark):
+    """The r12 debut: IVF-PQ must match its generated oracle
+    cell-exact and honor the probed-cell candidate restriction.
+    (No tighter-than-raw-PQ assertion: residuals only concentrate
+    energy when the coarse quantizer captures real structure — on
+    this i.i.d. synthetic corpus var(x - c) > var(x), measured 531
+    vs 423 total squared error, so the textbook win is corpus-
+    dependent and documented rather than asserted.)"""
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = gq.ivfpq_suite(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(gq.IVFPQ_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "ivfpq_suite") == []
+
+    enc = spdf[spdf.variant == "encode"]
+    assert (enc.dist >= 0.0).all()
+    owning = {
+        int(r.vec_id): r.cell for _, r in enc.iterrows() if r.m == 0.0
+    }
+    adc = spdf[spdf.variant == "adc"]
+    assert len(adc) > 0
+    for qid, part in adc.groupby("query_id"):
+        assert len(part) <= gq.PQ_TOPK
+        assert not any(part.vec_id == int(qid))
+        hit_cells = {owning[int(v)] for v in part.vec_id}
+        assert len(hit_cells) <= gq.IVFPQ_PROBE
+
+
+def test_semdedup_suite_matches_duckdb_and_parts(spark):
+    """The r12 consolidation: ONE cached miner pass must serve both
+    retiring specs' rows verbatim, and match the DuckDB oracle."""
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = gq.semdedup_suite(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(gq.SEMDEDUP_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "semdedup_suite") == []
+
+    pairs = {
+        (r.id_a, r.id_b): (r.cell, r.pair_rank, r.cosine)
+        for _, r in spdf[spdf.variant == "pairs"].iterrows()
+    }
+    got = gq.semdedup_pairs(spark, SF).collect()
+    assert len(got) == len(pairs)
+    for r in got:
+        cell, rank, cos = pairs[(r.id_a, r.id_b)]
+        assert (cell, rank) == (float(r.cell), float(r.pair_rank))
+        assert math.isclose(cos, r.cosine, rel_tol=0, abs_tol=0)
+    keep = {
+        r.vec_id: r.label for _, r in spdf[spdf.variant == "keep"].iterrows()
+    }
+    got_keep = gq.semdedup_keep(spark, SF).collect()
+    assert len(got_keep) == len(keep)
+    for r in got_keep:
+        assert keep[r.vec_id] == float(r.label)

@@ -1,0 +1,69 @@
+"""Measure pq_suite's retrieval quality against exact ground truth.
+
+Runs the suite's own Spark plan (adc + rerank variants) at the given
+scale dir, computes exact L2 top-k per query with numpy, and prints
+recall@k for both stages plus the codebook's quantization stats.
+This is the honest-recall companion to the DuckDB differential: the
+differential proves the plan computes PQ correctly; this measures
+what PQ buys on THIS corpus (near-i.i.d. synthetic — the quantizer's
+worst case; see SCALE.md round-8 PQ section).
+
+Usage: python tools/pq_recall.py [sf_dir ...]   (default sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_REPO = os.path.dirname(_HERE)
+sys.path.insert(0, _REPO)
+
+
+def main() -> None:
+    from data_engineering_for_e_commerce_logistics_spark.catalog import read_parquet_table
+    from data_engineering_for_e_commerce_logistics_spark.plans import graph_queries as gq
+    from data_engineering_for_e_commerce_logistics_spark.session import get_spark
+
+    dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    spark = get_spark(app_name="pq-recall")
+    out: dict[str, dict] = {}
+    for sf_dir in dirs:
+        suite = gq.pq_suite(spark, sf_dir).toPandas()
+        emb = read_parquet_table(
+            spark, os.path.join(sf_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding").collect()
+        ids = np.array([r.vec_id for r in emb])
+        V = np.array([r.embedding for r in emb], dtype=np.float64)
+        order = np.argsort(ids)
+        ids, V = ids[order], V[order]
+        row: dict[str, float] = {"n": int(len(ids))}
+        enc = suite[suite.variant == "encode"]
+        row["mean_quant_err"] = float(
+            enc.groupby("vec_id")["dist"].sum().mean()
+        )
+        for variant in ("adc", "rerank"):
+            part = suite[suite.variant == variant]
+            hits = total = 0
+            for qid in sorted(part.query_id.astype(int).unique()):
+                q = V[np.searchsorted(ids, qid)]
+                exact = ((V - q) ** 2).sum(1)
+                exact[np.searchsorted(ids, qid)] = np.inf
+                gt = set(
+                    ids[np.lexsort((ids, exact))[: gq.PQ_TOPK]].tolist()
+                )
+                got = set(part[part.query_id == qid].vec_id.astype(int))
+                hits += len(gt & got)
+                total += gq.PQ_TOPK
+            row[f"recall@{gq.PQ_TOPK}_{variant}"] = round(hits / total, 3)
+        out[sf_dir] = row
+        print(sf_dir, row)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -436,6 +436,8 @@ def main() -> None:
         "kmeans_suite": gq.kmeans_suite,
         "ann_assign_suite": gq.ann_assign_suite,
         "pq_suite": gq.pq_suite,
+        "ivfpq_suite": gq.ivfpq_suite,
+        "semdedup_suite": gq.semdedup_suite,
         "corpus_export_suite": xc.corpus_export_suite,
         "corpus_mix_suite": xc.corpus_mix_suite,
     }
