@@ -975,3 +975,187 @@ def incremental_semdedup(
     fresh = new_vecs.join(kept.select(id_col), id_col, "left_semi")
     index_delta = kept.select(id_col, "v", "nrm", "cell")
     return fresh, index_delta
+
+
+def incremental_pq_dedup(
+    new_vecs: DataFrame,
+    code_index: DataFrame | None,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    theta: float,
+    dim: int,
+    n_sub: int = 4,
+    corpus_lookup: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Fifth incremental-dedup family member — the COMPRESSED-index
+    variant: the persisted index stores PQ codes (n_sub small ints +
+    per-subspace residual per vector, ~16x smaller than the full
+    vectors ``incremental_semdedup`` keeps), the cross-batch screen
+    runs on asymmetric distances against those codes, and exact
+    vectors are fetched ONLY for screen survivors, by id.
+
+    Dedup rule (squared-L2 radius ``theta``): a batch vector x is
+    dropped iff some lower-id same-cell batch member, or some
+    same-cell indexed member y, sits within ``||x - y||^2 <= theta``.
+    The screen is triangle-inequality SOUND: ADC(x, q(y)) is the
+    exact distance to y's reconstruction, so
+    ``||x - y|| <= sqrt(ADC) and sqrt(ADC) <= ||x - y|| +
+    sqrt(resid_y)``; a candidate survives the screen iff
+    ``sqrt(ADC) <= sqrt(theta) + sqrt(resid_y)``, which every true
+    dup satisfies — no false negatives, so the kept set is
+    BIT-IDENTICAL to an exact-index dedup under the same rule (unit-
+    pinned), while the index holds no vectors.  Exact replicas are
+    always caught regardless of codebook resolution: x == y gives
+    ADC = resid_y exactly.  Screen selectivity (how few non-dups
+    reach the exact fetch) DOES depend on resid vs theta — measured
+    in SCALE.md; on clustered corpora resid << pairwise distances
+    and the fetch is ~|true dups|.
+
+    ``centroids`` (coarse cells) and ``codebook`` (m, code, cv) are
+    the operator's FIXED quantizers — the analogue of a signature
+    index's hash family; both broadcast, both pre-trained offline
+    (changing either invalidates the index).  ``corpus_lookup`` is
+    an (id, vector) resolver for the exact-verify fetch — in
+    production the corpus store read by id (bucketed/point lookup),
+    required whenever ``code_index`` is non-None.
+
+    Returns ``(fresh, index_delta)``: surviving original rows, and
+    their ``(id, cell, m, code, resid)`` code rows to append.
+
+    100 TB shape: one broadcast cell assign + one broadcast codebook
+    scoring pass over the batch; the screen joins batch-side
+    codeword distances to index codes on (cell, m, code) — n_sub
+    short rows per same-cell rival instead of a 64-float dot
+    product — and the only corpus touch is the survivor-id join.
+    """
+    from pyspark.sql import Window
+
+    if code_index is not None and corpus_lookup is None:
+        raise ValueError(
+            "corpus_lookup is required when screening against an index"
+        )
+    if dim % n_sub:
+        raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
+    sub_d = dim // n_sub
+
+    vecs = new_vecs.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
+    w_c = Window.partitionBy(id_col).orderBy(
+        F.col("__cdist").asc(), F.col("__cid").asc()
+    )
+    assigned = (
+        F.broadcast(
+            centroids.select(
+                F.col(centroids.columns[0]).alias("__cid"),
+                _as_double_vec(centroids.columns[1]).alias("__cv"),
+            )
+        )
+        .crossJoin(vecs)
+        .withColumn(
+            "__cdist",
+            _fold_sum(
+                F.zip_with(F.col("v"), F.col("__cv"), lambda x, y: (x - y) * (x - y))
+            ),
+        )
+        .withColumn("__rn", F.row_number().over(w_c))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "v", F.col("__cid").alias("cell"))
+        .cache()
+    )
+    subs = assigned.select(
+        id_col,
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice("v", m * sub_d + 1, sub_d) for m in range(n_sub)])
+        ).alias("m", "sv"),
+    )
+    # one broadcast pass scores every (batch subvector, codeword): the
+    # argmin rows are the batch's own codes, the full table is the ADC
+    # lookup the screen reads
+    scored = subs.join(F.broadcast(codebook), "m").withColumn(
+        "d",
+        _fold_sum(
+            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+        ),
+    )
+    w_m = Window.partitionBy(id_col, "m").orderBy(
+        F.col("d").asc(), F.col("code").asc()
+    )
+    batch_codes = (
+        scored.withColumn("__rn", F.row_number().over(w_m))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "cell", "m", "code", F.col("d").alias("resid"))
+    )
+    xa = assigned.select(
+        F.col(id_col).alias("__xid"), F.col("v").alias("__xv"), "cell"
+    )
+    xb = assigned.select(
+        F.col(id_col).alias("__yid"), F.col("v").alias("__yv"), "cell"
+    )
+    dropped = (
+        xa.join(xb, "cell")
+        .where(
+            (F.col("__yid") < F.col("__xid"))
+            & (
+                _fold_sum(
+                    F.zip_with(
+                        F.col("__xv"), F.col("__yv"), lambda x, y: (x - y) * (x - y)
+                    )
+                )
+                <= F.lit(theta)
+            )
+        )
+        .select(F.col("__xid").alias(id_col))
+        .distinct()
+    )
+    if code_index is not None:
+        idx = code_index.select(
+            F.col(id_col).alias("__rid"),
+            "cell",
+            "m",
+            "code",
+            F.col("resid").alias("__rres"),
+        )
+        cand = (
+            scored.select(id_col, "cell", "m", "code", "d")
+            .join(idx, ["cell", "m", "code"])
+            .groupBy(id_col, "__rid")
+            .agg(
+                F.expr(
+                    "cast(sum(cast(d as decimal(28,8))) as double)"
+                ).alias("__adc"),
+                F.expr(
+                    "cast(sum(cast(__rres as decimal(28,8))) as double)"
+                ).alias("__resid"),
+            )
+            .where(
+                F.sqrt(F.col("__adc"))
+                <= F.sqrt(F.lit(theta)) + F.sqrt(F.col("__resid"))
+            )
+        )
+        verified = (
+            cand.join(
+                corpus_lookup.select(
+                    F.col(id_col).alias("__rid"),
+                    _as_double_vec(vec_col).alias("__rv"),
+                ),
+                "__rid",
+            )
+            .join(assigned.select(id_col, "v"), id_col)
+            .where(
+                _fold_sum(
+                    F.zip_with(
+                        F.col("v"), F.col("__rv"), lambda x, y: (x - y) * (x - y)
+                    )
+                )
+                <= F.lit(theta)
+            )
+            .select(id_col)
+            .distinct()
+        )
+        dropped = dropped.unionByName(verified).distinct()
+    kept = assigned.join(dropped, id_col, "left_anti").select(id_col)
+    fresh = new_vecs.join(kept, id_col, "left_semi")
+    index_delta = batch_codes.join(kept, id_col, "left_semi")
+    return fresh, index_delta

@@ -69,6 +69,75 @@ reach(node, root) AS (
 SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
 """
 
+
+def minhash_cluster_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation earmarked for r13 (the docstring
+    trade in plans/queries.py — pre-built unit-first in r08): the
+    MinHash near-dup family's pair evidence and its connected-
+    components clustering, one spec.  ``dedup_clusters`` re-ran the
+    whole LSH miner (shingle → signature → bands → bucket join →
+    Jaccard verify, ~2s at sf0.1) that ``dedup_minhash_lsh`` already
+    runs; the suite mines ONCE, caches the verified pairs, and
+    serves the 'pairs' variant verbatim plus the 'clusters' variant
+    from the same cached frame (``connected_components`` caches its
+    own edge projection on top, so the fixpoint never replays the
+    miner either).  Numeric pads cast double; bench baseline at
+    registration = the parts' sum via bench.py RENAMED_FROM."""
+    from ..operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_lsh_dedup(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=THRESHOLD,
+    ).cache()
+    clusters = connected_components(pairs)
+    nb = F.lit(None).cast("bigint")
+    p = pairs.select(
+        F.lit("pairs").alias("variant"),
+        "id_a",
+        "id_b",
+        "jaccard",
+        nb.alias("doc_id"),
+        nb.alias("cluster_id"),
+    )
+    c = clusters.select(
+        F.lit("clusters").alias("variant"),
+        nb.alias("id_a"),
+        nb.alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+    )
+    return p.unionByName(c)
+
+
+MINHASH_CLUSTER_SUITE_SQL = f"""
+WITH RECURSIVE
+{minhash_pipeline_ctes()},
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT 'pairs' AS variant, id_a, id_b, jaccard,
+       CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS cluster_id
+FROM verified
+UNION ALL
+SELECT 'clusters', NULL, NULL, NULL, node, min(root)
+FROM reach GROUP BY node
+"""
+
 def corpus_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (r07 unit-first debut, r08
     registry candidate): near-duplicate documents MUST land in the
@@ -2335,3 +2404,192 @@ ORDER BY vec_id
 
 
 INCREMENTAL_SEMDEDUP_SQL = _incremental_semdedup_sql()
+
+
+# --- Incremental PQ dedup (fifth incremental family; the r13 debut) ---------
+
+INC_PQ_THETA = 1.0  # squared-L2 dup radius (below min nonzero pair @ sf0.01)
+
+
+def incremental_pq_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-index sibling of ``incremental_semdedup_fresh``
+    (r13 registry candidate, pre-built unit-first in r08): the
+    persisted index holds PQ CODES (n_sub small ints + residuals per
+    vector, ~16x smaller than the full vectors the semantic index
+    keeps); the cross-batch screen is the triangle-inequality-sound
+    ADC bound and exact vectors are fetched only for screen
+    survivors, by id.  Same two-batch shape as the other incremental
+    specs: batch 1 (vec_id%10 < 5) self-dedups and builds the code
+    index; batch 2 (%10 >= 3, ids shifted +1e6 — 20% verbatim
+    replicas, which the sound screen PROVABLY catches: x == y gives
+    ADC = resid exactly) screens against it.  Returns the accrued
+    index identity (vec_id, cell, ingest_batch).  The coarse cells
+    and the PQ codebook (full-table train, one decimal-exact Lloyd
+    round) are the fixed offline quantizers; the oracle replays
+    train, encode, both screens, and the exact verify in SQL."""
+    from ..operators.similarity import incremental_pq_dedup, pq_train_encode
+    from .extended_queries import INC_B1_LT, INC_B2_GE, INC_OFFSET
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    centroids = emb.filter(F.col("vec_id") < ROUTED_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    _, codebook = pq_train_encode(
+        emb, dim=EMB_DIM, n_sub=PQ_SUB, k=PQ_K, n_refine=1
+    )
+    # the codebook is trained OFFLINE in production — pin it once so
+    # neither batch replays the training chain
+    codebook = codebook.localCheckpoint()
+    b1 = emb.where(F.col("vec_id") % 10 < INC_B1_LT)
+    b2 = emb.where(F.col("vec_id") % 10 >= INC_B2_GE).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(INC_OFFSET)
+    )
+    _, delta1 = incremental_pq_dedup(
+        b1, None, centroids, codebook, INC_PQ_THETA, dim=EMB_DIM, n_sub=PQ_SUB
+    )
+    delta1 = delta1.localCheckpoint()
+    _, delta2 = incremental_pq_dedup(
+        b2,
+        delta1,
+        centroids,
+        codebook,
+        INC_PQ_THETA,
+        dim=EMB_DIM,
+        n_sub=PQ_SUB,
+        corpus_lookup=b1,
+    )
+    accrued = (
+        delta1.select("vec_id", "cell")
+        .distinct()
+        .withColumn("ingest_batch", F.lit(1))
+        .unionByName(
+            delta2.select("vec_id", "cell")
+            .distinct()
+            .withColumn("ingest_batch", F.lit(2))
+        )
+    )
+    return accrued.orderBy("vec_id")
+
+
+def _incremental_pq_sql(
+    n_sub: int = PQ_SUB,
+    k: int = PQ_K,
+    dim: int = EMB_DIM,
+    theta: float = INC_PQ_THETA,
+) -> str:
+    from .extended_queries import INC_B1_LT, INC_B2_GE, INC_OFFSET
+
+    sub_d = dim // n_sub
+    # lambda params avoid every table alias in this query (s, x, y,
+    # cw, i, b, kk, sc, vv) — DuckDB's binder rejects shadowed
+    # lambda parameters (the incremental_semdedup lesson)
+    dist = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " pp -> (pp[1] - pp[2]) * (pp[1] - pp[2])), (aa, bb) -> aa + bb)"
+    )
+    subs = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, v[{m * sub_d + 1}:{(m + 1) * sub_d}] AS sv"
+        " FROM e"
+        for m in range(n_sub)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, zz -> CAST(zz AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < {ROUTED_K}),
+subs AS (
+  {subs}
+),
+seed AS (SELECT m, vec_id AS code, sv AS cv FROM subs WHERE vec_id < {k}),
+asg0 AS (
+  SELECT vec_id, m, sv, code FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT s.vec_id, s.m, s.sv, cw.code,
+                 {dist.format(a='s.sv', b='cw.cv')} AS dist
+          FROM subs s JOIN seed cw USING (m))
+  ) WHERE rn = 1
+),
+cb AS (
+  SELECT m, code, list(cval ORDER BY dim) AS cv FROM (
+    SELECT m, code, dim,
+           cast(sum(cast(val as decimal(28,8))) as double) / count(*) AS cval
+    FROM (SELECT m, code, unnest(sv) AS val,
+                 generate_subscripts(sv, 1) - 1 AS dim FROM asg0)
+    GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell_id AS cell, row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {dist.format(a='e.v', b='c.cv')} ASC, c.cell_id ASC) AS rn
+    FROM e, c) WHERE rn = 1
+),
+allcodes AS (
+  SELECT vec_id, m, code, dist AS resid FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, m ORDER BY dist ASC, code ASC) AS rn
+    FROM (SELECT s.vec_id, s.m, cw.code,
+                 {dist.format(a='s.sv', b='cw.cv')} AS dist
+          FROM subs s JOIN cb cw USING (m))
+  ) WHERE rn = 1
+),
+b1 AS (
+  SELECT e.vec_id, e.v, cells.cell FROM e JOIN cells USING (vec_id)
+  WHERE e.vec_id % 10 < {INC_B1_LT}
+),
+b1kept AS (
+  SELECT * FROM b1 x WHERE NOT EXISTS (
+    SELECT 1 FROM b1 y WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+      AND {dist.format(a='x.v', b='y.v')} <= {theta})
+),
+idx1 AS (
+  SELECT kk.vec_id, kk.cell, a.m, a.code, a.resid
+  FROM b1kept kk JOIN allcodes a USING (vec_id)
+),
+b2 AS (
+  SELECT e.vec_id + {INC_OFFSET} AS vec_id, e.vec_id AS orig_id, e.v,
+         cells.cell
+  FROM e JOIN cells USING (vec_id)
+  WHERE e.vec_id % 10 >= {INC_B2_GE}
+),
+b2w AS (
+  SELECT * FROM b2 x WHERE NOT EXISTS (
+    SELECT 1 FROM b2 y WHERE y.cell = x.cell AND y.vec_id < x.vec_id
+      AND {dist.format(a='x.v', b='y.v')} <= {theta})
+),
+b2subs AS (
+  SELECT b.vec_id, b.cell, s.m, s.sv
+  FROM b2 b JOIN subs s ON s.vec_id = b.orig_id
+),
+screen AS (
+  SELECT s.vec_id AS xid, i.vec_id AS rid,
+         cast(sum(cast({dist.format(a='s.sv', b='cw.cv')}
+              AS decimal(28,8))) AS double) AS adc,
+         cast(sum(cast(i.resid AS decimal(28,8))) AS double) AS rres
+  FROM b2subs s
+  JOIN idx1 i ON i.cell = s.cell AND i.m = s.m
+  JOIN cb cw ON cw.m = i.m AND cw.code = i.code
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT DISTINCT sc.xid FROM screen sc
+  JOIN b2 x ON x.vec_id = sc.xid
+  JOIN e y ON y.vec_id = sc.rid
+  WHERE sqrt(sc.adc) <= sqrt({theta}) + sqrt(sc.rres)
+    AND {dist.format(a='x.v', b='y.v')} <= {theta}
+),
+kept2 AS (
+  SELECT b.vec_id, b.cell FROM b2w b
+  WHERE NOT EXISTS (SELECT 1 FROM verified vv WHERE vv.xid = b.vec_id)
+)
+SELECT vec_id, cell, 1 AS ingest_batch FROM b1kept
+UNION ALL
+SELECT vec_id, cell, 2 FROM kept2
+ORDER BY vec_id
+"""
+
+
+INCREMENTAL_PQ_SQL = _incremental_pq_sql()

@@ -95,6 +95,20 @@ freed slot on the ``ivfpq_suite`` debut (IVF-PQ residual
 quantization with probed-cell ADC, the FAISS-IVFPQ index shape —
 tests/test_pq.py differential + probe-restriction units, broadcast-
 only plan guard).
+THE r13 TRADE (pre-built in r08): retire ``dedup_minhash_lsh`` +
+``dedup_clusters`` into ``minhash_cluster_suite``
+(plans/graph_queries.py — the clusters spec re-ran the whole LSH
+miner the pairs spec already ran; the suite mines ONCE, cached, and
+serves the pair evidence plus its connected-components labels from
+the same frame; tests/test_graph.py pins suite ↔ parts ↔ the
+WITH RECURSIVE oracle, plan guard pins the single cached miner),
+and spend the freed slot on the ``incremental_pq_fresh`` debut (the
+FIFTH incremental-dedup family member — compressed PQ-code index,
+triangle-inequality-sound ADC screen, by-id exact verify —
+operators/similarity.incremental_pq_dedup; tests/test_incremental_pq.py
+pins the DuckDB differential, bit-identity with a full-vector-index
+replay, and the replicas-always-caught property; broadcast-only
+plan guard).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

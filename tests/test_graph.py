@@ -168,3 +168,47 @@ def test_corpus_split_suite_matches_duckdb_oracle(spark):
         conn.close()
     assert len(spdf) == 1000  # 500 docs × 2 variants
     assert compare_frames(spdf, opdf, "corpus_split_suite") == []
+
+
+def test_minhash_cluster_suite_matches_duckdb_and_parts(spark):
+    """The r13 consolidation: ONE cached LSH miner pass must serve
+    both retiring specs' rows verbatim — ``dedup_minhash_lsh``'s
+    verified pairs and ``dedup_clusters``'s component labels — and
+    the union must match the WITH RECURSIVE DuckDB oracle."""
+    import math
+
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        extended_queries as xq,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = gq.minhash_cluster_suite(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(gq.MINHASH_CLUSTER_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "minhash_cluster_suite") == []
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for _, r in spdf[spdf.variant == "pairs"].iterrows()
+    }
+    got_pairs = xq.dedup_minhash_lsh(spark, sf).collect()
+    assert len(got_pairs) == len(pairs) > 0
+    for r in got_pairs:
+        assert math.isclose(
+            pairs[(r.id_a, r.id_b)], r.jaccard, rel_tol=0, abs_tol=0
+        )
+    labels = {
+        r.doc_id: r.cluster_id
+        for _, r in spdf[spdf.variant == "clusters"].iterrows()
+    }
+    got_clusters = gq.dedup_clusters(spark, sf).collect()
+    assert len(got_clusters) == len(labels) > 0
+    for r in got_clusters:
+        assert labels[r.doc_id] == r.cluster_id

@@ -496,3 +496,44 @@ def test_semdedup_suite_single_cached_miner(spark):
         if "SortMergeJoin" in line:
             assert "cell" in line and "LeftAnti" not in line, line
     assert "BroadcastHashJoin" in plan  # the LeftAnti drop-set join
+
+
+def test_minhash_cluster_suite_single_cached_miner(spark):
+    """The r13 consolidation's point is ONE LSH miner pass:
+    ``dedup_clusters`` used to replay shingle -> signature -> bands ->
+    bucket join -> verify that ``dedup_minhash_lsh`` already ran.  The
+    suite's plan must serve the pairs variant from InMemoryTableScan
+    (the cached verified-pairs frame) and never fall back to a
+    cartesian product anywhere in the union."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.minhash_cluster_suite)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_incremental_pq_broadcast_only_quantizers(spark):
+    """The fifth incremental family's screen: both fixed quantizers
+    (coarse centroids, PQ codebook) reach the batch via BROADCAST —
+    the centroid assign as a broadcast nested-loop over the bounded
+    centroid set, the codeword scoring as a broadcast hash join on m —
+    and nothing in the plan is a shuffled cartesian.  The only
+    shuffles are batch-keyed (cell rivals, id windows), so the plan's
+    exchange volume tracks the BATCH, not the index or the corpus."""
+    plan = _plan(spark, "incremental_pq_fresh") if (
+        "incremental_pq_fresh" in __import__(
+            "data_engineering_for_e_commerce_logistics_spark.plans.registry",
+            fromlist=["all_specs"],
+        ).all_specs()
+    ) else None
+    if plan is None:  # unit-first: not registered until its r13 slot
+        from data_engineering_for_e_commerce_logistics_spark.plans import (
+            graph_queries as gq,
+        )
+
+        plan = _plan_of(spark, gq.incremental_pq_fresh)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
