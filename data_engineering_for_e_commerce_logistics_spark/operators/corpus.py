@@ -94,6 +94,103 @@ def decontaminate(
     )
 
 
+def decontaminate_fuzzy(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag every corpus
+    document whose estimated Jaccard similarity to ANY benchmark
+    document reaches ``threshold`` — the fuzzy complement of
+    ``decontaminate``'s exact shared-shingle count, catching eval
+    answers that were lightly paraphrased or re-whitespaced before
+    landing in the training corpus (the contamination the exact
+    n-gram overlap misses).
+
+    Mechanics: MinHash signatures on both sides, LSH banding for
+    candidates (a corpus doc meets a benchmark doc iff they share a
+    band bucket), then the unbiased agreeing-minhash-fraction
+    estimator as the verify — the same signature family / banding /
+    estimator as ``dedup.incremental_minhash_dedup``, pointed across
+    two corpora instead of within one.
+
+    Output: one row per corpus document —
+    ``(id, n_bench_matches, max_est_jaccard, contaminated)`` where
+    ``n_bench_matches`` counts distinct benchmark docs at
+    est >= threshold, ``max_est_jaccard`` is the best estimate over
+    ALL banded candidates (0.0 when none), and ``contaminated`` is
+    ``n_bench_matches > 0``.
+
+    100 TB shape: the benchmark side (eval suites — thousands of
+    docs, not billions) collapses to broadcast banded buckets and a
+    broadcast signature relation, so the corpus is never self-joined
+    and never shuffled on anything but its own id: one signature agg,
+    one candidate distinct, one per-doc agg.  The corpus never meets
+    the benchmark TEXT at all — only its 16-int signatures.
+    """
+    from .dedup import bands_of, minhash_signature
+
+    sig_c = minhash_signature(
+        corpus, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    sig_b = minhash_signature(
+        benchmark, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, shingle_k=shingle_k,
+    )
+    bench_bands = bands_of(
+        sig_b, id_col=id_col, num_hashes=num_hashes, bands=bands
+    ).withColumnRenamed(id_col, "__bid")
+    cand = (
+        bands_of(sig_c, id_col=id_col, num_hashes=num_hashes, bands=bands)
+        .join(F.broadcast(bench_bands), ["band", "bucket"])
+        .select(id_col, "__bid")
+        .distinct()
+    )
+    sig_b_r = sig_b.select(
+        F.col(id_col).alias("__bid"),
+        *[F.col(f"mh{i}").alias(f"bh{i}") for i in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"mh{i}") == F.col(f"bh{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = (
+        cand.join(sig_c, id_col)
+        .join(F.broadcast(sig_b_r), "__bid")
+        .select(
+            F.col(id_col),
+            F.col("__bid"),
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est"),
+        )
+    )
+    per_doc = est.groupBy(id_col).agg(
+        F.count_distinct(
+            F.when(F.col("est") >= F.lit(threshold), F.col("__bid"))
+        ).alias("n_bench_matches"),
+        F.max("est").alias("max_est"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_bench_matches"), F.lit(0))
+            .cast("long")
+            .alias("n_bench_matches"),
+            F.coalesce(F.col("max_est"), F.lit(0.0)).alias("max_est_jaccard"),
+            (F.coalesce(F.col("n_bench_matches"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality funnel (fused rule battery)
 # ---------------------------------------------------------------------------

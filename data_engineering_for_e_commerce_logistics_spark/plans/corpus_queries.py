@@ -67,6 +67,80 @@ FROM (SELECT doc_id FROM sh WHERE doc_id % {BENCH_MOD} <> 0) s
 LEFT JOIN ov USING (doc_id)
 """
 
+# Fuzzy decontamination uses a denser stand-in benchmark (mod 7 ≈ 14%
+# of docs) so the fixture provably contains NEAR-dup pairs crossing
+# the corpus/benchmark boundary at every SF (measured: 7 crossing
+# pairs at sf0.001, 9 at sf0.01 — mod 97's sparse subset has none).
+FUZZY_BENCH_MOD = 7
+FUZZY_THRESHOLD = 0.6
+
+
+def corpus_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup benchmark decontamination (r08 unit-first, r14
+    registry candidate): corpus docs whose estimated Jaccard to any
+    benchmark doc (stand-in: doc_id % {mod} == 0) reaches 0.6 via
+    MinHash-LSH banding + the agreeing-fraction estimator — the
+    paraphrase-robust complement of ``corpus_decontaminate``'s exact
+    shared-shingle rule.  Benchmark signatures and banded buckets
+    broadcast; the corpus side never self-joins."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    bench = docs.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0)
+    corp = docs.filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0)
+    return corpus.decontaminate_fuzzy(
+        corp, bench, threshold=FUZZY_THRESHOLD
+    )
+
+
+def _corpus_decontaminate_fuzzy_sql() -> str:
+    from .extended_queries import (
+        NUM_HASHES,
+        minhash_band_union_sql,
+        minhash_sig_ctes,
+    )
+
+    agree = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+WITH {minhash_sig_ctes()},
+bsig AS (SELECT * FROM sig WHERE doc_id % {FUZZY_BENCH_MOD} = 0),
+csig AS (SELECT * FROM sig WHERE doc_id % {FUZZY_BENCH_MOD} <> 0),
+cbands AS (
+  {minhash_band_union_sql('csig')}
+),
+bbands AS (
+  {minhash_band_union_sql('bsig')}
+),
+cand AS (
+  SELECT DISTINCT cb.doc_id AS cid, bb.doc_id AS bid
+  FROM cbands cb JOIN bbands bb
+    ON cb.band = bb.band AND cb.bucket = bb.bucket
+),
+est AS (
+  SELECT c.cid, c.bid, ({agree})::DOUBLE / {NUM_HASHES} AS est
+  FROM cand c
+  JOIN csig a ON a.doc_id = c.cid
+  JOIN bsig b ON b.doc_id = c.bid
+),
+per_doc AS (
+  SELECT cid,
+         count(DISTINCT CASE WHEN est >= {FUZZY_THRESHOLD} THEN bid END)
+           AS n_bench_matches,
+         max(est) AS max_est
+  FROM est GROUP BY cid
+)
+SELECT s.doc_id,
+       CAST(coalesce(p.n_bench_matches, 0) AS BIGINT) AS n_bench_matches,
+       coalesce(p.max_est, 0.0) AS max_est_jaccard,
+       coalesce(p.n_bench_matches, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {FUZZY_BENCH_MOD} <> 0) s
+LEFT JOIN per_doc p ON p.cid = s.doc_id
+"""
+
+
+CORPUS_DECONTAMINATE_FUZZY_SQL = _corpus_decontaminate_fuzzy_sql()
+
 # --- Quality funnel ---------------------------------------------------------
 
 

@@ -852,3 +852,93 @@ WHERE NOT EXISTS (SELECT 1 FROM dup WHERE dup.new_id = b2.doc_id)
 
 
 INCREMENTAL_MINHASH_SQL = _incremental_minhash_sql()
+
+
+def incremental_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation earmarked for r14 (pre-built
+    unit-first in r08): the three SIGNATURE-family incremental-ingest
+    specs — ``incremental_exact_fresh`` (digest index + bloom-pruned
+    anti join), ``incremental_simhash_fresh`` (pigeonhole-banded
+    hamming screen), ``incremental_minhash_fresh`` (persisted-banding
+    LSH screen + agreeing-fraction verify) — under one padded shape,
+    every original output cell preserved.  The three flows ran three
+    separate ``documents`` scans and batch splits as separate specs;
+    the suite caches the table once and derives all three index/delta
+    chains from the shared frame (the semantic family keeps its own
+    spec: it reads ``embeddings``, not ``documents``).
+
+    Pad convention: ids/counts cast double; the 64-bit simhash and
+    the 16-int minhash signature ride as EXACT DECIMAL STRINGS (the
+    ``dedup_simhash_suite`` precedent — a double pad would round past
+    the 53-bit mantissa).  Bench baseline at registration = the three
+    parts' sum via bench.py RENAMED_FROM."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].cache()
+    b1, b2 = _inc_batches(docs)
+    _, ed1 = dedup.incremental_exact_dedup(b1, None)
+    _, ed2 = dedup.incremental_exact_dedup(b2, ed1, bloom_bits=1 << 20)
+    _, ssig1 = dedup.incremental_simhash_dedup(b1, None)
+    _, sdelta = dedup.incremental_simhash_dedup(b2, ssig1, max_hamming=3)
+    _, msig1 = dedup.incremental_minhash_dedup(
+        b1, None, num_hashes=NUM_HASHES, bands=BANDS, shingle_k=SHINGLE_K
+    )
+    banded = dedup.bands_of(msig1, num_hashes=NUM_HASHES, bands=BANDS)
+    _, mdelta = dedup.incremental_minhash_dedup(
+        b2,
+        msig1,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=THRESHOLD,
+        banded_index=banded,
+    )
+    nd = F.lit(None).cast("double")
+    ns = F.lit(None).cast("string")
+    e = ed1.unionByName(ed2).select(
+        F.lit("exact").alias("variant"),
+        F.col("fingerprint"),
+        F.col("kept_id").cast("double").alias("kept_id"),
+        F.col("n_copies").cast("double").alias("n_copies"),
+        nd.alias("doc_id"),
+        ns.alias("signature"),
+    )
+    s = sdelta.select(
+        F.lit("simhash").alias("variant"),
+        ns.alias("fingerprint"),
+        nd.alias("kept_id"),
+        nd.alias("n_copies"),
+        F.col("doc_id").cast("double").alias("doc_id"),
+        F.col("simhash").cast("string").alias("signature"),
+    )
+    m = mdelta.select(
+        F.lit("minhash").alias("variant"),
+        ns.alias("fingerprint"),
+        nd.alias("kept_id"),
+        nd.alias("n_copies"),
+        F.col("doc_id").cast("double").alias("doc_id"),
+        F.concat_ws(
+            "-", *[F.col(f"mh{i}").cast("string") for i in range(NUM_HASHES)]
+        ).alias("signature"),
+    )
+    return e.unionByName(s).unionByName(m)
+
+
+_MH_STR_SQL = " || '-' || ".join(
+    f"CAST(mh{i} AS VARCHAR)" for i in range(NUM_HASHES)
+)
+
+INCREMENTAL_DEDUP_SUITE_SQL = f"""
+SELECT 'exact' AS variant, fingerprint,
+       CAST(kept_id AS DOUBLE) AS kept_id,
+       CAST(n_copies AS DOUBLE) AS n_copies,
+       CAST(NULL AS DOUBLE) AS doc_id,
+       CAST(NULL AS VARCHAR) AS signature
+FROM ({INCREMENTAL_EXACT_SQL})
+UNION ALL
+SELECT 'simhash', NULL, NULL, NULL, CAST(doc_id AS DOUBLE),
+       CAST(simhash AS VARCHAR)
+FROM ({INCREMENTAL_SIMHASH_SQL})
+UNION ALL
+SELECT 'minhash', NULL, NULL, NULL, CAST(doc_id AS DOUBLE),
+       {_MH_STR_SQL}
+FROM ({INCREMENTAL_MINHASH_SQL})
+"""

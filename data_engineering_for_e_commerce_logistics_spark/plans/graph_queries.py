@@ -2593,3 +2593,68 @@ ORDER BY vec_id
 
 
 INCREMENTAL_PQ_SQL = _incremental_pq_sql()
+
+
+# --- Semantic decontamination (third decon family member; r15 debut) --------
+
+SEM_DECON_TAU = 0.4       # = SEMDEDUP_TAU: the fixture's near-dup radius
+SEM_DECON_BENCH_MOD = 7   # same stand-in benchmark rule as the fuzzy decon
+
+
+def corpus_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (r08 unit-first, r15
+    registry candidate): corpus vectors whose cosine to ANY benchmark
+    vector (stand-in: vec_id % 7 == 0) reaches 0.4 — the
+    paraphrase-PROOF member of the decontamination family (exact
+    shingles catch verbatim, MinHash catches near-verbatim, this
+    catches rewrites).  Map-only over the corpus: the benchmark
+    collapses to one broadcast array row and every corpus row scores
+    it inside a single higher-order expression — no corpus shuffle,
+    no self-join, exact by construction."""
+    from ..operators.similarity import decontaminate_semantic
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    bench = emb.filter(F.col("vec_id") % SEM_DECON_BENCH_MOD == 0)
+    corp = emb.filter(F.col("vec_id") % SEM_DECON_BENCH_MOD != 0)
+    return decontaminate_semantic(corp, bench, tau=SEM_DECON_TAU)
+
+
+CORPUS_DECONTAMINATE_SEMANTIC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, zz -> CAST(zz AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, xx -> xx * xx),
+                          (aa, bb) -> aa + bb)) AS nrm
+  FROM e
+),
+bench AS (
+  SELECT vec_id, v, nrm FROM n
+  WHERE vec_id % {SEM_DECON_BENCH_MOD} = 0 AND nrm > 0
+),
+corp AS (
+  SELECT vec_id, v, nrm FROM n WHERE vec_id % {SEM_DECON_BENCH_MOD} <> 0
+),
+cos AS (
+  SELECT c.vec_id,
+         list_reduce(list_transform(list_zip(c.v, b.v),
+                                    pp -> pp[1] * pp[2]),
+                     (aa, bb) -> aa + bb) / (c.nrm * b.nrm) AS cosine
+  FROM corp c CROSS JOIN bench b
+  WHERE c.nrm > 0
+),
+per_vec AS (
+  SELECT vec_id,
+         count(CASE WHEN cosine >= {SEM_DECON_TAU} THEN 1 END)
+           AS n_bench_hits,
+         max(cosine) AS max_cosine
+  FROM cos GROUP BY vec_id
+)
+SELECT c.vec_id,
+       CAST(coalesce(p.n_bench_hits, 0) AS BIGINT) AS n_bench_hits,
+       CASE WHEN c.nrm > 0 THEN p.max_cosine END AS max_cosine,
+       coalesce(p.n_bench_hits, 0) > 0 AS contaminated
+FROM corp c LEFT JOIN per_vec p USING (vec_id)
+"""

@@ -109,6 +109,27 @@ operators/similarity.incremental_pq_dedup; tests/test_incremental_pq.py
 pins the DuckDB differential, bit-identity with a full-vector-index
 replay, and the replicas-always-caught property; broadcast-only
 plan guard).
+THE r14 TRADE (pre-built in r08): retire ``incremental_exact_fresh``
++ ``incremental_simhash_fresh`` + ``incremental_minhash_fresh`` into
+``incremental_dedup_suite`` (plans/extended_queries.py — the three
+signature-family two-batch flows from ONE cached documents scan,
+every retiring spec's cells preserved bit-exactly, signatures as
+exact decimal strings; tests/test_incremental_suite.py pins suite ↔
+parts ↔ DuckDB, plan guard pins the shared cached scan).  Retiring 3
+for 1 frees TWO slots: one funds the ``corpus_decontaminate_fuzzy``
+debut (NEAR-dup benchmark decontamination — MinHash-LSH corpus ×
+benchmark join + agreeing-fraction verify, the paraphrase-robust
+complement of the exact shared-shingle rule;
+operators/corpus.decontaminate_fuzzy, broadcast-benchmark plan
+guard, tests/test_corpus.py differential), and one slot is banked
+for THE r15 DEBUT (also pre-built in r08):
+``corpus_decontaminate_semantic`` — the third decontamination family
+member, EMBEDDING-space (catches rewrites that n-grams and MinHash
+miss); the bounded benchmark collapses to ONE broadcast array row
+and every corpus vector scores it map-only, no corpus shuffle
+(operators/similarity.decontaminate_semantic; numpy ground-truth +
+DuckDB differential + zero-norm contract in tests/test_corpus.py,
+map-only plan guard in tests/test_plans.py).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

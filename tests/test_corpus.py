@@ -554,3 +554,130 @@ def test_corpus_mix_suite_matches_duckdb_oracle(spark):
         .reset_index(drop=True)
     )
     assert compare_frames(u, old, "mix_suite_uniform_vs_domain_mix") == []
+
+
+# --- fuzzy (near-dup) decontamination ----------------------------------------
+
+
+def test_decontaminate_fuzzy_verbatim_copy_always_flagged(spark):
+    """A verbatim benchmark copy has the identical shingle set, hence
+    the identical signature, hence shares EVERY band bucket and scores
+    est = 1.0 — flagged at any threshold <= 1.  Short docs (no
+    shingles) still get their (0, 0.0, false) row."""
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    corp = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # verbatim
+            (2, "one two three four five six seven eight nine"),  # disjoint
+            (3, "x y"),  # fewer tokens than k -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.decontaminate_fuzzy(corp, bench).collect()
+    }
+    assert len(out) == 3
+    assert out[1].contaminated and out[1].max_est_jaccard == 1.0
+    assert out[1].n_bench_matches == 1
+    assert not out[2].contaminated
+    assert out[3].n_bench_matches == 0 and out[3].max_est_jaccard == 0.0
+
+
+def test_corpus_decontaminate_fuzzy_matches_duckdb(spark):
+    """r14 registry candidate's unit-first differential: the fixture
+    benchmark (doc_id % 7 == 0) provably near-dups across the
+    boundary, so the flag fires on real data."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = xc.corpus_decontaminate_fuzzy(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(xc.CORPUS_DECONTAMINATE_FUZZY_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "corpus_decontaminate_fuzzy") == []
+    assert spdf.contaminated.sum() > 0
+    # fuzzy is a SUPERSET detector of verbatim re-inclusion: every
+    # corpus doc whose exact normalized text equals a benchmark doc's
+    # must be flagged (est = 1.0); lighter paraphrases may add more.
+    assert (spdf[spdf.contaminated].max_est_jaccard >= 0.6).all()
+
+
+def test_decontaminate_semantic_matches_numpy_ground_truth(spark):
+    """The map-only broadcast plan must reproduce the exact all-pairs
+    cosine answer (it is exact by construction, unlike a routed
+    screen) — pinned against a numpy replay of max-cosine + hit
+    counts at tau = 0.4."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet").to_pandas()
+    V = np.vstack(t.embedding.values).astype(float)
+    ids = t.vec_id.values
+    n = V / np.linalg.norm(V, axis=1, keepdims=True)
+    bench = ids % gq.SEM_DECON_BENCH_MOD == 0
+    C = n[~bench] @ n[bench].T
+    want_hits = dict(zip(ids[~bench], (C >= gq.SEM_DECON_TAU).sum(axis=1)))
+    want_max = dict(zip(ids[~bench], C.max(axis=1)))
+
+    out = gq.corpus_decontaminate_semantic(spark, sf).collect()
+    assert len(out) == (~bench).sum()
+    for r in out:
+        assert r.n_bench_hits == want_hits[r.vec_id]
+        assert abs(r.max_cosine - want_max[r.vec_id]) < 1e-12
+        assert r.contaminated == (want_hits[r.vec_id] > 0)
+    assert sum(r.contaminated for r in out) > 0
+
+
+def test_decontaminate_semantic_matches_duckdb(spark):
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = gq.corpus_decontaminate_semantic(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(gq.CORPUS_DECONTAMINATE_SEMANTIC_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "corpus_decontaminate_semantic") == []
+    assert spdf.contaminated.sum() > 0
+
+
+def test_decontaminate_semantic_zero_norm_contract(spark):
+    """Zero-norm corpus vectors match nothing (hits 0, max NULL, not
+    contaminated); zero-norm benchmark vectors are excluded from the
+    broadcast so they never divide by zero."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        decontaminate_semantic,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corp = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in decontaminate_semantic(corp, bench, 0.5).collect()}
+    assert out[1].contaminated and out[1].max_cosine == 1.0
+    assert out[1].n_bench_hits == 1
+    assert not out[2].contaminated and out[2].max_cosine is None
+    assert out[2].n_bench_hits == 0
+    assert not out[3].contaminated and out[3].max_cosine == 0.0

@@ -537,3 +537,50 @@ def test_incremental_pq_broadcast_only_quantizers(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_fuzzy_broadcasts_benchmark(spark):
+    """The fuzzy decon's 100 TB shape: the benchmark side (bounded —
+    eval suites) reaches the corpus ONLY via broadcast (banded buckets
+    + signature relation), so no shuffle is ever keyed on benchmark
+    data; the corpus side's own joins may shuffle on its id but never
+    on the bench id, and nothing degenerates to a cartesian."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+
+    plan = _plan_of(spark, xc.corpus_decontaminate_fuzzy)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # bands + signatures
+    for line in plan.splitlines():
+        if "SortMergeJoin" in line or "ShuffledHashJoin" in line:
+            assert "__bid" not in line, line
+
+
+def test_incremental_dedup_suite_shared_cached_scan(spark):
+    """The r14 consolidation's point: the three family flows read the
+    documents table from ONE cached frame (InMemoryTableScan), not
+    three separate parquet scans, and nothing is a cartesian."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        extended_queries as xq,
+    )
+
+    plan = _plan_of(spark, xq.incremental_dedup_suite)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_decontaminate_semantic_map_only_corpus(spark):
+    """The semantic decon's 100 TB shape is MAP-ONLY over the corpus:
+    the benchmark collapses to one broadcast row (its tiny agg may
+    exchange, bounded by the benchmark), but the corpus side is never
+    hash-partitioned, never sort-merge-joined, never aggregated — the
+    only join is the broadcast nested loop against the one-row bench."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.corpus_decontaminate_semantic)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning(vec_id" not in plan

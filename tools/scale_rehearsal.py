@@ -429,6 +429,9 @@ def main() -> None:
         corpus_queries as xc,
     )
     from data_engineering_for_e_commerce_logistics_spark.plans import (
+        extended_queries as xq_mod,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
         graph_queries as gq,
     )
 
@@ -440,6 +443,11 @@ def main() -> None:
         "semdedup_suite": gq.semdedup_suite,
         "corpus_export_suite": xc.corpus_export_suite,
         "corpus_mix_suite": xc.corpus_mix_suite,
+        "minhash_cluster_suite": gq.minhash_cluster_suite,
+        "incremental_pq_fresh": gq.incremental_pq_fresh,
+        "incremental_dedup_suite": xq_mod.incremental_dedup_suite,
+        "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
+        "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
     }
 
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
