@@ -575,7 +575,10 @@ def test_decontaminate_semantic_map_only_corpus(spark):
     the benchmark collapses to one broadcast row (its tiny agg may
     exchange, bounded by the benchmark), but the corpus side is never
     hash-partitioned, never sort-merge-joined, never aggregated — the
-    only join is the broadcast nested loop against the one-row bench."""
+    only join is the broadcast nested loop against the one-row bench.
+    (An under-split scan may add one conditional ROUND-ROBIN exchange
+    of the raw vectors — the compute-density fix measured in SCALE.md
+    r08 — which is allowed; key-partitioning the corpus is not.)"""
     from data_engineering_for_e_commerce_logistics_spark.plans import (
         graph_queries as gq,
     )
