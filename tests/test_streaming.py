@@ -695,3 +695,91 @@ def test_streaming_incremental_semdedup_foreachbatch(spark, tmp_path):
     idx_rows = spark.read.parquet(index)
     assert idx_rows.count() == 2
     assert set(idx_rows.columns) == {"vec_id", "v", "nrm", "cell"}
+
+
+def test_streaming_incremental_pq_foreachbatch(spark, tmp_path):
+    """Compressed-index twin of the streaming ingest+dedup loop (r08,
+    FIFTH family): the persisted index holds PQ codes (n_sub small
+    ints + residuals — never the vectors), micro-batches screen via
+    the triangle-inequality-sound ADC bound, and the exact verify
+    resolves survivor vectors from the CORPUS SINK itself (the id ->
+    vector lookup a production loop already has on disk).  A
+    perturbed re-post arriving batches later is dropped; different
+    content in another cell passes."""
+    import os
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        incremental_pq_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    os.makedirs(src)
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "centroid_id long, cv array<double>",
+    )
+    codebook = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 0.0]),
+            (0, 1, [0.0, 0.0]),
+            (1, 0, [0.0, 0.0]),
+            (1, 1, [0.9, 0.1]),
+        ],
+        "m int, code long, cv array<double>",
+    )
+    spark.createDataFrame(
+        [(1, [0.9, 0.1, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def dedup_batch(batch_df, batch_id):
+        sess = batch_df.sparkSession
+        idx = sess.read.parquet(index) if os.path.exists(index) else None
+        lookup = sess.read.parquet(corpus) if idx is not None else None
+        fresh, delta = incremental_pq_dedup(
+            batch_df, idx, centroids, codebook,
+            theta=0.01, dim=4, n_sub=2, corpus_lookup=lookup,
+        )
+        fresh.persist()
+        fresh.write.mode("append").parquet(corpus)
+        delta.write.mode("append").parquet(index)
+        fresh.unpersist()
+        sess.catalog.clearCache()  # the operator's batch-assign cache
+
+    def run_once():
+        q = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .parquet(src)
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert spark.read.parquet(corpus).count() == 1
+
+    # later batch: a perturbation of vec 1 (||x-y||^2 = 2e-4 <= theta,
+    # cross-batch — only the PQ index remembers it) + a genuinely
+    # different vector owned by the other cell
+    spark.createDataFrame(
+        [
+            (10, [0.91, 0.11, 0.0, 0.0]),
+            (11, [0.0, 0.1, 0.9, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    kept = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert kept == [1, 11], kept
+    idx_rows = spark.read.parquet(index)
+    assert set(idx_rows.columns) == {"vec_id", "cell", "m", "code", "resid"}
+    # codes, never vectors: n_sub rows per kept vector
+    assert idx_rows.count() == 4
+    assert sorted(
+        (r.vec_id, r.m) for r in idx_rows.collect()
+    ) == [(1, 0), (1, 1), (11, 0), (11, 1)]
