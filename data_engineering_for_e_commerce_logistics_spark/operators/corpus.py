@@ -191,6 +191,49 @@ def decontaminate_fuzzy(
     )
 
 
+def calibrate_quality_by_domain(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    keep_frac: float = 0.5,
+) -> DataFrame:
+    """Domain-balanced quality filtering via percent-rank calibration:
+    a raw heuristic quality score is NOT comparable across domains —
+    code scores low on stopword ratio, prose scores high — so one
+    global threshold starves whole domains.  Calibrating each score to
+    its WITHIN-DOMAIN percent rank (ties broken by id, so the rank is
+    a pure function of the input in every engine) makes one global
+    cut keep the top ``keep_frac`` of EVERY domain — the
+    domain-balanced retention rule multi-source corpus curation uses
+    instead of per-domain hand-tuned thresholds.
+
+    Output: ``(id, domain, score, calibrated, kept)`` with
+    ``calibrated = percent_rank`` in [0, 1] and
+    ``kept = calibrated >= 1 - keep_frac``.  A single-doc domain
+    calibrates to 0.0 (percent_rank of the only row) and is dropped —
+    documented edge, deterministic in both engines.
+
+    100 TB shape: ONE shuffle (the window partition on domain).  A
+    mega-domain serializes its within-domain sort; at that scale swap
+    the window for the exact two-phase boundary machinery
+    (``ntile_exact_boundaries``) — same semantics, range-partitioned
+    — the documented skew escape hatch for every exact-rank op here.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(domain_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, domain_col, score_col)
+        .withColumn("calibrated", F.percent_rank().over(w))
+        .withColumn(
+            "kept", F.col("calibrated") >= F.lit(1.0 - float(keep_frac))
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Quality funnel (fused rule battery)
 # ---------------------------------------------------------------------------

@@ -52,10 +52,17 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame, text_col: str = "text", carry_cols: tuple = ()
+) -> DataFrame:
     """Heuristic document-quality score in [0,1]: length band, stopword
     presence, type-token ratio, and alphabetic purity — the standard
-    cheap pre-filters for LLM corpus cleaning, as one per-row map."""
+    cheap pre-filters for LLM corpus cleaning, as one per-row map.
+
+    ``carry_cols`` rides extra input columns through unchanged (the
+    ``pq_train_encode(carry_cols=)`` pattern) so downstream per-domain
+    consumers — ``corpus.calibrate_quality_by_domain`` — don't re-join
+    the source table on doc_id."""
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -75,6 +82,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
+        *carry_cols,
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         exact_round(ttr, 4).alias("type_token_ratio"),
         stop_hits.alias("stopword_hits"),

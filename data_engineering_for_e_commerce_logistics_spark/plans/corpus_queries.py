@@ -141,6 +141,131 @@ LEFT JOIN per_doc p ON p.cid = s.doc_id
 
 CORPUS_DECONTAMINATE_FUZZY_SQL = _corpus_decontaminate_fuzzy_sql()
 
+
+# --- Decontamination suite (r16 consolidation candidate) ---------------------
+
+
+def corpus_decon_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation earmarked for r16 (pre-built
+    unit-first in r08): the THREE decontamination family members —
+    exact shared-shingle (``corpus_decontaminate``, benchmark
+    doc_id % 97), MinHash-LSH fuzzy (``corpus_decontaminate_fuzzy``,
+    % 7), embedding-space semantic
+    (``corpus_decontaminate_semantic``, vec_id % 7) — under one
+    padded shape, every retiring spec's cells verbatim (each variant
+    keeps ITS proven fixture).  The documents table is cached once
+    and serves both text-side variants; the embeddings scan feeds the
+    semantic leg.  Unified columns: (variant, id, n_hits, score,
+    contaminated) — exact's overlap count rides n_hits with a NULL
+    score; fuzzy/semantic carry (match count, best similarity)."""
+    from ..operators.similarity import decontaminate_semantic
+    from .graph_queries import SEM_DECON_BENCH_MOD, SEM_DECON_TAU
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"].cache()
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    nd = F.lit(None).cast("double")
+    exact = corpus.decontaminate(
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0),
+        shingle_k=DECON_SHINGLE_K,
+        min_overlap=DECON_MIN_OVERLAP,
+    ).select(
+        F.lit("exact").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("overlap_shingles").alias("n_hits"),
+        nd.alias("score"),
+        "contaminated",
+    )
+    fuzzy = corpus.decontaminate_fuzzy(
+        docs.filter(F.col("doc_id") % FUZZY_BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % FUZZY_BENCH_MOD == 0),
+        threshold=FUZZY_THRESHOLD,
+    ).select(
+        F.lit("fuzzy").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.col("n_bench_matches").alias("n_hits"),
+        F.col("max_est_jaccard").alias("score"),
+        "contaminated",
+    )
+    semantic = decontaminate_semantic(
+        emb.filter(F.col("vec_id") % SEM_DECON_BENCH_MOD != 0),
+        emb.filter(F.col("vec_id") % SEM_DECON_BENCH_MOD == 0),
+        tau=SEM_DECON_TAU,
+    ).select(
+        F.lit("semantic").alias("variant"),
+        F.col("vec_id").alias("id"),
+        F.col("n_bench_hits").alias("n_hits"),
+        F.col("max_cosine").alias("score"),
+        "contaminated",
+    )
+    return exact.unionByName(fuzzy).unionByName(semantic)
+
+
+def _corpus_decon_suite_sql() -> str:
+    from .graph_queries import CORPUS_DECONTAMINATE_SEMANTIC_SQL
+
+    return f"""
+SELECT 'exact' AS variant, doc_id AS id, overlap_shingles AS n_hits,
+       CAST(NULL AS DOUBLE) AS score, contaminated
+FROM ({CORPUS_DECONTAMINATE_SQL})
+UNION ALL
+SELECT 'fuzzy', doc_id, n_bench_matches, max_est_jaccard, contaminated
+FROM ({CORPUS_DECONTAMINATE_FUZZY_SQL})
+UNION ALL
+SELECT 'semantic', vec_id, n_bench_hits, max_cosine, contaminated
+FROM ({CORPUS_DECONTAMINATE_SEMANTIC_SQL})
+"""
+
+
+# CORPUS_DECON_SUITE_SQL is served lazily via module __getattr__ (end
+# of file): building it eagerly would import graph_queries at module
+# init, and graph_queries already imports THIS module mid-init for the
+# split-suite SQL — the eager pair deadlocks whichever side loads
+# second (observed: AttributeError on the partially initialized
+# module).  PEP 562 defers the cross-import to first attribute access,
+# which always happens after both modules finish initializing.
+
+
+# --- Domain-calibrated quality (r16 debut candidate) -------------------------
+
+CALIBRATE_KEEP_FRAC = 0.5
+
+
+def quality_calibrate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-balanced quality retention (r08 unit-first, r16 registry
+    candidate): the text-analysis heuristic quality score calibrated
+    to its within-``source`` percent rank, one global cut keeping the
+    top half of EVERY domain — raw scores are incomparable across
+    domains, calibrated ranks are.  One scan, one window shuffle."""
+    from ..operators.text import quality_score
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    scored = quality_score(docs, carry_cols=("source",))
+    return corpus.calibrate_quality_by_domain(
+        scored, keep_frac=CALIBRATE_KEEP_FRAC
+    )
+
+
+QUALITY_CALIBRATE_DOMAINS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, text, n_chars,
+         list_distinct(string_split(text, ' ')) AS dtoks,
+         len(string_split(text, ' ')) AS ntoks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, {QUALITY_SCORE_EXPR} AS quality_score FROM t
+)
+SELECT doc_id, source, quality_score,
+       percent_rank() OVER (
+         PARTITION BY source ORDER BY quality_score ASC, doc_id ASC
+       ) AS calibrated,
+       percent_rank() OVER (
+         PARTITION BY source ORDER BY quality_score ASC, doc_id ASC
+       ) >= {1.0 - CALIBRATE_KEEP_FRAC} AS kept
+FROM q
+"""
+
 # --- Quality funnel ---------------------------------------------------------
 
 
@@ -1093,3 +1218,11 @@ FROM d JOIN trates USING (source)
     ur=sql_exact_round("urates.rate", 8),
     tr=sql_exact_round("trates.rate", 8),
 )
+
+
+def __getattr__(name: str):
+    """Lazy cross-module SQL (see the CORPUS_DECON_SUITE_SQL note):
+    resolved on first access, after both plan modules finish init."""
+    if name == "CORPUS_DECON_SUITE_SQL":
+        return _corpus_decon_suite_sql()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -130,6 +130,20 @@ and every corpus vector scores it map-only, no corpus shuffle
 (operators/similarity.decontaminate_semantic; numpy ground-truth +
 DuckDB differential + zero-norm contract in tests/test_corpus.py,
 map-only plan guard in tests/test_plans.py).
+THE r16 TRADE (pre-built in r08): retire ``corpus_decontaminate`` +
+the by-then-verified ``corpus_decontaminate_fuzzy`` and
+``corpus_decontaminate_semantic`` into ``corpus_decon_suite``
+(plans/corpus_queries.py — all three family members' cells verbatim
+under one padded shape, documents cached once for both text legs;
+tests/test_corpus.py pins suite ↔ parts ↔ DuckDB, plan guard pins
+the shared cached scan).  Retiring 3 for 1 frees two slots: one
+funds the ``quality_calibrate_domains`` debut (domain-balanced
+quality retention — within-source percent-rank calibration so one
+global cut keeps the top half of EVERY domain;
+operators/corpus.calibrate_quality_by_domain on
+text.quality_score(carry_cols=); single-window-exchange plan guard,
+balanced-retention property + DuckDB differential in
+tests/test_corpus.py), and one banks for r17.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

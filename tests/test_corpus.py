@@ -716,3 +716,107 @@ def test_decontaminate_semantic_arrow_twin_equivalence(spark):
         else:
             assert abs(r.max_cosine - j.max_cosine) < 1e-9
     assert sum(r.contaminated for r in arrow) > 0
+
+
+def test_corpus_decon_suite_matches_duckdb_and_parts(spark):
+    """The r16 consolidation: one suite serves all three decon family
+    members' rows verbatim and matches the combined DuckDB oracle."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = xc.corpus_decon_suite(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(xc.CORPUS_DECON_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "corpus_decon_suite") == []
+
+    parts = {
+        "exact": (xc.corpus_decontaminate, "doc_id", "overlap_shingles", None),
+        "fuzzy": (
+            xc.corpus_decontaminate_fuzzy,
+            "doc_id",
+            "n_bench_matches",
+            "max_est_jaccard",
+        ),
+        "semantic": (
+            gq.corpus_decontaminate_semantic,
+            "vec_id",
+            "n_bench_hits",
+            "max_cosine",
+        ),
+    }
+    for variant, (builder, idc, hitc, scorec) in parts.items():
+        rows = {
+            r[0]: r
+            for r in spdf[spdf.variant == variant][
+                ["id", "n_hits", "score", "contaminated"]
+            ].itertuples(index=False)
+        }
+        got = builder(spark, sf).collect()
+        assert len(got) == len(rows) > 0, variant
+        for r in got:
+            sid, shits, sscore, scont = rows[r[idc]]
+            assert shits == r[hitc], (variant, r[idc])
+            assert scont == r.contaminated
+            if scorec is not None:
+                want = r[scorec]
+                assert (sscore is None and want is None) or sscore == want
+
+
+def test_quality_calibrate_domains_matches_duckdb_and_balances(spark):
+    """r16 debut candidate: the DuckDB differential plus the property
+    the operator exists for — one global threshold keeps the SAME
+    fraction of every domain after calibration, even though raw score
+    distributions differ across domains."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = xc.quality_calibrate_domains(spark, sf).toPandas()
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(xc.QUALITY_CALIBRATE_DOMAINS_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "quality_calibrate_domains") == []
+    per = spdf.groupby("source").agg(
+        kept=("kept", "sum"), total=("kept", "size")
+    )
+    # equal-size domains -> identical kept counts in every domain
+    assert per.total.nunique() == 1
+    assert per.kept.nunique() == 1
+    assert 0 < per.kept.iloc[0] < per.total.iloc[0]
+    assert spdf.calibrated.between(0.0, 1.0).all()
+
+
+def test_calibrate_quality_handles_skewed_domains(spark):
+    """Synthetic sanity: a domain whose raw scores are uniformly LOWER
+    still keeps its top keep_frac — the calibration point — and a
+    single-doc domain calibrates to 0.0 (documented drop)."""
+    df = spark.createDataFrame(
+        [
+            (1, "prose", 0.9), (2, "prose", 0.8), (3, "prose", 0.7),
+            (4, "prose", 0.6),
+            (5, "code", 0.3), (6, "code", 0.25), (7, "code", 0.2),
+            (8, "code", 0.15),
+            (9, "lone", 0.99),
+        ],
+        "doc_id long, source string, quality_score double",
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.calibrate_quality_by_domain(df, keep_frac=0.5).collect()
+    }
+    # top half of EACH domain kept despite disjoint score ranges
+    assert {d for d in out if out[d].kept} == {1, 2, 5, 6}
+    assert out[9].calibrated == 0.0 and not out[9].kept

@@ -587,3 +587,32 @@ def test_decontaminate_semantic_map_only_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_corpus_decon_suite_shared_cached_docs(spark):
+    """The r16 consolidation's point: the two text-side decon legs
+    read the documents table from ONE cached frame; nothing anywhere
+    in the union degenerates to a cartesian (the semantic leg's
+    one-row bench broadcast is a BroadcastNestedLoopJoin, which is
+    the designed shape, not a fallback)."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+
+    plan = _plan_of(spark, xc.corpus_decon_suite)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the semantic leg's bench row
+
+
+def test_quality_calibrate_single_window_exchange(spark):
+    """Domain calibration is one scan + ONE window shuffle (partition
+    by source): no join, no extra exchange, no global sort."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+
+    plan = _plan_of(spark, xc.quality_calibrate_domains)
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(source" in plan
+    assert "Join" not in plan

@@ -448,6 +448,8 @@ def main() -> None:
         "incremental_dedup_suite": xq_mod.incremental_dedup_suite,
         "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
         "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
+        "corpus_decon_suite": xc.corpus_decon_suite,
+        "quality_calibrate_domains": xc.quality_calibrate_domains,
     }
 
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
