@@ -877,6 +877,81 @@ def decontaminate_semantic(
     )
 
 
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-dimension standardization (mean-center, unit-variance) of
+    an embedding column — the whitening prep that keeps L2/cosine
+    geometry honest when raw embedding dimensions carry wildly
+    different scales (a dominant dimension otherwise owns every
+    distance the dedup/ANN family computes).
+
+    Returns ``(standardized, stats)``: the input with ``vec_col``
+    replaced by ``(x - mean_d) / std_d`` per dimension (a zero-spread
+    dimension standardizes to 0.0, not NULL/inf — the constant
+    carries no geometry), and the per-dimension ``(dim, mean, std)``
+    table.  Moments are decimal-exact: sum and sum-of-squares
+    accumulate as decimal(28,8) before ONE double division each, so
+    the oracle replay is bit-identical; std uses the population form
+    ``sqrt(E[x²] − E[x]²)``.
+
+    100 TB shape: pass 1 explodes (id, dim, x) but the per-dimension
+    partial aggregate collapses each partition to d rows BEFORE the
+    shuffle — the exchange moves ~d rows per partition, never the
+    corpus; the d-row stats table then folds to ONE broadcast row of
+    dimension-ordered arrays (the decontaminate_semantic pattern) and
+    pass 2 is map-only ``zip_with`` — no corpus shuffle anywhere.
+    """
+    vecs = df.select(F.col(id_col), _as_double_vec(vec_col).alias("__v"))
+    stats = (
+        vecs.select(F.posexplode("__v").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            (
+                F.expr("cast(sum(cast(x as decimal(28,8))) as double)")
+                / F.count("x")
+            ).alias("mean"),
+            F.sqrt(
+                F.expr("cast(sum(cast(x*x as decimal(28,8))) as double)")
+                / F.count("x")
+                - F.pow(
+                    F.expr("cast(sum(cast(x as decimal(28,8))) as double)")
+                    / F.count("x"),
+                    F.lit(2),
+                )
+            ).alias("std"),
+        )
+    )
+    stats_row = stats.agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "mean", "std"))
+        ).alias("__s")
+    ).select(
+        F.transform("__s", lambda s: s["mean"]).alias("__means"),
+        F.transform("__s", lambda s: s["std"]).alias("__stds"),
+    )
+    standardized = (
+        df.crossJoin(F.broadcast(stats_row))
+        .withColumn(
+            vec_col,
+            F.zip_with(
+                _as_double_vec(vec_col),
+                F.zip_with(
+                    F.col("__means"), F.col("__stds"),
+                    lambda m, s: F.struct(m.alias("m"), s.alias("s")),
+                ),
+                lambda x, ms: F.when(
+                    ms["s"] > 0, (x - ms["m"]) / ms["s"]
+                ).otherwise(F.lit(0.0)),
+            ),
+        )
+        .drop("__means", "__stds")
+    )
+    return standardized, stats
+
+
 def decontaminate_semantic_arrow(
     corpus_vecs: DataFrame,
     bench_vecs: DataFrame,

@@ -2658,3 +2658,72 @@ SELECT c.vec_id,
        coalesce(p.n_bench_hits, 0) > 0 AS contaminated
 FROM corp c LEFT JOIN per_vec p USING (vec_id)
 """
+
+
+# --- Embedding standardization (r17 debut candidate) -------------------------
+
+STD_SAMPLE_MOD = 50  # vector variant: every 50th vector's values, exploded
+
+
+def standardize_embeddings_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding standardization (r08 unit-first, r17
+    registry candidate): the 'stats' variant carries every
+    dimension's decimal-exact (mean, std); the 'vector' variant
+    explodes the standardized values of every 50th vector so the
+    driver hash pins the actual map-only transform, not just the
+    moments.  Zero-spread dimensions standardize to 0.0."""
+    from ..operators.similarity import standardize_embeddings
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    standardized, stats = standardize_embeddings(emb)
+    nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+    s = stats.select(
+        F.lit("stats").alias("variant"),
+        F.col("dim").cast("bigint").alias("dim"),
+        nb.alias("vec_id"),
+        "mean",
+        "std",
+        nd.alias("x"),
+    )
+    v = (
+        standardized.where(F.col("vec_id") % STD_SAMPLE_MOD == 0)
+        .select(F.col("vec_id"), F.posexplode("embedding").alias("dim", "__x"))
+        .select(
+            F.lit("vector").alias("variant"),
+            F.col("dim").cast("bigint").alias("dim"),
+            "vec_id",
+            nd.alias("mean"),
+            nd.alias("std"),
+            F.col("__x").alias("x"),
+        )
+    )
+    return s.unionByName(v)
+
+
+STANDARDIZE_EMBEDDINGS_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, zz -> CAST(zz AS DOUBLE)) AS v
+  FROM embeddings
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x
+  FROM e
+),
+st AS (
+  SELECT dim,
+         cast(sum(cast(x AS decimal(28,8))) AS double) / count(*) AS mean,
+         sqrt(cast(sum(cast(x * x AS decimal(28,8))) AS double) / count(*)
+              - pow(cast(sum(cast(x AS decimal(28,8))) AS double)
+                    / count(*), 2)) AS std
+  FROM ex GROUP BY dim
+)
+SELECT 'stats' AS variant, dim, CAST(NULL AS BIGINT) AS vec_id,
+       mean, std, CAST(NULL AS DOUBLE) AS x
+FROM st
+UNION ALL
+SELECT 'vector', ex.dim, ex.vec_id, NULL, NULL,
+       CASE WHEN st.std > 0 THEN (ex.x - st.mean) / st.std ELSE 0.0 END
+FROM ex JOIN st USING (dim)
+WHERE ex.vec_id % {STD_SAMPLE_MOD} = 0
+"""

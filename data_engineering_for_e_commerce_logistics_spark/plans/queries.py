@@ -143,7 +143,13 @@ global cut keeps the top half of EVERY domain;
 operators/corpus.calibrate_quality_by_domain on
 text.quality_score(carry_cols=); single-window-exchange plan guard,
 balanced-retention property + DuckDB differential in
-tests/test_corpus.py), and one banks for r17.
+tests/test_corpus.py), and one banks for THE r17 DEBUT (also
+pre-built in r08): ``standardize_embeddings_suite`` — per-dimension
+mean/std whitening of the embedding column, decimal-exact moments,
+map-only apply via one broadcast stats row
+(operators/similarity.standardize_embeddings; moments/zero-spread
+units + DuckDB differential in tests/test_pq.py, no-corpus-shuffle
+plan guard).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

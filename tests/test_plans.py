@@ -616,3 +616,19 @@ def test_quality_calibrate_single_window_exchange(spark):
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(source" in plan
     assert "Join" not in plan
+
+
+def test_standardize_embeddings_no_corpus_shuffle(spark):
+    """Standardization's 100 TB shape: pass 1's per-dimension partial
+    aggregate collapses to d rows per partition before its exchange
+    (hashpartitioning on dim, never on the vector id), the d-row
+    stats fold to ONE broadcast row, and pass 2 is map-only zip_with
+    — the corpus is never key-partitioned."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.standardize_embeddings_suite)
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row stats join
+    assert "hashpartitioning(vec_id" not in plan
+    assert "CartesianProduct" not in plan

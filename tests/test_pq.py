@@ -210,3 +210,46 @@ def test_semdedup_suite_matches_duckdb_and_parts(spark):
     assert len(got_keep) == len(keep)
     for r in got_keep:
         assert keep[r.vec_id] == float(r.label)
+
+
+# --- Embedding standardization (r17 debut candidate) -------------------------
+
+
+def test_standardize_embeddings_suite_matches_duckdb(spark):
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = gq.standardize_embeddings_suite(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(gq.STANDARDIZE_EMBEDDINGS_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "standardize_embeddings_suite") == []
+    assert (spdf.variant == "stats").sum() == gq.EMB_DIM
+    assert (spdf.variant == "vector").sum() > 0
+
+
+def test_standardize_embeddings_moments_and_zero_spread(spark):
+    """After the transform every dimension has mean ~0 / std ~1 (the
+    operator's contract), and a constant dimension maps to exactly
+    0.0 — never NULL/inf."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.0, float(i % 3)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    out, stats = standardize_embeddings(df)
+    st = {r.dim: r for r in stats.collect()}
+    assert st[1].std == 0.0  # the constant dimension
+    rows = out.collect()
+    vals = {d: [r.embedding[d] for r in rows] for d in range(3)}
+    assert all(v == 0.0 for v in vals[1])
+    for d in (0, 2):
+        n = len(vals[d])
+        mean = sum(vals[d]) / n
+        var = sum(x * x for x in vals[d]) / n - mean * mean
+        assert abs(mean) < 1e-12
+        assert abs(var - 1.0) < 1e-9

@@ -450,6 +450,7 @@ def main() -> None:
         "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
         "corpus_decon_suite": xc.corpus_decon_suite,
         "quality_calibrate_domains": xc.quality_calibrate_domains,
+        "standardize_embeddings_suite": gq.standardize_embeddings_suite,
     }
 
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
