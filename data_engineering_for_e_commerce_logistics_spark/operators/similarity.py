@@ -1238,8 +1238,13 @@ def incremental_pq_dedup(
     always caught regardless of codebook resolution: x == y gives
     ADC = resid_y exactly.  Screen selectivity (how few non-dups
     reach the exact fetch) DOES depend on resid vs theta — measured
-    in SCALE.md; on clustered corpora resid << pairwise distances
-    and the fetch is ~|true dups|.
+    in SCALE.md r08: on the i.i.d. fixture the bound is sound but
+    nearly vacuous (0–1.2% extra pruning across 12–48-bit codes; the
+    94% candidate pruning comes from the (cell, m, code) collision
+    join), while on clustered corpora resid << pairwise distances
+    and the fetch approaches ~|true dups|.  What the code index buys
+    unconditionally is the 16x memory reduction at a bit-identical
+    kept set.
 
     ``centroids`` (coarse cells) and ``codebook`` (m, code, cv) are
     the operator's FIXED quantizers — the analogue of a signature
