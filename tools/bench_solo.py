@@ -36,26 +36,33 @@ def main() -> None:
     )
     from data_engineering_for_e_commerce_logistics_spark.session import get_spark
 
+    from tools.prebuilt import prebuilt_builders
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="bench-solo")
     specs = all_specs()
-    unknown = [n for n in names if n not in specs]
+    # unit-first builders awaiting their registry slot time exactly
+    # like registered specs, so a spec's solo number can exist BEFORE
+    # its driver row (the rotation contract)
+    prebuilt = prebuilt_builders()
+    unknown = [n for n in names if n not in specs and n not in prebuilt]
     if unknown:
         sys.exit(f"unknown specs: {unknown}")
 
     out: dict[str, dict] = {}
     for name in names:
-        spec = specs[name]
+        build = specs[name].build if name in specs else prebuilt[name]
         spark.catalog.clearCache()
         try:
             spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
-        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(3):
+            spark.catalog.clearCache()
             t0 = time.time()
-            spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            build(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples.append(time.time() - t0)
         out[name] = {
             "min_of_3_sec": round(min(samples), 3),
@@ -67,12 +74,21 @@ def main() -> None:
         load_avg = round(os.getloadavg()[0], 1)
     except OSError:
         load_avg = None
-    artifact = {
-        "sf_dir": sf_dir,
-        "load_avg_1m": load_avg,
-        "queries": out,
-    }
     path = os.path.join(_REPO, f"BENCH_SOLO_r{bench._next_round()}.json")
+    # MERGE into any same-round artifact: later solo sessions add rows
+    # (each stamped with its own load) instead of clobbering earlier
+    # forensics from the same round.
+    artifact = {"sf_dir": sf_dir, "load_avg_1m": load_avg, "queries": {}}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                artifact = json.load(f)
+        except (OSError, ValueError):
+            pass
+    for name, row in out.items():
+        artifact.setdefault("queries", {})[name] = {
+            **row, "load_avg_1m": load_avg
+        }
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(f"wrote {path}")

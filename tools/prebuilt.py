@@ -1,0 +1,39 @@
+"""Pre-built (unit-first, not-yet-registered) query builders — the
+ONE name→builder map shared by scale_rehearsal.py and bench_solo.py,
+so a spec earns its scale row and its solo timing BEFORE it holds a
+registry slot (the rotation contract: debut unit-first in round N,
+register in round N+k).  Remove entries as their specs register."""
+
+from __future__ import annotations
+
+
+def prebuilt_builders() -> dict:
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        corpus_queries as xc,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        extended_queries as xq,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    return {
+        # the r09-r12 trades (pre-built earlier in r08)
+        "kmeans_suite": gq.kmeans_suite,
+        "ann_assign_suite": gq.ann_assign_suite,
+        "pq_suite": gq.pq_suite,
+        "ivfpq_suite": gq.ivfpq_suite,
+        "semdedup_suite": gq.semdedup_suite,
+        "corpus_export_suite": xc.corpus_export_suite,
+        "corpus_mix_suite": xc.corpus_mix_suite,
+        # the r13-r17 trades
+        "minhash_cluster_suite": gq.minhash_cluster_suite,
+        "incremental_pq_fresh": gq.incremental_pq_fresh,
+        "incremental_dedup_suite": xq.incremental_dedup_suite,
+        "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
+        "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
+        "corpus_decon_suite": xc.corpus_decon_suite,
+        "quality_calibrate_domains": xc.quality_calibrate_domains,
+        "standardize_embeddings_suite": gq.standardize_embeddings_suite,
+    }

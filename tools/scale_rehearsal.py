@@ -435,23 +435,9 @@ def main() -> None:
         graph_queries as gq,
     )
 
-    prebuilt = {
-        "kmeans_suite": gq.kmeans_suite,
-        "ann_assign_suite": gq.ann_assign_suite,
-        "pq_suite": gq.pq_suite,
-        "ivfpq_suite": gq.ivfpq_suite,
-        "semdedup_suite": gq.semdedup_suite,
-        "corpus_export_suite": xc.corpus_export_suite,
-        "corpus_mix_suite": xc.corpus_mix_suite,
-        "minhash_cluster_suite": gq.minhash_cluster_suite,
-        "incremental_pq_fresh": gq.incremental_pq_fresh,
-        "incremental_dedup_suite": xq_mod.incremental_dedup_suite,
-        "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
-        "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
-        "corpus_decon_suite": xc.corpus_decon_suite,
-        "quality_calibrate_domains": xc.quality_calibrate_domains,
-        "standardize_embeddings_suite": gq.standardize_embeddings_suite,
-    }
+    from tools.prebuilt import prebuilt_builders
+
+    prebuilt = prebuilt_builders()
 
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     queries = wanted if wanted else QUERIES
