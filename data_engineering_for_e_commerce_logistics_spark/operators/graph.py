@@ -139,6 +139,13 @@ def connected_components(
     labels.cache()
     labels.count()
 
+    # Handle to the frame currently pinned in the block manager.  The
+    # loop reassigns ``labels`` to a 2-col PROJECTION of the cached
+    # 3-col new_labels, and unpersisting the projection does NOT
+    # release the cached plan (sameResult fails, cascade=false) — so
+    # the unpersist must target this handle, not ``labels``.
+    cached = labels
+
     while True:
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -165,9 +172,13 @@ def connected_components(
         )
         new_labels.cache()
         changed = new_labels.filter(F.col("__changed")).count()
-        labels.unpersist()
+        cached.unpersist()
+        cached = new_labels
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
+    # ``cached`` (the final iteration's frame) stays pinned on purpose:
+    # the returned labels project from it, and unpersisting here would
+    # force a full fixpoint recomputation at the caller's first action.
     return labels

@@ -201,6 +201,13 @@ def pq_train_encode(
     more broadcast pass.  Nothing is ever all-pairs, and executor
     memory is O(n_sub * k * dim / n_sub) = O(k * dim).  The exploded
     frame is cached once and reused by every pass.
+
+    Cache lifetime contract (ADVICE r08): that internal cache stays
+    pinned until the caller clears it — it cannot be unpersisted
+    before return because nothing has materialized yet under lazy
+    evaluation.  Looping callers (streaming foreachBatch, repeated
+    re-trains in one session) must ``spark.catalog.clearCache()``
+    per iteration; the packaged ingest loop already does.
     """
     from pyspark.sql import Window
 
@@ -914,12 +921,22 @@ def standardize_embeddings(
                 / F.count("x")
             ).alias("mean"),
             F.sqrt(
-                F.expr("cast(sum(cast(x*x as decimal(28,8))) as double)")
-                / F.count("x")
-                - F.pow(
-                    F.expr("cast(sum(cast(x as decimal(28,8))) as double)")
-                    / F.count("x"),
-                    F.lit(2),
+                # clamp: for a (near-)constant dimension the double
+                # rounding after the decimal sums can leave
+                # E[x²]−E[x]² marginally NEGATIVE — Spark's sqrt would
+                # yield NaN and DuckDB's would hard-error, a latent
+                # oracle divergence (ADVICE r08)
+                F.greatest(
+                    F.expr("cast(sum(cast(x*x as decimal(28,8))) as double)")
+                    / F.count("x")
+                    - F.pow(
+                        F.expr(
+                            "cast(sum(cast(x as decimal(28,8))) as double)"
+                        )
+                        / F.count("x"),
+                        F.lit(2),
+                    ),
+                    F.lit(0.0),
                 )
             ).alias("std"),
         )
@@ -1108,7 +1125,12 @@ def incremental_semdedup(
     Index growth tracks NOVEL content only, like the simhash family.
     Deterministic end to end and SQL-expressible (NOT EXISTS twice) —
     oracle-ready for a registry slot (r07 candidate,
-    ``plans/graph_queries.py:incremental_semdedup_fresh``)."""
+    ``plans/graph_queries.py:incremental_semdedup_fresh``).
+
+    Cache lifetime contract (ADVICE r08): the routed branch caches
+    its batch assignment internally; looping callers must
+    ``spark.catalog.clearCache()`` per batch (the packaged ingest
+    loop does) — see ``incremental_pq_dedup`` for the rationale."""
     vecs = new_vecs.select(
         F.col(id_col), _as_double_vec(vec_col).alias("v")
     ).withColumn(
@@ -1262,6 +1284,15 @@ def incremental_pq_dedup(
     codeword distances to index codes on (cell, m, code) — n_sub
     short rows per same-cell rival instead of a 64-float dot
     product — and the only corpus touch is the survivor-id join.
+
+    Cache lifetime contract (ADVICE r08): the batch assignment frame
+    is cached INTERNALLY and stays pinned until the caller clears it
+    — unpersisting before return would defeat the cache (nothing has
+    materialized yet under lazy evaluation).  One-shot callers can
+    ignore it (session teardown collects); LOOPING callers (e.g. a
+    streaming foreachBatch) must call ``spark.catalog.clearCache()``
+    once per batch after consuming ``fresh``/``index_delta`` — the
+    packaged ``start_dedup_ingest_stream`` loop already does.
     """
     from pyspark.sql import Window
 

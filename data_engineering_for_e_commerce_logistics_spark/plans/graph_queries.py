@@ -2713,9 +2713,10 @@ ex AS (
 st AS (
   SELECT dim,
          cast(sum(cast(x AS decimal(28,8))) AS double) / count(*) AS mean,
-         sqrt(cast(sum(cast(x * x AS decimal(28,8))) AS double) / count(*)
+         sqrt(greatest(
+              cast(sum(cast(x * x AS decimal(28,8))) AS double) / count(*)
               - pow(cast(sum(cast(x AS decimal(28,8))) AS double)
-                    / count(*), 2)) AS std
+                    / count(*), 2), 0.0)) AS std
   FROM ex GROUP BY dim
 )
 SELECT 'stats' AS variant, dim, CAST(NULL AS BIGINT) AS vec_id,

@@ -86,8 +86,12 @@ def main() -> None:
         except (OSError, ValueError):
             pass
     for name, row in out.items():
+        # per-row provenance (ADVICE r08): a merge session may run
+        # under a different SPARK_GRAFT_SF_DIR than the artifact's
+        # top-level sf_dir — stamp each row so mixed-scale merges are
+        # visible instead of silent
         artifact.setdefault("queries", {})[name] = {
-            **row, "load_avg_1m": load_avg
+            **row, "load_avg_1m": load_avg, "sf_dir": sf_dir
         }
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)

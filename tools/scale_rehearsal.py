@@ -422,24 +422,20 @@ def main() -> None:
         return
 
     # optional positional names: rehearse a subset (e.g. new queries)
-    # unit-first builders awaiting their registry slot (the r09-r11
-    # trades): rehearsable pre-registration exactly like specs, so the
-    # scale row exists BEFORE the driver row
-    from data_engineering_for_e_commerce_logistics_spark.plans import (
-        corpus_queries as xc,
-    )
-    from data_engineering_for_e_commerce_logistics_spark.plans import (
-        extended_queries as xq_mod,
-    )
-    from data_engineering_for_e_commerce_logistics_spark.plans import (
-        graph_queries as gq,
-    )
-
+    # unit-first builders awaiting their registry slot: rehearsable
+    # pre-registration exactly like specs, so the scale row exists
+    # BEFORE the driver row (builders come from tools.prebuilt)
     from tools.prebuilt import prebuilt_builders
 
     prebuilt = prebuilt_builders()
 
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    unknown = [n for n in wanted if n not in specs and n not in prebuilt]
+    if unknown:
+        sys.exit(
+            f"unknown query name(s): {', '.join(unknown)} — valid names "
+            "are registered specs plus tools.prebuilt builders"
+        )
     queries = wanted if wanted else QUERIES
 
     for name in queries:
