@@ -39,7 +39,6 @@ HEADLINE = [
     "events_hourly_rollup",
     "validate_orders",
     "dedup_exact_documents",
-    "dedup_minhash_lsh",
     "events_sessionize",
     "binary_features",
     "quantiles_lineitem",
@@ -57,7 +56,6 @@ HEADLINE = [
     "scd2_customer",
     "customer_spend_slope",
     "correlated_above_avg_orders",
-    "kmeans_refine",
     "repeat_orders_7d",
     "ivf_assign",
     "ngram_frequencies",
@@ -70,7 +68,6 @@ HEADLINE = [
     "pii_redact_customer",
     "corpus_pack_sequences",
     "corpus_domain_mix",
-    "kmeans_iterations",
     "histogram_orders",
     "group_quantiles_events",
     "unpivot_lineitem",
@@ -85,7 +82,6 @@ HEADLINE = [
     # (now oracle-checked); degree profile is timed inside the triangle
     # count (its orientation step recomputes degrees).
     "graph_triangle_count",
-    "semdedup_pairs",
     "corpus_lm_quality",
     "ivm_spend_refresh",
     "corpus_chunk_documents",
@@ -118,7 +114,6 @@ HEADLINE = [
     "struct_flatten_roundtrip",
     "region_nation_list",
     "sql_api_params",
-    "dedup_clusters",
     "sketch_aggregates_events",
     # r06 additions: the routed SemDeDup production path's registry
     # debut (trained two-level assignment + the routed pair miner),
@@ -146,6 +141,13 @@ HEADLINE = [
     # before; first recording becomes its baseline)
     "dedup_simhash_suite",
     "training_corpus_report",
+    # r09 additions: the three consolidation suites (baselines = their
+    # retired parts' sums via RENAMED_FROM) and the training-export
+    # debut (never benched before; first recording becomes baseline)
+    "semdedup_suite",
+    "minhash_cluster_suite",
+    "kmeans_suite",
+    "corpus_export_suite",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion
@@ -155,8 +157,8 @@ HEADLINE = [
 #                            which IS timed; benching both double-counts
 #                            one scan.
 #   corpus_cluster_reps    — re-runs the full LSH+fixpoint pipeline
-#                            already timed via dedup_minhash_lsh +
-#                            dedup_clusters.
+#                            already timed via minhash_cluster_suite
+#                            (pre-r09: dedup_minhash_lsh + dedup_clusters).
 #   dedup_ngram_jaccard,
 #   dedup_embedding_cosine — quadratic-BY-DESIGN ground-truth twins
 #                            (recall oracles for the banded/bucketed
@@ -164,16 +166,14 @@ HEADLINE = [
 #                            naive O(n²) baseline at sf0.1 measures the
 #                            baseline, not the engine, at ~100× the
 #                            sf0.01 cost.
-#   semdedup_keep          — re-runs the full semdedup_pairs miner
-#                            (which IS timed) plus one short anti
-#                            join; benching it double-counts the
-#                            miner, same rule as corpus_cluster_reps.
+#   (semdedup_keep, retired r09 into semdedup_suite, was excluded
+#   here for re-running the timed miner — the suite now serves the
+#   keep set from ONE cached mine, so the exclusion retires with it.)
 BENCH_EXCLUDED = {
     "graph_degree_profile",
     "corpus_cluster_reps",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
-    "semdedup_keep",
 }
 
 # r02 registry merges/renames: a merged query's baseline is the SUM of
@@ -218,6 +218,13 @@ RENAMED_FROM = {
     # r08 consolidation: the simhash suite's baseline is the retired
     # signature + banded-pairs specs' sum (both benched since r03/r05)
     "dedup_simhash_suite": ["dedup_simhash", "dedup_simhash_pairs"],
+    # r09 consolidations: each suite's baseline is its retired parts'
+    # sum (semdedup_keep was bench-excluded, so the semdedup suite
+    # compares against the pairs miner alone — the keep leg it adds is
+    # one anti join over the same cached mine).
+    "semdedup_suite": ["semdedup_pairs"],
+    "minhash_cluster_suite": ["dedup_minhash_lsh", "dedup_clusters"],
+    "kmeans_suite": ["kmeans_refine", "kmeans_iterations"],
 }
 
 # Per-query baseline caveats, emitted into the artifact so a judge
@@ -234,8 +241,10 @@ BENCH_NOTES = {
     # ~2×0.5s is per-iteration plan/AQE-stage overhead on a 477-node
     # graph — Spark driver-loop latency, not data). Baseline reset to
     # the honest number as of r08.
-    "dedup_clusters": "r06 baseline was a warmup-cache artifact; "
-    "honest cost ~3.5-4s at sf0.1 (see SCALE.md r08 forensics)",
+    "minhash_cluster_suite": "part-sum baseline includes "
+    "dedup_clusters, whose r06 number was a warmup-cache artifact — "
+    "honest fixpoint cost ~3.5-4s at sf0.1 (SCALE.md r08 forensics); "
+    "the suite mines the LSH pairs ONCE for both legs",
 }
 
 

@@ -20,136 +20,57 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r08 window — the rotation the r07 docstring committed to (VERDICT
-r07 ask #1), plus the consolidation VERDICT r07 ask #6 funds:
+r09 window — the committed r09 trade PLUS the r12/r13 consolidations
+pulled forward.  Why the pull-forward: the r08 docstring's plan
+(retire the two r08-green kmeans specs, debut kmeans_suite +
+corpus_export_suite) frees slots in the R10 backlog but adds TWO
+never-checked specs to a window already saturated by 2 flagships +
+48 r07-green stale specs = 52 > 50.  Rather than spill two stale
+specs (the r06 precedent the freshness invariant exists to avoid),
+this round ALSO executes the two pre-built consolidations whose
+retiring specs sit in THIS round's stale backlog:
 
-* positions 3-46: the r06-green stale backlog (CORRECTNESS r06 ∖
-  r07, oldest evidence first), 44 specs after ``corpus_split_sample``
-  retires into the split suite below and ``dedup_simhash`` +
-  ``dedup_simhash_pairs`` merge into ``dedup_simhash_suite`` (the
-  r09-earmarked trade pulled forward — signatures as exact decimal
-  strings UNION the hamming-banded pairs; both retired specs'
-  evidence carries through the suite, bench baseline via
-  RENAMED_FROM).
-* position 47: ``corpus_split_suite`` — the merged-variants
-  consolidation (plain hash split + stratified sample, UNION the
-  leakage-safe rep-keyed split) built and differential-proven in r07
-  (``plans/graph_queries.py`` + ``tests/test_graph.py``); bench
-  baseline carries via bench.py RENAMED_FROM.
-* positions 48-49: the two r07 unit-first debuts —
-  ``bpe_encode_documents`` (train + encode in one query,
-  ``tests/test_bpe.py`` differential) and ``corpus_span_dedup``
-  (C4-style cross-document span dedup, ``tests/test_corpus.py``
-  semantics + sf0.01 differential).
-* position 50: ``training_corpus_report`` — the capstone
-  composition's lineage report (quality → span dedup → exact dedup →
-  split → pack), oracle-checked end-to-end in the slot the simhash
-  consolidation freed (VERDICT r07 ask #6).
+* positions 3-46: the r07-green stale backlog (CORRECTNESS r07 ∖
+  r08, oldest evidence first) — 44 specs after ``semdedup_pairs`` +
+  ``semdedup_keep`` retire into ``semdedup_suite`` and
+  ``dedup_minhash_lsh`` + ``dedup_clusters`` retire into
+  ``minhash_cluster_suite`` (both suites pre-built and
+  differential-proven in r08; retiring specs' cells carry verbatim,
+  bench baselines via RENAMED_FROM).
+* position 47: ``semdedup_suite`` — mines the cell-bounded pairs
+  ONCE, cached, and serves both the pair evidence and the greedy
+  keep set (the keep spec used to recompute the whole miner).
+* position 48: ``minhash_cluster_suite`` — runs the LSH miner ONCE,
+  cached, and serves the candidate pairs plus their
+  connected-components labels (the clusters spec used to re-run it).
+* position 49: ``kmeans_suite`` — one shared Lloyd chain serves the
+  retired ``kmeans_refine`` + ``kmeans_iterations`` cells (both
+  r08-green; their retirement relieves the R10 backlog).
+* position 50: ``corpus_export_suite`` — the committed r09 debut:
+  token-budget sampling + shuffle-shard assignment, the
+  training-export steps.
 
-Arithmetic: 2 flagships + 44 backlog + 2 suites + 2 debuts +
-1 capstone = 50 exactly.  Positions 51+ are the 48 r07-green specs.
-Once CORRECTNESS_r08 lands, no live oracle spec's last driver row
-predates r07 — the freshness invariant holds with zero spill
-(retired specs' semantics carry through their suites, the same
-contract as every prior consolidation).
+Arithmetic: 2 flagships + 44 backlog + 3 suites + 1 debut = 50
+exactly, zero spill.  Positions 51+ are the 46 r08-green specs
+(48 minus the two retired kmeans parts).  Once CORRECTNESS_r09
+lands, no live oracle spec's last driver row predates r08.
 
-WINDOW ARITHMETIC going forward: the registry is now 99 specs / 98
-oracle-paired.  Steady state: flagships hold 2 slots every round,
-leaving 48/round = 96 per 2-round cycle for the other 96 oracle
-specs — EXACTLY saturated, zero debut headroom.  Consequence for
-r09: the 48 specs now at positions 51+ become the stale backlog, so
-r09's mandatory load is 2 + 48 = 50 exactly.  ANY r09 debut therefore
-requires a paired consolidation (or retirement) to free its slot.
-THE r09 TRADE (pre-built and differential-proven in r08): retire
-``kmeans_refine`` + ``kmeans_iterations`` into ``kmeans_suite``
-(plans/graph_queries.py — one shared Lloyd chain serves both retiring
-specs' cells; tests/test_kmeans.py pins suite ↔ parts ↔ DuckDB), and
-spend the freed slot on the ``corpus_export_suite`` debut
-(plans/corpus_queries.py — token_budget_sample + shuffle_shard, the
-training-export steps; tests/test_corpus.py differential).  Post-
-trade registry: 98 specs / 97 oracle-paired — 2 flagships + 95
-backlog over 2 rounds ≈ 47.5 + 2 = saturated again, so r10 debuts
-need the next consolidation.  THE r10 TRADE (pre-built in r08):
-retire ``corpus_domain_mix`` into ``corpus_mix_suite``
-(plans/corpus_queries.py — uniform variant carries the retiring
-spec's cells verbatim; temperature variant debuts the alpha=0.5
-rule; tests/test_corpus.py differential over the degeneracy-breaking
-doc_id % 3 subset).  THE r11 TRADE (pre-built in r08): retire
-``ivf_assign`` + ``routed_assign_embeddings`` into
-``ann_assign_suite`` (plans/graph_queries.py — one shared cached
-embeddings scan, both retiring specs' cells verbatim as 'ivf' /
-'routed' variants; tests/test_pq.py pins suite ↔ parts ↔ DuckDB,
-bench baseline = the parts' sum via RENAMED_FROM), and spend the
-freed slot on the ``pq_suite`` debut (product quantization: per-
-subspace codebook train with one decimal-exact Lloyd round, encode,
-and ADC top-k search — operators/similarity.pq_train_encode /
-pq_adc_topk; tests/test_pq.py differential plus the triangle-
-inequality ADC bound, plan-guarded broadcast-codebook-only joins).
-THE r12 TRADE (pre-built in r08): retire ``semdedup_pairs`` +
-``semdedup_keep`` into ``semdedup_suite`` (plans/graph_queries.py —
-the keep spec recomputed the whole cell-bounded miner just to anti-
-join its drop set; the suite mines ONCE, cached, and serves both
-variants; tests/test_pq.py pins suite ↔ parts ↔ DuckDB, plan guard
-pins the single cached miner + broadcast anti join), and spend the
-freed slot on the ``ivfpq_suite`` debut (IVF-PQ residual
-quantization with probed-cell ADC, the FAISS-IVFPQ index shape —
-tests/test_pq.py differential + probe-restriction units, broadcast-
-only plan guard).
-THE r13 TRADE (pre-built in r08): retire ``dedup_minhash_lsh`` +
-``dedup_clusters`` into ``minhash_cluster_suite``
-(plans/graph_queries.py — the clusters spec re-ran the whole LSH
-miner the pairs spec already ran; the suite mines ONCE, cached, and
-serves the pair evidence plus its connected-components labels from
-the same frame; tests/test_graph.py pins suite ↔ parts ↔ the
-WITH RECURSIVE oracle, plan guard pins the single cached miner),
-and spend the freed slot on the ``incremental_pq_fresh`` debut (the
-FIFTH incremental-dedup family member — compressed PQ-code index,
-triangle-inequality-sound ADC screen, by-id exact verify —
-operators/similarity.incremental_pq_dedup; tests/test_incremental_pq.py
-pins the DuckDB differential, bit-identity with a full-vector-index
-replay, and the replicas-always-caught property; broadcast-only
-plan guard).
-THE r14 TRADE (pre-built in r08): retire ``incremental_exact_fresh``
-+ ``incremental_simhash_fresh`` + ``incremental_minhash_fresh`` into
-``incremental_dedup_suite`` (plans/extended_queries.py — the three
-signature-family two-batch flows from ONE cached documents scan,
-every retiring spec's cells preserved bit-exactly, signatures as
-exact decimal strings; tests/test_incremental_suite.py pins suite ↔
-parts ↔ DuckDB, plan guard pins the shared cached scan).  Retiring 3
-for 1 frees TWO slots: one funds the ``corpus_decontaminate_fuzzy``
-debut (NEAR-dup benchmark decontamination — MinHash-LSH corpus ×
-benchmark join + agreeing-fraction verify, the paraphrase-robust
-complement of the exact shared-shingle rule;
-operators/corpus.decontaminate_fuzzy, broadcast-benchmark plan
-guard, tests/test_corpus.py differential), and one slot is banked
-for THE r15 DEBUT (also pre-built in r08):
-``corpus_decontaminate_semantic`` — the third decontamination family
-member, EMBEDDING-space (catches rewrites that n-grams and MinHash
-miss); the bounded benchmark collapses to ONE broadcast array row
-and every corpus vector scores it map-only, no corpus shuffle
-(operators/similarity.decontaminate_semantic; numpy ground-truth +
-DuckDB differential + zero-norm contract in tests/test_corpus.py,
-map-only plan guard in tests/test_plans.py).
-THE r16 TRADE (pre-built in r08): retire ``corpus_decontaminate`` +
-the by-then-verified ``corpus_decontaminate_fuzzy`` and
-``corpus_decontaminate_semantic`` into ``corpus_decon_suite``
-(plans/corpus_queries.py — all three family members' cells verbatim
-under one padded shape, documents cached once for both text legs;
-tests/test_corpus.py pins suite ↔ parts ↔ DuckDB, plan guard pins
-the shared cached scan).  Retiring 3 for 1 frees two slots: one
-funds the ``quality_calibrate_domains`` debut (domain-balanced
-quality retention — within-source percent-rank calibration so one
-global cut keeps the top half of EVERY domain;
-operators/corpus.calibrate_quality_by_domain on
-text.quality_score(carry_cols=); single-window-exchange plan guard,
-balanced-retention property + DuckDB differential in
-tests/test_corpus.py), and one banks for THE r17 DEBUT (also
-pre-built in r08): ``standardize_embeddings_suite`` — per-dimension
-mean/std whitening of the embedding column, decimal-exact moments,
-map-only apply via one broadcast stats row
-(operators/similarity.standardize_embeddings; moments/zero-spread
-units + DuckDB differential in tests/test_pq.py, no-corpus-shuffle
-plan guard).
+WINDOW ARITHMETIC going forward: the registry is now 97 specs / 96
+oracle-paired.  r10 mandatory load = 2 flagships + 46 r08-green
+stale = 48, leaving TWO free slots.  THE r10 PLAN: execute the
+committed r10 trade — retire ``corpus_domain_mix`` (r08-green, in
+the r10 backlog) into ``corpus_mix_suite`` (load-neutral: −1 stale
++1 newcomer) — and spend the two free slots on the ``ivfpq_suite``
+and ``incremental_pq_fresh`` debuts (their paired consolidations
+landed THIS round).  r10 window: 2 + 45 + 3 = 50 exactly.  Post-r10:
+96 specs / 95 oracle-paired; r11 load = 2 + 47 r09-green = 49, one
+free slot + THE r11 TRADE (retire ``ivf_assign`` +
+``routed_assign_embeddings`` into ``ann_assign_suite``, both in the
+r11 backlog, freeing two more) funds the ``pq_suite`` debut and
+banks one.  The r14-r17 trades (incremental_dedup_suite + the
+decontamination family + quality calibration + embedding
+standardization, all pre-built in r08) then land with slack instead
+of against a saturated window.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
@@ -183,9 +104,238 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-47: the r06-green stale backlog (oldest evidence first; the
-# --- complete CORRECTNESS_r06 ∖ r07 set minus corpus_split_sample,
-# --- retired into the suite at position 48) ------------------------
+# --- 3-46: the r07-green stale backlog (oldest evidence first; the
+# --- complete CORRECTNESS_r07 ∖ r08 set minus the four specs retired
+# --- into the suites at positions 47-48) ---------------------------
+register(
+    "array_functions_documents",
+    fq.array_functions_documents,
+    fq.ARRAY_FUNCTIONS_SQL,
+    ("scalar", "array"),
+)
+register(
+    "asof_events_orders",
+    aq.asof_events_orders,
+    aq.ASOF_EVENTS_ORDERS_SQL,
+    ("join", "asof", "temporal"),
+)
+register(
+    "basket_pairs",
+    aq.basket_pairs,
+    aq.BASKET_PAIRS_SQL,
+    ("agg", "market-basket", "pair-mining"),
+)
+register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
+register(
+    "bpe_merges_documents",
+    xc.bpe_merges_documents,
+    xc.BPE_MERGES_SQL,
+    ("text", "tokenizer", "bpe", "iterative", "multi-round"),
+)
+register(
+    "coerce_timestamps_orders",
+    cq.coerce_timestamps_orders,
+    cq.COERCE_TIMESTAMPS_SQL,
+    ("timestamps",),
+)
+register(
+    "cohort_retention",
+    aq.cohort_retention,
+    aq.COHORT_RETENTION_SQL,
+    ("agg", "cohort", "temporal"),
+)
+register(
+    "corpus_chunk_documents",
+    xc.corpus_chunk_documents,
+    xc.CORPUS_CHUNK_SQL,
+    ("corpus", "chunking"),
+)
+register(
+    "corpus_lm_quality",
+    xc.corpus_lm_quality,
+    xc.CORPUS_LM_QUALITY_SQL,
+    ("corpus", "quality", "lm"),
+)
+register(
+    "correlated_above_avg_orders",
+    aq.correlated_above_avg_orders,
+    aq.CORRELATED_ABOVE_AVG_SQL,
+    ("subquery",),
+)
+register(
+    "customer_rolling_7d_spend",
+    aq.customer_rolling_7d_spend,
+    aq.CUSTOMER_ROLLING_7D_SQL,
+    ("window", "range-frame", "temporal"),
+)
+register(
+    "customer_running_spend",
+    rq.customer_running_spend,
+    rq.CUSTOMER_RUNNING_SPEND_SQL,
+    ("window",),
+)
+register(
+    "customer_spend_slope",
+    aq.customer_spend_slope,
+    aq.CUSTOMER_SPEND_SLOPE_SQL,
+    ("agg", "regression"),
+)
+register(
+    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
+)
+register(
+    "dedup_ngram_jaccard",
+    xq.dedup_ngram_jaccard,
+    xq.DEDUP_NGRAM_JACCARD_SQL,
+    ("dedup", "all-pairs", "bounded-baseline"),
+)
+register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
+register(
+    "events_sessionize",
+    rq.events_sessionize,
+    rq.EVENTS_SESSIONIZE_SQL,
+    ("window", "session"),
+)
+register(
+    "explode_document_tokens",
+    rq.explode_document_tokens,
+    rq.EXPLODE_TOKENS_SQL,
+    ("explode",),
+)
+register(
+    "graph_degree_profile",
+    gq.graph_degree_profile,
+    gq.GRAPH_DEGREE_PROFILE_SQL,
+    ("graph", "degree"),
+)
+register(
+    "graph_triangle_count",
+    gq.graph_triangle_count,
+    gq.GRAPH_TRIANGLE_COUNT_SQL,
+    ("graph", "triangles"),
+)
+register(
+    "grouping_sets_orders",
+    aq.grouping_sets_orders,
+    aq.GROUPING_SETS_ORDERS_SQL,
+    ("grouping-sets", "merged-variants"),
+)
+register(
+    "incremental_exact_fresh",
+    xq.incremental_exact_fresh,
+    xq.INCREMENTAL_EXACT_SQL,
+    ("dedup", "incremental", "bloom", "index-screen"),
+)
+register(
+    "incremental_semdedup_fresh",
+    gq.incremental_semdedup_fresh,
+    gq.INCREMENTAL_SEMDEDUP_SQL,
+    ("dedup", "incremental", "similarity", "semdedup", "index-screen"),
+)
+register(
+    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+)
+register(
+    "ivm_spend_refresh",
+    rq.ivm_spend_refresh,
+    rq.IVM_SPEND_REFRESH_SQL,
+    ("sink", "ivm", "incremental"),
+)
+register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
+register(
+    "manifest_pruned_orders",
+    rq.manifest_pruned_orders,
+    rq.MANIFEST_PRUNED_SQL,
+    ("layout", "manifest", "data-skipping", "agg"),
+)
+register(
+    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
+)
+register(
+    "normalize_strings_customer",
+    cq.normalize_strings_customer,
+    cq.NORMALIZE_STRINGS_SQL,
+    ("strings",),
+)
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register(
+    "q3_shipping_priority",
+    aq.q3_shipping_priority,
+    aq.Q3_SHIPPING_PRIORITY_SQL,
+    ("join", "agg", "topk"),
+)
+register(
+    "region_nation_list",
+    aq.region_nation_list,
+    aq.REGION_NATION_LIST_SQL,
+    ("agg", "string-agg"),
+)
+register(
+    "salted_rollup_events",
+    rq.salted_rollup_events,
+    rq.SALTED_ROLLUP_SQL,
+    ("agg", "skew", "salted"),
+)
+register(
+    "scalar_functions_part",
+    gq.scalar_functions_part,
+    gq.SCALAR_FUNCTIONS_SQL,
+    ("scalar",),
+)
+register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register(
+    "sql_api_params",
+    rq.sql_api_params,
+    rq.SQL_API_PARAMS_SQL,
+    ("sql", "params"),
+)
+register(
+    "struct_flatten_roundtrip",
+    rq.struct_flatten_roundtrip,
+    rq.STRUCT_FLATTEN_SQL,
+    ("struct",),
+)
+register(
+    "text_analysis_suite",
+    xq.text_analysis_suite,
+    xq.TEXT_ANALYSIS_SUITE_SQL,
+    ("text", "merged-variants"),
+)
+register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
+register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+
+# --- 47-50: the consolidation suites + the r09 debut ---------------
+register(
+    "semdedup_suite",
+    gq.semdedup_suite,
+    gq.SEMDEDUP_SUITE_SQL,
+    ("dedup", "similarity", "semdedup", "merged-variants"),
+)
+register(
+    "minhash_cluster_suite",
+    gq.minhash_cluster_suite,
+    gq.MINHASH_CLUSTER_SUITE_SQL,
+    ("dedup", "lsh", "graph", "iterative", "merged-variants"),
+)
+register(
+    "kmeans_suite",
+    gq.kmeans_suite,
+    gq.KMEANS_SUITE_SQL,
+    ("similarity", "iterative", "multi-round", "merged-variants"),
+)
+register(
+    "corpus_export_suite",
+    xc.corpus_export_suite,
+    xc.CORPUS_EXPORT_SUITE_SQL,
+    ("corpus", "sampling", "export"),
+)
+
+# --- 51+: the r08-green remainder (freshest evidence; rotates back
+# --- into the window as the r10 stale backlog) ---------------------
 register(
     "agg_cardinality_lineitem",
     rq.agg_cardinality_lineitem,
@@ -326,18 +476,6 @@ register(
 )
 register("ivf_assign", gq.ivf_assign, gq.IVF_ASSIGN_SQL, ("similarity", "ivf"))
 register(
-    "kmeans_iterations",
-    gq.kmeans_iterations,
-    gq.KMEANS_ITERATIONS_SQL,
-    ("similarity", "iterative", "multi-round"),
-)
-register(
-    "kmeans_refine",
-    gq.kmeans_refine,
-    gq.KMEANS_REFINE_SQL,
-    ("similarity", "ivf", "iterative"),
-)
-register(
     "ngram_frequencies",
     gq.ngram_frequencies,
     gq.NGRAM_FREQUENCIES_SQL,
@@ -437,18 +575,12 @@ register(
     rq.ZORDER_ORDERS_SQL,
     ("layout", "zorder", "data-skipping"),
 )
-
-# --- 48: consolidation — corpus_split_sample + corpus_split_no_leakage
-# --- merge into one padded-union suite (bench baseline carries via
-# --- bench.py RENAMED_FROM) ----------------------------------------
 register(
     "corpus_split_suite",
     gq.corpus_split_suite,
     gq.CORPUS_SPLIT_SUITE_SQL,
     ("corpus", "split", "suite", "graph"),
 )
-
-# --- 49-50: r07 unit-first debuts --------------------------------------
 register(
     "bpe_encode_documents",
     xc.bpe_encode_documents,
@@ -461,10 +593,6 @@ register(
     xc.CORPUS_SPAN_DEDUP_SQL,
     ("corpus", "dedup", "span"),
 )
-
-# --- 50: the capstone lineage report (VERDICT r07 ask #6) — slot
-# --- funded by the dedup_simhash → dedup_simhash_suite consolidation
-# --- above (the r09-earmarked trade pulled forward) -----------------
 register(
     "training_corpus_report",
     xc.training_corpus_report,
@@ -472,231 +600,8 @@ register(
     ("corpus", "capstone", "lineage", "composition"),
 )
 
-# --- 51+: r07-green fresh remainder (freshest evidence, lowest
-# --- re-check urgency; rotates back into the window next round) --------
-register(
-    "sql_api_params",
-    rq.sql_api_params,
-    rq.SQL_API_PARAMS_SQL,
-    ("sql", "params"),
-)
-register(
-    "basket_pairs",
-    aq.basket_pairs,
-    aq.BASKET_PAIRS_SQL,
-    ("agg", "market-basket", "pair-mining"),
-)
-register(
-    "grouping_sets_orders",
-    aq.grouping_sets_orders,
-    aq.GROUPING_SETS_ORDERS_SQL,
-    ("grouping-sets", "merged-variants"),
-)
-register(
-    "cohort_retention",
-    aq.cohort_retention,
-    aq.COHORT_RETENTION_SQL,
-    ("agg", "cohort", "temporal"),
-)
-register(
-    "text_analysis_suite",
-    xq.text_analysis_suite,
-    xq.TEXT_ANALYSIS_SUITE_SQL,
-    ("text", "merged-variants"),
-)
-register(
-    "incremental_semdedup_fresh",
-    gq.incremental_semdedup_fresh,
-    gq.INCREMENTAL_SEMDEDUP_SQL,
-    ("dedup", "incremental", "similarity", "semdedup", "index-screen"),
-)
-register(
-    "bpe_merges_documents",
-    xc.bpe_merges_documents,
-    xc.BPE_MERGES_SQL,
-    ("text", "tokenizer", "bpe", "iterative", "multi-round"),
-)
-register(
-    "array_functions_documents",
-    fq.array_functions_documents,
-    fq.ARRAY_FUNCTIONS_SQL,
-    ("scalar", "array"),
-)
-register(
-    "asof_events_orders",
-    aq.asof_events_orders,
-    aq.ASOF_EVENTS_ORDERS_SQL,
-    ("join", "asof", "temporal"),
-)
-register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
-register(
-    "coerce_timestamps_orders",
-    cq.coerce_timestamps_orders,
-    cq.COERCE_TIMESTAMPS_SQL,
-    ("timestamps",),
-)
-register(
-    "corpus_chunk_documents",
-    xc.corpus_chunk_documents,
-    xc.CORPUS_CHUNK_SQL,
-    ("corpus", "chunking"),
-)
-register(
-    "corpus_lm_quality",
-    xc.corpus_lm_quality,
-    xc.CORPUS_LM_QUALITY_SQL,
-    ("corpus", "quality", "lm"),
-)
-register(
-    "correlated_above_avg_orders",
-    aq.correlated_above_avg_orders,
-    aq.CORRELATED_ABOVE_AVG_SQL,
-    ("subquery",),
-)
-register(
-    "customer_rolling_7d_spend",
-    aq.customer_rolling_7d_spend,
-    aq.CUSTOMER_ROLLING_7D_SQL,
-    ("window", "range-frame", "temporal"),
-)
-register(
-    "customer_running_spend",
-    rq.customer_running_spend,
-    rq.CUSTOMER_RUNNING_SPEND_SQL,
-    ("window",),
-)
-register(
-    "customer_spend_slope",
-    aq.customer_spend_slope,
-    aq.CUSTOMER_SPEND_SLOPE_SQL,
-    ("agg", "regression"),
-)
-register(
-    "dedup_clusters",
-    gq.dedup_clusters,
-    gq.DEDUP_CLUSTERS_SQL,
-    ("dedup", "iterative", "graph"),
-)
-register(
-    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
-)
-register(
-    "dedup_minhash_lsh", xq.dedup_minhash_lsh, xq.DEDUP_MINHASH_SQL, ("dedup", "lsh")
-)
-register(
-    "dedup_ngram_jaccard",
-    xq.dedup_ngram_jaccard,
-    xq.DEDUP_NGRAM_JACCARD_SQL,
-    ("dedup", "all-pairs", "bounded-baseline"),
-)
-register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
-register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
-register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
-register(
-    "events_sessionize",
-    rq.events_sessionize,
-    rq.EVENTS_SESSIONIZE_SQL,
-    ("window", "session"),
-)
-register(
-    "explode_document_tokens",
-    rq.explode_document_tokens,
-    rq.EXPLODE_TOKENS_SQL,
-    ("explode",),
-)
-register(
-    "graph_degree_profile",
-    gq.graph_degree_profile,
-    gq.GRAPH_DEGREE_PROFILE_SQL,
-    ("graph", "degree"),
-)
-register(
-    "graph_triangle_count",
-    gq.graph_triangle_count,
-    gq.GRAPH_TRIANGLE_COUNT_SQL,
-    ("graph", "triangles"),
-)
-register(
-    "incremental_exact_fresh",
-    xq.incremental_exact_fresh,
-    xq.INCREMENTAL_EXACT_SQL,
-    ("dedup", "incremental", "bloom", "index-screen"),
-)
-register(
-    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
-)
-register(
-    "ivm_spend_refresh",
-    rq.ivm_spend_refresh,
-    rq.IVM_SPEND_REFRESH_SQL,
-    ("sink", "ivm", "incremental"),
-)
-register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
-register(
-    "manifest_pruned_orders",
-    rq.manifest_pruned_orders,
-    rq.MANIFEST_PRUNED_SQL,
-    ("layout", "manifest", "data-skipping", "agg"),
-)
-register(
-    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
-)
-register(
-    "normalize_strings_customer",
-    cq.normalize_strings_customer,
-    cq.NORMALIZE_STRINGS_SQL,
-    ("strings",),
-)
-register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
-register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
-register(
-    "q3_shipping_priority",
-    aq.q3_shipping_priority,
-    aq.Q3_SHIPPING_PRIORITY_SQL,
-    ("join", "agg", "topk"),
-)
-register(
-    "region_nation_list",
-    aq.region_nation_list,
-    aq.REGION_NATION_LIST_SQL,
-    ("agg", "string-agg"),
-)
-register(
-    "salted_rollup_events",
-    rq.salted_rollup_events,
-    rq.SALTED_ROLLUP_SQL,
-    ("agg", "skew", "salted"),
-)
-register(
-    "scalar_functions_part",
-    gq.scalar_functions_part,
-    gq.SCALAR_FUNCTIONS_SQL,
-    ("scalar",),
-)
-register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
-register(
-    "semdedup_pairs",
-    gq.semdedup_pairs,
-    gq.SEMDEDUP_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup"),
-)
-register(
-    "struct_flatten_roundtrip",
-    rq.struct_flatten_roundtrip,
-    rq.STRUCT_FLATTEN_SQL,
-    ("struct",),
-)
-register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
-register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
-register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-register(
-    "semdedup_keep",
-    gq.semdedup_keep,
-    gq.SEMDEDUP_KEEP_SQL,
-    ("dedup", "similarity", "semdedup", "prune"),
-)
-
-# --- rows-only last (no oracle by design) ------------------------------
+# --- rows-only specs last: no oracle by design, never spend a
+# --- verified slot --------------------------------------------------
 register(
     "sketch_aggregates_events",
     aq.sketch_aggregates_events,

@@ -19,16 +19,13 @@ def prebuilt_builders() -> dict:
     )
 
     return {
-        # the r09-r12 trades (pre-built earlier in r08)
-        "kmeans_suite": gq.kmeans_suite,
+        # the r10-r12 trades (pre-built in r08; the r09 entries
+        # registered in r09 and moved to the registry)
         "ann_assign_suite": gq.ann_assign_suite,
         "pq_suite": gq.pq_suite,
         "ivfpq_suite": gq.ivfpq_suite,
-        "semdedup_suite": gq.semdedup_suite,
-        "corpus_export_suite": xc.corpus_export_suite,
         "corpus_mix_suite": xc.corpus_mix_suite,
         # the r13-r17 trades
-        "minhash_cluster_suite": gq.minhash_cluster_suite,
         "incremental_pq_fresh": gq.incremental_pq_fresh,
         "incremental_dedup_suite": xq.incremental_dedup_suite,
         "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,

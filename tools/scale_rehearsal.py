@@ -64,12 +64,14 @@ QUERIES = [
     "rfm_segments",
     "order_value_deciles",
     "customer_rolling_7d_spend",
-    "dedup_minhash_lsh",
+    # dedup_minhash_lsh + dedup_clusters retired into the suite at r09
+    "minhash_cluster_suite",
     # dedup_simhash_pairs retired into the suite at r08 (RENAMED_FROM)
     "dedup_simhash_suite",
     "graph_triangle_count",
     "supplier_pagerank",
-    "semdedup_pairs",
+    # semdedup_pairs + semdedup_keep retired into the suite at r09
+    "semdedup_suite",
     # r04 additions: explicit runtime-filter join + layout encoding
     "bloom_semi_lineitem",
     "zorder_orders",
@@ -83,11 +85,13 @@ QUERIES = [
     # routed-vs-flat sweep lives in tools/routed_rehearsal.py)
     "routed_assign_embeddings",
     "semdedup_routed_pairs",
-    "semdedup_keep",
     # r07 additions: the round's three new registrations
     "text_analysis_suite",
     "incremental_semdedup_fresh",
     "bpe_merges_documents",
+    # r09 additions: the kmeans consolidation + the export debut
+    "kmeans_suite",
+    "corpus_export_suite",
 ]
 
 
