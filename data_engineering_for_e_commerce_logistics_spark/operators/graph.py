@@ -105,9 +105,16 @@ def connected_components(
     aggregate.  The edge list is cached before looping (every fixpoint
     action otherwise re-executes the whole upstream pair miner —
     measured 32s → ~3s at sf0.01 for the LSH pipeline); edges are
-    O(duplicate pairs), tiny relative to the corpus.  At billion-edge
-    scale checkpoint per iteration to truncate lineage, semantics
-    unchanged."""
+    O(duplicate pairs), tiny relative to the corpus.  Each iteration's
+    label frame is ``localCheckpoint``-ed: the update plan embeds the
+    previous labels plan TWICE (join probe + neighbor_min build), so
+    without a lineage cut the logical plan doubles per iteration and
+    plan analysis/stringification alone stalls the driver past
+    diameter ~10 (r09 lesson — caching prevents recompute, not plan
+    growth).  The checkpoint also retires the r08 cache-handle
+    bookkeeping: nothing stays pinned in the block manager when the
+    loop exits, and the returned frame reads from materialized RDD
+    blocks, not a recomputable plan."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -135,16 +142,8 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
         .repartition(p, "node")
+        .localCheckpoint()
     )
-    labels.cache()
-    labels.count()
-
-    # Handle to the frame currently pinned in the block manager.  The
-    # loop reassigns ``labels`` to a 2-col PROJECTION of the cached
-    # 3-col new_labels, and unpersisting the projection does NOT
-    # release the cached plan (sameResult fails, cascade=false) — so
-    # the unpersist must target this handle, not ``labels``.
-    cached = labels
 
     while True:
         neighbor_min = (
@@ -169,16 +168,164 @@ def connected_components(
             # width so the NEXT iteration's dst↔node join reuses the
             # layout instead of re-exchanging both cached sides
             .repartition(p, "node")
+            # lineage cut: materializes eagerly AND resets the logical
+            # plan to a LogicalRDD (partitioning preserved), so the
+            # next iteration's plan is O(1), not O(2^iter)
+            .localCheckpoint()
         )
-        new_labels.cache()
         changed = new_labels.filter(F.col("__changed")).count()
-        cached.unpersist()
-        cached = new_labels
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
-    # ``cached`` (the final iteration's frame) stays pinned on purpose:
-    # the returned labels project from it, and unpersisting here would
-    # force a full fixpoint recomputation at the caller's first action.
+    return labels
+
+
+def cc_alternating(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 64,
+    return_rounds: bool = False,
+):
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC 2014) — the O(log n)-round twin of
+    ``connected_components``: min-label propagation needs one round
+    per hop of component DIAMETER (a 10k-event user session chain is
+    10k rounds — the driver loop, not the data, becomes the
+    bottleneck), while star contraction halves path lengths every
+    alternation, so ANY graph converges in O(log n) rounds.  Output
+    is identical: ``(node, label)`` with label = the component's
+    minimum id, for every node appearing in a pair (property-pinned
+    against ``connected_components`` and a WITH RECURSIVE oracle).
+
+    Per round: large-star points every neighbor v > u at u's
+    neighborhood minimum (edges stay (larger, smaller)); small-star
+    re-points each node's smaller neighbors (and itself) at its
+    minimum smaller neighbor.  Both are one groupBy + one join over
+    the CURRENT edge set — which only ever shrinks-or-holds at
+    O(#input pairs) rows, so at 100 TB the cost is a handful of
+    edge-keyed exchanges per round × ~log(n) rounds, with no
+    diameter dependence.  Each round's frame is
+    ``localCheckpoint``-ed: iterative self-referencing joins
+    otherwise stack O(rounds) copies of the plan (the BPE lesson —
+    plan stringification alone OOMs the driver around depth 6).
+
+    Convergence = the round was a no-op (same edge set): at the
+    fixed point the edges form star forests rooted at component
+    minima, so labels read off directly; roots label themselves.
+    Use this over ``connected_components`` when components can be
+    DEEP (session chains, linked lists, long near-dup chains);
+    prefer the fixpoint when diameter is known-small (typical LSH
+    dup clusters) — it does fewer exchanges per round.
+    """
+    a0 = F.greatest(F.col(id_a), F.col(id_b))
+    b0 = F.least(F.col(id_a), F.col(id_b))
+    edges = (
+        pairs.select(a0.alias("a"), b0.alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # Width from the MEASURED edge count (the connected_components r08
+    # lesson): each round is ~3 jobs, and on a small graph every job
+    # at session width pays 32+ near-empty tasks of scheduling
+    # overhead — measured ~2s/round for a 31-edge path.  ~2M edges
+    # per partition keeps a billion-edge graph at cluster width while
+    # a small one runs single-task rounds.
+    n_edges = edges.count()
+    p = max(
+        1,
+        min(
+            n_edges // 2_000_000 + 1,
+            edges.sparkSession.sparkContext.defaultParallelism,
+        ),
+    )
+    edges = edges.repartition(p, "a").localCheckpoint()
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .union(edges.select("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    rounds = 0
+    while rounds < max_rounds:
+        # large-star: every strictly-larger neighbor of u re-points at
+        # min(N(u) ∪ {u}); output rows keep the (larger, smaller)
+        # orientation by construction (v > u >= m)
+        sym = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(edges.select(F.col("b"), F.col("a")))
+        gm = sym.groupBy("u").agg(
+            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+        )
+        lstar = (
+            sym.join(gm, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star: group by the larger endpoint; its smaller
+        # neighbors and itself all re-point at the minimum one
+        gmin = lstar.groupBy("a").agg(F.min("b").alias("m"))
+        e1 = gmin.select(F.col("a").alias("x"), F.col("m"))
+        e2 = (
+            lstar.join(gmin, "a")
+            .where(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("x"), F.col("m"))
+        )
+        new_edges = (
+            e1.union(e2)
+            .where(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("a"), F.col("m").alias("b"))
+            .repartition(p, "a")
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        edges = new_edges
+        # Star-forest probe, ONE job: the alternation's fixed points
+        # are exactly star forests (every child has one parent edge
+        # and no node is both child and parent), so testing the shape
+        # directly both converges a round EARLIER than set-equality
+        # (no confirmation pass) and replaces the count + exceptAll
+        # pair — per-round cost is now checkpoint + probe, 2 jobs.
+        probe = (
+            new_edges.select(
+                F.col("a").alias("n"),
+                F.lit(1).alias("fa"),
+                F.lit(0).alias("fb"),
+            )
+            .union(new_edges.select("b", F.lit(0), F.lit(1)))
+            .groupBy("n")
+            .agg(
+                F.sum("fa").alias("na"),
+                F.max("fa").alias("fa"),
+                F.max("fb").alias("fb"),
+            )
+            .agg(
+                F.max(F.col("fa") * F.col("fb")).alias("overlap"),
+                F.max("na").alias("max_parents"),
+            )
+            .first()
+        )
+        if (probe["overlap"] or 0) == 0 and (probe["max_parents"] or 0) <= 1:
+            break
+    else:
+        raise RuntimeError(
+            f"cc_alternating did not converge in {max_rounds} rounds "
+            "(theoretical bound is O(log n) — this indicates a bug or "
+            "an adversarial id space, not a data-size limit)"
+        )
+
+    labels = nodes.join(
+        edges.select(F.col("a").alias("node"), F.col("b").alias("label")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("label", F.col("node")).alias("label"))
+    if return_rounds:
+        return labels, rounds
     return labels

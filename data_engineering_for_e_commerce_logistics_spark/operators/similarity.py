@@ -1423,3 +1423,64 @@ def incremental_pq_dedup(
     fresh = new_vecs.join(kept, id_col, "left_semi")
     index_delta = batch_codes.join(kept, id_col, "left_semi")
     return fresh, index_delta
+
+
+def kcenter_seed(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic farthest-point seeding (Gonzalez' 2-approximation
+    for the k-center objective, "Clustering to minimize the maximum
+    intercluster distance", TCS 1985 — the derandomized k-means++
+    everybody actually ships): seed 1 is the minimum-id vector, then
+    each round picks the point FARTHEST from the chosen set (squared
+    L2 to its nearest seed; ties break to the lower id).  Returns one
+    row per seed: ``(seed_rank, <id_col>, radius, cv)`` where
+    ``radius`` is the selected point's distance-to-chosen-set at
+    selection time (NULL for seed 1) — a provably non-increasing
+    sequence, and after k rounds an upper bound on twice the optimal
+    k-center radius.  First-k-ids seeding (what the IVF family uses
+    for oracle determinism) can land all seeds in one dense cluster;
+    farthest-point guarantees every well-separated cluster gets one.
+
+    100 TB shape: a running ``dmin`` column makes the whole thing
+    O(n·k) — each round is ONE map-only pass updating
+    ``least(dmin, dist-to-new-seed)`` (the new seed rides in as a
+    broadcast literal array) plus a TakeOrdered(1) argmax pull
+    (bounded driver pull: k rows × dim doubles total, the same
+    planner-pull class as the BPE argmax).  ``localCheckpoint`` per
+    round cuts the k-deep lineage; no shuffle anywhere — the corpus
+    is never key-partitioned.
+    """
+    vecs = df.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
+    first = vecs.orderBy(F.col(id_col).asc()).first()
+    if first is None:
+        raise ValueError("kcenter_seed: empty input")
+    chosen: list[tuple] = [(1, first[id_col], None, list(first["v"]))]
+
+    def dist_to(seed_vec: list) -> F.Column:
+        sv = F.array(*[F.lit(float(x)) for x in seed_vec])
+        return _fold_sum(
+            F.zip_with(F.col("v"), sv, lambda x, y: (x - y) * (x - y))
+        )
+
+    state = vecs.withColumn("dmin", dist_to(chosen[0][3])).localCheckpoint()
+    for rank in range(2, k + 1):
+        nxt = state.orderBy(
+            F.col("dmin").desc(), F.col(id_col).asc()
+        ).first()
+        if nxt is None:
+            break
+        chosen.append((rank, nxt[id_col], float(nxt["dmin"]), list(nxt["v"])))
+        if rank < k:
+            state = state.withColumn(
+                "dmin", F.least(F.col("dmin"), dist_to(chosen[-1][3]))
+            ).localCheckpoint()
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        chosen,
+        f"seed_rank int, {id_col} long, radius double, cv array<double>",
+    )

@@ -898,6 +898,93 @@ FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+def bpe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE family consolidation (THE r18 trade, pre-built r09): train
+    the merge table ONCE and serve both retiring specs' cells from the
+    same chain — ``bpe_merges_documents`` re-ran the full
+    corpus-pass + vocab-round training that ``bpe_encode_documents``
+    also ran just to get its vocab (two trains ≈ 6.7s of r08 bench for
+    one artifact).  ``bpe_train(return_vocab=True)`` yields the merge
+    rows AND the fully-merged word→symbols lookup from one loop; the
+    encode leg is then a single broadcast vocab join.
+
+    Padded union shape: ``(variant, k, txt, n)`` —
+    * 'merges' rows: k = merge_rank, txt = 'left right merged'
+      (space-joined, symbols cannot contain whitespace — they descend
+      from whitespace-split words), n = pair_count;
+    * 'encode' rows: k = doc_id, txt = the space-joined token
+      sequence, n = n_tokens.
+    Both retiring specs' cell VALUES carry verbatim into txt/n.
+    """
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    merges, vocab = text.bpe_train(
+        docs, n_merges=BPE_N_MERGES, return_vocab=True
+    )
+    enc = text.bpe_encode(docs, vocab)
+    m = merges.select(
+        F.lit("merges").alias("variant"),
+        F.col("merge_rank").cast("long").alias("k"),
+        F.concat_ws(" ", "left_sym", "right_sym", "merged").alias("txt"),
+        F.col("pair_count").alias("n"),
+    )
+    e = enc.select(
+        F.lit("encode").alias("variant"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.array_join("tokens", " ").alias("txt"),
+        F.col("n_tokens").alias("n"),
+    )
+    return m.unionByName(e)
+
+
+def _bpe_suite_sql() -> str:
+    rounds = ",".join(_bpe_iter_block(i) for i in range(BPE_N_MERGES))
+    merge_rows = "\nUNION ALL\n".join(
+        f"SELECT 'merges' AS variant, {i + 1}::BIGINT AS k,"
+        f" a || ' ' || b || ' ' || a || b AS txt,"
+        f" cnt::BIGINT AS n FROM best{i}"
+        for i in range(BPE_N_MERGES)
+    )
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+v0 AS MATERIALIZED (
+  SELECT w, freq,
+         list_append(list_transform(generate_series(1, length(w)), x -> w[x]),
+                     '</w>') AS s
+  FROM words
+),
+{rounds.lstrip()},
+tokpos AS MATERIALIZED (
+  SELECT doc_id, j AS wpos, toks[j] AS w
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+        FROM documents) d,
+       unnest(generate_series(1, len(toks))) AS t(j)
+  WHERE toks[j] <> ''
+),
+enc AS (
+  SELECT tp.doc_id,
+         flatten(list(coalesce(v.s,
+           list_append(list_transform(generate_series(1, length(tp.w)),
+                                      x -> tp.w[x]), '</w>'))
+           ORDER BY tp.wpos)) AS tokens
+  FROM tokpos tp LEFT JOIN v{BPE_N_MERGES} v ON v.w = tp.w
+  GROUP BY tp.doc_id
+)
+{merge_rows}
+UNION ALL
+SELECT 'encode', d.doc_id,
+       coalesce(array_to_string(e.tokens, ' '), ''),
+       coalesce(len(e.tokens), 0)::BIGINT
+FROM documents d LEFT JOIN enc e ON e.doc_id = d.doc_id
+"""
+
+
+BPE_SUITE_SQL = _bpe_suite_sql()
+
+
 # --- Training-corpus capstone lineage report (r08 driver row) ----------------
 
 

@@ -2728,3 +2728,161 @@ SELECT 'vector', ex.dim, ex.vec_id, NULL, NULL,
 FROM ex JOIN st USING (dim)
 WHERE ex.vec_id % {STD_SAMPLE_MOD} = 0
 """
+
+
+# --- Alternating-star CC over user activity chains (THE r18 debut,
+# --- pre-built r09) ---------------------------------------------------------
+
+CHAIN_GAP_SEC = 86400  # 1 day: consecutive-event chains run 50+ deep
+# at sf0.01 (vs max 3 under the 30-min session gap) — deep components
+# are exactly the regime the O(log n) contraction exists for
+
+
+def events_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity-episode labeling via alternating-star connected
+    components (``operators/graph.py:cc_alternating``): consecutive
+    events of a user link when separated by under CHAIN_GAP_SEC, and
+    each event is labeled with its chain's minimum event_id.  The
+    same gaps-and-islands semantics as ``events_sessionize`` at a
+    1-day gap — but computed through the GRAPH path, because this
+    spec's job is to driver-prove the O(log n) CC twin on a real
+    deep-chain graph (the window form stops working the moment
+    linkage isn't a total order per key: near-dup graphs, entity
+    resolution, cross-user identity edges — CC is the general tool,
+    and it must be driver-checked on data where components are DEEP,
+    not the 2-3-node LSH clusters ``minhash_cluster_suite`` labels).
+
+    100 TB shape: the edge build is one user-keyed window pass
+    (lag + epoch diff); the contraction runs O(log chain-length)
+    rounds of edge-keyed exchanges over a frame bounded by #events —
+    no diameter dependence, unlike the label-propagation fixpoint
+    that would loop once per chain HOP (a 10k-event streak = 10k
+    driver-coordinated rounds).  Output: (event_id, episode_id) for
+    every event, isolated events labeling themselves.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.graph import cc_alternating
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    linked = (
+        ev.select("user_id", "event_id", "ts")
+        .withColumn("prev_id", F.lag("event_id").over(w))
+        .withColumn("prev_ts", F.lag("ts").over(w))
+    )
+    edges = linked.where(
+        F.col("prev_id").isNotNull()
+        & (
+            F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+            < F.lit(CHAIN_GAP_SEC)
+        )
+    ).select(F.col("event_id").alias("id_a"), F.col("prev_id").alias("id_b"))
+    labels = cc_alternating(edges)
+    return (
+        ev.select("event_id")
+        .join(labels.withColumnRenamed("node", "event_id"), "event_id", "left")
+        .select(
+            "event_id",
+            F.coalesce(F.col("label"), F.col("event_id"))
+            .cast("long")
+            .alias("episode_id"),
+        )
+    )
+
+
+EVENTS_CHAIN_COMPONENTS_SQL = f"""
+WITH RECURSIVE
+linked AS (
+  SELECT event_id,
+         lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_id,
+         extract(epoch FROM ts) - extract(epoch FROM lag(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+),
+pe AS (
+  SELECT event_id AS a, prev_id AS b FROM linked
+  WHERE prev_id IS NOT NULL AND gap < {CHAIN_GAP_SEC}
+),
+edges AS (SELECT a AS src, b AS dst FROM pe UNION SELECT b, a FROM pe),
+reach(node, root) AS (
+  SELECT event_id, event_id FROM events
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS event_id, min(root)::BIGINT AS episode_id
+FROM reach GROUP BY node
+"""
+
+
+# --- Farthest-point (k-center) seeding (THE r19 debut, pre-built r09) -------
+
+KCENTER_K = 8
+
+
+def _kcenter_round_sql(i: int) -> str:
+    """Round i (i >= 2): pick the argmax of dmin from d{i-1}, then
+    fold the new seed into the running min-distance."""
+    prev = i - 1
+    return f"""
+s{i} AS MATERIALIZED (
+  SELECT vec_id, v, dmin FROM d{prev}
+  ORDER BY dmin DESC, vec_id ASC LIMIT 1
+),
+d{i} AS MATERIALIZED (
+  SELECT d.vec_id, d.v,
+         least(d.dmin,
+               list_reduce(list_transform(list_zip(d.v, s.v),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])),
+                           (a, b) -> a + b)) AS dmin
+  FROM d{prev} d, s{i} s
+)"""
+
+
+def kcenter_seed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point seed selection over the embeddings corpus
+    (``operators/similarity.py:kcenter_seed``): the KCENTER_K chosen
+    seeds with their selection radii — the non-increasing covering-
+    radius sequence is the quality evidence first-k-ids seeding
+    cannot produce.  Driver-comparable shape: (seed_rank, vec_id,
+    radius), radius NULL for seed 1; the oracle unrolls all rounds as
+    MATERIALIZED CTEs with the identical left-fold double distance
+    and (dmin DESC, vec_id ASC) tie rule."""
+    from ..operators.similarity import kcenter_seed
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    return kcenter_seed(emb, k=KCENTER_K).select(
+        "seed_rank", "vec_id", "radius"
+    )
+
+
+def _kcenter_sql() -> str:
+    rounds = ",".join(_kcenter_round_sql(i) for i in range(2, KCENTER_K + 1))
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS seed_rank, vec_id, dmin AS radius FROM s{i}"
+        for i in range(2, KCENTER_K + 1)
+    )
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s1 AS MATERIALIZED (SELECT vec_id, v FROM e ORDER BY vec_id ASC LIMIT 1),
+d1 AS MATERIALIZED (
+  SELECT e.vec_id, e.v,
+         list_reduce(list_transform(list_zip(e.v, s.v),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (a, b) -> a + b) AS dmin
+  FROM e, s1 s
+),
+{rounds.lstrip()}
+SELECT 1 AS seed_rank, vec_id, CAST(NULL AS DOUBLE) AS radius FROM s1
+UNION ALL
+{sel}
+"""
+
+
+KCENTER_SEED_SQL = _kcenter_sql()

@@ -70,7 +70,15 @@ r11 backlog, freeing two more) funds the ``pq_suite`` debut and
 banks one.  The r14-r17 trades (incremental_dedup_suite + the
 decontamination family + quality calibration + embedding
 standardization, all pre-built in r08) then land with slack instead
-of against a saturated window.
+of against a saturated window.  THE r18 trade (pre-built r09):
+retire ``bpe_merges_documents`` + ``bpe_encode_documents`` into
+``bpe_suite`` (train-once consolidation — each part re-ran the full
+corpus-pass + vocab-round train), funding the
+``events_chain_components`` debut (alternating-star CC over 1-day
+activity chains — the O(log n) deep-component twin of the fixpoint);
+THE r19 debut: ``kcenter_seed_embeddings`` (farthest-point seeding),
+funded by the r18 trade's banked slot.  All three builders are in
+``tools/prebuilt.py`` with solo baselines and sf0.01 differentials.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

@@ -253,3 +253,55 @@ def test_standardize_embeddings_moments_and_zero_spread(spark):
         var = sum(x * x for x in vals[d]) / n - mean * mean
         assert abs(mean) < 1e-12
         assert abs(var - 1.0) < 1e-9
+
+
+def test_kcenter_seed_properties(spark):
+    """Farthest-point seeding on a constructed 3-cluster fixture:
+    every well-separated cluster receives a seed (first-k-ids puts
+    all three in cluster A), the covering-radius sequence is
+    non-increasing, and the selection is deterministic."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        kcenter_seed,
+    )
+
+    rows = []
+    # cluster A at (0,0), B at (100,0), C at (0,100); ids ordered so
+    # the first 3 ids are ALL in cluster A
+    for i, (cx, cy) in enumerate(
+        [(0.0, 0.0)] * 4 + [(100.0, 0.0)] * 4 + [(0.0, 100.0)] * 4
+    ):
+        rows.append((i, [cx + (i % 4) * 0.25, cy + (i % 4) * 0.5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = kcenter_seed(df, k=3).collect()
+    assert [r.seed_rank for r in out] == [1, 2, 3]
+    assert out[0].vec_id == 0 and out[0].radius is None
+    picked_clusters = {r.vec_id // 4 for r in out}
+    assert picked_clusters == {0, 1, 2}  # one seed per true cluster
+    radii = [r.radius for r in out[1:]]
+    assert radii == sorted(radii, reverse=True)
+    # deterministic replay
+    again = kcenter_seed(df, k=3).collect()
+    assert [(r.seed_rank, r.vec_id) for r in again] == [
+        (r.seed_rank, r.vec_id) for r in out
+    ]
+
+
+def test_kcenter_seed_embeddings_matches_duckdb_oracle(spark):
+    """THE r19 debut's unit-first differential: the KCENTER_K seed
+    ranks, ids, and selection radii are cell-exact vs the unrolled
+    MATERIALIZED-CTE oracle at the driver's sf0.01 scale."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from tests.oracle import compare_frames, duckdb_conn
+
+    sf = "/root/testdata/sf0.01"
+    spdf = gq.kcenter_seed_embeddings(spark, sf).toPandas()
+    assert len(spdf) == gq.KCENTER_K
+    conn = duckdb_conn(sf)
+    try:
+        opdf = conn.execute(gq.KCENTER_SEED_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "kcenter_seed_embeddings") == []

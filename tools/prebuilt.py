@@ -33,4 +33,10 @@ def prebuilt_builders() -> dict:
         "corpus_decon_suite": xc.corpus_decon_suite,
         "quality_calibrate_domains": xc.quality_calibrate_domains,
         "standardize_embeddings_suite": gq.standardize_embeddings_suite,
+        # the r18-r19 trades (pre-built in r09): BPE train-once
+        # consolidation, alternating-star CC debut, farthest-point
+        # seeding debut
+        "bpe_suite": xc.bpe_suite,
+        "events_chain_components": gq.events_chain_components,
+        "kcenter_seed_embeddings": gq.kcenter_seed_embeddings,
     }
