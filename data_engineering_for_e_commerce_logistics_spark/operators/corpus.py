@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import exact_round
+from ..functions import exact_round, sql_exact_sum
 from .dedup import shingles_from_tokens
 from .text import STOPWORDS, tokens_col
 
@@ -468,6 +468,7 @@ def tfidf_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    tf_table: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document.
 
@@ -476,11 +477,20 @@ def tfidf_topk(
     score (cross-engine float drift cannot reorder rounded values),
     term-asc tiebreak.  Two hash shuffles (doc,term) and (term); the
     corpus-size scalar rides along via a broadcast 1-row cross join,
-    never a driver round-trip."""
-    terms = df.select(
-        F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
-    )
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    never a driver round-trip.
+
+    ``tf_table`` lets a caller share one materialized ``(id, term,
+    tf)`` frame across the lexical family (TF-IDF + BM25 both derive
+    everything from it — the ``lexical_retrieval_suite``
+    consolidation); when omitted the pass is built internally."""
+    if tf_table is None:
+        terms = df.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+        )
+        tf_table = terms.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    tf = tf_table
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -502,6 +512,109 @@ def tfidf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_ids,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tf_table: DataFrame | None = None,
+) -> DataFrame:
+    """Top-k BM25 lexical retrieval: score every corpus document
+    against each query document's term set and keep the k best
+    (Robertson & Zaragoza, "The Probabilistic Relevance Framework:
+    BM25 and Beyond", FnTIR 2009 — the Lucene-default ranking
+    function).  The lexical complement of the embedding retrieval
+    family: catches keyword matches embeddings blur, costs no
+    vector pass, and its candidate set is bounded by the query
+    terms' posting lists rather than the corpus.
+
+    score(q, d) = Σ_{t ∈ q ∩ d} idf(t) · tf·(k1+1) /
+                  (tf + k1·(1 − b + b·dl/avgdl)),
+    idf = ln(1 + (N − df + ½)/(df + ½))  — the Lucene form, always
+    positive, no negative-score clamp needed.
+
+    Exactness contract (the tfidf_topk discipline, extended): the idf
+    — the only transcendental — is decimal-rounded at 6 dp per term
+    (``exact_round``); every other factor is pure double arithmetic
+    in an operation order the DuckDB oracle mirrors token-for-token,
+    so both engines multiply bitwise-identical factors.  Per-term
+    contributions then sum in decimal(28,8) (order-independent) with
+    a final 4-dp round, and the rank window orders on that rounded
+    sum with a doc-id tiebreak — cross-engine drift cannot reorder.
+
+    100 TB shape: everything derives from the ``(id, term, tf)``
+    frame (share it via ``tf_table`` when a TF-IDF pass already built
+    it).  The query-term relation is |Q|·terms rows — BROADCAST, so
+    the postings join never shuffles the corpus side on anything but
+    its existing term key; the per-query-vocab df table is broadcast
+    likewise; doc lengths join doc-keyed only for posting-list
+    SURVIVORS.  Driver never sees a row.  Self-matches (query doc
+    retrieving itself) are excluded."""
+    if tf_table is None:
+        terms = df.select(
+            F.col(id_col), F.explode(tokens_col(text_col)).alias("term")
+        )
+        tf_table = terms.groupBy(id_col, "term").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+    tf = tf_table
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    qterms = tf.where(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), "term"
+    )
+    # df over the query vocabulary only — same values the full term
+    # df table would carry, but bounded by |Q ∪ terms| so it stays
+    # broadcast-able no matter the corpus
+    qdf = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    cand = (
+        tf.join(F.broadcast(qterms), "term")
+        .where(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(qdf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf_r = exact_round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    num = F.col("tf") * F.lit(k1 + 1.0)
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    contrib = (idf_r * num / denom).alias("contrib")
+    grouped = (
+        cand.select("query_id", F.col(id_col), contrib)
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.expr(sql_exact_sum("contrib", 4)).alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col(id_col).asc()
+    )
+    return (
+        grouped.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "n_terms", "bm25", "rank")
     )
 
 

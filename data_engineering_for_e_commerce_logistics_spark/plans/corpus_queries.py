@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions import sql_exact_avg, sql_exact_round
+from ..functions import sql_exact_avg, sql_exact_round, sql_exact_sum
 from ..operators import corpus, text
 from ..operators.dedup import sql_shingles
 from .extended_queries import (
@@ -502,6 +502,138 @@ ranked AS (
 )
 SELECT doc_id, term, tf, df, tfidf, rank
 FROM ranked WHERE rank <= {TFIDF_TOPK}
+"""
+
+
+# --- Lexical retrieval suite: TF-IDF terms + BM25 query retrieval (THE r20
+# --- trade, pre-built r09) ---------------------------------------------------
+
+BM25_QUERY_IDS = list(range(10))
+BM25_TOPK = 5
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def lexical_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical family consolidation + BM25 debut: ONE cached
+    ``(doc_id, term, tf)`` pass serves the retiring
+    ``corpus_tfidf_topk``'s cells verbatim AND the new BM25 query
+    retrieval leg (``operators/corpus.py:bm25_topk`` — the lexical
+    complement of ``embedding_retrieval_suite``: the first 10 doc_ids
+    are the stand-in query set, each retrieving its BM25_TOPK best
+    non-self matches over the query-term posting lists).
+
+    Padded union shape ``(variant, k, txt, n, df, score, rank)``:
+    * 'tfidf' rows: k = doc_id, txt = term, n = tf, df = df,
+      score = tfidf — the retiring spec's cells verbatim;
+    * 'bm25' rows: k = query_id, txt = the retrieved doc_id as a
+      string, n = matched-query-term count, df = NULL, score = the
+      4-dp decimal-exact BM25 sum.
+
+    100 TB shape: the tf frame is the only corpus-wide pass (one
+    (doc,term) exchange), cached once; the TF-IDF leg adds its term
+    exchange, the BM25 leg is broadcast-query joins over the same
+    cache plus one doc-keyed length join — consolidation removes a
+    full duplicate explode of the corpus."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    terms = docs.select(
+        "doc_id", F.explode(text.tokens_col("text")).alias("term")
+    )
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    tfidf = corpus.tfidf_topk(docs, k=TFIDF_TOPK, tf_table=tf)
+    bm = corpus.bm25_topk(
+        docs, BM25_QUERY_IDS, k=BM25_TOPK, k1=BM25_K1, b=BM25_B, tf_table=tf
+    )
+    t = tfidf.select(
+        F.lit("tfidf").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("term").alias("txt"),
+        F.col("tf").alias("n"),
+        "df",
+        F.col("tfidf").alias("score"),
+        "rank",
+    )
+    q = bm.select(
+        F.lit("bm25").alias("variant"),
+        F.col("query_id").alias("k"),
+        F.col("doc_id").cast("string").alias("txt"),
+        F.col("n_terms").alias("n"),
+        F.lit(None).cast("long").alias("df"),
+        F.col("bm25").alias("score"),
+        "rank",
+    )
+    return t.unionByName(q)
+
+
+_BM25_IDF = sql_exact_round(
+    "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))", 6
+)
+_BM25_CONTRIB = (
+    f"{_BM25_IDF} * (tf * (CAST({BM25_K1} AS DOUBLE) + 1.0)) / "
+    f"(tf + CAST({BM25_K1} AS DOUBLE) * ((1.0 - CAST({BM25_B} AS DOUBLE)) + "
+    f"CAST({BM25_B} AS DOUBLE) * dl / (CAST(total_dl AS DOUBLE) / n_docs)))"
+)
+
+LEXICAL_RETRIEVAL_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+),
+docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+         {sql_exact_round('tf.tf * ln((n.n_docs + 1.0) / (docfreq.df + 1.0))', 4)}
+           AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored
+),
+doclen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_dl FROM doclen),
+qt AS (SELECT doc_id AS query_id, term FROM tf
+       WHERE doc_id IN ({", ".join(map(str, BM25_QUERY_IDS))})),
+qdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+contrib AS (
+  SELECT q.query_id, t.doc_id,
+         {_BM25_CONTRIB} AS contrib
+  FROM tf t
+  JOIN qt q USING (term)
+  JOIN qdf USING (term)
+  JOIN doclen l ON l.doc_id = t.doc_id
+  CROSS JOIN stats
+  WHERE t.doc_id <> q.query_id
+),
+bm AS (
+  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         {sql_exact_sum('contrib', 4)} AS bm25
+  FROM contrib GROUP BY query_id, doc_id
+),
+bmr AS (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS INT)
+            AS rank
+  FROM bm
+)
+SELECT 'tfidf' AS variant, doc_id AS k, term AS txt, tf AS n, df,
+       tfidf AS score, rank
+FROM ranked WHERE rank <= {TFIDF_TOPK}
+UNION ALL
+SELECT 'bm25', query_id, CAST(doc_id AS VARCHAR), n_terms, NULL, bm25, rank
+FROM bmr WHERE rank <= {BM25_TOPK}
 """
 
 # --- Cluster representative selection ---------------------------------------
