@@ -112,9 +112,14 @@ def connected_components(
     plan analysis/stringification alone stalls the driver past
     diameter ~10 (r09 lesson — caching prevents recompute, not plan
     growth).  The checkpoint also retires the r08 cache-handle
-    bookkeeping: nothing stays pinned in the block manager when the
-    loop exits, and the returned frame reads from materialized RDD
-    blocks, not a recomputable plan."""
+    bookkeeping; the returned frame reads from materialized RDD
+    blocks, not a recomputable plan.  Retention caveat (r09 ADVICE):
+    the RETURNED frame's checkpoint blocks stay pinned for its
+    lifetime, and each iteration's intermediate checkpoint blocks are
+    reclaimed by the JVM ContextCleaner only after their Python
+    handles are GC'd — so a long-lived session that holds many label
+    frames can accumulate O(rounds) label copies until GC runs (same
+    pattern in ``cc_alternating`` and ``kcenter_seed``)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -281,7 +286,14 @@ def cc_alternating(
             e1.union(e2)
             .where(F.col("x") != F.col("m"))
             .select(F.col("x").alias("a"), F.col("m").alias("b"))
-            .repartition(p, "a")
+            # ONE exchange: hash(a,b) at the measured width p satisfies
+            # distinct's clustered distribution, so the dedup reuses the
+            # repartition's layout instead of adding a second
+            # session-width exchange (r09 ADVICE: the old
+            # repartition-after-distinct order left the checkpointed
+            # frame at session width — small graphs paid 32+ near-empty
+            # tasks per round)
+            .repartition(p, "a", "b")
             .distinct()
             .localCheckpoint()
         )

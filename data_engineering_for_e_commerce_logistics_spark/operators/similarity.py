@@ -1441,7 +1441,10 @@ def kcenter_seed(
     ``radius`` is the selected point's distance-to-chosen-set at
     selection time (NULL for seed 1) — a provably non-increasing
     sequence, and after k rounds an upper bound on twice the optimal
-    k-center radius.  First-k-ids seeding (what the IVF family uses
+    k-center radius.  When ``k`` exceeds the number of DISTINCT
+    vectors the loop stops at the first zero argmax (every remaining
+    point coincides with a chosen seed), returning one seed per
+    distinct vector rather than padding with repeats.  First-k-ids seeding (what the IVF family uses
     for oracle determinism) can land all seeds in one dense cluster;
     farthest-point guarantees every well-separated cluster gets one.
 
@@ -1471,7 +1474,14 @@ def kcenter_seed(
         nxt = state.orderBy(
             F.col("dmin").desc(), F.col(id_col).asc()
         ).first()
-        if nxt is None:
+        if nxt is None or float(nxt["dmin"]) == 0.0:
+            # distinct vectors exhausted: every remaining point
+            # coincides with a chosen seed (dmin = 0), so another
+            # round would re-select an already-chosen point under the
+            # id-asc tiebreak and emit duplicate seeds (r09 ADVICE).
+            # Stop early — when k exceeds the number of DISTINCT
+            # vectors the result has one seed per distinct vector,
+            # never a repeat.
             break
         chosen.append((rank, nxt[id_col], float(nxt["dmin"]), list(nxt["v"])))
         if rank < k:

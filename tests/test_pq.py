@@ -305,3 +305,28 @@ def test_kcenter_seed_embeddings_matches_duckdb_oracle(spark):
     finally:
         conn.close()
     assert compare_frames(spdf, opdf, "kcenter_seed_embeddings") == []
+
+
+def test_kcenter_seed_stops_at_distinct_vectors(spark):
+    """k > #distinct vectors (r09 ADVICE): once every remaining point
+    sits at dmin=0 from the chosen set, the loop stops instead of
+    re-selecting a chosen point — one seed per distinct vector, no
+    duplicate vec_ids, and the short result is still deterministic."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        kcenter_seed,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [0.0, 0.0]),  # duplicate of 0
+            (2, [3.0, 4.0]),
+            (3, [3.0, 4.0]),  # duplicate of 2
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = kcenter_seed(df, k=4).collect()
+    assert [(r.seed_rank, r.vec_id) for r in out] == [(1, 0), (2, 2)]
+    assert out[1].radius == 25.0
+    ids = [r.vec_id for r in out]
+    assert len(ids) == len(set(ids))  # never a repeated seed

@@ -39,4 +39,7 @@ def prebuilt_builders() -> dict:
         "bpe_suite": xc.bpe_suite,
         "events_chain_components": gq.events_chain_components,
         "kcenter_seed_embeddings": gq.kcenter_seed_embeddings,
+        # THE r20 trade (pre-built r09, coverage landed r10): TF-IDF
+        # consolidation + BM25 retrieval debut off one shared tf pass
+        "lexical_retrieval_suite": xc.lexical_retrieval_suite,
     }
