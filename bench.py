@@ -57,7 +57,6 @@ HEADLINE = [
     "customer_spend_slope",
     "correlated_above_avg_orders",
     "repeat_orders_7d",
-    "ivf_assign",
     "ngram_frequencies",
     # r02 corpus-pipeline additions (cluster_reps excluded: it re-runs
     # the full LSH+fixpoint pipeline already timed via dedup_minhash_lsh)
@@ -67,7 +66,6 @@ HEADLINE = [
     "corpus_tfidf_topk",
     "pii_redact_customer",
     "corpus_pack_sequences",
-    "corpus_domain_mix",
     "histogram_orders",
     "group_quantiles_events",
     "unpivot_lineitem",
@@ -116,9 +114,9 @@ HEADLINE = [
     "sql_api_params",
     "sketch_aggregates_events",
     # r06 additions: the routed SemDeDup production path's registry
-    # debut (trained two-level assignment + the routed pair miner),
-    # and the consolidation merge of the three TPC-H join rollups
-    "routed_assign_embeddings",
+    # debut (the routed pair miner; the trained two-level assignment
+    # retired r10 into ann_assign_suite), and the consolidation merge
+    # of the three TPC-H join rollups
     "semdedup_routed_pairs",
     "tpch_join_suite",
     "embedding_retrieval_suite",
@@ -148,6 +146,15 @@ HEADLINE = [
     "minhash_cluster_suite",
     "kmeans_suite",
     "corpus_export_suite",
+    # r10 additions: the two consolidation suites (baselines = their
+    # retired parts' sums via RENAMED_FROM) and the three PQ-family
+    # debuts (solo baselines recorded pre-registration via
+    # tools/bench_solo.py; first in-bench recording becomes baseline)
+    "corpus_mix_suite",
+    "ann_assign_suite",
+    "pq_suite",
+    "ivfpq_suite",
+    "incremental_pq_fresh",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion
@@ -225,6 +232,11 @@ RENAMED_FROM = {
     "semdedup_suite": ["semdedup_pairs"],
     "minhash_cluster_suite": ["dedup_minhash_lsh", "dedup_clusters"],
     "kmeans_suite": ["kmeans_refine", "kmeans_iterations"],
+    # r10 consolidations: the mix suite's baseline is the retired
+    # uniform domain-mix spec; the assignment suite's is the retired
+    # first-k-ids IVF + trained routed assignment specs' sum
+    "corpus_mix_suite": ["corpus_domain_mix"],
+    "ann_assign_suite": ["ivf_assign", "routed_assign_embeddings"],
 }
 
 # Per-query baseline caveats, emitted into the artifact so a judge
@@ -319,14 +331,53 @@ def _map_renames(prior: dict[str, float]) -> dict[str, float]:
 
 
 def _compute_regressions(
-    timings: dict[str, float], prior: dict[str, float]
+    timings: dict[str, float], prior: dict[str, float], threshold: float = 1.5
 ) -> dict[str, dict[str, float]]:
-    """>2× a prior ≥0.2s query is a real slowdown, not noise."""
+    """Record every >1.5× drift on a prior ≥0.2s query (VERDICT r09
+    ask #5: r09's loaded in-session run produced 16 spurious ≥1.3×
+    drifts that each needed manual BENCH_SOLO triage).  main()
+    solo-retimes each recorded drift; only a solo min-of-3 that still
+    exceeds 2× prior is a CONFIRMED plan regression — anything else is
+    session contention, documented in-artifact instead of re-derived
+    by hand."""
     return {
         name: {"now": timings[name], "prev": prev}
         for name, prev in prior.items()
-        if prev >= 0.2 and timings.get(name, 0.0) > 2.0 * prev
+        if prev >= 0.2 and timings.get(name, 0.0) > threshold * prev
     }
+
+
+def _solo_retime(spark, spec, sf_dir: str, n: int = 3) -> float:
+    """tools/bench_solo.py's cadence inline — fresh cache, forced GC,
+    one untimed warmup, min-of-n — run AFTER the headline sweep when
+    the session's own load has drained, so contention-inflated drifts
+    re-measure clean without a separate process."""
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+    spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    samples = []
+    for _ in range(n):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        spec.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.time() - t0)
+    return round(min(samples), 3)
+
+
+def _annotate_solo(regressions: dict[str, dict], retime) -> None:
+    """Attach the solo re-timing (and the confirmed verdict: solo
+    still > 2× prev) to every drift entry.  ``retime(name) -> sec``;
+    a retime failure is recorded, never fatal — the drift evidence
+    must survive even when the re-run does not."""
+    for name, entry in regressions.items():
+        try:
+            entry["solo"] = retime(name)
+            entry["confirmed"] = entry["solo"] > 2.0 * entry["prev"]
+        except Exception as exc:
+            entry["solo_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
 
 def _next_round(here: str = _HERE) -> int:
@@ -424,11 +475,29 @@ def main() -> None:
         out["errors"] = errors
     if BENCH_NOTES:
         out["notes"] = BENCH_NOTES
-    # Per-query regression gate vs the newest parseable prior bench.
+    # Per-query regression gate vs the newest parseable prior bench,
+    # with automatic contention triage (VERDICT r09 ask #5): every
+    # >1.5× drift is re-timed solo-cadence in this now-idle session
+    # and carries both numbers, so the judge reads plan-regression vs
+    # sandbox-load straight from the artifact.
     regressions = _compute_regressions(timings, prior)
     if regressions:
+        _annotate_solo(
+            regressions, lambda n: _solo_retime(spark, specs[n], sf_dir)
+        )
         out["regressions_vs_prior"] = regressions
-        print(f"REGRESSIONS vs prior bench: {regressions}", file=sys.stderr)
+        confirmed = {
+            n: e for n, e in regressions.items() if e.get("confirmed")
+        }
+        print(
+            f"DRIFTS vs prior bench (solo-retimed): {regressions}",
+            file=sys.stderr,
+        )
+        if confirmed:
+            print(
+                f"CONFIRMED REGRESSIONS (solo > 2x prior): {confirmed}",
+                file=sys.stderr,
+            )
 
     # Full artifact → repo file (per-query history for the next round's
     # gate and for diagnosing loaded-sandbox runs from the artifact).

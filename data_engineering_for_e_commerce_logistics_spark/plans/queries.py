@@ -20,64 +20,65 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r09 window — the committed r09 trade PLUS the r12/r13 consolidations
-pulled forward.  Why the pull-forward: the r08 docstring's plan
-(retire the two r08-green kmeans specs, debut kmeans_suite +
-corpus_export_suite) frees slots in the R10 backlog but adds TWO
-never-checked specs to a window already saturated by 2 flagships +
-48 r07-green stale specs = 52 > 50.  Rather than spill two stale
-specs (the r06 precedent the freshness invariant exists to avoid),
-this round ALSO executes the two pre-built consolidations whose
-retiring specs sit in THIS round's stale backlog:
+r10 window — the committed r10 trade PLUS the r11 trade pulled
+forward.  Why the pull-forward (the r09 precedent): the r09
+docstring scheduled ``ivf_assign`` + ``routed_assign_embeddings`` to
+retire into ``ann_assign_suite`` in r11 — but both retiring specs
+sit in THIS round's r08-green stale backlog.  Executed on schedule,
+r10 would re-verify two specs one round before deleting them, and
+their r11 retirement would relieve nothing (they would be r10-green,
+outside the saturated r11 backlog), overflowing r11 at 2 + 48 + 1 =
+51 > 50.  Retiring them NOW relieves THIS window instead and lets
+``pq_suite`` (the trade's funded debut) register alongside:
 
-* positions 3-46: the r07-green stale backlog (CORRECTNESS r07 ∖
-  r08, oldest evidence first) — 44 specs after ``semdedup_pairs`` +
-  ``semdedup_keep`` retire into ``semdedup_suite`` and
-  ``dedup_minhash_lsh`` + ``dedup_clusters`` retire into
-  ``minhash_cluster_suite`` (both suites pre-built and
-  differential-proven in r08; retiring specs' cells carry verbatim,
-  bench baselines via RENAMED_FROM).
-* position 47: ``semdedup_suite`` — mines the cell-bounded pairs
-  ONCE, cached, and serves both the pair evidence and the greedy
-  keep set (the keep spec used to recompute the whole miner).
-* position 48: ``minhash_cluster_suite`` — runs the LSH miner ONCE,
-  cached, and serves the candidate pairs plus their
-  connected-components labels (the clusters spec used to re-run it).
-* position 49: ``kmeans_suite`` — one shared Lloyd chain serves the
-  retired ``kmeans_refine`` + ``kmeans_iterations`` cells (both
-  r08-green; their retirement relieves the R10 backlog).
-* position 50: ``corpus_export_suite`` — the committed r09 debut:
-  token-budget sampling + shuffle-shard assignment, the
-  training-export steps.
+* positions 3-45: the r08-green stale backlog (CORRECTNESS r08 ∖
+  r09, oldest evidence first) — 43 specs after ``corpus_domain_mix``
+  retires into ``corpus_mix_suite`` and ``ivf_assign`` +
+  ``routed_assign_embeddings`` retire into ``ann_assign_suite``
+  (all three suites pre-built and differential-proven in r08;
+  retiring specs' cells carry verbatim, bench baselines via
+  RENAMED_FROM).
+* position 46: ``corpus_mix_suite`` — temperature-scaled domain
+  mixing; serves the retired uniform-mix cells plus the tempered
+  variants off one cached domain-count pass.
+* position 47: ``ann_assign_suite`` — one coarse-ranking pass serves
+  the retired first-k-ids IVF cells AND the trained-centroid routed
+  cells.
+* position 48: ``pq_suite`` — product-quantization train/encode/ADC
+  (the funded r11 debut, pulled forward with its trade).
+* position 49: ``ivfpq_suite`` — the committed r10 debut: coarse
+  cells + residual PQ + probe-restricted ADC (FAISS-IVFPQ layout).
+* position 50: ``incremental_pq_fresh`` — the committed r10 debut:
+  compressed-index cross-batch dedup via the sound ADC screen.
 
-Arithmetic: 2 flagships + 44 backlog + 3 suites + 1 debut = 50
-exactly, zero spill.  Positions 51+ are the 46 r08-green specs
-(48 minus the two retired kmeans parts).  Once CORRECTNESS_r09
-lands, no live oracle spec's last driver row predates r08.
+Arithmetic: 2 flagships + 43 backlog + 3 suites + 2 debuts = 50
+exactly, zero spill.  Positions 51+ are the 48 r09-green specs.
+Once CORRECTNESS_r10 lands, no live oracle spec's last driver row
+predates r09.
 
-WINDOW ARITHMETIC going forward: the registry is now 97 specs / 96
-oracle-paired.  r10 mandatory load = 2 flagships + 46 r08-green
-stale = 48, leaving TWO free slots.  THE r10 PLAN: execute the
-committed r10 trade — retire ``corpus_domain_mix`` (r08-green, in
-the r10 backlog) into ``corpus_mix_suite`` (load-neutral: −1 stale
-+1 newcomer) — and spend the two free slots on the ``ivfpq_suite``
-and ``incremental_pq_fresh`` debuts (their paired consolidations
-landed THIS round).  r10 window: 2 + 45 + 3 = 50 exactly.  Post-r10:
-96 specs / 95 oracle-paired; r11 load = 2 + 47 r09-green = 49, one
-free slot + THE r11 TRADE (retire ``ivf_assign`` +
-``routed_assign_embeddings`` into ``ann_assign_suite``, both in the
-r11 backlog, freeing two more) funds the ``pq_suite`` debut and
-banks one.  The r14-r17 trades (incremental_dedup_suite + the
-decontamination family + quality calibration + embedding
-standardization, all pre-built in r08) then land with slack instead
-of against a saturated window.  THE r18 trade (pre-built r09):
-retire ``bpe_merges_documents`` + ``bpe_encode_documents`` into
-``bpe_suite`` (train-once consolidation — each part re-ran the full
-corpus-pass + vocab-round train), funding the
-``events_chain_components`` debut (alternating-star CC over 1-day
-activity chains — the O(log n) deep-component twin of the fixpoint);
-THE r19 debut: ``kcenter_seed_embeddings`` (farthest-point seeding),
-funded by the r18 trade's banked slot.  All three builders are in
+WINDOW ARITHMETIC going forward: the registry is now 99 specs / 98
+oracle-paired (2 flagships + 96 rotating + 1 rows-only).  This is
+EXACT capacity: the freshness invariant re-checks every rotating
+spec every 2 rounds, and 2 rounds × 48 free slots = 96 — so from
+r11 on, every debut must be funded by retiring at least as many
+specs FROM THAT ROUND'S OWN BACKLOG (a retirement from the opposite
+half relieves nothing, the lesson this pull-forward encodes).
+r11 load = 2 + 48 r09-green = 50 exactly: NO debuts in r11.
+r12 load = 2 + 48 r10-green = 50; THE r12 TRADE: retire
+``incremental_minhash_fresh`` + ``incremental_simhash_fresh`` (both
+r10-green, in the r12 backlog) into ``incremental_dedup_suite``
+(pre-built r08), freeing one net slot for the
+``quality_calibrate_domains`` debut; ``incremental_exact_fresh``
+(r09-green → r13 backlog) folds into the suite's registration or
+retires in r13, whichever round its evidence lands in.  r13+: the
+remaining pre-built runway (``corpus_decon_suite`` retiring
+``corpus_decontaminate``; ``standardize_embeddings_suite``; THE r18
+trade retiring ``bpe_merges_documents`` + ``bpe_encode_documents``
+into ``bpe_suite`` funding ``events_chain_components``; THE r19
+``kcenter_seed_embeddings`` debut; THE r20 trade retiring
+``corpus_tfidf_topk`` into ``lexical_retrieval_suite``) lands under
+the same rule — each trade's retiring specs must be scheduled into
+the trade's own backlog round.  All builders sit in
 ``tools/prebuilt.py`` with solo baselines and sf0.01 differentials.
 
 Checked invariants (pytest test_bench_gate): every never-checked
@@ -112,9 +113,294 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-46: the r07-green stale backlog (oldest evidence first; the
-# --- complete CORRECTNESS_r07 ∖ r08 set minus the four specs retired
-# --- into the suites at positions 47-48) ---------------------------
+# --- 3-45: the r08-green stale backlog (oldest evidence first; the
+# --- complete CORRECTNESS_r08 ∖ r09 set minus the three specs
+# --- retired into the suites at positions 46-47) -------------------
+register(
+    "agg_cardinality_lineitem",
+    rq.agg_cardinality_lineitem,
+    rq.AGG_CARDINALITY_SQL,
+    ("agg",),
+)
+register(
+    "bloom_semi_lineitem",
+    rq.bloom_semi_lineitem,
+    rq.BLOOM_SEMI_SQL,
+    ("join", "semi", "bloom", "runtime-filter"),
+)
+register(
+    "cascade_delete_orders",
+    rq.cascade_delete_orders,
+    rq.CASCADE_DELETE_SQL,
+    ("sink", "referential-action"),
+)
+register(
+    "corpus_cluster_reps",
+    xc.corpus_cluster_reps,
+    xc.CORPUS_CLUSTER_REPS_SQL,
+    ("corpus", "dedup", "iterative"),
+)
+register(
+    "corpus_decontaminate",
+    xc.corpus_decontaminate,
+    xc.CORPUS_DECONTAMINATE_SQL,
+    ("corpus", "decontamination"),
+)
+register(
+    "corpus_pack_sequences",
+    xc.corpus_pack_sequences,
+    xc.CORPUS_PACK_SQL,
+    ("corpus", "packing", "window"),
+)
+register(
+    "corpus_quality_funnel",
+    xc.corpus_quality_funnel,
+    xc.CORPUS_QUALITY_FUNNEL_SQL,
+    ("corpus", "quality", "fused-agg"),
+)
+register(
+    "corpus_repetition",
+    xc.corpus_repetition,
+    xc.CORPUS_REPETITION_SQL,
+    ("corpus", "quality"),
+)
+register(
+    "corpus_tfidf_topk",
+    xc.corpus_tfidf_topk,
+    xc.CORPUS_TFIDF_SQL,
+    ("corpus", "text", "topk"),
+)
+register(
+    "dedup_embedding_cosine",
+    xq.dedup_embedding_cosine,
+    xq.DEDUP_EMBEDDING_COSINE_SQL,
+    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
+)
+register(
+    "dedup_simhash_suite",
+    xq.dedup_simhash_suite,
+    xq.DEDUP_SIMHASH_SUITE_SQL,
+    ("dedup", "simhash", "banded", "merged-variants"),
+)
+register(
+    "dedup_variants_lineitem",
+    cq.dedup_variants_lineitem,
+    cq.DEDUP_VARIANTS_SQL,
+    ("dedup", "merged-variants"),
+)
+register(
+    "embedding_retrieval_suite",
+    gq.embedding_retrieval_suite,
+    gq.EMBEDDING_RETRIEVAL_SUITE_SQL,
+    ("similarity", "ann", "ivf", "topk", "merged-variants"),
+)
+register(
+    "events_gapfill_hourly",
+    aq.events_gapfill_hourly,
+    aq.EVENTS_GAPFILL_SQL,
+    ("temporal", "gapfill", "locf"),
+)
+register(
+    "events_zscore_outliers",
+    aq.events_zscore_outliers,
+    aq.EVENTS_ZSCORE_SQL,
+    ("agg", "anomaly"),
+)
+register(
+    "ffill_bfill_events",
+    cq.ffill_bfill_events,
+    cq.FFILL_BFILL_SQL,
+    ("nulls", "window", "merged-variants"),
+)
+register(
+    "fill_strategies_events",
+    cq.fill_strategies_events,
+    cq.FILL_STRATEGIES_SQL,
+    ("nulls", "merged-variants"),
+)
+register(
+    "funnel_events",
+    aq.funnel_events,
+    aq.FUNNEL_EVENTS_SQL,
+    ("agg", "funnel", "fused-agg"),
+)
+register(
+    "group_quantiles_events",
+    aq.group_quantiles_events,
+    aq.GROUP_QUANTILES_SQL,
+    ("agg", "quantile", "per-group"),
+)
+register(
+    "histogram_orders",
+    rq.histogram_orders,
+    rq.HISTOGRAM_ORDERS_SQL,
+    ("profile", "histogram"),
+)
+register(
+    "incremental_minhash_fresh",
+    xq.incremental_minhash_fresh,
+    xq.INCREMENTAL_MINHASH_SQL,
+    ("dedup", "incremental", "lsh", "index-screen", "banded-index"),
+)
+register(
+    "incremental_simhash_fresh",
+    xq.incremental_simhash_fresh,
+    xq.INCREMENTAL_SIMHASH_SQL,
+    ("dedup", "incremental", "simhash", "index-screen"),
+)
+register(
+    "ngram_frequencies",
+    gq.ngram_frequencies,
+    gq.NGRAM_FREQUENCIES_SQL,
+    ("text", "topk"),
+)
+register(
+    "order_value_deciles",
+    aq.order_value_deciles,
+    aq.ORDER_VALUE_DECILES_SQL,
+    ("agg", "quantile", "discretizer", "exact-selection"),
+)
+register(
+    "pii_redact_customer",
+    xc.pii_redact_customer,
+    xc.PII_REDACT_SQL,
+    ("corpus", "pii", "strings"),
+)
+register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
+register(
+    "quantiles_lineitem", aq.quantiles_lineitem, aq.QUANTILES_LINEITEM_SQL, ("agg",)
+)
+register(
+    "repeat_orders_7d",
+    aq.repeat_orders_7d,
+    aq.REPEAT_ORDERS_7D_SQL,
+    ("join", "range", "temporal"),
+)
+register(
+    "rfm_segments",
+    aq.rfm_segments,
+    aq.RFM_SEGMENTS_SQL,
+    ("window", "segmentation", "exact-selection"),
+)
+register(
+    "semdedup_routed_pairs",
+    gq.semdedup_routed_pairs,
+    gq.SEMDEDUP_ROUTED_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup", "routing"),
+)
+register(
+    "semdedup_trained_pairs",
+    gq.semdedup_trained_pairs,
+    gq.SEMDEDUP_TRAINED_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup", "iterative"),
+)
+register(
+    "set_semi_anti_ops",
+    aq.set_semi_anti_ops,
+    aq.SET_SEMI_ANTI_OPS_SQL,
+    ("set-ops", "join", "merged-variants"),
+)
+register(
+    "sketch_bounds_events",
+    aq.sketch_bounds_events,
+    aq.SKETCH_BOUNDS_EVENTS_SQL,
+    ("agg", "sketch", "bounds-twin"),
+)
+register(
+    "supplier_pagerank",
+    gq.supplier_pagerank,
+    gq.SUPPLIER_PAGERANK_SQL,
+    ("graph", "iterative", "multi-round"),
+)
+register(
+    "tpch_join_suite",
+    aq.tpch_join_suite,
+    aq.TPCH_JOIN_SUITE_SQL,
+    ("join", "agg", "merged-variants", "ratio", "multi-role-dim"),
+)
+register(
+    "unpivot_lineitem",
+    aq.unpivot_lineitem,
+    aq.UNPIVOT_LINEITEM_SQL,
+    ("reshape", "unpivot"),
+)
+register(
+    "upsert_bloom_orders",
+    rq.upsert_bloom_orders,
+    rq.UPSERT_BLOOM_SQL,
+    ("sink", "merge", "bloom", "invariance-twin"),
+)
+register(
+    "window_time_orders",
+    aq.window_time_orders,
+    aq.WINDOW_TIME_ORDERS_SQL,
+    ("window", "scalar", "time", "merged-variants"),
+)
+register(
+    "zorder_orders",
+    rq.zorder_orders,
+    rq.ZORDER_ORDERS_SQL,
+    ("layout", "zorder", "data-skipping"),
+)
+register(
+    "corpus_split_suite",
+    gq.corpus_split_suite,
+    gq.CORPUS_SPLIT_SUITE_SQL,
+    ("corpus", "split", "suite", "graph"),
+)
+register(
+    "bpe_encode_documents",
+    xc.bpe_encode_documents,
+    xc.BPE_ENCODE_SQL,
+    ("corpus", "tokenize", "bpe"),
+)
+register(
+    "corpus_span_dedup",
+    xc.corpus_span_dedup,
+    xc.CORPUS_SPAN_DEDUP_SQL,
+    ("corpus", "dedup", "span"),
+)
+register(
+    "training_corpus_report",
+    xc.training_corpus_report,
+    xc.TRAINING_CORPUS_REPORT_SQL,
+    ("corpus", "capstone", "lineage", "composition"),
+)
+
+# --- 46-50: the pulled-forward r10+r11 trades (see docstring) ------
+register(
+    "corpus_mix_suite",
+    xc.corpus_mix_suite,
+    xc.CORPUS_MIX_SUITE_SQL,
+    ("corpus", "sampling", "merged-variants"),
+)
+register(
+    "ann_assign_suite",
+    gq.ann_assign_suite,
+    gq.ANN_ASSIGN_SUITE_SQL,
+    ("similarity", "ivf", "routing", "iterative", "merged-variants"),
+)
+register(
+    "pq_suite",
+    gq.pq_suite,
+    gq.PQ_SUITE_SQL,
+    ("similarity", "pq", "compression"),
+)
+register(
+    "ivfpq_suite",
+    gq.ivfpq_suite,
+    gq.IVFPQ_SUITE_SQL,
+    ("similarity", "ivf", "pq", "ann"),
+)
+register(
+    "incremental_pq_fresh",
+    gq.incremental_pq_fresh,
+    gq.INCREMENTAL_PQ_SQL,
+    ("dedup", "similarity", "pq", "incremental"),
+)
+
+# --- 51+: the r09-green remainder (freshest evidence; rotates back
+# --- into the window as the r11 stale backlog) ---------------------
 register(
     "array_functions_documents",
     fq.array_functions_documents,
@@ -315,8 +601,6 @@ register(
 register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
 register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
 register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-
-# --- 47-50: the consolidation suites + the r09 debut ---------------
 register(
     "semdedup_suite",
     gq.semdedup_suite,
@@ -340,272 +624,6 @@ register(
     xc.corpus_export_suite,
     xc.CORPUS_EXPORT_SUITE_SQL,
     ("corpus", "sampling", "export"),
-)
-
-# --- 51+: the r08-green remainder (freshest evidence; rotates back
-# --- into the window as the r10 stale backlog) ---------------------
-register(
-    "agg_cardinality_lineitem",
-    rq.agg_cardinality_lineitem,
-    rq.AGG_CARDINALITY_SQL,
-    ("agg",),
-)
-register(
-    "bloom_semi_lineitem",
-    rq.bloom_semi_lineitem,
-    rq.BLOOM_SEMI_SQL,
-    ("join", "semi", "bloom", "runtime-filter"),
-)
-register(
-    "cascade_delete_orders",
-    rq.cascade_delete_orders,
-    rq.CASCADE_DELETE_SQL,
-    ("sink", "referential-action"),
-)
-register(
-    "corpus_cluster_reps",
-    xc.corpus_cluster_reps,
-    xc.CORPUS_CLUSTER_REPS_SQL,
-    ("corpus", "dedup", "iterative"),
-)
-register(
-    "corpus_decontaminate",
-    xc.corpus_decontaminate,
-    xc.CORPUS_DECONTAMINATE_SQL,
-    ("corpus", "decontamination"),
-)
-register(
-    "corpus_domain_mix",
-    xc.corpus_domain_mix,
-    xc.CORPUS_DOMAIN_MIX_SQL,
-    ("corpus", "sampling"),
-)
-register(
-    "corpus_pack_sequences",
-    xc.corpus_pack_sequences,
-    xc.CORPUS_PACK_SQL,
-    ("corpus", "packing", "window"),
-)
-register(
-    "corpus_quality_funnel",
-    xc.corpus_quality_funnel,
-    xc.CORPUS_QUALITY_FUNNEL_SQL,
-    ("corpus", "quality", "fused-agg"),
-)
-register(
-    "corpus_repetition",
-    xc.corpus_repetition,
-    xc.CORPUS_REPETITION_SQL,
-    ("corpus", "quality"),
-)
-register(
-    "corpus_tfidf_topk",
-    xc.corpus_tfidf_topk,
-    xc.CORPUS_TFIDF_SQL,
-    ("corpus", "text", "topk"),
-)
-register(
-    "dedup_embedding_cosine",
-    xq.dedup_embedding_cosine,
-    xq.DEDUP_EMBEDDING_COSINE_SQL,
-    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
-)
-register(
-    "dedup_simhash_suite",
-    xq.dedup_simhash_suite,
-    xq.DEDUP_SIMHASH_SUITE_SQL,
-    ("dedup", "simhash", "banded", "merged-variants"),
-)
-register(
-    "dedup_variants_lineitem",
-    cq.dedup_variants_lineitem,
-    cq.DEDUP_VARIANTS_SQL,
-    ("dedup", "merged-variants"),
-)
-register(
-    "embedding_retrieval_suite",
-    gq.embedding_retrieval_suite,
-    gq.EMBEDDING_RETRIEVAL_SUITE_SQL,
-    ("similarity", "ann", "ivf", "topk", "merged-variants"),
-)
-register(
-    "events_gapfill_hourly",
-    aq.events_gapfill_hourly,
-    aq.EVENTS_GAPFILL_SQL,
-    ("temporal", "gapfill", "locf"),
-)
-register(
-    "events_zscore_outliers",
-    aq.events_zscore_outliers,
-    aq.EVENTS_ZSCORE_SQL,
-    ("agg", "anomaly"),
-)
-register(
-    "ffill_bfill_events",
-    cq.ffill_bfill_events,
-    cq.FFILL_BFILL_SQL,
-    ("nulls", "window", "merged-variants"),
-)
-register(
-    "fill_strategies_events",
-    cq.fill_strategies_events,
-    cq.FILL_STRATEGIES_SQL,
-    ("nulls", "merged-variants"),
-)
-register(
-    "funnel_events",
-    aq.funnel_events,
-    aq.FUNNEL_EVENTS_SQL,
-    ("agg", "funnel", "fused-agg"),
-)
-register(
-    "group_quantiles_events",
-    aq.group_quantiles_events,
-    aq.GROUP_QUANTILES_SQL,
-    ("agg", "quantile", "per-group"),
-)
-register(
-    "histogram_orders",
-    rq.histogram_orders,
-    rq.HISTOGRAM_ORDERS_SQL,
-    ("profile", "histogram"),
-)
-register(
-    "incremental_minhash_fresh",
-    xq.incremental_minhash_fresh,
-    xq.INCREMENTAL_MINHASH_SQL,
-    ("dedup", "incremental", "lsh", "index-screen", "banded-index"),
-)
-register(
-    "incremental_simhash_fresh",
-    xq.incremental_simhash_fresh,
-    xq.INCREMENTAL_SIMHASH_SQL,
-    ("dedup", "incremental", "simhash", "index-screen"),
-)
-register("ivf_assign", gq.ivf_assign, gq.IVF_ASSIGN_SQL, ("similarity", "ivf"))
-register(
-    "ngram_frequencies",
-    gq.ngram_frequencies,
-    gq.NGRAM_FREQUENCIES_SQL,
-    ("text", "topk"),
-)
-register(
-    "order_value_deciles",
-    aq.order_value_deciles,
-    aq.ORDER_VALUE_DECILES_SQL,
-    ("agg", "quantile", "discretizer", "exact-selection"),
-)
-register(
-    "pii_redact_customer",
-    xc.pii_redact_customer,
-    xc.PII_REDACT_SQL,
-    ("corpus", "pii", "strings"),
-)
-register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
-register(
-    "quantiles_lineitem", aq.quantiles_lineitem, aq.QUANTILES_LINEITEM_SQL, ("agg",)
-)
-register(
-    "repeat_orders_7d",
-    aq.repeat_orders_7d,
-    aq.REPEAT_ORDERS_7D_SQL,
-    ("join", "range", "temporal"),
-)
-register(
-    "rfm_segments",
-    aq.rfm_segments,
-    aq.RFM_SEGMENTS_SQL,
-    ("window", "segmentation", "exact-selection"),
-)
-register(
-    "routed_assign_embeddings",
-    gq.routed_assign_embeddings,
-    gq.ROUTED_ASSIGN_SQL,
-    ("similarity", "ivf", "routing", "iterative"),
-)
-register(
-    "semdedup_routed_pairs",
-    gq.semdedup_routed_pairs,
-    gq.SEMDEDUP_ROUTED_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup", "routing"),
-)
-register(
-    "semdedup_trained_pairs",
-    gq.semdedup_trained_pairs,
-    gq.SEMDEDUP_TRAINED_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup", "iterative"),
-)
-register(
-    "set_semi_anti_ops",
-    aq.set_semi_anti_ops,
-    aq.SET_SEMI_ANTI_OPS_SQL,
-    ("set-ops", "join", "merged-variants"),
-)
-register(
-    "sketch_bounds_events",
-    aq.sketch_bounds_events,
-    aq.SKETCH_BOUNDS_EVENTS_SQL,
-    ("agg", "sketch", "bounds-twin"),
-)
-register(
-    "supplier_pagerank",
-    gq.supplier_pagerank,
-    gq.SUPPLIER_PAGERANK_SQL,
-    ("graph", "iterative", "multi-round"),
-)
-register(
-    "tpch_join_suite",
-    aq.tpch_join_suite,
-    aq.TPCH_JOIN_SUITE_SQL,
-    ("join", "agg", "merged-variants", "ratio", "multi-role-dim"),
-)
-register(
-    "unpivot_lineitem",
-    aq.unpivot_lineitem,
-    aq.UNPIVOT_LINEITEM_SQL,
-    ("reshape", "unpivot"),
-)
-register(
-    "upsert_bloom_orders",
-    rq.upsert_bloom_orders,
-    rq.UPSERT_BLOOM_SQL,
-    ("sink", "merge", "bloom", "invariance-twin"),
-)
-register(
-    "window_time_orders",
-    aq.window_time_orders,
-    aq.WINDOW_TIME_ORDERS_SQL,
-    ("window", "scalar", "time", "merged-variants"),
-)
-register(
-    "zorder_orders",
-    rq.zorder_orders,
-    rq.ZORDER_ORDERS_SQL,
-    ("layout", "zorder", "data-skipping"),
-)
-register(
-    "corpus_split_suite",
-    gq.corpus_split_suite,
-    gq.CORPUS_SPLIT_SUITE_SQL,
-    ("corpus", "split", "suite", "graph"),
-)
-register(
-    "bpe_encode_documents",
-    xc.bpe_encode_documents,
-    xc.BPE_ENCODE_SQL,
-    ("corpus", "tokenize", "bpe"),
-)
-register(
-    "corpus_span_dedup",
-    xc.corpus_span_dedup,
-    xc.CORPUS_SPAN_DEDUP_SQL,
-    ("corpus", "dedup", "span"),
-)
-register(
-    "training_corpus_report",
-    xc.training_corpus_report,
-    xc.TRAINING_CORPUS_REPORT_SQL,
-    ("corpus", "capstone", "lineage", "composition"),
 )
 
 # --- rows-only specs last: no oracle by design, never spend a

@@ -95,12 +95,42 @@ def test_prior_bench_maps_renames_all_parts_guard():
 
 
 def test_regression_gate_fires_on_synthetic_slowdown():
-    prior = {"q_slow": 1.0, "q_ok": 1.0, "q_tiny": 0.1}
-    now = {"q_slow": 2.5, "q_ok": 1.9, "q_tiny": 5.0}
+    prior = {"q_slow": 1.0, "q_drift": 1.0, "q_ok": 1.0, "q_tiny": 0.1}
+    now = {"q_slow": 2.5, "q_drift": 1.7, "q_ok": 1.4, "q_tiny": 5.0}
     regs = bench._compute_regressions(now, prior)
-    assert regs == {"q_slow": {"now": 2.5, "prev": 1.0}}
-    # >2× fires; ≤2× does not; sub-0.2s priors are noise-exempt
+    # >1.5× drifts are recorded (for solo triage); ≤1.5× are not;
+    # sub-0.2s priors are noise-exempt
+    assert regs == {
+        "q_slow": {"now": 2.5, "prev": 1.0},
+        "q_drift": {"now": 1.7, "prev": 1.0},
+    }
     assert "q_ok" not in regs and "q_tiny" not in regs
+
+
+def test_drift_entries_carry_solo_retiming_and_verdict():
+    """VERDICT r09 ask #5: every recorded drift gets a solo-cadence
+    re-timing; only solo > 2× prior is a CONFIRMED regression —
+    contention-inflated drifts are exonerated in-artifact.  A retime
+    crash is recorded per-entry, never fatal."""
+    regs = bench._compute_regressions(
+        {"q_real": 3.0, "q_noise": 1.7, "q_broken": 1.8},
+        {"q_real": 1.0, "q_noise": 1.0, "q_broken": 1.0},
+    )
+    solo = {"q_real": 2.9, "q_noise": 0.9}
+
+    def retime(name):
+        if name == "q_broken":
+            raise RuntimeError("boom")
+        return solo[name]
+
+    bench._annotate_solo(regs, retime)
+    assert regs["q_real"] == {
+        "now": 3.0, "prev": 1.0, "solo": 2.9, "confirmed": True,
+    }
+    assert regs["q_noise"]["solo"] == 0.9
+    assert regs["q_noise"]["confirmed"] is False
+    assert "solo" not in regs["q_broken"]
+    assert regs["q_broken"]["solo_error"].startswith("RuntimeError")
 
 
 def test_compact_final_line_fits_tail_capture():

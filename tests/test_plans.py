@@ -13,6 +13,12 @@ SF = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
+    # Pin the COLD plan: suite builders legitimately .cache() their
+    # shared frames, and Spark's CacheManager substitutes any matching
+    # logical subtree from EARLIER tests with InMemoryRelation — which
+    # hides the parquet scan's PushedFilters/ReadSchema these guards
+    # assert on (ordering-dependent flake, first seen r10).
+    spark.catalog.clearCache()
     df = all_specs()[name].build(spark, SF)
     return df._jdf.queryExecution().executedPlan().toString()
 
@@ -21,7 +27,9 @@ def _plan_of(spark, builder) -> str:
     """Plan of a builder that is no longer registered under its own
     name (r06 consolidation merged q5/q7/q8 and the retrieval legs
     into suites) — the per-variant plan guards still pin each branch,
-    which the suite union executes unchanged."""
+    which the suite union executes unchanged.  Cold-plan pinned like
+    ``_plan`` (cleared cache) for the same substitution reason."""
+    spark.catalog.clearCache()
     return builder(spark, SF)._jdf.queryExecution().executedPlan().toString()
 
 
@@ -118,7 +126,13 @@ def test_decontaminate_broadcasts_benchmark(spark):
 
 
 def test_domain_mix_broadcasts_rates(spark):
-    plan = _plan(spark, "corpus_domain_mix")
+    # retired r10 into corpus_mix_suite; the builder still backs the
+    # suite's uniform leg, so the guard pins it via _plan_of
+    from data_engineering_for_e_commerce_logistics_spark.plans.corpus_queries import (
+        corpus_domain_mix,
+    )
+
+    plan = _plan_of(spark, corpus_domain_mix)
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan.split("BroadcastHashJoin")[0]
 
@@ -365,7 +379,13 @@ def test_routed_assign_two_broadcast_levels(spark):
     centroid table ride broadcasts — no shuffle before the per-vector
     windows (the final spec orderBy's range partitioning is the only
     non-window exchange allowed)."""
-    plan = _plan(spark, "routed_assign_embeddings")
+    # retired r10 into ann_assign_suite; the builder still backs the
+    # suite's routed leg, so the guard pins it via _plan_of
+    from data_engineering_for_e_commerce_logistics_spark.plans.graph_queries import (
+        routed_assign_embeddings,
+    )
+
+    plan = _plan_of(spark, routed_assign_embeddings)
     assert "BroadcastNestedLoopJoin" in plan  # vectors × supers scoring
     assert "BroadcastHashJoin" in plan  # routed join to centroid groups
     assert "CartesianProduct" not in plan

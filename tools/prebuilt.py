@@ -19,14 +19,10 @@ def prebuilt_builders() -> dict:
     )
 
     return {
-        # the r10-r12 trades (pre-built in r08; the r09 entries
-        # registered in r09 and moved to the registry)
-        "ann_assign_suite": gq.ann_assign_suite,
-        "pq_suite": gq.pq_suite,
-        "ivfpq_suite": gq.ivfpq_suite,
-        "corpus_mix_suite": xc.corpus_mix_suite,
-        # the r13-r17 trades
-        "incremental_pq_fresh": gq.incremental_pq_fresh,
+        # the r12-r17 trades (pre-built in r08; the r10+r11 entries —
+        # corpus_mix_suite, ann_assign_suite, pq_suite, ivfpq_suite,
+        # incremental_pq_fresh — registered in r10 and moved to the
+        # registry)
         "incremental_dedup_suite": xq.incremental_dedup_suite,
         "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
         "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
