@@ -208,14 +208,16 @@ def cc_alternating(
     Per round: large-star points every neighbor v > u at u's
     neighborhood minimum (edges stay (larger, smaller)); small-star
     re-points each node's smaller neighbors (and itself) at its
-    minimum smaller neighbor.  Both are one groupBy + one join over
-    the CURRENT edge set — which only ever shrinks-or-holds at
+    minimum smaller neighbor.  Both are ONE window pass (partition-key
+    min) over the CURRENT edge set — which only ever shrinks-or-holds at
     O(#input pairs) rows, so at 100 TB the cost is a handful of
     edge-keyed exchanges per round × ~log(n) rounds, with no
     diameter dependence.  Each round's frame is
-    ``localCheckpoint``-ed: iterative self-referencing joins
+    ``localCheckpoint``-ed LAZILY: iterative self-referencing joins
     otherwise stack O(rounds) copies of the plan (the BPE lesson —
-    plan stringification alone OOMs the driver around depth 6).
+    plan stringification alone OOMs the driver around depth 6), and
+    the convergence probe's full-scan aggregate doubles as the
+    materializing action, so each round is ONE job.
 
     Convergence = the round was a no-op (same edge set): at the
     fixed point the edges form star forests rooted at component
@@ -227,60 +229,68 @@ def cc_alternating(
     """
     a0 = F.greatest(F.col(id_a), F.col(id_b))
     b0 = F.least(F.col(id_a), F.col(id_b))
+    # lazy checkpoint: round 1's probe job is the materializing
+    # action, so there are ZERO setup jobs — the input pass, round 1,
+    # and the edge-count measurement all ride the first probe
+    # (r10 fixed-cost trim)
     edges = (
         pairs.select(a0.alias("a"), b0.alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Width from the MEASURED edge count (the connected_components r08
-    # lesson): each round is ~3 jobs, and on a small graph every job
-    # at session width pays 32+ near-empty tasks of scheduling
-    # overhead — measured ~2s/round for a 31-edge path.  ~2M edges
-    # per partition keeps a billion-edge graph at cluster width while
-    # a small one runs single-task rounds.
-    n_edges = edges.count()
-    p = max(
-        1,
-        min(
-            n_edges // 2_000_000 + 1,
-            edges.sparkSession.sparkContext.defaultParallelism,
-        ),
-    )
-    edges = edges.repartition(p, "a").localCheckpoint()
+    # lesson): on a small graph every job at session width pays 32+
+    # near-empty tasks of scheduling overhead — measured ~2s/round for
+    # a 31-edge path.  ~2M edges per partition keeps a billion-edge
+    # graph at cluster width while a small one runs single-task
+    # rounds.  Measured FROM ROUND 1'S PROBE (count(*) rides the same
+    # aggregate) instead of a dedicated count job: round 1's output
+    # width is AQE-coalesced, rounds 2+ pin the measured width.
+    p: int | None = None
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+
+    from pyspark.sql import Window
 
     rounds = 0
     while rounds < max_rounds:
         # large-star: every strictly-larger neighbor of u re-points at
         # min(N(u) ∪ {u}); output rows keep the (larger, smaller)
-        # orientation by construction (v > u >= m)
+        # orientation by construction (v > u >= m).  The neighborhood
+        # minimum rides a WINDOW over the partition key — min is
+        # per-row in the same pass, so the round needs no
+        # aggregate-then-self-join (each of the two joins cost an
+        # exchange PLUS an AQE broadcast collect through the driver;
+        # windows cost the exchange alone — r10 fixed-cost trim).
         sym = edges.select(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).union(edges.select(F.col("b"), F.col("a")))
-        gm = sym.groupBy("u").agg(
-            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
-        )
         lstar = (
-            sym.join(gm, "u")
+            sym.withColumn(
+                "m",
+                F.min(F.least(F.col("v"), F.col("u"))).over(
+                    Window.partitionBy("u")
+                ),
+            )
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
-            .distinct()
         )
-        # small-star: group by the larger endpoint; its smaller
-        # neighbors and itself all re-point at the minimum one
-        gmin = lstar.groupBy("a").agg(F.min("b").alias("m"))
-        e1 = gmin.select(F.col("a").alias("x"), F.col("m"))
-        e2 = (
-            lstar.join(gmin, "a")
-            .where(F.col("b") != F.col("m"))
-            .select(F.col("b").alias("x"), F.col("m"))
+        # small-star: partition by the larger endpoint; its smaller
+        # neighbors and itself all re-point at the minimum one.  (a,m)
+        # duplicates from both windows are swept by the round-final
+        # distinct.
+        sm = lstar.withColumn(
+            "m", F.min("b").over(Window.partitionBy("a"))
+        )
+        e1 = sm.select(F.col("a").alias("x"), F.col("m"))
+        e2 = sm.where(F.col("b") != F.col("m")).select(
+            F.col("b").alias("x"), F.col("m")
         )
         new_edges = (
             e1.union(e2)
@@ -292,19 +302,27 @@ def cc_alternating(
             # session-width exchange (r09 ADVICE: the old
             # repartition-after-distinct order left the checkpointed
             # frame at session width — small graphs paid 32+ near-empty
-            # tasks per round)
-            .repartition(p, "a", "b")
+            # tasks per round).  Round 1 (p not yet measured) lets AQE
+            # coalesce the distinct's exchange instead.
+            .transform(
+                lambda d: d.repartition(p, "a", "b") if p else d
+            )
             .distinct()
-            .localCheckpoint()
+            # lazy: the probe below is the materializing action, so
+            # checkpoint-write and convergence test share ONE job per
+            # round (the probe's global aggregate scans every
+            # partition, which is exactly what eager=True's count()
+            # would have done in a job of its own)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         edges = new_edges
-        # Star-forest probe, ONE job: the alternation's fixed points
-        # are exactly star forests (every child has one parent edge
-        # and no node is both child and parent), so testing the shape
+        # Star-forest probe: the alternation's fixed points are
+        # exactly star forests (every child has one parent edge and
+        # no node is both child and parent), so testing the shape
         # directly both converges a round EARLIER than set-equality
         # (no confirmation pass) and replaces the count + exceptAll
-        # pair — per-round cost is now checkpoint + probe, 2 jobs.
+        # pair — per-round cost is ONE fused checkpoint+probe job.
         probe = (
             new_edges.select(
                 F.col("a").alias("n"),
@@ -321,9 +339,19 @@ def cc_alternating(
             .agg(
                 F.max(F.col("fa") * F.col("fb")).alias("overlap"),
                 F.max("na").alias("max_parents"),
+                F.sum("na").alias("n_edges"),
             )
             .first()
         )
+        if p is None:  # width measurement rides round 1's probe
+            n_edges = int(probe["n_edges"] or 0)
+            p = max(
+                1,
+                min(
+                    n_edges // 2_000_000 + 1,
+                    edges.sparkSession.sparkContext.defaultParallelism,
+                ),
+            )
         if (probe["overlap"] or 0) == 0 and (probe["max_parents"] or 0) <= 1:
             break
     else:

@@ -208,28 +208,33 @@ def bpe_train(
     parallelizes perfectly; the n_merges iterations cost vocab-sized
     jobs regardless of corpus scale.
 
-    Greedy left-to-right non-overlapping application is expressed as
-    PURE relational ops (no fold UDF): candidate positions (pair
-    match) → consecutive-position runs via the islands trick
-    (j - rank) → take odd offsets within each run — provably equal to
-    the sequential scan (a candidate is taken iff its predecessor
-    position was not), and expressible identically in the DuckDB
-    oracle, which replays all ``n_merges`` rounds unrolled and
-    matches the per-round argmax INCLUDING ties (count desc, then
-    lexicographic left, right).
+    Greedy left-to-right non-overlapping application is a single
+    ``aggregate`` (fold) expression per round — a built-in
+    higher-order function, JVM-side, NO Python UDF: scan the symbol
+    array once, and when the accumulator's last element is ``a`` and
+    the incoming one is ``b``, replace the tail with the merged
+    symbol.  This is provably the sequential non-overlapping scan:
+    a freshly merged tail equals ``a + b``, and ``a + b == a`` is
+    impossible (``b`` is non-empty), so a merge output can never be
+    re-consumed as the LEFT side within the same round — exactly the
+    "candidate taken iff its predecessor position was not" rule the
+    unrolled DuckDB oracle replays (including argmax ties: count
+    desc, then lexicographic left, right).  The fold replaced the
+    r09 form (explode positions → two windows → two joins → re-group)
+    which cost ~5 exchanges + a checkpoint job PER ROUND; a narrow
+    per-row expression needs neither shuffle nor checkpoint, so each
+    round is now exactly ONE job (the pair-count argmax) and the
+    round plan is the round-0 checkpoint plus k nested folds —
+    linear, driver-safe growth (the old explode/join tree OOMed plan
+    stringification around depth 6, which forced the per-round
+    checkpoints this form no longer needs).
 
-    Each round's vocab frame is ``localCheckpoint``-ed: unlike
-    ``cache`` (which truncates execution but NOT the logical plan),
-    checkpointing cuts the LINEAGE — without it the round-N plan
-    embeds N copies of the explode/window/join tree and Spark's plan
-    stringification alone OOMs the driver around round 6 (measured).
-    kmeans gets away with cache because its per-round centroids pass
-    through the driver, resetting lineage naturally; here everything
-    stays distributed, so the cut must be explicit.  ASCII corpus
-    assumption: Spark substring counts Java chars, DuckDB indexes
-    codepoints — identical on ASCII, documented divergence beyond."""
-    from pyspark.sql import Window
-
+    The CASE branch order is the ANSI guard: ``element_at(acc, -1)``
+    is only reachable once ``size(acc) > 0`` matched the branch above
+    it — WHEN conditions evaluate in order, unlike ``AND`` operands
+    (ADVICE r06).  ASCII corpus assumption: Spark substring counts
+    Java chars, DuckDB indexes codepoints — identical on ASCII,
+    documented divergence beyond."""
     words = (
         df.select(
             F.explode(
@@ -278,64 +283,25 @@ def bpe_train(
         a, b, cnt = best.a, best.b, int(best.cnt)
         merges.append((rank, a, b, a + b, cnt))
 
-        pos = vocab.select(
-            "w",
-            "freq",
-            F.explode(F.expr("sequence(1, size(s))")).alias("j"),
+        # one narrow fold per round: greedy non-overlapping merge
+        # application (equality argument in the docstring); literals
+        # bind via F.lit, no SQL-string interpolation of corpus text
+        vocab = vocab.withColumn(
             "s",
-        ).select(
-            "w",
-            "freq",
-            "j",
-            F.expr("element_at(s, j)").alias("sym"),
-            # least() keeps the lookahead in-bounds structurally (at
-            # j = size(s) it degenerates to element_at(s, j), masked by
-            # the j < size conjunct) instead of relying on And
-            # short-circuit to dodge the ANSI out-of-bounds error —
-            # same structural guard as pair_rows above (ADVICE r06).
-            (
-                (F.col("j") < F.size("s"))
-                & (F.expr("element_at(s, j)") == F.lit(a))
-                & (F.expr("element_at(s, least(j + 1, size(s)))") == F.lit(b))
-            ).alias("cand"),
+            F.aggregate(
+                F.col("s"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(F.size(acc) == 0, F.array(x))
+                .when(
+                    (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                    F.concat(
+                        F.slice(acc, F.lit(1), F.size(acc) - 1),
+                        F.array(F.lit(a + b)),
+                    ),
+                )
+                .otherwise(F.concat(acc, F.array(x))),
+            ),
         )
-        w_crn = Window.partitionBy("w").orderBy("j")
-        cands = pos.where("cand").select(
-            "w", "j", F.row_number().over(w_crn).alias("crn")
-        )
-        w_run = Window.partitionBy("w", "grp").orderBy("j")
-        sel = (
-            cands.withColumn("grp", F.col("j") - F.col("crn"))
-            .withColumn("rn", F.row_number().over(w_run))
-            .where(F.col("rn") % 2 == 1)
-            .select("w", "j")
-        )
-        take = sel.withColumn("take", F.lit(True))
-        prev = sel.select("w", (F.col("j") + 1).alias("j")).withColumn(
-            "consumed", F.lit(True)
-        )
-        next_vocab = (
-            pos.join(take, ["w", "j"], "left")
-            .join(prev, ["w", "j"], "left")
-            .where(F.col("consumed").isNull())
-            .withColumn(
-                "out_sym",
-                F.when(F.col("take"), F.concat(F.col("sym"), F.lit(b))).otherwise(
-                    F.col("sym")
-                ),
-            )
-            .groupBy("w")
-            .agg(
-                F.any_value(F.col("freq")).alias("freq"),
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "out_sym"))),
-                    lambda st: st["out_sym"],
-                ).alias("s"),
-            )
-        ).localCheckpoint()  # eager: materializes AND cuts lineage;
-        # prior rounds' blocks are released by the ContextCleaner once
-        # unreferenced
-        vocab = next_vocab
 
     merges_df = spark.createDataFrame(
         merges,
@@ -344,7 +310,9 @@ def bpe_train(
     )
     if return_vocab:
         # (w, freq, s): the fully-merged segmentation of every corpus
-        # word — the lookup table bpe_encode joins against
+        # word — the lookup table bpe_encode joins against.  Lazy by
+        # design: the checkpointed word table + n_merges narrow folds
+        # re-run once inside whatever action consumes it.
         return merges_df, vocab
     return merges_df
 
