@@ -2026,7 +2026,9 @@ PQ_SUITE_SQL = _pq_suite_sql()
 IVFPQ_PROBE = 2
 
 
-def ivfpq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_suite(
+    spark: SparkSession, sf_dir: str, nprobe: int = IVFPQ_PROBE
+) -> DataFrame:
     """IVF-PQ (Jégou et al. TPAMI 2011 §IV — the FAISS IVFPQ index,
     the canonical billion-scale ANN layout): coarse-quantize every
     vector to its nearest seed cell, PQ-encode the RESIDUAL x - c(x)
@@ -2104,8 +2106,10 @@ def ivfpq_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = codes.cache()
     sub_d = EMB_DIM // PQ_SUB
+    # nprobe parameterized for tools/pq_recall.py's probe sweep; the
+    # registry always runs the IVFPQ_PROBE default
     qres = ranked.filter(
-        (F.col("vec_id") < PQ_N_QUERIES) & (F.col("rn") <= IVFPQ_PROBE)
+        (F.col("vec_id") < PQ_N_QUERIES) & (F.col("rn") <= nprobe)
     ).select(
         F.col("vec_id").alias("query_id"),
         "cell",

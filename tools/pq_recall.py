@@ -46,8 +46,7 @@ def main() -> None:
         row["mean_quant_err"] = float(
             enc.groupby("vec_id")["dist"].sum().mean()
         )
-        for variant in ("adc", "rerank"):
-            part = suite[suite.variant == variant]
+        def _recall(part) -> float:
             hits = total = 0
             for qid in sorted(part.query_id.astype(int).unique()):
                 q = V[np.searchsorted(ids, qid)]
@@ -59,10 +58,31 @@ def main() -> None:
                 got = set(part[part.query_id == qid].vec_id.astype(int))
                 hits += len(gt & got)
                 total += gq.PQ_TOPK
-            row[f"recall@{gq.PQ_TOPK}_{variant}"] = round(hits / total, 3)
+            return round(hits / total, 3)
+
+        for variant in ("adc", "rerank"):
+            row[f"recall@{gq.PQ_TOPK}_{variant}"] = _recall(
+                suite[suite.variant == variant]
+            )
+        # IVF-PQ probe sweep at the registered codebook parameters
+        # (VERDICT r09 ask #7): nprobe is the only knob the registered
+        # spec fixes (IVFPQ_PROBE); sweep it so SCALE.md's quality
+        # claim is measured at — and around — the driver-checked
+        # config.  n_cells = N_CENTROIDS total, so nprobe = n_cells is
+        # exhaustive-PQ (the IVF pruning fully off).
+        for nprobe in (1, gq.IVFPQ_PROBE, 4, gq.N_CENTROIDS):
+            ivf = gq.ivfpq_suite(spark, sf_dir, nprobe=nprobe).toPandas()
+            row[f"ivfpq_recall@{gq.PQ_TOPK}_nprobe{nprobe}"] = _recall(
+                ivf[ivf.variant == "adc"]
+            )
         out[sf_dir] = row
         print(sf_dir, row)
     print(json.dumps(out, indent=1))
+    art = os.path.join(_REPO, "PQ_RECALL.json")
+    with open(art, "w") as fh:
+        json.dump(out, fh, indent=1)
+        fh.write("\n")
+    print(f"wrote {art}")
 
 
 if __name__ == "__main__":
