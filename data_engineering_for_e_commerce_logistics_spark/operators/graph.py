@@ -173,10 +173,13 @@ def connected_components(
             # width so the NEXT iteration's dst↔node join reuses the
             # layout instead of re-exchanging both cached sides
             .repartition(p, "node")
-            # lineage cut: materializes eagerly AND resets the logical
-            # plan to a LogicalRDD (partitioning preserved), so the
-            # next iteration's plan is O(1), not O(2^iter)
-            .localCheckpoint()
+            # lineage cut: resets the logical plan to a LogicalRDD
+            # (partitioning preserved), so the next iteration's plan is
+            # O(1), not O(2^iter).  LAZY (r10): the changed-count below
+            # scans every partition and is the materializing action —
+            # checkpoint-write and convergence test share ONE job per
+            # iteration instead of two
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("__changed")).count()
         labels = new_labels.select("node", "label")
