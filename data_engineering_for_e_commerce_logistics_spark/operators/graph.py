@@ -211,8 +211,11 @@ def cc_alternating(
     Per round: large-star points every neighbor v > u at u's
     neighborhood minimum (edges stay (larger, smaller)); small-star
     re-points each node's smaller neighbors (and itself) at its
-    minimum smaller neighbor.  Both are ONE window pass (partition-key
-    min) over the CURRENT edge set — which only ever shrinks-or-holds at
+    minimum smaller neighbor.  Each is one neighborhood-min pass over
+    the CURRENT edge set — a window over the partition key on
+    measured-small graphs (cheapest fixed cost), a map-side-combining
+    groupBy + join on large ones (no single-task neighborhood
+    buffering under hub skew) — which only ever shrinks-or-holds at
     O(#input pairs) rows, so at 100 TB the cost is a handful of
     edge-keyed exchanges per round × ~log(n) rounds, with no
     diameter dependence.  Each round's frame is
@@ -232,10 +235,9 @@ def cc_alternating(
     """
     a0 = F.greatest(F.col(id_a), F.col(id_b))
     b0 = F.least(F.col(id_a), F.col(id_b))
-    # lazy checkpoint: round 1's probe job is the materializing
-    # action, so there are ZERO setup jobs — the input pass, round 1,
-    # and the edge-count measurement all ride the first probe
-    # (r10 fixed-cost trim)
+    # lazy checkpoint: the count() below is the materializing action,
+    # so setup is ONE pass over the input (checkpoint-write + count in
+    # the same job)
     edges = (
         pairs.select(a0.alias("a"), b0.alias("b"))
         .where(F.col("a") != F.col("b"))
@@ -247,10 +249,20 @@ def cc_alternating(
     # near-empty tasks of scheduling overhead — measured ~2s/round for
     # a 31-edge path.  ~2M edges per partition keeps a billion-edge
     # graph at cluster width while a small one runs single-task
-    # rounds.  Measured FROM ROUND 1'S PROBE (count(*) rides the same
-    # aggregate) instead of a dedicated count job: round 1's output
-    # width is AQE-coalesced, rounds 2+ pin the measured width.
-    p: int | None = None
+    # rounds.  Measured UP FRONT (not ridden on round 1's probe): the
+    # width picks each round's physical form — window vs
+    # groupBy+join, see the loop — and letting round 1 run the
+    # join form blind measured +3.4s on the sf0.1 chain graph (the
+    # broadcast builds re-execute the not-yet-materialized input
+    # chain), more than this count job costs.
+    n_edges = edges.count()
+    p = max(
+        1,
+        min(
+            n_edges // 2_000_000 + 1,
+            edges.sparkSession.sparkContext.defaultParallelism,
+        ),
+    )
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select("b"))
@@ -264,33 +276,55 @@ def cc_alternating(
     while rounds < max_rounds:
         # large-star: every strictly-larger neighbor of u re-points at
         # min(N(u) ∪ {u}); output rows keep the (larger, smaller)
-        # orientation by construction (v > u >= m).  The neighborhood
-        # minimum rides a WINDOW over the partition key — min is
-        # per-row in the same pass, so the round needs no
-        # aggregate-then-self-join (each of the two joins cost an
-        # exchange PLUS an AQE broadcast collect through the driver;
-        # windows cost the exchange alone — r10 fixed-cost trim).
+        # orientation by construction (v > u >= m).  TWO physical
+        # forms, chosen by the measured width (r10):
+        # * small graph (p == 1, i.e. under ~2M edges): the minimum
+        #   rides a WINDOW over the partition key — per-row in the
+        #   same pass, no aggregate-then-self-join (each join costs an
+        #   exchange PLUS an AQE broadcast collect through the
+        #   driver), and single-task buffering of a partition group is
+        #   harmless at this size.  This is the fixed-cost path the
+        #   small-graph rounds were paying ~2 broadcast collects for.
+        # * large graph (p > 1): the
+        #   groupBy+join form — partial (map-side) aggregation
+        #   computes the min without materializing any node's full
+        #   neighborhood in one task, which matters precisely on big
+        #   graphs where contraction funnels a component's whole
+        #   neighborhood onto its root (a billion-member component
+        #   would otherwise buffer ~1e9 rows in ONE window task per
+        #   round; the join streams it).
         sym = edges.select(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).union(edges.select(F.col("b"), F.col("a")))
-        lstar = (
-            sym.withColumn(
+        small = p == 1
+        if small:
+            lstar = sym.withColumn(
                 "m",
                 F.min(F.least(F.col("v"), F.col("u"))).over(
                     Window.partitionBy("u")
                 ),
             )
-            .where(F.col("v") > F.col("u"))
+        else:
+            gm = sym.groupBy("u").agg(
+                F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+            )
+            lstar = sym.join(gm, "u")
+        lstar = (
+            lstar.where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
         )
         # small-star: partition by the larger endpoint; its smaller
         # neighbors and itself all re-point at the minimum one.  (a,m)
-        # duplicates from both windows are swept by the round-final
+        # duplicates from either form are swept by the round-final
         # distinct.
-        sm = lstar.withColumn(
-            "m", F.min("b").over(Window.partitionBy("a"))
-        )
+        if small:
+            sm = lstar.withColumn(
+                "m", F.min("b").over(Window.partitionBy("a"))
+            )
+        else:
+            gmin = lstar.groupBy("a").agg(F.min("b").alias("m"))
+            sm = lstar.select("a", "b").join(gmin, "a")
         e1 = sm.select(F.col("a").alias("x"), F.col("m"))
         e2 = sm.where(F.col("b") != F.col("m")).select(
             F.col("b").alias("x"), F.col("m")
@@ -305,11 +339,8 @@ def cc_alternating(
             # session-width exchange (r09 ADVICE: the old
             # repartition-after-distinct order left the checkpointed
             # frame at session width — small graphs paid 32+ near-empty
-            # tasks per round).  Round 1 (p not yet measured) lets AQE
-            # coalesce the distinct's exchange instead.
-            .transform(
-                lambda d: d.repartition(p, "a", "b") if p else d
-            )
+            # tasks per round)
+            .repartition(p, "a", "b")
             .distinct()
             # lazy: the probe below is the materializing action, so
             # checkpoint-write and convergence test share ONE job per
@@ -342,19 +373,9 @@ def cc_alternating(
             .agg(
                 F.max(F.col("fa") * F.col("fb")).alias("overlap"),
                 F.max("na").alias("max_parents"),
-                F.sum("na").alias("n_edges"),
             )
             .first()
         )
-        if p is None:  # width measurement rides round 1's probe
-            n_edges = int(probe["n_edges"] or 0)
-            p = max(
-                1,
-                min(
-                    n_edges // 2_000_000 + 1,
-                    edges.sparkSession.sparkContext.defaultParallelism,
-                ),
-            )
         if (probe["overlap"] or 0) == 0 and (probe["max_parents"] or 0) <= 1:
             break
     else:

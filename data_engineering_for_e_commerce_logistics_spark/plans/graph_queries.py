@@ -2865,8 +2865,14 @@ def kcenter_seed_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kcenter_sql() -> str:
     rounds = ",".join(_kcenter_round_sql(i) for i in range(2, KCENTER_K + 1))
+    # dmin > 0 replays the operator's early stop (r09 ADVICE): once the
+    # argmax dmin hits 0 every later round's is 0 too (dmin only
+    # shrinks), so filtering each padded round to positive radii keeps
+    # exactly seed 1 + every genuinely-new seed — one row per distinct
+    # vector when k exceeds the distinct count, same as kcenter_seed.
     sel = "\nUNION ALL\n".join(
         f"SELECT {i} AS seed_rank, vec_id, dmin AS radius FROM s{i}"
+        f" WHERE dmin > 0"
         for i in range(2, KCENTER_K + 1)
     )
     return f"""

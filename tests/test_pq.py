@@ -330,3 +330,36 @@ def test_kcenter_seed_stops_at_distinct_vectors(spark):
     assert out[1].radius == 25.0
     ids = [r.vec_id for r in out]
     assert len(ids) == len(set(ids))  # never a repeated seed
+
+    # the unrolled oracle replays the early stop (r10: its padded
+    # rounds filter to dmin > 0), so the degenerate input stays
+    # cell-exact against DuckDB too — k=KCENTER_K=8 over 2 distinct
+    # vectors must yield the same 2 rows on both engines
+    import duckdb
+
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        kcenter_seed as _ks,
+    )
+    from tests.oracle import compare_frames
+
+    spdf = (
+        _ks(df, k=gq.KCENTER_K)
+        .select("seed_rank", "vec_id", "radius")
+        .toPandas()
+    )
+    conn = duckdb.connect()
+    try:
+        conn.execute(
+            "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+            "(0::BIGINT, [0.0, 0.0]), (1, [0.0, 0.0]), "
+            "(2, [3.0, 4.0]), (3, [3.0, 4.0])"
+            ") t(vec_id, embedding)"
+        )
+        opdf = conn.execute(gq.KCENTER_SEED_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert len(opdf) == 2
+    assert compare_frames(spdf, opdf, "kcenter_degenerate") == []

@@ -47,8 +47,12 @@ def main() -> None:
             enc.groupby("vec_id")["dist"].sum().mean()
         )
         def _recall(part) -> float:
+            # denominator over EVERY query the suite convention defines
+            # (vec_id < PQ_N_QUERIES), not just queries that returned
+            # rows — a query whose probed cells held no candidates must
+            # count as 0/topk misses, not silently drop out
             hits = total = 0
-            for qid in sorted(part.query_id.astype(int).unique()):
+            for qid in [i for i in ids if i < gq.PQ_N_QUERIES]:
                 q = V[np.searchsorted(ids, qid)]
                 exact = ((V - q) ** 2).sum(1)
                 exact[np.searchsorted(ids, qid)] = np.inf
@@ -71,6 +75,10 @@ def main() -> None:
         # config.  n_cells = N_CENTROIDS total, so nprobe = n_cells is
         # exhaustive-PQ (the IVF pruning fully off).
         for nprobe in (1, gq.IVFPQ_PROBE, 4, gq.N_CENTROIDS):
+            # each suite invocation caches its assignment/code frames;
+            # drop them between sweep points so a multi-dir sweep
+            # doesn't accumulate pinned storage in the session
+            spark.catalog.clearCache()
             ivf = gq.ivfpq_suite(spark, sf_dir, nprobe=nprobe).toPandas()
             row[f"ivfpq_recall@{gq.PQ_TOPK}_nprobe{nprobe}"] = _recall(
                 ivf[ivf.variant == "adc"]
