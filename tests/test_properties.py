@@ -427,3 +427,79 @@ def test_span_dedup_conservation_for_any_corpus(spark, docs):
         all_clean.append((r.doc_id, r.text_clean, r.n_spans - r.n_spans_dropped))
     # conservation on the COUNT level: total kept spans == distinct spans
     assert sum(k for _, _, k in all_clean) == len(distinct_input)
+
+
+# --- BPE fold-application law (r10: the greedy merge application was
+# --- rewritten as one `aggregate` fold per round — prove it equals
+# --- sequential greedy BPE on arbitrary corpora, not just fixtures) --
+
+def _py_bpe(words: list[str], n_merges: int):
+    """Reference Sennrich BPE: word-freq table, per-round pair argmax
+    (count desc, then lexicographic left/right), sequential greedy
+    non-overlapping application."""
+    from collections import Counter
+
+    freq = Counter(words)
+    vocab = {w: [*w, "</w>"] for w in freq}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, f in freq.items():
+            s = vocab[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, cnt))
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=6),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=1,
+        max_size=3,
+    ),
+    n_merges=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_bpe_fold_equals_sequential_greedy(spark, docs, n_merges):
+    """merges AND final segmentations match the pure-Python sequential
+    scan for any corpus — the two-letter alphabet maximizes same-
+    symbol runs and merged-symbol re-match chances, the fold's only
+    nontrivial cases."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.text import (
+        bpe_train,
+    )
+
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    merges_df, vocab_df = bpe_train(df, n_merges=n_merges, return_vocab=True)
+    got_merges = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    got_vocab = {r.w: list(r.s) for r in vocab_df.collect()}
+
+    words = [w for d in docs for w in d.split(" ") if w]
+    want_merges, want_vocab = _py_bpe(words, n_merges)
+    assert got_merges == want_merges
+    assert got_vocab == want_vocab
