@@ -195,6 +195,7 @@ def cc_alternating(
     id_b: str = "id_b",
     max_rounds: int = 64,
     return_rounds: bool = False,
+    edges_per_partition: int = 2_000_000,
 ):
     """Connected components via alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce
@@ -255,11 +256,15 @@ def cc_alternating(
     # join form blind measured +3.4s on the sf0.1 chain graph (the
     # broadcast builds re-execute the not-yet-materialized input
     # chain), more than this count job costs.
+    # edges_per_partition is the width rule's knob — production keeps
+    # the 2M default; tests lower it to force the p > 1 (groupBy+join)
+    # round form onto unit-sized graphs, which no fixture could
+    # otherwise reach.
     n_edges = edges.count()
     p = max(
         1,
         min(
-            n_edges // 2_000_000 + 1,
+            n_edges // edges_per_partition + 1,
             edges.sparkSession.sparkContext.defaultParallelism,
         ),
     )
