@@ -89,6 +89,22 @@ def triangle_count(
     return tris.agg(F.count(F.lit(1)).alias("triangles"))
 
 
+def _measured_width(
+    df: DataFrame, n_rows: int, per_partition: int = 2_000_000
+) -> int:
+    """The iterative-graph width rule, shared by both CC variants
+    (review r10: two drifting copies): ~per_partition rows per
+    partition keeps a billion-edge graph at cluster width while a
+    small one runs single-task rounds."""
+    return max(
+        1,
+        min(
+            n_rows // per_partition + 1,
+            df.sparkSession.sparkContext.defaultParallelism,
+        ),
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:
@@ -136,8 +152,7 @@ def connected_components(
     # small one runs in a handful of tasks; edges and labels hash-
     # partition on their join keys (dst ↔ node) with the SAME width so
     # each iteration's join avoids re-exchanging the cached sides.
-    p = max(1, min(n_edges // 2_000_000 + 1,
-                   edges.sparkSession.sparkContext.defaultParallelism))
+    p = _measured_width(edges, n_edges)
     raw = edges
     edges = raw.repartition(p, "dst").cache()
     edges.count()  # materializes FROM the still-cached raw frame
@@ -256,18 +271,17 @@ def cc_alternating(
     # join form blind measured +3.4s on the sf0.1 chain graph (the
     # broadcast builds re-execute the not-yet-materialized input
     # chain), more than this count job costs.
-    # edges_per_partition is the width rule's knob — production keeps
-    # the 2M default; tests lower it to force the p > 1 (groupBy+join)
-    # round form onto unit-sized graphs, which no fixture could
-    # otherwise reach.
+    # edges_per_partition is the width/form knob — production keeps
+    # the 2M default; tests lower it to force the large-graph
+    # (groupBy+join) round form onto unit-sized graphs, which no
+    # fixture could otherwise reach.
     n_edges = edges.count()
-    p = max(
-        1,
-        min(
-            n_edges // edges_per_partition + 1,
-            edges.sparkSession.sparkContext.defaultParallelism,
-        ),
-    )
+    p = _measured_width(edges, n_edges, edges_per_partition)
+    # The round-form gate is SIZE-based, not width-based (review r10):
+    # p is capped at defaultParallelism, so on a 1-core session p == 1
+    # for ANY graph and a width gate would window-buffer a huge
+    # neighborhood in one task — exactly what the join form prevents.
+    small = n_edges < edges_per_partition
     nodes = (
         edges.select(F.col("a").alias("node"))
         .union(edges.select("b"))
@@ -282,15 +296,15 @@ def cc_alternating(
         # large-star: every strictly-larger neighbor of u re-points at
         # min(N(u) ∪ {u}); output rows keep the (larger, smaller)
         # orientation by construction (v > u >= m).  TWO physical
-        # forms, chosen by the measured width (r10):
-        # * small graph (p == 1, i.e. under ~2M edges): the minimum
+        # forms, chosen by the MEASURED EDGE COUNT (r10):
+        # * small graph (under edges_per_partition edges): the minimum
         #   rides a WINDOW over the partition key — per-row in the
         #   same pass, no aggregate-then-self-join (each join costs an
         #   exchange PLUS an AQE broadcast collect through the
         #   driver), and single-task buffering of a partition group is
         #   harmless at this size.  This is the fixed-cost path the
         #   small-graph rounds were paying ~2 broadcast collects for.
-        # * large graph (p > 1): the
+        # * large graph: the
         #   groupBy+join form — partial (map-side) aggregation
         #   computes the min without materializing any node's full
         #   neighborhood in one task, which matters precisely on big
@@ -301,7 +315,6 @@ def cc_alternating(
         sym = edges.select(
             F.col("a").alias("u"), F.col("b").alias("v")
         ).union(edges.select(F.col("b"), F.col("a")))
-        small = p == 1
         if small:
             lstar = sym.withColumn(
                 "m",
@@ -324,16 +337,27 @@ def cc_alternating(
         # duplicates from either form are swept by the round-final
         # distinct.
         if small:
+            # one window pass yields both legs in the same frame
             sm = lstar.withColumn(
                 "m", F.min("b").over(Window.partitionBy("a"))
             )
+            e1 = sm.select(F.col("a").alias("x"), F.col("m"))
+            e2 = sm.where(F.col("b") != F.col("m")).select(
+                F.col("b").alias("x"), F.col("m")
+            )
         else:
+            # e1 reads the AGGREGATE directly (one row per a) so the
+            # join executes once, for e2 only — building both legs off
+            # the join would run it twice per round (review r10); the
+            # lstar exchange on "a" is shared by the aggregate and the
+            # join via exchange reuse
             gmin = lstar.groupBy("a").agg(F.min("b").alias("m"))
-            sm = lstar.select("a", "b").join(gmin, "a")
-        e1 = sm.select(F.col("a").alias("x"), F.col("m"))
-        e2 = sm.where(F.col("b") != F.col("m")).select(
-            F.col("b").alias("x"), F.col("m")
-        )
+            e1 = gmin.select(F.col("a").alias("x"), F.col("m"))
+            e2 = (
+                lstar.join(gmin, "a")
+                .where(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("x"), F.col("m"))
+            )
         new_edges = (
             e1.union(e2)
             .where(F.col("x") != F.col("m"))

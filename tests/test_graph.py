@@ -244,10 +244,11 @@ def test_cc_alternating_equals_fixpoint_on_random_graphs(spark):
     }
     assert alt == fix
     assert len({v for v in alt.values()}) > 5  # many components covered
-    # the LARGE-graph round form (p > 1: map-side-combining
+    # the LARGE-graph round form (size-gated map-side-combining
     # groupBy+join instead of partition-key windows — the r10 hub-skew
     # guard) is unreachable at unit sizes under the 2M-edge default,
-    # so force it through the width knob and pin the identical
+    # so force it through the edges_per_partition knob (the gate is
+    # n_edges >= knob, parallelism-independent) and pin the identical
     # labeling on the same graph
     big_form = {
         r.node: r.label
