@@ -257,6 +257,11 @@ BENCH_NOTES = {
     "dedup_clusters, whose r06 number was a warmup-cache artifact — "
     "honest fixpoint cost ~3.5-4s at sf0.1 (SCALE.md r08 forensics); "
     "the suite mines the LSH pairs ONCE for both legs",
+    "regressions_vs_prior": "drift retimes are in_session_retime "
+    "(same JVM/page cache as the sweep, post-drain) — warm-cache "
+    "exoneration is possible, so tools/bench_solo.py (fresh process, "
+    "min-of-3) stays the authoritative check for any confirmed:false "
+    "near the 2x line",
 }
 
 
@@ -351,7 +356,13 @@ def _solo_retime(spark, spec, sf_dir: str, n: int = 3) -> float:
     """tools/bench_solo.py's cadence inline — fresh cache, forced GC,
     one untimed warmup, min-of-n — run AFTER the headline sweep when
     the session's own load has drained, so contention-inflated drifts
-    re-measure clean without a separate process."""
+    re-measure clean without a separate process.
+
+    This is NOT a true fresh-process solo run (ADVICE r10): the JVM
+    and OS page cache are warm from the sweep, so an
+    ``in_session_retime`` can be faster than a cold bench_solo run
+    and a ``confirmed: false`` verdict near the 2× line should be
+    re-checked with tools/bench_solo.py, which stays authoritative."""
     spark.catalog.clearCache()
     try:
         spark.sparkContext._jvm.System.gc()
@@ -368,16 +379,22 @@ def _solo_retime(spark, spec, sf_dir: str, n: int = 3) -> float:
 
 
 def _annotate_solo(regressions: dict[str, dict], retime) -> None:
-    """Attach the solo re-timing (and the confirmed verdict: solo
-    still > 2× prev) to every drift entry.  ``retime(name) -> sec``;
-    a retime failure is recorded, never fatal — the drift evidence
-    must survive even when the re-run does not."""
+    """Attach the in-session re-timing (and the confirmed verdict:
+    retime still > 2× prev) to every drift entry.  ``retime(name) ->
+    sec``; a retime failure is recorded, never fatal — the drift
+    evidence must survive even when the re-run does not.  The key is
+    named ``in_session_retime`` deliberately (ADVICE r10): a warm
+    same-JVM retime can exonerate a regression that only reproduces
+    cold, so ``confirmed: false`` near the line still warrants a
+    tools/bench_solo.py pass."""
     for name, entry in regressions.items():
         try:
-            entry["solo"] = retime(name)
-            entry["confirmed"] = entry["solo"] > 2.0 * entry["prev"]
+            entry["in_session_retime"] = retime(name)
+            entry["confirmed"] = (
+                entry["in_session_retime"] > 2.0 * entry["prev"]
+            )
         except Exception as exc:
-            entry["solo_error"] = f"{type(exc).__name__}: {exc}"[:200]
+            entry["retime_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
 
 def _next_round(here: str = _HERE) -> int:

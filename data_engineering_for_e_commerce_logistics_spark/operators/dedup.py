@@ -740,6 +740,25 @@ def _simhash_bands(
     )
 
 
+def simhash_bands_of(
+    sig: DataFrame, id_col: str = "doc_id", n_bands: int = 4
+) -> DataFrame:
+    """Public pigeonhole-banding projection: (id, simhash, band,
+    bucket) rows for a simhash index frame.  Persist this INSTEAD of
+    the raw (id, simhash) index and append ``simhash_bands_of(
+    sig_delta)`` per batch so ``incremental_simhash_dedup`` skips
+    re-banding the whole index every batch (pass it as
+    ``banded_index``).  At corpus scale the index is the big join
+    side, and re-deriving its bands is an O(index × n_bands) explode
+    per batch — the one index-proportional step the screen otherwise
+    keeps (VERDICT r10 task 4).  Unlike the minhash ``bands_of``,
+    the banded rows carry the full fingerprint, so the pre-banded
+    index is self-sufficient: the xor+popcount verify reads
+    ``simhash`` straight off the joined band row, no second join
+    back to a signature table."""
+    return _simhash_bands(sig, id_col, n_bands)
+
+
 def incremental_simhash_dedup(
     new_docs: DataFrame,
     sig_index: DataFrame | None,
@@ -748,6 +767,7 @@ def incremental_simhash_dedup(
     max_hamming: int = 3,
     n_bands: int = 4,
     shingle_k: int = 2,
+    banded_index: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Third incremental-dedup family: screen a new batch against the
     persisted corpus SimHash index (one 64-bit fingerprint per kept
@@ -760,7 +780,13 @@ def incremental_simhash_dedup(
     batch docs with no index fingerprint within the hamming radius,
     and their (id, simhash) rows to append to the index.  Scale shape:
     one simhash pass over the BATCH, one short-key band join against
-    the index, per-candidate verify is one xor+popcount.
+    the index, per-candidate verify is one xor+popcount.  Pass a
+    persisted ``simhash_bands_of`` frame as ``banded_index`` to skip
+    the per-batch O(index × n_bands) re-banding of the big side —
+    with it, ``sig_index`` is never scanned (banded rows carry the
+    fingerprint) and the screen's only index-sized work is the band
+    hash join itself.  ``banded_index`` must have been built with the
+    SAME ``n_bands`` (bucket widths differ otherwise).
 
     Contract (enforced): the pigeonhole screen is only complete when
     ``max_hamming < n_bands`` (more flipped bits than bands could
@@ -785,7 +811,7 @@ def incremental_simhash_dedup(
     new_sig = simhash(new_docs, text_col, id_col, shingle_k=shingle_k).select(
         id_col, "simhash"
     ).cache()
-    if sig_index is None:
+    if sig_index is None and banded_index is None:
         fresh_ids = new_sig.select(id_col)
     else:
         nb = _simhash_bands(new_sig, id_col, n_bands).select(
@@ -794,9 +820,11 @@ def incremental_simhash_dedup(
             "band",
             "bucket",
         )
-        ib = _simhash_bands(sig_index, id_col, n_bands).select(
-            F.col("simhash").alias("__idx_sig"), "band", "bucket"
-        )
+        ib = (
+            banded_index
+            if banded_index is not None
+            else _simhash_bands(sig_index, id_col, n_bands)
+        ).select(F.col("simhash").alias("__idx_sig"), "band", "bucket")
         dup_new_ids = (
             nb.join(ib, ["band", "bucket"])
             .where(

@@ -189,6 +189,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     return_vocab: bool = False,
+    checkpoint_every: int = 16,
 ):
     """Distributed BPE merge training (Sennrich et al. 2016, the
     public byte-pair-encoding algorithm every modern tokenizer
@@ -302,6 +303,15 @@ def bpe_train(
                 .otherwise(F.concat(acc, F.array(x))),
             ),
         )
+        # Bound the O(k²) fold recompute for large merge counts
+        # (ADVICE r10): round k's argmax otherwise replays all k-1
+        # prior folds from the round-0 checkpoint.  A LAZY checkpoint
+        # costs no extra job — the next round's full-scan argmax is
+        # the materializing action (the r10 fusion pattern from
+        # operators/graph.py); at the default n_merges=8 it never
+        # fires and the plan stays the pure nested-fold form.
+        if rank % checkpoint_every == 0 and rank < n_merges:
+            vocab = vocab.localCheckpoint(eager=False)
 
     merges_df = spark.createDataFrame(
         merges,

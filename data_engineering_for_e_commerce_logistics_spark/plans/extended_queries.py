@@ -855,17 +855,21 @@ INCREMENTAL_MINHASH_SQL = _incremental_minhash_sql()
 
 
 def incremental_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged-variants consolidation earmarked for r14 (pre-built
-    unit-first in r08): the three SIGNATURE-family incremental-ingest
-    specs — ``incremental_exact_fresh`` (digest index + bloom-pruned
-    anti join), ``incremental_simhash_fresh`` (pigeonhole-banded
-    hamming screen), ``incremental_minhash_fresh`` (persisted-banding
-    LSH screen + agreeing-fraction verify) — under one padded shape,
+    """Merged-variants consolidation earmarked for r12 (pre-built
+    unit-first in r08; rebuilt r11 on pre-banded indexes): the three
+    SIGNATURE-family incremental-ingest specs —
+    ``incremental_exact_fresh`` (digest index + bloom-pruned anti
+    join), ``incremental_simhash_fresh`` (pigeonhole-banded hamming
+    screen), ``incremental_minhash_fresh`` (persisted-banding LSH
+    screen + agreeing-fraction verify) — under one padded shape,
     every original output cell preserved.  The three flows ran three
     separate ``documents`` scans and batch splits as separate specs;
     the suite caches the table once and derives all three index/delta
     chains from the shared frame (the semantic family keeps its own
-    spec: it reads ``embeddings``, not ``documents``).
+    spec: it reads ``embeddings``, not ``documents``).  BOTH near-dup
+    screens read PRE-BANDED persisted indexes (``bands_of`` /
+    ``simhash_bands_of``), the layout a production ingest loop
+    persists so the index side is never re-banded per batch.
 
     Pad convention: ids/counts cast double; the 64-bit simhash and
     the 16-int minhash signature ride as EXACT DECIMAL STRINGS (the
@@ -877,7 +881,17 @@ def incremental_dedup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, ed1 = dedup.incremental_exact_dedup(b1, None)
     _, ed2 = dedup.incremental_exact_dedup(b2, ed1, bloom_bits=1 << 20)
     _, ssig1 = dedup.incremental_simhash_dedup(b1, None)
-    _, sdelta = dedup.incremental_simhash_dedup(b2, ssig1, max_hamming=3)
+    # Both near-dup screens take the PRE-BANDED index path (VERDICT
+    # r10 task 4): what a production ingest loop persists is the
+    # banded projection, not raw signatures, so the big index side is
+    # never re-banded per batch.  Banding is a deterministic
+    # projection, so the delta — and the suite's oracle — is
+    # unchanged vs the inline-banded form (pinned bit-identical in
+    # tests/test_incremental_suite.py).
+    sbanded = dedup.simhash_bands_of(ssig1)
+    _, sdelta = dedup.incremental_simhash_dedup(
+        b2, None, max_hamming=3, banded_index=sbanded
+    )
     _, msig1 = dedup.incremental_minhash_dedup(
         b1, None, num_hashes=NUM_HASHES, bands=BANDS, shingle_k=SHINGLE_K
     )

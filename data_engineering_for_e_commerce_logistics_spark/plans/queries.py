@@ -20,41 +20,23 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r10 window — the committed r10 trade PLUS the r11 trade pulled
-forward.  Why the pull-forward (the r09 precedent): the r09
-docstring scheduled ``ivf_assign`` + ``routed_assign_embeddings`` to
-retire into ``ann_assign_suite`` in r11 — but both retiring specs
-sit in THIS round's r08-green stale backlog.  Executed on schedule,
-r10 would re-verify two specs one round before deleting them, and
-their r11 retirement would relieve nothing (they would be r10-green,
-outside the saturated r11 backlog), overflowing r11 at 2 + 48 + 1 =
-51 > 50.  Retiring them NOW relieves THIS window instead and lets
-``pq_suite`` (the trade's funded debut) register alongside:
+r11 window — the committed pure re-verify round, NO debuts
+(VERDICT r10 task 1).  The registry sits at exact 2-round capacity
+(98 oracle-paired = 2 flagships + 2 rounds × 48 rotating slots), so
+the window is fully determined:
 
-* positions 3-45: the r08-green stale backlog (CORRECTNESS r08 ∖
-  r09, oldest evidence first) — 43 specs after ``corpus_domain_mix``
-  retires into ``corpus_mix_suite`` and ``ivf_assign`` +
-  ``routed_assign_embeddings`` retire into ``ann_assign_suite``
-  (all three suites pre-built and differential-proven in r08;
-  retiring specs' cells carry verbatim, bench baselines via
-  RENAMED_FROM).
-* position 46: ``corpus_mix_suite`` — temperature-scaled domain
-  mixing; serves the retired uniform-mix cells plus the tempered
-  variants off one cached domain-count pass.
-* position 47: ``ann_assign_suite`` — one coarse-ranking pass serves
-  the retired first-k-ids IVF cells AND the trained-centroid routed
-  cells.
-* position 48: ``pq_suite`` — product-quantization train/encode/ADC
-  (the funded r11 debut, pulled forward with its trade).
-* position 49: ``ivfpq_suite`` — the committed r10 debut: coarse
-  cells + residual PQ + probe-restricted ADC (FAISS-IVFPQ layout).
-* position 50: ``incremental_pq_fresh`` — the committed r10 debut:
-  compressed-index cross-batch dedup via the sound ADC screen.
+* positions 1-2: the flagship views (always in-window).
+* positions 3-50: the complete r09-green stale backlog
+  (CORRECTNESS r09 ∖ r10, oldest evidence first) — 48 specs, no
+  room for anything else.
+* positions 51-98: the 48 r10-green specs (freshest evidence;
+  they become the r12 backlog).
+* position 99: ``sketch_aggregates_events``, rows-only by design.
 
-Arithmetic: 2 flagships + 43 backlog + 3 suites + 2 debuts = 50
-exactly, zero spill.  Positions 51+ are the 48 r09-green specs.
-Once CORRECTNESS_r10 lands, no live oracle spec's last driver row
-predates r09.
+Arithmetic: 2 flagships + 48 backlog = 50 exactly, zero spill,
+zero debuts.  Once CORRECTNESS_r11 lands, no live oracle spec's
+last driver row predates r10 and the freshness invariant is
+provable from r10 ∪ r11.
 
 WINDOW ARITHMETIC going forward: the registry is now 99 specs / 98
 oracle-paired (2 flagships + 96 rotating + 1 rows-only).  This is
@@ -63,12 +45,15 @@ spec every 2 rounds, and 2 rounds × 48 free slots = 96 — so from
 r11 on, every debut must be funded by retiring at least as many
 specs FROM THAT ROUND'S OWN BACKLOG (a retirement from the opposite
 half relieves nothing, the lesson this pull-forward encodes).
-r11 load = 2 + 48 r09-green = 50 exactly: NO debuts in r11.
+r11 load = 2 + 48 r09-green = 50 exactly: NO debuts in r11 (this
+window — executed above).
 r12 load = 2 + 48 r10-green = 50; THE r12 TRADE: retire
 ``incremental_minhash_fresh`` + ``incremental_simhash_fresh`` (both
 r10-green, in the r12 backlog) into ``incremental_dedup_suite``
-(pre-built r08), freeing one net slot for the
-``quality_calibrate_domains`` debut; ``incremental_exact_fresh``
+(pre-built r08; r11 rebuilt it on a PRE-BANDED persisted index per
+VERDICT r10 task 4 — bands stored alongside signatures so the big
+index side is never re-banded per batch), freeing one net slot for
+the ``quality_calibrate_domains`` debut; ``incremental_exact_fresh``
 (r09-green → r13 backlog) folds into the suite's registration or
 retires in r13, whichever round its evidence lands in.  r13+: the
 remaining pre-built runway (``corpus_decon_suite`` retiring
@@ -98,7 +83,6 @@ from . import relational_queries as rq
 from . import views
 from .registry import register
 
-
 # --- 1-2: Flagship analytic views (always in-window) -------------------
 register(
     "v_order_summary",
@@ -113,9 +97,234 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-45: the r08-green stale backlog (oldest evidence first; the
-# --- complete CORRECTNESS_r08 ∖ r09 set minus the three specs
-# --- retired into the suites at positions 46-47) -------------------
+# --- 3-50: the r09-green stale backlog (CORRECTNESS r09 ∖ r10, oldest
+# --- evidence first) — the complete no-debut re-verify window ----------
+register(
+    "array_functions_documents",
+    fq.array_functions_documents,
+    fq.ARRAY_FUNCTIONS_SQL,
+    ("scalar", "array"),
+)
+register(
+    "asof_events_orders",
+    aq.asof_events_orders,
+    aq.ASOF_EVENTS_ORDERS_SQL,
+    ("join", "asof", "temporal"),
+)
+register(
+    "basket_pairs",
+    aq.basket_pairs,
+    aq.BASKET_PAIRS_SQL,
+    ("agg", "market-basket", "pair-mining"),
+)
+register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
+register(
+    "bpe_merges_documents",
+    xc.bpe_merges_documents,
+    xc.BPE_MERGES_SQL,
+    ("text", "tokenizer", "bpe", "iterative", "multi-round"),
+)
+register(
+    "coerce_timestamps_orders",
+    cq.coerce_timestamps_orders,
+    cq.COERCE_TIMESTAMPS_SQL,
+    ("timestamps",),
+)
+register(
+    "cohort_retention",
+    aq.cohort_retention,
+    aq.COHORT_RETENTION_SQL,
+    ("agg", "cohort", "temporal"),
+)
+register(
+    "corpus_chunk_documents",
+    xc.corpus_chunk_documents,
+    xc.CORPUS_CHUNK_SQL,
+    ("corpus", "chunking"),
+)
+register(
+    "corpus_export_suite",
+    xc.corpus_export_suite,
+    xc.CORPUS_EXPORT_SUITE_SQL,
+    ("corpus", "sampling", "export"),
+)
+register(
+    "corpus_lm_quality",
+    xc.corpus_lm_quality,
+    xc.CORPUS_LM_QUALITY_SQL,
+    ("corpus", "quality", "lm"),
+)
+register(
+    "correlated_above_avg_orders",
+    aq.correlated_above_avg_orders,
+    aq.CORRELATED_ABOVE_AVG_SQL,
+    ("subquery",),
+)
+register(
+    "customer_rolling_7d_spend",
+    aq.customer_rolling_7d_spend,
+    aq.CUSTOMER_ROLLING_7D_SQL,
+    ("window", "range-frame", "temporal"),
+)
+register(
+    "customer_running_spend",
+    rq.customer_running_spend,
+    rq.CUSTOMER_RUNNING_SPEND_SQL,
+    ("window",),
+)
+register(
+    "customer_spend_slope",
+    aq.customer_spend_slope,
+    aq.CUSTOMER_SPEND_SLOPE_SQL,
+    ("agg", "regression"),
+)
+register(
+    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
+)
+register(
+    "dedup_ngram_jaccard",
+    xq.dedup_ngram_jaccard,
+    xq.DEDUP_NGRAM_JACCARD_SQL,
+    ("dedup", "all-pairs", "bounded-baseline"),
+)
+register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
+register(
+    "events_sessionize",
+    rq.events_sessionize,
+    rq.EVENTS_SESSIONIZE_SQL,
+    ("window", "session"),
+)
+register(
+    "explode_document_tokens",
+    rq.explode_document_tokens,
+    rq.EXPLODE_TOKENS_SQL,
+    ("explode",),
+)
+register(
+    "graph_degree_profile",
+    gq.graph_degree_profile,
+    gq.GRAPH_DEGREE_PROFILE_SQL,
+    ("graph", "degree"),
+)
+register(
+    "graph_triangle_count",
+    gq.graph_triangle_count,
+    gq.GRAPH_TRIANGLE_COUNT_SQL,
+    ("graph", "triangles"),
+)
+register(
+    "grouping_sets_orders",
+    aq.grouping_sets_orders,
+    aq.GROUPING_SETS_ORDERS_SQL,
+    ("grouping-sets", "merged-variants"),
+)
+register(
+    "incremental_exact_fresh",
+    xq.incremental_exact_fresh,
+    xq.INCREMENTAL_EXACT_SQL,
+    ("dedup", "incremental", "bloom", "index-screen"),
+)
+register(
+    "incremental_semdedup_fresh",
+    gq.incremental_semdedup_fresh,
+    gq.INCREMENTAL_SEMDEDUP_SQL,
+    ("dedup", "incremental", "similarity", "semdedup", "index-screen"),
+)
+register(
+    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+)
+register(
+    "ivm_spend_refresh",
+    rq.ivm_spend_refresh,
+    rq.IVM_SPEND_REFRESH_SQL,
+    ("sink", "ivm", "incremental"),
+)
+register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
+register(
+    "kmeans_suite",
+    gq.kmeans_suite,
+    gq.KMEANS_SUITE_SQL,
+    ("similarity", "iterative", "multi-round", "merged-variants"),
+)
+register(
+    "manifest_pruned_orders",
+    rq.manifest_pruned_orders,
+    rq.MANIFEST_PRUNED_SQL,
+    ("layout", "manifest", "data-skipping", "agg"),
+)
+register(
+    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
+)
+register(
+    "minhash_cluster_suite",
+    gq.minhash_cluster_suite,
+    gq.MINHASH_CLUSTER_SUITE_SQL,
+    ("dedup", "lsh", "graph", "iterative", "merged-variants"),
+)
+register(
+    "normalize_strings_customer",
+    cq.normalize_strings_customer,
+    cq.NORMALIZE_STRINGS_SQL,
+    ("strings",),
+)
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register(
+    "q3_shipping_priority",
+    aq.q3_shipping_priority,
+    aq.Q3_SHIPPING_PRIORITY_SQL,
+    ("join", "agg", "topk"),
+)
+register(
+    "region_nation_list",
+    aq.region_nation_list,
+    aq.REGION_NATION_LIST_SQL,
+    ("agg", "string-agg"),
+)
+register(
+    "salted_rollup_events",
+    rq.salted_rollup_events,
+    rq.SALTED_ROLLUP_SQL,
+    ("agg", "skew", "salted"),
+)
+register(
+    "scalar_functions_part",
+    gq.scalar_functions_part,
+    gq.SCALAR_FUNCTIONS_SQL,
+    ("scalar",),
+)
+register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register(
+    "semdedup_suite",
+    gq.semdedup_suite,
+    gq.SEMDEDUP_SUITE_SQL,
+    ("dedup", "similarity", "semdedup", "merged-variants"),
+)
+register(
+    "sql_api_params",
+    rq.sql_api_params,
+    rq.SQL_API_PARAMS_SQL,
+    ("sql", "params"),
+)
+register(
+    "struct_flatten_roundtrip",
+    rq.struct_flatten_roundtrip,
+    rq.STRUCT_FLATTEN_SQL,
+    ("struct",),
+)
+register(
+    "text_analysis_suite",
+    xq.text_analysis_suite,
+    xq.TEXT_ANALYSIS_SUITE_SQL,
+    ("text", "merged-variants"),
+)
+register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
+register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+
+# --- 51-98: r10-green specs (freshest evidence; rotate back in r12) ----
 register(
     "agg_cardinality_lineitem",
     rq.agg_cardinality_lineitem,
@@ -366,8 +575,6 @@ register(
     xc.TRAINING_CORPUS_REPORT_SQL,
     ("corpus", "capstone", "lineage", "composition"),
 )
-
-# --- 46-50: the pulled-forward r10+r11 trades (see docstring) ------
 register(
     "corpus_mix_suite",
     xc.corpus_mix_suite,
@@ -399,235 +606,7 @@ register(
     ("dedup", "similarity", "pq", "incremental"),
 )
 
-# --- 51+: the r09-green remainder (freshest evidence; rotates back
-# --- into the window as the r11 stale backlog) ---------------------
-register(
-    "array_functions_documents",
-    fq.array_functions_documents,
-    fq.ARRAY_FUNCTIONS_SQL,
-    ("scalar", "array"),
-)
-register(
-    "asof_events_orders",
-    aq.asof_events_orders,
-    aq.ASOF_EVENTS_ORDERS_SQL,
-    ("join", "asof", "temporal"),
-)
-register(
-    "basket_pairs",
-    aq.basket_pairs,
-    aq.BASKET_PAIRS_SQL,
-    ("agg", "market-basket", "pair-mining"),
-)
-register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
-register(
-    "bpe_merges_documents",
-    xc.bpe_merges_documents,
-    xc.BPE_MERGES_SQL,
-    ("text", "tokenizer", "bpe", "iterative", "multi-round"),
-)
-register(
-    "coerce_timestamps_orders",
-    cq.coerce_timestamps_orders,
-    cq.COERCE_TIMESTAMPS_SQL,
-    ("timestamps",),
-)
-register(
-    "cohort_retention",
-    aq.cohort_retention,
-    aq.COHORT_RETENTION_SQL,
-    ("agg", "cohort", "temporal"),
-)
-register(
-    "corpus_chunk_documents",
-    xc.corpus_chunk_documents,
-    xc.CORPUS_CHUNK_SQL,
-    ("corpus", "chunking"),
-)
-register(
-    "corpus_lm_quality",
-    xc.corpus_lm_quality,
-    xc.CORPUS_LM_QUALITY_SQL,
-    ("corpus", "quality", "lm"),
-)
-register(
-    "correlated_above_avg_orders",
-    aq.correlated_above_avg_orders,
-    aq.CORRELATED_ABOVE_AVG_SQL,
-    ("subquery",),
-)
-register(
-    "customer_rolling_7d_spend",
-    aq.customer_rolling_7d_spend,
-    aq.CUSTOMER_ROLLING_7D_SQL,
-    ("window", "range-frame", "temporal"),
-)
-register(
-    "customer_running_spend",
-    rq.customer_running_spend,
-    rq.CUSTOMER_RUNNING_SPEND_SQL,
-    ("window",),
-)
-register(
-    "customer_spend_slope",
-    aq.customer_spend_slope,
-    aq.CUSTOMER_SPEND_SLOPE_SQL,
-    ("agg", "regression"),
-)
-register(
-    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
-)
-register(
-    "dedup_ngram_jaccard",
-    xq.dedup_ngram_jaccard,
-    xq.DEDUP_NGRAM_JACCARD_SQL,
-    ("dedup", "all-pairs", "bounded-baseline"),
-)
-register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
-register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
-register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
-register(
-    "events_sessionize",
-    rq.events_sessionize,
-    rq.EVENTS_SESSIONIZE_SQL,
-    ("window", "session"),
-)
-register(
-    "explode_document_tokens",
-    rq.explode_document_tokens,
-    rq.EXPLODE_TOKENS_SQL,
-    ("explode",),
-)
-register(
-    "graph_degree_profile",
-    gq.graph_degree_profile,
-    gq.GRAPH_DEGREE_PROFILE_SQL,
-    ("graph", "degree"),
-)
-register(
-    "graph_triangle_count",
-    gq.graph_triangle_count,
-    gq.GRAPH_TRIANGLE_COUNT_SQL,
-    ("graph", "triangles"),
-)
-register(
-    "grouping_sets_orders",
-    aq.grouping_sets_orders,
-    aq.GROUPING_SETS_ORDERS_SQL,
-    ("grouping-sets", "merged-variants"),
-)
-register(
-    "incremental_exact_fresh",
-    xq.incremental_exact_fresh,
-    xq.INCREMENTAL_EXACT_SQL,
-    ("dedup", "incremental", "bloom", "index-screen"),
-)
-register(
-    "incremental_semdedup_fresh",
-    gq.incremental_semdedup_fresh,
-    gq.INCREMENTAL_SEMDEDUP_SQL,
-    ("dedup", "incremental", "similarity", "semdedup", "index-screen"),
-)
-register(
-    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
-)
-register(
-    "ivm_spend_refresh",
-    rq.ivm_spend_refresh,
-    rq.IVM_SPEND_REFRESH_SQL,
-    ("sink", "ivm", "incremental"),
-)
-register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
-register(
-    "manifest_pruned_orders",
-    rq.manifest_pruned_orders,
-    rq.MANIFEST_PRUNED_SQL,
-    ("layout", "manifest", "data-skipping", "agg"),
-)
-register(
-    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
-)
-register(
-    "normalize_strings_customer",
-    cq.normalize_strings_customer,
-    cq.NORMALIZE_STRINGS_SQL,
-    ("strings",),
-)
-register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
-register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
-register(
-    "q3_shipping_priority",
-    aq.q3_shipping_priority,
-    aq.Q3_SHIPPING_PRIORITY_SQL,
-    ("join", "agg", "topk"),
-)
-register(
-    "region_nation_list",
-    aq.region_nation_list,
-    aq.REGION_NATION_LIST_SQL,
-    ("agg", "string-agg"),
-)
-register(
-    "salted_rollup_events",
-    rq.salted_rollup_events,
-    rq.SALTED_ROLLUP_SQL,
-    ("agg", "skew", "salted"),
-)
-register(
-    "scalar_functions_part",
-    gq.scalar_functions_part,
-    gq.SCALAR_FUNCTIONS_SQL,
-    ("scalar",),
-)
-register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
-register(
-    "sql_api_params",
-    rq.sql_api_params,
-    rq.SQL_API_PARAMS_SQL,
-    ("sql", "params"),
-)
-register(
-    "struct_flatten_roundtrip",
-    rq.struct_flatten_roundtrip,
-    rq.STRUCT_FLATTEN_SQL,
-    ("struct",),
-)
-register(
-    "text_analysis_suite",
-    xq.text_analysis_suite,
-    xq.TEXT_ANALYSIS_SUITE_SQL,
-    ("text", "merged-variants"),
-)
-register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
-register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
-register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-register(
-    "semdedup_suite",
-    gq.semdedup_suite,
-    gq.SEMDEDUP_SUITE_SQL,
-    ("dedup", "similarity", "semdedup", "merged-variants"),
-)
-register(
-    "minhash_cluster_suite",
-    gq.minhash_cluster_suite,
-    gq.MINHASH_CLUSTER_SUITE_SQL,
-    ("dedup", "lsh", "graph", "iterative", "merged-variants"),
-)
-register(
-    "kmeans_suite",
-    gq.kmeans_suite,
-    gq.KMEANS_SUITE_SQL,
-    ("similarity", "iterative", "multi-round", "merged-variants"),
-)
-register(
-    "corpus_export_suite",
-    xc.corpus_export_suite,
-    xc.CORPUS_EXPORT_SUITE_SQL,
-    ("corpus", "sampling", "export"),
-)
-
-# --- rows-only specs last: no oracle by design, never spend a
-# --- verified slot --------------------------------------------------
+# --- 99: rows-only specs (no oracle by design) last --------------------
 register(
     "sketch_aggregates_events",
     aq.sketch_aggregates_events,

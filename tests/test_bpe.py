@@ -50,6 +50,28 @@ def test_bpe_greedy_run_application(spark):
     assert got == _merges(spark, ["aaaaab aaaaab"], 2)
 
 
+def test_bpe_checkpoint_cadence_invariant(spark):
+    """ADVICE r10: large merge counts get a periodic lazy
+    localCheckpoint to bound the O(k²) fold recompute.  Crossing the
+    cadence boundary (checkpoint_every=2 over 5 merges → checkpoints
+    after rounds 2 and 4) must be invisible: identical merge tables
+    with and without checkpointing, and the returned vocab still
+    consumable downstream."""
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low aaa aaa"),
+         (2, "new newer newest new aaaa")],
+        "doc_id int, text string",
+    )
+    plain = [tuple(r) for r in bpe_train(docs, n_merges=5).collect()]
+    ckpt_m, ckpt_v = bpe_train(
+        docs, n_merges=5, return_vocab=True, checkpoint_every=2
+    )
+    assert [tuple(r) for r in ckpt_m.collect()] == plain
+    # vocab built across the checkpoint boundary is fully merged
+    segs = {r.w: list(r.s) for r in ckpt_v.collect()}
+    assert segs["low"] == ["low", "</w>"]
+
+
 def test_bpe_degenerate_inputs(spark):
     """Null text contributes nothing; single-char words still merge
     with the end-of-word marker; fewer possible merges than requested

@@ -211,6 +211,45 @@ def test_incremental_simhash_dedup_flow(spark):
     assert sorted(r.doc_id for r in delta.collect()) == [11]
 
 
+def test_incremental_simhash_prebanded_index_path(spark):
+    """VERDICT r10 task 4: a persisted ``simhash_bands_of`` index fed
+    as ``banded_index`` (raw sig_index absent — the banded rows carry
+    the fingerprint) screens identically to the inline-banded form:
+    same fresh ids, same delta, near-dup suppressed / distant kept."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        incremental_simhash_dedup,
+        simhash_bands_of,
+    )
+
+    toks = [f"w{i}" for i in range(120)]
+    b1 = spark.createDataFrame(
+        [(1, " ".join(toks))], "doc_id int, text string"
+    )
+    _, sig1 = incremental_simhash_dedup(b1, None)
+    b2 = spark.createDataFrame(
+        [
+            (10, " ".join(toks[:-1] + ["zzz"])),          # near-dup
+            (11, " ".join(f"q{i}" for i in range(120))),  # distant
+        ],
+        "doc_id int, text string",
+    )
+    inline_fresh, inline_delta = incremental_simhash_dedup(
+        b2, sig1, max_hamming=3
+    )
+    banded = simhash_bands_of(sig1)
+    # the persisted-banding production layout: four rows per indexed
+    # doc, each carrying the full fingerprint next to its band bucket
+    assert banded.count() == 4
+    fresh, delta = incremental_simhash_dedup(
+        b2, None, max_hamming=3, banded_index=banded
+    )
+    assert sorted(r.doc_id for r in fresh.collect()) == [11]
+    assert [tuple(r) for r in delta.orderBy("doc_id").collect()] == [
+        tuple(r) for r in inline_delta.orderBy("doc_id").collect()
+    ]
+    assert sorted(r.doc_id for r in inline_fresh.collect()) == [11]
+
+
 def test_incremental_simhash_banding_contract(spark):
     """ADVICE r04: the pigeonhole screen silently misses near-dups when
     max_hamming >= n_bands or 64 % n_bands != 0 — both now raise."""

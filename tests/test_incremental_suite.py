@@ -1,7 +1,10 @@
-"""The r14 consolidation trade's unit-first proof: the three
+"""The r12 consolidation trade's unit-first proof: the three
 signature-family incremental-ingest specs (exact / simhash / minhash)
 union under one suite built from ONE cached documents scan, every
-retiring spec's output cell preserved bit-exactly."""
+retiring spec's output cell preserved bit-exactly — with BOTH
+near-dup screens reading PRE-BANDED persisted indexes (VERDICT r10
+task 4), so the parts-equality below doubles as the banded-vs-inline
+equivalence proof."""
 
 from __future__ import annotations
 

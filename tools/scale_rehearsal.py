@@ -82,8 +82,9 @@ QUERIES = [
     "upsert_bloom_orders",
     "manifest_pruned_orders",
     # r06 additions: the routed SemDeDup registrations (the deeper
-    # routed-vs-flat sweep lives in tools/routed_rehearsal.py)
-    "routed_assign_embeddings",
+    # routed-vs-flat sweep lives in tools/routed_rehearsal.py).
+    # routed_assign_embeddings retired into ann_assign_suite at r10.
+    "ann_assign_suite",
     "semdedup_routed_pairs",
     # r07 additions: the round's three new registrations
     "text_analysis_suite",
@@ -432,6 +433,17 @@ def main() -> None:
     from tools.prebuilt import prebuilt_builders
 
     prebuilt = prebuilt_builders()
+
+    # The default list must stay resolvable as specs retire into
+    # suites (ADVICE r10: routed_assign_embeddings went stale here);
+    # check it with the same rule applied to CLI-passed names.
+    stale = [n for n in QUERIES if n not in specs and n not in prebuilt]
+    if stale:
+        sys.exit(
+            f"stale default QUERIES entr{'ies' if len(stale) > 1 else 'y'}:"
+            f" {', '.join(stale)} — update the list to the RENAMED_FROM"
+            " successor(s)"
+        )
 
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     unknown = [n for n in wanted if n not in specs and n not in prebuilt]
