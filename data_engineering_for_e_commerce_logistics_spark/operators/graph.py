@@ -203,6 +203,139 @@ def connected_components(
     edges.unpersist()
     return labels
 
+def _contract_to_star_forest(
+    edges: DataFrame, small: bool, p: int, max_rounds: int
+) -> tuple[DataFrame, int]:
+    """The alternating large-star / small-star contraction loop of
+    ``cc_alternating``: run rounds until the edge set is a star
+    forest, returning ``(final_edges, rounds)``.  Factored out so the
+    caller can pin session conf (AQE off, width = p on small graphs)
+    around exactly the loop's own internal actions."""
+    from pyspark.sql import Window
+
+    rounds = 0
+    while rounds < max_rounds:
+        # large-star: every strictly-larger neighbor of u re-points at
+        # min(N(u) ∪ {u}); output rows keep the (larger, smaller)
+        # orientation by construction (v > u >= m).  TWO physical
+        # forms, chosen by the MEASURED EDGE COUNT (r10):
+        # * small graph (under edges_per_partition edges): the minimum
+        #   rides a WINDOW over the partition key — per-row in the
+        #   same pass, no aggregate-then-self-join (each join costs an
+        #   exchange plus a broadcast collect through the driver), and
+        #   single-task buffering of a partition group is harmless at
+        #   this size.  This is the fixed-cost path the small-graph
+        #   rounds were paying ~2 broadcast collects for.
+        # * large graph: the groupBy+join form — partial (map-side)
+        #   aggregation computes the min without materializing any
+        #   node's full neighborhood in one task, which matters
+        #   precisely on big graphs where contraction funnels a
+        #   component's whole neighborhood onto its root (a
+        #   billion-member component would otherwise buffer ~1e9 rows
+        #   in ONE window task per round; the join streams it).
+        sym = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        ).union(edges.select(F.col("b"), F.col("a")))
+        if small:
+            lstar = sym.withColumn(
+                "m",
+                F.min(F.least(F.col("v"), F.col("u"))).over(
+                    Window.partitionBy("u")
+                ),
+            )
+        else:
+            gm = sym.groupBy("u").agg(
+                F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+            )
+            lstar = sym.join(gm, "u")
+        lstar = (
+            lstar.where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+        )
+        # small-star: partition by the larger endpoint; its smaller
+        # neighbors and itself all re-point at the minimum one.  (a,m)
+        # duplicates from either form are swept by the round-final
+        # distinct.
+        if small:
+            # one window pass yields both legs in the same frame, and
+            # ONE explode emits them (e2's old ``b != m`` guard is
+            # subsumed by the round-final ``x != m`` filter — an e2
+            # row IS (b, m), so the two predicates coincide)
+            sm = lstar.withColumn(
+                "m", F.min("b").over(Window.partitionBy("a"))
+            )
+            e12 = sm.select(
+                "m", F.explode(F.array("a", "b")).alias("x")
+            ).select("x", "m")
+        else:
+            # e1 reads the AGGREGATE directly (one row per a) so the
+            # join executes once, for e2 only — building both legs off
+            # the join would run it twice per round (review r10); the
+            # lstar exchange on "a" is shared by the aggregate and the
+            # join via exchange reuse
+            gmin = lstar.groupBy("a").agg(F.min("b").alias("m"))
+            e1 = gmin.select(F.col("a").alias("x"), F.col("m"))
+            e2 = (
+                lstar.join(gmin, "a")
+                .where(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("x"), F.col("m"))
+            )
+            e12 = e1.union(e2)
+        new_edges = (
+            e12.where(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("a"), F.col("m").alias("b"))
+            # ONE exchange: hash(a,b) at the measured width p satisfies
+            # distinct's clustered distribution, so the dedup reuses the
+            # repartition's layout instead of adding a second
+            # session-width exchange (r09 ADVICE: the old
+            # repartition-after-distinct order left the checkpointed
+            # frame at session width — small graphs paid 32+ near-empty
+            # tasks per round)
+            .repartition(p, "a", "b")
+            .distinct()
+            # lazy: the probe below is the materializing action, so
+            # checkpoint-write and convergence test share the round's
+            # terminal job (the probe's global aggregate scans every
+            # partition, which is exactly what eager=True's count()
+            # would have done in a job of its own)
+            .localCheckpoint(eager=False)
+        )
+        rounds += 1
+        edges = new_edges
+        # Star-forest probe: the alternation's fixed points are
+        # exactly star forests (every child has one parent edge and
+        # no node is both child and parent), so testing the shape
+        # directly both converges a round EARLIER than set-equality
+        # (no confirmation pass) and replaces the count + exceptAll
+        # pair.
+        probe = (
+            new_edges.select(
+                F.col("a").alias("n"),
+                F.lit(1).alias("fa"),
+                F.lit(0).alias("fb"),
+            )
+            .union(new_edges.select("b", F.lit(0), F.lit(1)))
+            .groupBy("n")
+            .agg(
+                F.sum("fa").alias("na"),
+                F.max("fa").alias("fa"),
+                F.max("fb").alias("fb"),
+            )
+            .agg(
+                F.max(F.col("fa") * F.col("fb")).alias("overlap"),
+                F.max("na").alias("max_parents"),
+            )
+            .first()
+        )
+        if (probe["overlap"] or 0) == 0 and (probe["max_parents"] or 0) <= 1:
+            return edges, rounds
+    raise RuntimeError(
+        f"cc_alternating did not converge in {max_rounds} rounds "
+        "(theoretical bound is O(log n) — this indicates a bug or "
+        "an adversarial id space, not a data-size limit)"
+    )
+
 
 def cc_alternating(
     pairs: DataFrame,
@@ -239,7 +372,20 @@ def cc_alternating(
     otherwise stack O(rounds) copies of the plan (the BPE lesson —
     plan stringification alone OOMs the driver around depth 6), and
     the convergence probe's full-scan aggregate doubles as the
-    materializing action, so each round is ONE job.
+    materializing action.
+
+    Fixed-cost control on measured-small graphs (r11): the loop runs
+    with AQE disabled and ``spark.sql.shuffle.partitions`` pinned to
+    the measured width p — under AQE every exchange materializes as
+    its own query-stage JOB with a re-optimization, so one probed
+    round cost 4-5 driver round trips (53 jobs for ~11 rounds on the
+    sf0.1 chain graph) while the per-round DATA is microseconds at
+    p == 1.  With the pin, a round is ONE job of p-task stages.
+    Large graphs keep AQE — skew handling and runtime coalescing
+    matter exactly there.  The conf flip is session-scoped, applied
+    around only the loop's own internal actions, and restored in a
+    ``finally``; the returned frame reads already-materialized
+    checkpoints, so callers never execute under the pinned conf.
 
     Convergence = the round was a no-op (same edge set): at the
     fixed point the edges form star forests rooted at component
@@ -267,10 +413,10 @@ def cc_alternating(
     # graph at cluster width while a small one runs single-task
     # rounds.  Measured UP FRONT (not ridden on round 1's probe): the
     # width picks each round's physical form — window vs
-    # groupBy+join, see the loop — and letting round 1 run the
-    # join form blind measured +3.4s on the sf0.1 chain graph (the
-    # broadcast builds re-execute the not-yet-materialized input
-    # chain), more than this count job costs.
+    # groupBy+join, see _contract_to_star_forest — and letting round
+    # 1 run the join form blind measured +3.4s on the sf0.1 chain
+    # graph (the broadcast builds re-execute the not-yet-materialized
+    # input chain), more than this count job costs.
     # edges_per_partition is the width/form knob — production keeps
     # the 2M default; tests lower it to force the large-graph
     # (groupBy+join) round form onto unit-sized graphs, which no
@@ -289,130 +435,28 @@ def cc_alternating(
         .localCheckpoint(eager=False)
     )
 
-    from pyspark.sql import Window
-
-    rounds = 0
-    while rounds < max_rounds:
-        # large-star: every strictly-larger neighbor of u re-points at
-        # min(N(u) ∪ {u}); output rows keep the (larger, smaller)
-        # orientation by construction (v > u >= m).  TWO physical
-        # forms, chosen by the MEASURED EDGE COUNT (r10):
-        # * small graph (under edges_per_partition edges): the minimum
-        #   rides a WINDOW over the partition key — per-row in the
-        #   same pass, no aggregate-then-self-join (each join costs an
-        #   exchange PLUS an AQE broadcast collect through the
-        #   driver), and single-task buffering of a partition group is
-        #   harmless at this size.  This is the fixed-cost path the
-        #   small-graph rounds were paying ~2 broadcast collects for.
-        # * large graph: the
-        #   groupBy+join form — partial (map-side) aggregation
-        #   computes the min without materializing any node's full
-        #   neighborhood in one task, which matters precisely on big
-        #   graphs where contraction funnels a component's whole
-        #   neighborhood onto its root (a billion-member component
-        #   would otherwise buffer ~1e9 rows in ONE window task per
-        #   round; the join streams it).
-        sym = edges.select(
-            F.col("a").alias("u"), F.col("b").alias("v")
-        ).union(edges.select(F.col("b"), F.col("a")))
-        if small:
-            lstar = sym.withColumn(
-                "m",
-                F.min(F.least(F.col("v"), F.col("u"))).over(
-                    Window.partitionBy("u")
-                ),
-            )
-        else:
-            gm = sym.groupBy("u").agg(
-                F.min(F.least(F.col("v"), F.col("u"))).alias("m")
-            )
-            lstar = sym.join(gm, "u")
-        lstar = (
-            lstar.where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("a"), F.col("m").alias("b"))
-            .where(F.col("a") != F.col("b"))
+    spark = pairs.sparkSession
+    saved_conf: dict = {}
+    if small:
+        for key, val in (
+            ("spark.sql.adaptive.enabled", "false"),
+            ("spark.sql.shuffle.partitions", str(p)),
+        ):
+            try:
+                saved_conf[key] = spark.conf.get(key)
+            except Exception:
+                saved_conf[key] = None
+            spark.conf.set(key, val)
+    try:
+        edges, rounds = _contract_to_star_forest(
+            edges, small, p, max_rounds
         )
-        # small-star: partition by the larger endpoint; its smaller
-        # neighbors and itself all re-point at the minimum one.  (a,m)
-        # duplicates from either form are swept by the round-final
-        # distinct.
-        if small:
-            # one window pass yields both legs in the same frame
-            sm = lstar.withColumn(
-                "m", F.min("b").over(Window.partitionBy("a"))
-            )
-            e1 = sm.select(F.col("a").alias("x"), F.col("m"))
-            e2 = sm.where(F.col("b") != F.col("m")).select(
-                F.col("b").alias("x"), F.col("m")
-            )
-        else:
-            # e1 reads the AGGREGATE directly (one row per a) so the
-            # join executes once, for e2 only — building both legs off
-            # the join would run it twice per round (review r10); the
-            # lstar exchange on "a" is shared by the aggregate and the
-            # join via exchange reuse
-            gmin = lstar.groupBy("a").agg(F.min("b").alias("m"))
-            e1 = gmin.select(F.col("a").alias("x"), F.col("m"))
-            e2 = (
-                lstar.join(gmin, "a")
-                .where(F.col("b") != F.col("m"))
-                .select(F.col("b").alias("x"), F.col("m"))
-            )
-        new_edges = (
-            e1.union(e2)
-            .where(F.col("x") != F.col("m"))
-            .select(F.col("x").alias("a"), F.col("m").alias("b"))
-            # ONE exchange: hash(a,b) at the measured width p satisfies
-            # distinct's clustered distribution, so the dedup reuses the
-            # repartition's layout instead of adding a second
-            # session-width exchange (r09 ADVICE: the old
-            # repartition-after-distinct order left the checkpointed
-            # frame at session width — small graphs paid 32+ near-empty
-            # tasks per round)
-            .repartition(p, "a", "b")
-            .distinct()
-            # lazy: the probe below is the materializing action, so
-            # checkpoint-write and convergence test share ONE job per
-            # round (the probe's global aggregate scans every
-            # partition, which is exactly what eager=True's count()
-            # would have done in a job of its own)
-            .localCheckpoint(eager=False)
-        )
-        rounds += 1
-        edges = new_edges
-        # Star-forest probe: the alternation's fixed points are
-        # exactly star forests (every child has one parent edge and
-        # no node is both child and parent), so testing the shape
-        # directly both converges a round EARLIER than set-equality
-        # (no confirmation pass) and replaces the count + exceptAll
-        # pair — per-round cost is ONE fused checkpoint+probe job.
-        probe = (
-            new_edges.select(
-                F.col("a").alias("n"),
-                F.lit(1).alias("fa"),
-                F.lit(0).alias("fb"),
-            )
-            .union(new_edges.select("b", F.lit(0), F.lit(1)))
-            .groupBy("n")
-            .agg(
-                F.sum("fa").alias("na"),
-                F.max("fa").alias("fa"),
-                F.max("fb").alias("fb"),
-            )
-            .agg(
-                F.max(F.col("fa") * F.col("fb")).alias("overlap"),
-                F.max("na").alias("max_parents"),
-            )
-            .first()
-        )
-        if (probe["overlap"] or 0) == 0 and (probe["max_parents"] or 0) <= 1:
-            break
-    else:
-        raise RuntimeError(
-            f"cc_alternating did not converge in {max_rounds} rounds "
-            "(theoretical bound is O(log n) — this indicates a bug or "
-            "an adversarial id space, not a data-size limit)"
-        )
+    finally:
+        for key, val in saved_conf.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
 
     labels = nodes.join(
         edges.select(F.col("a").alias("node"), F.col("b").alias("label")),
