@@ -567,11 +567,19 @@ def test_streaming_incremental_neardedup_foreachbatch(spark, tmp_path):
     screen against the persisted SIMHASH index, so a *slightly edited*
     re-post arriving batches later is dropped (hamming <= 3) while
     genuinely new content passes — the stateless-stream + persisted-
-    index pattern extends beyond exact matches."""
+    index pattern extends beyond exact matches.
+
+    r11: the persisted index is stored PRE-BANDED (the
+    ``simhash_bands_of`` layout VERDICT r10 task 4 calls for) — each
+    batch appends its delta's banded rows and the screen consumes the
+    index via ``banded_index``, so the ingest loop never re-bands the
+    corpus-sized side.  The banded rows carry the fingerprint, so no
+    raw-signature table exists at all."""
     import os
 
     from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
         incremental_simhash_dedup,
+        simhash_bands_of,
     )
 
     src = str(tmp_path / "src")
@@ -590,10 +598,12 @@ def test_streaming_incremental_neardedup_foreachbatch(spark, tmp_path):
             if os.path.exists(index)
             else None
         )
-        fresh, delta = incremental_simhash_dedup(batch_df, idx, max_hamming=3)
+        fresh, delta = incremental_simhash_dedup(
+            batch_df, None, max_hamming=3, banded_index=idx
+        )
         fresh.persist()
         fresh.write.mode("append").parquet(corpus)
-        delta.write.mode("append").parquet(index)
+        simhash_bands_of(delta).write.mode("append").parquet(index)
         fresh.unpersist()
         # drop the operator's batch-signature cache now that both
         # outputs are materialized (cache-lifetime discipline for
@@ -626,7 +636,12 @@ def test_streaming_incremental_neardedup_foreachbatch(spark, tmp_path):
 
     kept = sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
     assert kept == [1, 11], kept
-    assert spark.read.parquet(index).count() == 2
+    # pre-banded layout: 4 band rows per indexed doc, fingerprint on
+    # every row
+    idx = spark.read.parquet(index)
+    assert idx.count() == 2 * 4
+    assert sorted(idx.columns) == ["band", "bucket", "doc_id", "simhash"]
+    assert idx.select("doc_id").distinct().count() == 2
 
 def test_streaming_incremental_semdedup_foreachbatch(spark, tmp_path):
     """Semantic twin of the streaming ingest+dedup loop (r06, fourth
