@@ -23,6 +23,8 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -105,6 +107,43 @@ def _measured_width(
     )
 
 
+@contextmanager
+def _pinned_loop_conf(spark, active: bool, p: int):
+    """AQE off + shuffle width pinned to the measured p around an
+    iterative loop's OWN actions, on measured-SMALL graphs only
+    (r11): under AQE every exchange materializes as its own
+    query-stage JOB with a driver re-optimization pass, so one probed
+    round/iteration costs 3-5 driver round trips while the per-round
+    data at p == 1 is microseconds — the driver loop, not the data,
+    is the wall (measured on the sf0.1 chain graph: 53 → 18 jobs,
+    solo 5.93 → 4.81s).  Large graphs keep AQE: skew handling and
+    runtime coalescing matter exactly there.  Session-scoped, so the
+    pin is restored in ``finally`` — callers of the returned frame
+    (which reads already-materialized checkpoints) never execute
+    under it."""
+    if not active:
+        yield
+        return
+    saved: dict = {}
+    for key, val in (
+        ("spark.sql.adaptive.enabled", "false"),
+        ("spark.sql.shuffle.partitions", str(p)),
+    ):
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, val)
+    try:
+        yield
+    finally:
+        for key, val in saved.items():
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:
@@ -165,41 +204,49 @@ def connected_components(
         .localCheckpoint()
     )
 
-    while True:
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        updated = F.least(
-            labels.label, F.coalesce(F.col("nlabel"), labels.label)
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                labels.node.alias("node"),
-                updated.alias("label"),
-                # the convergence flag is decidable inside this join's
-                # projection (old label is a join input), so the changed
-                # count needs no second labels join per iteration
-                (updated < labels.label).alias("__changed"),
+    # AQE off + width pinned on measured-small graphs (r11, shared
+    # with cc_alternating — see _pinned_loop_conf): the fixpoint's
+    # per-iteration join/agg/repartition otherwise each materialize
+    # as their own AQE query-stage job.
+    with _pinned_loop_conf(pairs.sparkSession, n_edges < 2_000_000, p):
+        while True:
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
             )
-            # keep the label frame node-partitioned at the measured
-            # width so the NEXT iteration's dst↔node join reuses the
-            # layout instead of re-exchanging both cached sides
-            .repartition(p, "node")
-            # lineage cut: resets the logical plan to a LogicalRDD
-            # (partitioning preserved), so the next iteration's plan is
-            # O(1), not O(2^iter).  LAZY (r10): the changed-count below
-            # scans every partition and is the materializing action —
-            # checkpoint-write and convergence test share ONE job per
-            # iteration instead of two
-            .localCheckpoint(eager=False)
-        )
-        changed = new_labels.filter(F.col("__changed")).count()
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            break
+            updated = F.least(
+                labels.label, F.coalesce(F.col("nlabel"), labels.label)
+            )
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels.node == neighbor_min.src, "left"
+                )
+                .select(
+                    labels.node.alias("node"),
+                    updated.alias("label"),
+                    # the convergence flag is decidable inside this
+                    # join's projection (old label is a join input), so
+                    # the changed count needs no second labels join per
+                    # iteration
+                    (updated < labels.label).alias("__changed"),
+                )
+                # keep the label frame node-partitioned at the measured
+                # width so the NEXT iteration's dst↔node join reuses the
+                # layout instead of re-exchanging both cached sides
+                .repartition(p, "node")
+                # lineage cut: resets the logical plan to a LogicalRDD
+                # (partitioning preserved), so the next iteration's plan
+                # is O(1), not O(2^iter).  LAZY (r10): the changed-count
+                # below scans every partition and is the materializing
+                # action — checkpoint-write and convergence test share
+                # ONE job per iteration instead of two
+                .localCheckpoint(eager=False)
+            )
+            changed = new_labels.filter(F.col("__changed")).count()
+            labels = new_labels.select("node", "label")
+            if changed == 0:
+                break
     edges.unpersist()
     return labels
 
@@ -435,28 +482,10 @@ def cc_alternating(
         .localCheckpoint(eager=False)
     )
 
-    spark = pairs.sparkSession
-    saved_conf: dict = {}
-    if small:
-        for key, val in (
-            ("spark.sql.adaptive.enabled", "false"),
-            ("spark.sql.shuffle.partitions", str(p)),
-        ):
-            try:
-                saved_conf[key] = spark.conf.get(key)
-            except Exception:
-                saved_conf[key] = None
-            spark.conf.set(key, val)
-    try:
+    with _pinned_loop_conf(pairs.sparkSession, small, p):
         edges, rounds = _contract_to_star_forest(
             edges, small, p, max_rounds
         )
-    finally:
-        for key, val in saved_conf.items():
-            if val is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, val)
 
     labels = nodes.join(
         edges.select(F.col("a").alias("node"), F.col("b").alias("label")),
