@@ -294,3 +294,42 @@ def test_events_chain_components_matches_duckdb_oracle(spark):
     finally:
         conn.close()
     assert compare_frames(spdf, opdf, "events_chain_components") == []
+
+
+def test_pinned_loop_conf_restores_on_success_and_error(spark):
+    """The small-graph conf pin (r11): inside the context AQE is off
+    and the shuffle width equals the measured p; after it — including
+    when the body raises — the session sees its own settings again,
+    and active=False touches nothing."""
+    import pytest
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.graph import (
+        _pinned_loop_conf,
+    )
+
+    before = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    with _pinned_loop_conf(spark, True, 1):
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    assert (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    ) == before
+
+    with pytest.raises(RuntimeError, match="boom"):
+        with _pinned_loop_conf(spark, True, 7):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "7"
+            raise RuntimeError("boom")
+    assert (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    ) == before
+
+    with _pinned_loop_conf(spark, False, 1):
+        assert (
+            spark.conf.get("spark.sql.adaptive.enabled"),
+            spark.conf.get("spark.sql.shuffle.partitions"),
+        ) == before
