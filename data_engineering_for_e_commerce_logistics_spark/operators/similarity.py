@@ -37,6 +37,50 @@ def _fold_sum(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Strict-left-fold squared L2 — the one distance expression every
+    assignment/screen here shares (bitwise equal to the DuckDB oracle's
+    ``list_reduce(list_transform(list_zip(a, b), ...), ...)``)."""
+    return _fold_sum(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)))
+
+
+def _pack_rows(
+    df: DataFrame, *cols: str | Column, alias: str = "__packed"
+) -> DataFrame:
+    """ONE-ROW frame holding the (bounded) input as a sorted array of
+    structs — the zero-shuffle quantizer transport (r11): instead of
+    broadcast-joining k quantizer ROWS against the batch and arg-
+    minning with a window (one batch-keyed sort exchange per argmin),
+    the k rows ride to every task as a single broadcast array and the
+    argmin becomes a per-row ``array_min(transform(...))`` expression —
+    map-only, no exchange, no sort, which is exactly how a production
+    PQ/IVF encoder ships its codebook.  ``array_sort`` pins a
+    deterministic element order (first struct field is a unique id in
+    every caller); the order is load-bearing only for plan stability —
+    ``array_min`` is order-insensitive.  Bounded-side contract: callers
+    pack QUANTIZERS (centroid sets, PQ codebooks — planner-sized at any
+    corpus scale), never data."""
+    return df.agg(
+        F.array_sort(F.collect_list(F.struct(*cols))).alias(alias)
+    )
+
+
+def _nearest_packed(vec: Column, packed: Column, id_field: str, vec_field: str) -> Column:
+    """Argmin over a packed quantizer array: returns the struct
+    ``(dist, id)`` of the nearest element under (dist asc, id asc) —
+    the tie-break every window form here used, now as one expression
+    (struct comparison is lexicographic, and ids are unique)."""
+    return F.array_min(
+        F.transform(
+            packed,
+            lambda c: F.struct(
+                _sq_dist(vec, c[vec_field]).alias("dist"),
+                c[id_field].alias("id"),
+            ),
+        )
+    )
+
+
 def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     v = _as_double_vec(vec_col)
     return df.withColumn("v", v).withColumn(
@@ -127,17 +171,21 @@ def kmeans(
 
     assigned = None
     for _ in range(n_iter):
-        scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
-            "dist",
-            _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))),
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("dist").asc(), F.col("centroid_id").asc()
-        )
+        # packed-quantizer assignment (r11, see _pack_rows): map-only
+        # per-row argmin instead of crossJoin + row_number — one fewer
+        # id-keyed sort exchange PER ITERATION, same (dist asc, cid
+        # asc) tie-break and fold doubles, so cells are bit-identical.
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, "v", "centroid_id")
+            vecs.crossJoin(
+                F.broadcast(_pack_rows(centroids, "centroid_id", "cv"))
+            )
+            .withColumn(
+                "__best",
+                _nearest_packed(
+                    F.col("v"), F.col("__packed"), "centroid_id", "cv"
+                ),
+            )
+            .select(id_col, "v", F.col("__best.id").alias("centroid_id"))
             .cache()
         )
         centroids = (
@@ -209,8 +257,6 @@ def pq_train_encode(
     re-trains in one session) must ``spark.catalog.clearCache()``
     per iteration; the packaged ingest loop already does.
     """
-    from pyspark.sql import Window
-
     if dim % n_sub:
         raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
     sub_d = dim // n_sub
@@ -227,19 +273,32 @@ def pq_train_encode(
     ).cache()
 
     def nearest(cb: DataFrame) -> DataFrame:
-        scored = subs.join(F.broadcast(cb), "m").withColumn(
-            "dist",
-            _fold_sum(
-                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-            ),
-        )
-        w = Window.partitionBy(id_col, "m").orderBy(
-            F.col("dist").asc(), F.col("code").asc()
+        # packed-codebook argmin (r11): the bounded codebook rides as
+        # one broadcast array row and the per-(row, subspace) nearest
+        # codeword is an expression — map-only, replacing the former
+        # broadcast join + row_number window (a (id, m)-keyed sort
+        # exchange per pass).  Same (dist asc, code asc) tie-break,
+        # same strict-left-fold doubles — codes are bit-identical.
+        best = F.array_min(
+            F.transform(
+                F.filter(F.col("__packed"), lambda c: c["m"] == F.col("m")),
+                lambda c: F.struct(
+                    _sq_dist(F.col("sv"), c["cv"]).alias("dist"),
+                    c["code"].alias("code"),
+                ),
+            )
         )
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select(id_col, *carry_cols, "m", "sv", "code", "dist")
+            subs.crossJoin(F.broadcast(_pack_rows(cb, "m", "code", "cv")))
+            .withColumn("__best", best)
+            .select(
+                id_col,
+                *carry_cols,
+                "m",
+                "sv",
+                F.col("__best.code").alias("code"),
+                F.col("__best.dist").alias("dist"),
+            )
         )
 
     codebook = subs.filter(
@@ -743,6 +802,15 @@ def two_level_assign(
     # both sides are <= n_super rows; without the hint Spark plans a
     # sort-merge semi join (two needless sorts on a 16-row frame)
     supers_live = supers.join(F.broadcast(live), "__sid", "left_semi")
+    # NOTE (r11 A/B, rejected): a packed-array form (both router
+    # tables as one broadcast array row, route-then-scan as per-row
+    # expressions) was measured 1.9 → 3.2s solo on ann_assign_suite
+    # at sf0.1 and reverted — the probe list is referenced per
+    # grouped element inside the filter lambda and Catalyst performs
+    # no common-subexpression elimination inside higher-order
+    # lambdas, so the per-row super ranking re-evaluated O(k) times.
+    # The window form's exchange also doubles as the ReusedExchange
+    # point its consumers share.  See SCALE.md round-11.
     w_v = Window.partitionBy(id_col).orderBy(
         F.col("__sdist").asc(), F.col("__sid").asc()
     )
@@ -1173,19 +1241,27 @@ def incremental_semdedup(
             id_col, "v", "nrm", "cell"
         ).cache()
     else:
-        sq_dist = _fold_sum(
-            F.zip_with(F.col("v"), F.col("__cv"), lambda x, y: (x - y) * (x - y))
-        )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("__dist").asc(), F.col("__cid").asc()
-        )
+        # packed-quantizer assignment (r11): the bounded centroid set
+        # rides as ONE broadcast array row and the nearest-cell argmin
+        # is a per-row expression — map-only, replacing the former
+        # crossJoin + row_number window (one batch-keyed sort exchange
+        # per batch).  Same (dist asc, cid asc) tie-break, same strict
+        # left-fold doubles — bit-identical to the window form (and to
+        # the SQL oracle), pinned by the routed-equality unit.  Cached
+        # because three plan legs consume it (rivals, dup probe,
+        # kept/delta): the former window's exchange doubled as their
+        # shared ReusedExchange point; without a materialization the
+        # map-only form re-scores the batch per leg (measured 2.0 →
+        # 2.5s solo before the cache).  Same cache-lifetime contract
+        # as the routed branch below.
         assigned = (
-            F.broadcast(cents)
-            .crossJoin(vecs)
-            .withColumn("__dist", sq_dist)
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(id_col, "v", "nrm", F.col("__cid").alias("cell"))
+            vecs.crossJoin(F.broadcast(_pack_rows(cents, "__cid", "__cv")))
+            .withColumn(
+                "__best",
+                _nearest_packed(F.col("v"), F.col("__packed"), "__cid", "__cv"),
+            )
+            .select(id_col, "v", "nrm", F.col("__best.id").alias("cell"))
+            .cache()
         )
 
     def _cos(av, bv, an, bn):
@@ -1294,8 +1370,6 @@ def incremental_pq_dedup(
     once per batch after consuming ``fresh``/``index_delta`` — the
     packaged ``start_dedup_ingest_stream`` loop already does.
     """
-    from pyspark.sql import Window
-
     if code_index is not None and corpus_lookup is None:
         raise ValueError(
             "corpus_lookup is required when screening against an index"
@@ -1305,51 +1379,73 @@ def incremental_pq_dedup(
     sub_d = dim // n_sub
 
     vecs = new_vecs.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
-    w_c = Window.partitionBy(id_col).orderBy(
-        F.col("__cdist").asc(), F.col("__cid").asc()
+    # packed-quantizer encode (r11): both fixed quantizers ride as ONE
+    # broadcast array row each, and cell assignment + codeword scoring
+    # + per-subspace argmin are all per-row EXPRESSIONS — the whole
+    # batch encode is map-only (the former crossJoin + row_number
+    # windows cost one batch-keyed sort exchange each).  Tie-breaks
+    # and the strict-left-fold doubles are unchanged, so codes and the
+    # kept set stay bit-identical to the window form (and the oracle).
+    cents = centroids.select(
+        F.col(centroids.columns[0]).alias("__cid"),
+        _as_double_vec(centroids.columns[1]).alias("__cv"),
     )
     assigned = (
-        F.broadcast(
-            centroids.select(
-                F.col(centroids.columns[0]).alias("__cid"),
-                _as_double_vec(centroids.columns[1]).alias("__cv"),
-            )
-        )
-        .crossJoin(vecs)
+        vecs.crossJoin(F.broadcast(_pack_rows(cents, "__cid", "__cv")))
         .withColumn(
-            "__cdist",
-            _fold_sum(
-                F.zip_with(F.col("v"), F.col("__cv"), lambda x, y: (x - y) * (x - y))
-            ),
+            "__best",
+            _nearest_packed(F.col("v"), F.col("__packed"), "__cid", "__cv"),
         )
-        .withColumn("__rn", F.row_number().over(w_c))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "v", F.col("__cid").alias("cell"))
+        .select(id_col, "v", F.col("__best.id").alias("cell"))
         .cache()
     )
-    subs = assigned.select(
-        id_col,
+    cb = codebook.select("m", "code", _as_double_vec("cv").alias("cv"))
+    # __packed is duplicated per row IN-FLIGHT only (never cached):
+    # same transport cost class as the broadcast-join rows it replaces
+    with_cb = assigned.crossJoin(F.broadcast(_pack_rows(cb, "m", "code", "cv")))
+
+    def _sub_dist(m: Column, cv: Column) -> Column:
+        return _sq_dist(
+            F.slice(F.col("v"), m * F.lit(sub_d) + F.lit(1), F.lit(sub_d)), cv
+        )
+
+    # every (batch row, codeword) distance — the ADC lookup the screen
+    # reads; one map-only explode instead of a broadcast hash join
+    scored = with_cb.select(
+        F.col(id_col),
         "cell",
-        F.posexplode(
-            F.array(*[F.slice("v", m * sub_d + 1, sub_d) for m in range(n_sub)])
-        ).alias("m", "sv"),
-    )
-    # one broadcast pass scores every (batch subvector, codeword): the
-    # argmin rows are the batch's own codes, the full table is the ADC
-    # lookup the screen reads
-    scored = subs.join(F.broadcast(codebook), "m").withColumn(
-        "d",
-        _fold_sum(
-            F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y))
+        F.explode(
+            F.transform(
+                F.col("__packed"),
+                lambda c: F.struct(
+                    c["m"].alias("m"),
+                    c["code"].alias("code"),
+                    _sub_dist(c["m"], c["cv"]).alias("d"),
+                ),
+            )
+        ).alias("__sc"),
+    ).select(id_col, "cell", "__sc.m", "__sc.code", "__sc.d")
+    # the batch's own codes: per-subspace argmin (d asc, code asc)
+    codes_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_sub - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.filter(F.col("__packed"), lambda c: c["m"] == m),
+                lambda c: F.struct(
+                    _sub_dist(m, c["cv"]).alias("resid"),
+                    c["code"].alias("code"),
+                ),
+            )
         ),
     )
-    w_m = Window.partitionBy(id_col, "m").orderBy(
-        F.col("d").asc(), F.col("code").asc()
-    )
-    batch_codes = (
-        scored.withColumn("__rn", F.row_number().over(w_m))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "cell", "m", "code", F.col("d").alias("resid"))
+    batch_codes = with_cb.select(
+        F.col(id_col), "cell", F.posexplode(codes_arr).alias("m", "__bc")
+    ).select(
+        id_col,
+        "cell",
+        "m",
+        F.col("__bc.code").alias("code"),
+        F.col("__bc.resid").alias("resid"),
     )
     xa = assigned.select(
         F.col(id_col).alias("__xid"), F.col("v").alias("__xv"), "cell"

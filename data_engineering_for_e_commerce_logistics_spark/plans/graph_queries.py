@@ -301,26 +301,33 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_assign_from(emb: DataFrame) -> DataFrame:
     """ivf_assign's chain from an already-loaded embeddings frame, so
-    ann_assign_suite can share one cached scan across both legs."""
-    from pyspark.sql import Window
-
-    from ..operators.similarity import _as_double_vec, _fold_sum
+    ann_assign_suite can share one cached scan across both legs.
+    Packed-quantizer argmin (r11, ``similarity._pack_rows``): the
+    bounded centroid set rides as one broadcast array row and the
+    nearest-cell pick is a per-row expression — map-only, no sort
+    exchange; same (dist asc, cid asc) tie-break and fold doubles as
+    the former row_number window, so the oracle pairing holds."""
+    from ..operators.similarity import (
+        _as_double_vec,
+        _nearest_packed,
+        _pack_rows,
+    )
 
     vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
     centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
-    scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
-        "dist",
-        _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))),
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("centroid_id").asc()
-    )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id", "dist")
+        vecs.crossJoin(F.broadcast(_pack_rows(centroids, "centroid_id", "cv")))
+        .withColumn(
+            "__best",
+            _nearest_packed(F.col("v"), F.col("__packed"), "centroid_id", "cv"),
+        )
+        .select(
+            "vec_id",
+            F.col("__best.id").alias("centroid_id"),
+            F.col("__best.dist").alias("dist"),
+        )
     )
 
 
@@ -494,38 +501,43 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = per-dimension mean of assigned vectors → reassign.
     Output is each vector's cell before and after refinement.
 
-    Everything distributes: assignment is broadcast-scored, the
+    Everything distributes: assignment is packed-quantizer scored
+    (r11, ``similarity._pack_rows`` — map-only per-row argmin, same
+    tie-break and fold doubles as the former row_number window), the
     centroid update is a (cell, dim)-keyed aggregate over exploded
     components (decimal-exact per-dimension sums keep refined
     centroids — and therefore reassignments — engine-identical).
     Further iterations repeat the same two jobs."""
-    from pyspark.sql import Window
-
-    from ..operators.similarity import _as_double_vec, _fold_sum
+    from ..operators.similarity import (
+        _as_double_vec,
+        _nearest_packed,
+        _pack_rows,
+    )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
 
     def assign(vec_df: DataFrame, centroids: DataFrame, out: str) -> DataFrame:
-        scored = F.broadcast(centroids).crossJoin(vec_df).withColumn(
-            "dist",
-            _fold_sum(
-                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-            ),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist").asc(), F.col("centroid_id").asc()
-        )
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", F.col("centroid_id").alias(out))
+            vec_df.crossJoin(
+                F.broadcast(_pack_rows(centroids, "centroid_id", "cv"))
+            )
+            .withColumn(
+                "__best",
+                _nearest_packed(
+                    F.col("v"), F.col("__packed"), "centroid_id", "cv"
+                ),
+            )
+            .select("vec_id", "v", F.col("__best.id").alias(out))
         )
 
     seeds = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
-    assign0 = assign(vecs, seeds, "cell_round1")
+    # cached: the centroid update AND the final join both read it, and
+    # the map-only packed assign has no exchange for ReusedExchange to
+    # share (r11)
+    assign0 = assign(vecs, seeds, "cell_round1").cache()
 
     dims = assign0.select(
         "cell_round1", F.posexplode(F.col("v")).alias("dim", "val")
@@ -614,14 +626,17 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     what lets an ITERATIVE algorithm pass the cell-exact oracle gate at
     n_iter deep, not just one step.
 
-    Scale shape per round: broadcast centroids → map-side scoring →
-    per-vector row_number, then a (cell, dim) aggregate — two shuffles
-    per iteration, vectors never self-join.  Each round's assignment is
-    cached so round i+1 doesn't replay rounds 0..i (the round-1
-    fixpoint lesson)."""
-    from pyspark.sql import Window
-
-    from ..operators.similarity import _as_double_vec, _fold_sum
+    Scale shape per round: packed broadcast centroids → map-only
+    per-row argmin (r11, ``similarity._pack_rows`` — same tie-break
+    and fold doubles as the former row_number window), then a
+    (cell, dim) aggregate — ONE shuffle per iteration, vectors never
+    self-join.  Each round's assignment is cached so round i+1
+    doesn't replay rounds 0..i (the round-1 fixpoint lesson)."""
+    from ..operators.similarity import (
+        _as_double_vec,
+        _nearest_packed,
+        _pack_rows,
+    )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v")).cache()
@@ -631,19 +646,17 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = None
     for i in range(KMEANS_N_ITER):
-        scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
-            "dist",
-            _fold_sum(
-                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-            ),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist").asc(), F.col("centroid_id").asc()
-        )
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "centroid_id")
+            vecs.crossJoin(
+                F.broadcast(_pack_rows(centroids, "centroid_id", "cv"))
+            )
+            .withColumn(
+                "__best",
+                _nearest_packed(
+                    F.col("v"), F.col("__packed"), "centroid_id", "cv"
+                ),
+            )
+            .select("vec_id", "v", F.col("__best.id").alias("centroid_id"))
         )
         if i < KMEANS_N_ITER - 1:
             assigned = assigned.cache()
@@ -724,10 +737,15 @@ def kmeans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts' 2+3) and serves both retiring specs' cells from it, every
     original output cell preserved.  Numeric pads cast double on both
     engines (the split-suite convention); bench baseline at
-    registration = the parts' sum via bench.py RENAMED_FROM."""
-    from pyspark.sql import Window
-
-    from ..operators.similarity import _as_double_vec, _fold_sum
+    registration = the parts' sum via bench.py RENAMED_FROM.
+    Assignments are packed-quantizer argmins (r11,
+    ``similarity._pack_rows`` — map-only, same tie-break and fold
+    doubles as the former row_number windows)."""
+    from ..operators.similarity import (
+        _as_double_vec,
+        _nearest_packed,
+        _pack_rows,
+    )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v")).cache()
@@ -737,19 +755,17 @@ def kmeans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rounds: list[DataFrame] = []
     for i in range(KMEANS_N_ITER):
-        scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
-            "dist",
-            _fold_sum(
-                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-            ),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist").asc(), F.col("centroid_id").asc()
-        )
         assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "centroid_id")
+            vecs.crossJoin(
+                F.broadcast(_pack_rows(centroids, "centroid_id", "cv"))
+            )
+            .withColumn(
+                "__best",
+                _nearest_packed(
+                    F.col("v"), F.col("__packed"), "centroid_id", "cv"
+                ),
+            )
+            .select("vec_id", "v", F.col("__best.id").alias("centroid_id"))
         ).cache()
         rounds.append(assigned)
         if i < KMEANS_N_ITER - 1:
@@ -1170,13 +1186,19 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-verified.  ``semdedup_trained_pairs`` remains the
     production entry (k-means-refined centroids, explicit k); this
     seed variant is the cheap first-pass with a now-safe default.
-    One broadcast join for assignment, one cell-keyed self-join, one
-    bounded per-cell window — no global pair explosion.  Cosines are
-    strict left-fold sums, bit-equal to the DuckDB oracle's
-    list_reduce."""
+    One packed-broadcast assignment (r11, ``similarity._pack_rows`` —
+    map-only per-row argmin, same tie-break and fold doubles as the
+    former row_number window), one cell-keyed self-join, one bounded
+    per-cell window — no global pair explosion.  Cosines are strict
+    left-fold sums, bit-equal to the DuckDB oracle's list_reduce."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import _as_double_vec, _fold_sum
+    from ..operators.similarity import (
+        _as_double_vec,
+        _fold_sum,
+        _nearest_packed,
+        _pack_rows,
+    )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     vecs = emb.select(
@@ -1192,17 +1214,18 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") < F.col("__k"))
         .select(F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv"))
     )
-    scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
-        "dist",
-        _fold_sum(F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))),
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("dist").asc(), F.col("centroid_id").asc()
-    )
     cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(F.col("vec_id"), F.col("centroid_id").alias("cell"), "v", "nrm")
+        vecs.crossJoin(F.broadcast(_pack_rows(centroids, "centroid_id", "cv")))
+        .withColumn(
+            "__best",
+            _nearest_packed(F.col("v"), F.col("__packed"), "centroid_id", "cv"),
+        )
+        .select(
+            F.col("vec_id"), F.col("__best.id").alias("cell"), "v", "nrm"
+        )
+        # cached: both pair-join sides read it, and the map-only packed
+        # assign has no exchange for ReusedExchange to share (r11)
+        .cache()
     )
     a = cells.select(
         "cell",
@@ -1283,15 +1306,22 @@ def semdedup_trained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real 100 TB embedding-dedup pipeline runs: train coarse
     centroids, assign, mine near-dups only within cells.
 
-    Plan shape: two broadcast-scored assignment passes + one
-    (cell, dim) centroid aggregate + one cell-keyed self-join + one
-    bounded per-cell window — nothing quadratic in the corpus, cells
-    stay sqrt(n)-sized when centroid count tracks sqrt(n).  All
-    distances/means/cosines are strict left folds or decimal-exact
-    sums, bit-equal to the DuckDB oracle."""
+    Plan shape: two packed-broadcast assignment passes (r11,
+    ``similarity._pack_rows`` — map-only per-row argmins, same
+    tie-break and fold doubles as the former row_number windows) +
+    one (cell, dim) centroid aggregate + one cell-keyed self-join +
+    one bounded per-cell window — nothing quadratic in the corpus,
+    cells stay sqrt(n)-sized when centroid count tracks sqrt(n).
+    All distances/means/cosines are strict left folds or
+    decimal-exact sums, bit-equal to the DuckDB oracle."""
     from pyspark.sql import Window
 
-    from ..operators.similarity import _as_double_vec, _fold_sum
+    from ..operators.similarity import (
+        _as_double_vec,
+        _fold_sum,
+        _nearest_packed,
+        _pack_rows,
+    )
 
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
     vecs = emb.select(
@@ -1301,19 +1331,17 @@ def semdedup_trained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        scored = F.broadcast(centroids).crossJoin(vecs).withColumn(
-            "dist",
-            _fold_sum(
-                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-            ),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist").asc(), F.col("centroid_id").asc()
-        )
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "nrm", F.col("centroid_id").alias("cell"))
+            vecs.crossJoin(
+                F.broadcast(_pack_rows(centroids, "centroid_id", "cv"))
+            )
+            .withColumn(
+                "__best",
+                _nearest_packed(
+                    F.col("v"), F.col("__packed"), "centroid_id", "cv"
+                ),
+            )
+            .select("vec_id", "v", "nrm", F.col("__best.id").alias("cell"))
         )
 
     seeds = vecs.select(
@@ -1337,7 +1365,9 @@ def semdedup_trained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    cells = assign(refined)
+    # cached: both pair-join sides read it, and the map-only packed
+    # assign has no exchange for ReusedExchange to share (r11)
+    cells = assign(refined).cache()
     a = cells.select(
         "cell",
         F.col("vec_id").alias("id_a"),
@@ -2053,13 +2083,18 @@ def ivfpq_suite(
     probe restriction — the ADC join hits only ~nprobe/n_cells of
     the code table via the (cell, m, code) broadcast key, which is
     the inverted-list pruning that makes IVF-PQ sub-linear in
-    practice.  The coarse ranking is computed ONCE and serves both
-    the rn=1 owning-cell residuals and the rn<=nprobe query routing."""
+    practice.  The coarse ranking is one packed-broadcast expression
+    (r11, ``similarity._pack_rows``: sort the per-cell distance
+    structs once per row, map-only — same (cdist asc, cell asc)
+    order as the former row_number window) serving both the
+    element 1 owning-cell residuals and the first-nprobe query
+    routing."""
     from pyspark.sql import Window
 
     from ..operators.similarity import (
         _as_double_vec,
         _fold_sum,
+        _pack_rows,
         pq_train_encode,
     )
 
@@ -2068,29 +2103,31 @@ def ivfpq_suite(
     coarse = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cdist").asc(), F.col("cell").asc()
+    ranked = vecs.crossJoin(
+        F.broadcast(_pack_rows(coarse, "cell", "cv"))
+    ).withColumn(
+        "__ranked",
+        F.array_sort(
+            F.transform(
+                F.col("__packed"),
+                lambda c: F.struct(
+                    _fold_sum(
+                        F.zip_with(
+                            F.col("v"), c["cv"], lambda x, y: (x - y) * (x - y)
+                        )
+                    ).alias("cdist"),
+                    c["cell"].alias("cell"),
+                    c["cv"].alias("cv"),
+                ),
+            )
+        ),
     )
-    ranked = (
-        F.broadcast(coarse)
-        .crossJoin(vecs)
-        .withColumn(
-            "cdist",
-            _fold_sum(
-                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y))
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-    )
-    asg = (
-        ranked.filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "cell",
-            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y).alias("r"),
-        )
-        .cache()
-    )
+    best = F.element_at(F.col("__ranked"), 1)
+    asg = ranked.select(
+        "vec_id",
+        best["cell"].alias("cell"),
+        F.zip_with(F.col("v"), best["cv"], lambda x, y: x - y).alias("r"),
+    ).cache()
     # seed the residual codebook past the coarse-centroid ids: ids
     # 0..n_cells-1 ARE the centroids, so their residuals are zero
     # vectors and would collapse the seed set (see pq_train_encode)
@@ -2108,12 +2145,20 @@ def ivfpq_suite(
     sub_d = EMB_DIM // PQ_SUB
     # nprobe parameterized for tools/pq_recall.py's probe sweep; the
     # registry always runs the IVFPQ_PROBE default
-    qres = ranked.filter(
-        (F.col("vec_id") < PQ_N_QUERIES) & (F.col("rn") <= nprobe)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        "cell",
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: x - y).alias("qr"),
+    qres = (
+        ranked.filter(F.col("vec_id") < PQ_N_QUERIES)
+        .select(
+            "vec_id",
+            "v",
+            F.explode(F.slice(F.col("__ranked"), 1, nprobe)).alias("__p"),
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("__p.cell").alias("cell"),
+            F.zip_with(
+                F.col("v"), F.col("__p.cv"), lambda x, y: x - y
+            ).alias("qr"),
+        )
     )
     qsubs = qres.select(
         "query_id",
