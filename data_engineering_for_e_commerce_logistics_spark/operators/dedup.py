@@ -637,6 +637,7 @@ def incremental_minhash_dedup(
     shingle_k: int = 3,
     threshold: float = 0.6,
     banded_index: DataFrame | None = None,
+    new_sig: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup sibling of ``incremental_exact_dedup``: screen a new
     batch against the persisted corpus SIGNATURE index (one
@@ -664,13 +665,30 @@ def incremental_minhash_dedup(
     inputs, so the entry lives until storage-pool LRU eviction or an
     explicit ``catalog.clearCache()`` — per-batch ingest LOOPS should
     clear after materializing both outputs (the foreachBatch demo in
-    tests/test_streaming.py does), one-shot queries can ignore it."""
+    tests/test_streaming.py does), one-shot queries can ignore it.
+
+    ``new_sig``: optionally pass the batch's precomputed
+    ``minhash_signature`` frame (same ``num_hashes``/``shingle_k``;
+    caller owns its caching) — for replay/backfill flows that derive
+    several batches from one corpus scan, one shared signature pass
+    replaces a per-batch recompute (the registered suite's DuckDB
+    oracle is already written this way: one ``sig`` CTE, filtered
+    per batch)."""
     sig_cols = [f"mh{i}" for i in range(num_hashes)]
-    new_sig = minhash_signature(
-        new_docs, text_col, id_col, num_hashes=num_hashes, shingle_k=shingle_k
-    ).cache()
+    if new_sig is None:
+        new_sig = minhash_signature(
+            new_docs, text_col, id_col,
+            num_hashes=num_hashes, shingle_k=shingle_k,
+        ).cache()
     if sig_index is None:
-        fresh_ids = new_sig.select(id_col)
+        # Bootstrap batch: every signature row is fresh, so the delta
+        # IS the signature frame — skip the identity semi-join on its
+        # own id projection (ids are groupBy keys, never null).
+        # ``fresh`` keeps the join: docs with no shingles (null/short
+        # text) have no signature row and are dropped from ``fresh``
+        # today — that contract stays.
+        fresh = new_docs.join(new_sig.select(id_col), id_col, "left_semi")
+        return fresh, new_sig
     else:
         nb = _bands_of(new_sig, id_col, num_hashes, bands).withColumnRenamed(
             id_col, "__new_id"
@@ -768,6 +786,7 @@ def incremental_simhash_dedup(
     n_bands: int = 4,
     shingle_k: int = 2,
     banded_index: DataFrame | None = None,
+    new_sig: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Third incremental-dedup family: screen a new batch against the
     persisted corpus SimHash index (one 64-bit fingerprint per kept
@@ -808,11 +827,19 @@ def incremental_simhash_dedup(
     # simhash subtree (shingle explode → md5 → 64 vote sums) feeds
     # bands + anti join + both outputs; 16 bytes/doc buys back a 3×
     # recompute (r05 bench: 8.6s → ~3s on the registered spec).
-    new_sig = simhash(new_docs, text_col, id_col, shingle_k=shingle_k).select(
-        id_col, "simhash"
-    ).cache()
+    # ``new_sig``: optionally precomputed (same contract as the
+    # minhash sibling — replay/backfill flows share one signature
+    # pass across batches; caller owns its caching).
+    if new_sig is None:
+        new_sig = simhash(
+            new_docs, text_col, id_col, shingle_k=shingle_k
+        ).select(id_col, "simhash").cache()
     if sig_index is None and banded_index is None:
-        fresh_ids = new_sig.select(id_col)
+        # Bootstrap: the delta IS the signature frame (same identity-
+        # semi-join skip, same null/short-text ``fresh`` contract as
+        # the minhash sibling).
+        fresh = new_docs.join(new_sig.select(id_col), id_col, "left_semi")
+        return fresh, new_sig
     else:
         nb = _simhash_bands(new_sig, id_col, n_bands).select(
             F.col(id_col).alias("__new_id"),
