@@ -625,17 +625,25 @@ def test_corpus_decon_suite_shared_cached_docs(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the semantic leg's bench row
 
 
-def test_quality_calibrate_single_window_exchange(spark):
-    """Domain calibration is one scan + ONE window shuffle (partition
-    by source): no join, no extra exchange, no global sort."""
+def test_quality_calibrate_bucketed_rank_shape(spark):
+    """Domain calibration's 100 TB shape (r11 rewrite): the exact-rank
+    window partitions on (source, bucket) — parallelism is domains ×
+    n_buckets, never one task per mega-domain (the old single-window
+    form measured 278× the sf0.1 wall at sf125 vs ~35× for map-shaped
+    families) — both side frames (boundaries, offsets) join by
+    BROADCAST, the scored projection is cached once for its two
+    consumers, and nothing range-partitions or globally sorts."""
     from data_engineering_for_e_commerce_logistics_spark.plans import (
         corpus_queries as xc,
     )
 
     plan = _plan_of(spark, xc.quality_calibrate_domains)
-    assert plan.count("Exchange") == 1
-    assert "hashpartitioning(source" in plan
-    assert "Join" not in plan
+    assert "hashpartitioning(source" in plan and "__bkt" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "InMemoryTableScan" in plan
 
 
 def test_standardize_embeddings_no_corpus_shuffle(spark):
