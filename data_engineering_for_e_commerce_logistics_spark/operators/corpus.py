@@ -402,15 +402,52 @@ def split_assign(
 
 
 def stratified_sample_flag(
-    df: DataFrame, strata: list[str], n_per_stratum: int, order_col: str
+    df: DataFrame,
+    strata: list[str],
+    n_per_stratum: int,
+    order_col: str,
+    shard_chars: int = 1,
 ) -> DataFrame:
-    """Exact top-N-per-stratum sampling flag: one window over the
-    strata, rows ordered by the (deterministic hash) order column —
-    i.e. a reproducible uniform sample of exactly N per stratum where
-    the stratum has N.  Single shuffle on the strata key."""
-    w = Window.partitionBy(*strata).orderBy(order_col)
-    return df.withColumn("sample_rank", F.row_number().over(w)).withColumn(
-        "in_sample", F.col("sample_rank") <= n_per_stratum
+    """Exact top-N-per-stratum sampling flag: every row ranked by the
+    deterministic hash order column within its stratum — i.e. a
+    reproducible uniform sample of exactly N per stratum where the
+    stratum has N.
+
+    ``order_col`` must be a lowercase-hex digest key (it is the
+    operator's point — hash-ordered reproducible sampling): its first
+    ``shard_chars`` hex chars bucket each stratum into 16^shard_chars
+    ORDERED ranges (hex prefix order ≡ full-string order), so the
+    exact rank decomposes into per-(strata, bucket) offsets (a tiny
+    counts cumsum, broadcast back) + a row_number window partitioned
+    on (strata, bucket).  A window on the strata alone would sort a
+    whole stratum in ONE task — parallelism capped at |strata
+    values|, the mega-domain cliff (see
+    ``calibrate_quality_by_domain``); bucketing makes it |strata| ×
+    16^shard_chars while keeping ranks EXACT and bit-identical to the
+    single-window form (same total order, md5 keys collision-free).
+    Two pruned passes over the input (counts read only strata+key),
+    no cache needed."""
+    bkt = F.conv(F.substring(F.col(order_col), 1, shard_chars), 16, 10).cast(
+        "int"
+    )
+    d = df.withColumn("__bkt", bkt)
+    counts = d.groupBy(*strata, "__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy(*strata)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *strata,
+        "__bkt",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w = Window.partitionBy(*strata, "__bkt").orderBy(order_col)
+    return (
+        d.join(F.broadcast(offsets), [*strata, "__bkt"])
+        .withColumn("sample_rank", F.col("__off") + F.row_number().over(w))
+        .withColumn("in_sample", F.col("sample_rank") <= n_per_stratum)
+        .drop("__bkt", "__off")
     )
 
 

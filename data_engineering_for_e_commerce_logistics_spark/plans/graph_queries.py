@@ -837,7 +837,18 @@ KMEANS_SUITE_SQL = _kmeans_suite_sql()
 
 def ngram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 word bigrams per language (corpus-statistics primitive:
-    explode → count → per-group top-k window)."""
+    explode → count → per-group top-k).
+
+    100 TB shape (r11): a single top-k window partitioned on ``lang``
+    would sort EVERY distinct bigram of a language in one task —
+    parallelism capped at the handful of languages, the same
+    mega-domain cliff ``calibrate_quality_by_domain`` had.  Two-stage
+    exact top-k instead: stage 1 takes the top 5 per (lang, salt)
+    bucket — 32-way parallel per language, and every true global
+    top-5 row is necessarily in its own bucket's top 5 — stage 2
+    re-ranks the ≤ 5×32 survivors per language, a bounded frame.
+    Same (n desc, bigram asc) total order ⇒ bit-identical rows and
+    ranks to the single-window form and the DuckDB oracle."""
     from pyspark.sql import Window
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -846,9 +857,17 @@ def ngram_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", F.explode(dedup.shingles_from_tokens("__toks", 2)).alias("bigram")
     )
     counts = bigrams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w_bucket = Window.partitionBy("lang", "__salt").orderBy(
+        F.col("n").desc(), F.col("bigram").asc()
+    )
+    cand = (
+        counts.withColumn("__salt", F.pmod(F.hash("bigram"), F.lit(32)))
+        .withColumn("__r", F.row_number().over(w_bucket))
+        .filter(F.col("__r") <= 5)
+    )
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w))
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("lang", "bigram", "n", "rank")
     )
