@@ -820,3 +820,70 @@ def test_calibrate_quality_handles_skewed_domains(spark):
     # top half of EACH domain kept despite disjoint score ranges
     assert {d for d in out if out[d].kept} == {1, 2, 5, 6}
     assert out[9].calibrated == 0.0 and not out[9].kept
+
+
+def test_bucketed_exact_rank_forms_match_single_window(spark):
+    """Adversarial differential for the r11 bucketed-rank rewrites:
+    on tie-heavy synthetic data (scores drawn from 4 distinct values,
+    so every approximate boundary collides with masses of equal
+    scores; one domain all-equal, one single-row), the bucketed forms
+    of ``calibrate_quality_by_domain`` and ``stratified_sample_flag``
+    must equal their plain single-window ancestors row-for-row — the
+    fixtures' near-continuous keys never stress the bucket-boundary
+    tie handling, this does."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, ["web", "code", "flat", "lone"][i % 4 if i < 120 else 3],
+         [0.25, 0.5, 0.5, 0.75][(i * 7) % 4] if i % 4 != 2 else 0.5)
+        for i in range(121)
+    ]
+    # domain 'flat' (i%4==2): every score identical (single-bucket
+    # degradation path); 'lone' has rows only at i>=120 -> one row.
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, quality_score double"
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.calibrate_quality_by_domain(
+            df, keep_frac=0.5, n_buckets=8
+        ).collect()
+    }
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    want = {
+        r.doc_id: r
+        for r in df.withColumn("calibrated", F.percent_rank().over(w))
+        .withColumn("kept", F.col("calibrated") >= F.lit(0.5))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k].calibrated == want[k].calibrated, k
+        assert got[k].kept == want[k].kept, k
+
+    # stratified_sample_flag: md5 keys share first nibbles across
+    # strata; compare both shard widths against the plain window.
+    sdf = corpus.split_assign(
+        spark.createDataFrame(
+            [(i, "en" if i % 3 else "fr") for i in range(300)],
+            "doc_id long, lang string",
+        )
+    )
+    w2 = Window.partitionBy("lang", "split").orderBy("hash_key")
+    want2 = {
+        r.doc_id: (r.sample_rank, r.in_sample)
+        for r in sdf.withColumn("sample_rank", F.row_number().over(w2))
+        .withColumn("in_sample", F.col("sample_rank") <= 7)
+        .collect()
+    }
+    for chars in (1, 2):
+        got2 = {
+            r.doc_id: (r.sample_rank, r.in_sample)
+            for r in corpus.stratified_sample_flag(
+                sdf, ["lang", "split"], 7, "hash_key", shard_chars=chars
+            ).collect()
+        }
+        assert got2 == want2, f"shard_chars={chars}"

@@ -333,3 +333,42 @@ def test_pinned_loop_conf_restores_on_success_and_error(spark):
             spark.conf.get("spark.sql.adaptive.enabled"),
             spark.conf.get("spark.sql.shuffle.partitions"),
         ) == before
+
+
+def test_ngram_topk_two_stage_matches_single_window(spark):
+    """r11 differential for the salted two-stage top-k: bigram counts
+    tie heavily at sf0.01 (the (n desc, bigram asc) tie-break does
+    real work), so equality against the plain per-lang window pins
+    that no true top-5 row can be lost to a salt bucket."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        load_tables,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.operators import dedup
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.lang, r.rank): (r.bigram, r.n)
+        for r in gq.ngram_frequencies(spark, sf).collect()
+    }
+    docs = load_tables(spark, sf, ("documents",))["documents"]
+    toks = docs.select("lang", F.split("text", " ").alias("__toks"))
+    counts = toks.select(
+        "lang",
+        F.explode(dedup.shingles_from_tokens("__toks", 2)).alias("bigram"),
+    ).groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("bigram").asc()
+    )
+    want = {
+        (r.lang, r.rank): (r.bigram, r.n)
+        for r in counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    assert got == want and len(got) > 0
