@@ -660,3 +660,34 @@ def test_standardize_embeddings_no_corpus_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in plan  # the one-row stats join
     assert "hashpartitioning(vec_id" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_scale_killers_in_any_registered_plan(spark):
+    """Registry-WIDE anti-pattern sweep (r11): every registered spec's
+    physical plan — not just the showcased ones — must be free of the
+    three patterns that cannot survive a 100 TB input:
+
+    * ``CartesianProduct`` — an unkeyed shuffled cross join (the
+      broadcast nested-loop form over a bounded side is legitimate and
+      appears in the ANN/decon families; the shuffled cartesian never
+      is);
+    * ``BatchEvalPython`` — a row-at-a-time Python UDF in a registered
+      path (Arrow/mapInPandas operators are deliberately unit-only);
+    * ``GlobalLimit`` preceded by an unpartitioned ``Sort`` is allowed
+      only via ``TakeOrderedAndProject`` (Spark's bounded top-k), so an
+      un-bounded global ``Sort ... false, 0`` feeding anything other
+      than ordered output is checked per-spec by the dedicated guards
+      — here we assert the two universal patterns only.
+
+    Specs whose builders run driver-side loops (CC fixpoints, BPE
+    rounds) contribute the plan of their RETURNED frame; their
+    per-iteration shapes have dedicated guards."""
+    specs = all_specs()
+    offenders: dict[str, list[str]] = {}
+    for name, spec in specs.items():
+        spark.catalog.clearCache()
+        plan = spec.build(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        bad = [p for p in ("CartesianProduct", "BatchEvalPython") if p in plan]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
