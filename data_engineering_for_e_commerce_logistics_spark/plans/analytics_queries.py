@@ -1160,10 +1160,19 @@ def group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (engine-internal percentile implementations interpolate in
     different ulp order; the explicit form cannot drift).
 
-    Scale shape: one ranked window per group (groups sort in parallel;
-    each partition holds one group's run) + a conditional aggregate.
-    At extreme per-group cardinality, bracket with approxQuantile
-    first like quantiles_lineitem does globally."""
+    Scale shape — range-bucketed exact rank (r11, the
+    ``calibrate_quality_by_domain`` pattern): a window partitioned on
+    event_type alone caps parallelism at the handful of types and
+    sorts each type's whole run in ONE task — the last registered
+    low-cardinality-window site the r11 audit left standing.  Now:
+    one per-type aggregate computes 31 approximate value boundaries
+    (balance only — correctness never depends on them) AND the exact
+    per-type count; each row's bucket = #boundaries strictly below
+    its value (tied values share a bucket, so bucketing respects the
+    value order and the straddling-row picks stay deterministic);
+    per-(type, bucket) counts fold to offsets; exact rank = offset +
+    row_number within the (type, bucket) window.  Identical rn/n
+    arithmetic ⇒ identical quantiles, parallelism types × 32."""
     from pyspark.sql import Window
 
     from ..functions import sql_exact_round
@@ -1173,12 +1182,35 @@ def group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select("event_type", "value")
     )
-    w = Window.partitionBy("event_type").orderBy("value", "event_type")
-    ranked = ev.select(
+    n_buckets = 32
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bnd = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", fracs, 10_000).alias("__bnds"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    b = ev.join(F.broadcast(bnd), "event_type").withColumn(
+        "__bkt", F.size(F.filter("__bnds", lambda x: x < F.col("value")))
+    )
+    counts = b.groupBy("event_type", "__bkt").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_off = (
+        Window.partitionBy("event_type")
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
         "event_type",
-        "value",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        "__bkt",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w = Window.partitionBy("event_type", "__bkt").orderBy(
+        "value", "event_type"
+    )
+    ranked = (
+        b.join(F.broadcast(offsets), ["event_type", "__bkt"])
+        .withColumn("rn", F.col("__off") + F.row_number().over(w))
+        .select("event_type", "value", "rn", "n")
     )
     aggs = [F.expr(e) for e in _gq_agg_exprs()]
     return ranked.groupBy("event_type").agg(
