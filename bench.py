@@ -262,6 +262,15 @@ BENCH_NOTES = {
     "exoneration is possible, so tools/bench_solo.py (fresh process, "
     "min-of-3) stays the authoritative check for any confirmed:false "
     "near the 2x line",
+    "group_quantiles_events": "r11 DELIBERATE shape change, not a "
+    "plan loss: the per-type exact-rank window (one task per "
+    "event_type — the mega-domain cliff) was rewritten as the "
+    "bucketed exact rank (SCALE.md r11 audit), adding ~0.5s of "
+    "boundary-agg + broadcast fixed cost to a sub-second query at "
+    "sf0.1; quantiles hash-match the unchanged window-form oracle. "
+    "Baseline resets to the bucketed form's first recording as of "
+    "r11 (the rfm_segments precedent: the 100 TB shape is the "
+    "registered form even where the old shape tested cheaper).",
 }
 
 
