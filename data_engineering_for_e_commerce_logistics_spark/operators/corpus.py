@@ -31,6 +31,8 @@ floats cross the oracle boundary.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -234,22 +236,42 @@ def calibrate_quality_by_domain(
     Parallelism becomes domains × n_buckets; both side frames
     broadcast.  A domain whose scores are ALL equal degrades to one
     bucket (the old serialization) — real quality scores are
-    near-continuous.  The projected (id, domain, score) frame is
-    cached (it feeds the boundary aggregate and the ranked join);
-    same cache-lifetime contract as the incremental-dedup family:
+    near-continuous.  Null domains are preserved as their own group
+    (null-safe joins), matching the old window's null partition.
+
+    Both the projected (id, domain, score) frame AND the boundary
+    frame are cached — ``base`` to avoid a second source scan, and
+    ``bnd`` because CORRECTNESS requires it: the boundaries feed two
+    independent subtrees (offsets and the ranked join), and
+    ``approx_percentile`` results can vary with partial-merge order
+    under randomized shuffle fetch, so an uncached ``bnd`` could
+    bucket a row differently in the two paths (exchange reuse makes
+    this work today, but AQE replanning or config can defeat it).
+    Cache lifetime contract as the incremental-dedup family:
     one-shot callers ignore it, loops ``clearCache()`` per batch.
     """
     from pyspark.sql import Window
 
     base = df.select(id_col, domain_col, score_col).cache()
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bnd = base.groupBy(domain_col).agg(
-        F.percentile_approx(score_col, fracs, 10_000).alias("__bnds"),
-        F.count(F.lit(1)).alias("__n_dom"),
+    bnd = (
+        base.groupBy(domain_col)
+        .agg(
+            F.percentile_approx(score_col, fracs, 10_000).alias("__bnds"),
+            F.count(F.lit(1)).alias("__n_dom"),
+        )
+        .cache()  # single evaluation — both subtrees must see ONE draw
     )
-    bucketed = base.join(F.broadcast(bnd), domain_col).withColumn(
-        "__bkt",
-        F.size(F.filter("__bnds", lambda b: b < F.col(score_col))),
+    bucketed = (
+        base.join(
+            F.broadcast(bnd.withColumnRenamed(domain_col, "__dom")),
+            F.col(domain_col).eqNullSafe(F.col("__dom")),
+        )
+        .drop("__dom")
+        .withColumn(
+            "__bkt",
+            F.size(F.filter("__bnds", lambda b: b < F.col(score_col))),
+        )
     )
     counts = bucketed.groupBy(domain_col, "__bkt").agg(
         F.count(F.lit(1)).alias("__c")
@@ -267,8 +289,15 @@ def calibrate_quality_by_domain(
     w_rank = Window.partitionBy(domain_col, "__bkt").orderBy(
         F.col(score_col).asc(), F.col(id_col).asc()
     )
-    ranked = bucketed.join(F.broadcast(offsets), [domain_col, "__bkt"]).withColumn(
-        "__rank", F.col("__off") + F.row_number().over(w_rank)
+    off2 = offsets.withColumnsRenamed({domain_col: "__dom", "__bkt": "__b2"})
+    ranked = (
+        bucketed.join(
+            F.broadcast(off2),
+            F.col(domain_col).eqNullSafe(F.col("__dom"))
+            & (F.col("__bkt") == F.col("__b2")),
+        )
+        .drop("__dom", "__b2")
+        .withColumn("__rank", F.col("__off") + F.row_number().over(w_rank))
     )
     calibrated = F.when(F.col("__n_dom") == 1, F.lit(0.0)).otherwise(
         (F.col("__rank") - 1).cast("double") / (F.col("__n_dom") - 1)
@@ -426,7 +455,13 @@ def stratified_sample_flag(
     16^shard_chars while keeping ranks EXACT and bit-identical to the
     single-window form (same total order, md5 keys collision-free).
     Two pruned passes over the input (counts read only strata+key),
-    no cache needed."""
+    no cache needed (the bucket key is a DETERMINISTIC function of
+    the row, unlike the approx boundaries in
+    ``calibrate_quality_by_domain``, so double evaluation is safe).
+    Null strata values and null/short ``order_col`` keys (null
+    bucket) are preserved via null-safe joins and rank exactly as the
+    single-window form ranks them: nulls first within their
+    partition."""
     bkt = F.conv(F.substring(F.col(order_col), 1, shard_chars), 16, 10).cast(
         "int"
     )
@@ -443,11 +478,17 @@ def stratified_sample_flag(
         F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
     )
     w = Window.partitionBy(*strata, "__bkt").orderBy(order_col)
+    keys = [*strata, "__bkt"]
+    off2 = offsets.withColumnsRenamed({k: f"__r_{k}" for k in keys})
+    cond = functools.reduce(
+        Column.__and__,
+        [F.col(k).eqNullSafe(F.col(f"__r_{k}")) for k in keys],
+    )
     return (
-        d.join(F.broadcast(offsets), [*strata, "__bkt"])
+        d.join(F.broadcast(off2), cond)
         .withColumn("sample_rank", F.col("__off") + F.row_number().over(w))
         .withColumn("in_sample", F.col("sample_rank") <= n_per_stratum)
-        .drop("__bkt", "__off")
+        .drop("__bkt", "__off", *[f"__r_{k}" for k in keys])
     )
 
 

@@ -1184,12 +1184,29 @@ def group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_buckets = 32
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    bnd = ev.groupBy("event_type").agg(
-        F.percentile_approx("value", fracs, 10_000).alias("__bnds"),
-        F.count(F.lit(1)).alias("n"),
+    # .cache(): the approx boundaries feed BOTH the offsets subtree
+    # and the ranked join — approx_percentile can vary with partial-
+    # merge order, so correctness needs ONE evaluation, not exchange
+    # reuse (AQE replanning / config can defeat reuse).  Null-safe
+    # join keeps a null event_type as its own group, like the old
+    # window's null partition.
+    bnd = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", fracs, 10_000).alias("__bnds"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .cache()
     )
-    b = ev.join(F.broadcast(bnd), "event_type").withColumn(
-        "__bkt", F.size(F.filter("__bnds", lambda x: x < F.col("value")))
+    b = (
+        ev.join(
+            F.broadcast(bnd.withColumnRenamed("event_type", "__et")),
+            F.col("event_type").eqNullSafe(F.col("__et")),
+        )
+        .drop("__et")
+        .withColumn(
+            "__bkt", F.size(F.filter("__bnds", lambda x: x < F.col("value")))
+        )
     )
     counts = b.groupBy("event_type", "__bkt").agg(
         F.count(F.lit(1)).alias("__c")
@@ -1207,8 +1224,13 @@ def group_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type", "__bkt").orderBy(
         "value", "event_type"
     )
+    off2 = offsets.withColumnsRenamed({"event_type": "__et", "__bkt": "__b2"})
     ranked = (
-        b.join(F.broadcast(offsets), ["event_type", "__bkt"])
+        b.join(
+            F.broadcast(off2),
+            F.col("event_type").eqNullSafe(F.col("__et"))
+            & (F.col("__bkt") == F.col("__b2")),
+        )
         .withColumn("rn", F.col("__off") + F.row_number().over(w))
         .select("event_type", "value", "rn", "n")
     )

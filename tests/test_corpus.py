@@ -835,12 +835,23 @@ def test_bucketed_exact_rank_forms_match_single_window(spark):
     from pyspark.sql import functions as F
 
     rows = [
-        (i, ["web", "code", "flat", "lone"][i % 4 if i < 120 else 3],
-         [0.25, 0.5, 0.5, 0.75][(i * 7) % 4] if i % 4 != 2 else 0.5)
+        (i, ["web", "code", "flat"][i % 3] if i < 120 else "lone",
+         [0.25, 0.5, 0.5, 0.75][(i * 7) % 4] if i % 3 != 2 or i >= 120
+         else 0.5)
         for i in range(121)
     ]
-    # domain 'flat' (i%4==2): every score identical (single-bucket
-    # degradation path); 'lone' has rows only at i>=120 -> one row.
+    # domain 'flat' (i%3==2, i<120): every score identical
+    # (single-bucket degradation path); 'lone' is ONLY row 120 ->
+    # exactly one row (the percent_rank 0/0 edge).  Null keys pin the
+    # null-safe-join contract: a null domain is its own partition and
+    # null scores rank first, exactly as the plain window ranks them.
+    rows += [
+        (200, None, 0.4),
+        (201, None, 0.6),
+        (202, None, 0.6),
+        (203, "web", None),
+        (204, None, None),
+    ]
     df = spark.createDataFrame(
         rows, "doc_id long, source string, quality_score double"
     )
