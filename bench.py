@@ -95,8 +95,6 @@ HEADLINE = [
     # r05 additions: the incremental-dedup driver proofs, the
     # bloom-split upsert invariance twin, the manifest-planned scan
     "incremental_exact_fresh",
-    "incremental_minhash_fresh",
-    "incremental_simhash_fresh",
     "upsert_bloom_orders",
     "manifest_pruned_orders",
     # r05: previously-unbenched cheap registry specs (VERDICT r04 ask
@@ -155,6 +153,15 @@ HEADLINE = [
     "pq_suite",
     "ivfpq_suite",
     "incremental_pq_fresh",
+    # r12 additions: the incremental-dedup consolidation (baseline =
+    # its three retired/subsumed parts' sum via RENAMED_FROM; the
+    # still-registered incremental_exact_fresh keeps its own slot
+    # until the r13 retirement, so its leg is double-timed for one
+    # round) and the domain-calibration debut (solo baseline recorded
+    # pre-registration via tools/bench_solo.py; first in-bench
+    # recording becomes baseline)
+    "incremental_dedup_suite",
+    "quality_calibrate_domains",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion
@@ -237,6 +244,16 @@ RENAMED_FROM = {
     # first-k-ids IVF + trained routed assignment specs' sum
     "corpus_mix_suite": ["corpus_domain_mix"],
     "ann_assign_suite": ["ivf_assign", "routed_assign_embeddings"],
+    # r12 consolidation: the suite runs all three incremental flows
+    # (exact + simhash + minhash) off one shared scan, so its fair
+    # baseline is the three standalone specs' sum — including
+    # incremental_exact_fresh, which stays separately registered (and
+    # separately timed) until its scheduled r13 retirement.
+    "incremental_dedup_suite": [
+        "incremental_exact_fresh",
+        "incremental_simhash_fresh",
+        "incremental_minhash_fresh",
+    ],
 }
 
 # Per-query baseline caveats, emitted into the artifact so a judge

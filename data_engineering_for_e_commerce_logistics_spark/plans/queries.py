@@ -20,44 +20,49 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r11 window — the committed pure re-verify round, NO debuts
-(VERDICT r10 task 1).  The registry sits at exact 2-round capacity
-(98 oracle-paired = 2 flagships + 2 rounds × 48 rotating slots), so
-the window is fully determined:
+r12 window — THE COMMITTED TRADE executed:
+``incremental_minhash_fresh`` + ``incremental_simhash_fresh`` (both
+r10-green, i.e. in this round's own backlog — the funding rule)
+retire into ``incremental_dedup_suite`` (pre-built r08, rebuilt r11
+on pre-banded persisted indexes), freeing one net slot for the
+``quality_calibrate_domains`` debut (bucketed-exact-rank form,
+unit-proven since r08):
 
 * positions 1-2: the flagship views (always in-window).
-* positions 3-50: the complete r09-green stale backlog
-  (CORRECTNESS r09 ∖ r10, oldest evidence first) — 48 specs, no
-  room for anything else.
-* positions 51-98: the 48 r10-green specs (freshest evidence;
-  they become the r12 backlog).
+* positions 3-4: the two debuts (never-checked — MUST be in-window).
+* positions 5-50: the r10-green stale backlog (CORRECTNESS r10 ∖
+  r11) minus the two retired specs — 46 specs.
+* positions 51-98: the 48 r11-green specs (they become the r13
+  backlog; ``incremental_exact_fresh`` is among them and retires in
+  r13 when the suite's own driver row makes its standalone slot
+  redundant).
 * position 99: ``sketch_aggregates_events``, rows-only by design.
 
-Arithmetic: 2 flagships + 48 backlog = 50 exactly, zero spill,
-zero debuts.  Once CORRECTNESS_r11 lands, no live oracle spec's
-last driver row predates r10 and the freshness invariant is
-provable from r10 ∪ r11.
+Arithmetic: 2 + 2 + 46 = 50 exactly.  Once CORRECTNESS_r12 lands,
+every live oracle spec's last driver row is r11 or r12 (the three
+r11 bucketed-rank rewrites — group_quantiles_events,
+ngram_frequencies, corpus_split_suite — all sit in the r10-green
+backlog, so their post-rewrite code gets its first driver row here,
+closing the r11 verdict's staleness caveat).
 
-WINDOW ARITHMETIC going forward: the registry is now 99 specs / 98
-oracle-paired (2 flagships + 96 rotating + 1 rows-only).  This is
-EXACT capacity: the freshness invariant re-checks every rotating
-spec every 2 rounds, and 2 rounds × 48 free slots = 96 — so from
-r11 on, every debut must be funded by retiring at least as many
-specs FROM THAT ROUND'S OWN BACKLOG (a retirement from the opposite
-half relieves nothing, the lesson this pull-forward encodes).
-r11 load = 2 + 48 r09-green = 50 exactly: NO debuts in r11 (this
-window — executed above).
-r12 load = 2 + 48 r10-green = 50; THE r12 TRADE: retire
-``incremental_minhash_fresh`` + ``incremental_simhash_fresh`` (both
-r10-green, in the r12 backlog) into ``incremental_dedup_suite``
-(pre-built r08; r11 rebuilt it on a PRE-BANDED persisted index per
-VERDICT r10 task 4 — bands stored alongside signatures so the big
-index side is never re-banded per batch), freeing one net slot for
-the ``quality_calibrate_domains`` debut; ``incremental_exact_fresh``
-(r09-green → r13 backlog) folds into the suite's registration or
-retires in r13, whichever round its evidence lands in.  r13+: the
-remaining pre-built runway (``corpus_decon_suite`` retiring
-``corpus_decontaminate``; ``standardize_embeddings_suite``; THE r18
+WINDOW ARITHMETIC going forward: the registry stays at 99 specs /
+98 oracle-paired (2 flagships + 96 rotating + 1 rows-only) — the
+trade is net-zero (2 retired, 2 debuted), so EXACT 2-round
+re-check capacity (2 rounds × 48 free slots = 96) still holds.
+The standing rule from r11's exact-capacity squeeze: every debut
+must be funded by retiring at least as many specs FROM THAT
+ROUND'S OWN BACKLOG (a retirement from the opposite half relieves
+nothing, the lesson the r11 pull-forward encodes).
+r12 load = 2 + 2 debuts + 46 backlog = 50 exactly (this window —
+executed above; net-zero trade, registry unchanged at 99/98).
+r13 load = 2 + the 48 r11-green backlog = 50; THE r13 TRADE:
+retire ``incremental_exact_fresh`` (r11-green, i.e. in r13's own
+backlog — the suite's exact leg preserves every cell) to fund the
+``corpus_decon_suite`` debut, and retire ``corpus_decontaminate``
+from the opposite (r12-green) half in the same commit — the suite
+subsumes it, so carrying it to r14 re-verification buys nothing.
+r14+: the
+remaining pre-built runway (``standardize_embeddings_suite``; THE r18
 trade retiring ``bpe_merges_documents`` + ``bpe_encode_documents``
 into ``bpe_suite`` funding ``events_chain_components``; THE r19
 ``kcenter_seed_embeddings`` debut; THE r20 trade retiring
@@ -97,8 +102,293 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-50: the r09-green stale backlog (CORRECTNESS r09 ∖ r10, oldest
-# --- evidence first) — the complete no-debut re-verify window ----------
+# --- 3-4: r12 debuts (never-checked — MUST be in-window): the committed
+# --- trade (incremental suite funding the calibration debut) ----------
+register(
+    "incremental_dedup_suite",
+    xq.incremental_dedup_suite,
+    xq.INCREMENTAL_DEDUP_SUITE_SQL,
+    ("dedup", "incremental", "merged-variants", "banded-index"),
+)
+register(
+    "quality_calibrate_domains",
+    xc.quality_calibrate_domains,
+    xc.QUALITY_CALIBRATE_DOMAINS_SQL,
+    ("corpus", "quality", "calibration", "bucketed-rank"),
+)
+
+# --- 5-50: the r10-green stale backlog (CORRECTNESS r10 ∖ r11, oldest
+# --- evidence first) minus the two retired incremental specs ----------
+register(
+    "agg_cardinality_lineitem",
+    rq.agg_cardinality_lineitem,
+    rq.AGG_CARDINALITY_SQL,
+    ("agg",),
+)
+register(
+    "bloom_semi_lineitem",
+    rq.bloom_semi_lineitem,
+    rq.BLOOM_SEMI_SQL,
+    ("join", "semi", "bloom", "runtime-filter"),
+)
+register(
+    "cascade_delete_orders",
+    rq.cascade_delete_orders,
+    rq.CASCADE_DELETE_SQL,
+    ("sink", "referential-action"),
+)
+register(
+    "corpus_cluster_reps",
+    xc.corpus_cluster_reps,
+    xc.CORPUS_CLUSTER_REPS_SQL,
+    ("corpus", "dedup", "iterative"),
+)
+register(
+    "corpus_decontaminate",
+    xc.corpus_decontaminate,
+    xc.CORPUS_DECONTAMINATE_SQL,
+    ("corpus", "decontamination"),
+)
+register(
+    "corpus_pack_sequences",
+    xc.corpus_pack_sequences,
+    xc.CORPUS_PACK_SQL,
+    ("corpus", "packing", "window"),
+)
+register(
+    "corpus_quality_funnel",
+    xc.corpus_quality_funnel,
+    xc.CORPUS_QUALITY_FUNNEL_SQL,
+    ("corpus", "quality", "fused-agg"),
+)
+register(
+    "corpus_repetition",
+    xc.corpus_repetition,
+    xc.CORPUS_REPETITION_SQL,
+    ("corpus", "quality"),
+)
+register(
+    "corpus_tfidf_topk",
+    xc.corpus_tfidf_topk,
+    xc.CORPUS_TFIDF_SQL,
+    ("corpus", "text", "topk"),
+)
+register(
+    "dedup_embedding_cosine",
+    xq.dedup_embedding_cosine,
+    xq.DEDUP_EMBEDDING_COSINE_SQL,
+    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
+)
+register(
+    "dedup_simhash_suite",
+    xq.dedup_simhash_suite,
+    xq.DEDUP_SIMHASH_SUITE_SQL,
+    ("dedup", "simhash", "banded", "merged-variants"),
+)
+register(
+    "dedup_variants_lineitem",
+    cq.dedup_variants_lineitem,
+    cq.DEDUP_VARIANTS_SQL,
+    ("dedup", "merged-variants"),
+)
+register(
+    "embedding_retrieval_suite",
+    gq.embedding_retrieval_suite,
+    gq.EMBEDDING_RETRIEVAL_SUITE_SQL,
+    ("similarity", "ann", "ivf", "topk", "merged-variants"),
+)
+register(
+    "events_gapfill_hourly",
+    aq.events_gapfill_hourly,
+    aq.EVENTS_GAPFILL_SQL,
+    ("temporal", "gapfill", "locf"),
+)
+register(
+    "events_zscore_outliers",
+    aq.events_zscore_outliers,
+    aq.EVENTS_ZSCORE_SQL,
+    ("agg", "anomaly"),
+)
+register(
+    "ffill_bfill_events",
+    cq.ffill_bfill_events,
+    cq.FFILL_BFILL_SQL,
+    ("nulls", "window", "merged-variants"),
+)
+register(
+    "fill_strategies_events",
+    cq.fill_strategies_events,
+    cq.FILL_STRATEGIES_SQL,
+    ("nulls", "merged-variants"),
+)
+register(
+    "funnel_events",
+    aq.funnel_events,
+    aq.FUNNEL_EVENTS_SQL,
+    ("agg", "funnel", "fused-agg"),
+)
+register(
+    "group_quantiles_events",
+    aq.group_quantiles_events,
+    aq.GROUP_QUANTILES_SQL,
+    ("agg", "quantile", "per-group"),
+)
+register(
+    "histogram_orders",
+    rq.histogram_orders,
+    rq.HISTOGRAM_ORDERS_SQL,
+    ("profile", "histogram"),
+)
+register(
+    "ngram_frequencies",
+    gq.ngram_frequencies,
+    gq.NGRAM_FREQUENCIES_SQL,
+    ("text", "topk"),
+)
+register(
+    "order_value_deciles",
+    aq.order_value_deciles,
+    aq.ORDER_VALUE_DECILES_SQL,
+    ("agg", "quantile", "discretizer", "exact-selection"),
+)
+register(
+    "pii_redact_customer",
+    xc.pii_redact_customer,
+    xc.PII_REDACT_SQL,
+    ("corpus", "pii", "strings"),
+)
+register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
+register(
+    "quantiles_lineitem", aq.quantiles_lineitem, aq.QUANTILES_LINEITEM_SQL, ("agg",)
+)
+register(
+    "repeat_orders_7d",
+    aq.repeat_orders_7d,
+    aq.REPEAT_ORDERS_7D_SQL,
+    ("join", "range", "temporal"),
+)
+register(
+    "rfm_segments",
+    aq.rfm_segments,
+    aq.RFM_SEGMENTS_SQL,
+    ("window", "segmentation", "exact-selection"),
+)
+register(
+    "semdedup_routed_pairs",
+    gq.semdedup_routed_pairs,
+    gq.SEMDEDUP_ROUTED_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup", "routing"),
+)
+register(
+    "semdedup_trained_pairs",
+    gq.semdedup_trained_pairs,
+    gq.SEMDEDUP_TRAINED_PAIRS_SQL,
+    ("dedup", "similarity", "ivf", "semdedup", "iterative"),
+)
+register(
+    "set_semi_anti_ops",
+    aq.set_semi_anti_ops,
+    aq.SET_SEMI_ANTI_OPS_SQL,
+    ("set-ops", "join", "merged-variants"),
+)
+register(
+    "sketch_bounds_events",
+    aq.sketch_bounds_events,
+    aq.SKETCH_BOUNDS_EVENTS_SQL,
+    ("agg", "sketch", "bounds-twin"),
+)
+register(
+    "supplier_pagerank",
+    gq.supplier_pagerank,
+    gq.SUPPLIER_PAGERANK_SQL,
+    ("graph", "iterative", "multi-round"),
+)
+register(
+    "tpch_join_suite",
+    aq.tpch_join_suite,
+    aq.TPCH_JOIN_SUITE_SQL,
+    ("join", "agg", "merged-variants", "ratio", "multi-role-dim"),
+)
+register(
+    "unpivot_lineitem",
+    aq.unpivot_lineitem,
+    aq.UNPIVOT_LINEITEM_SQL,
+    ("reshape", "unpivot"),
+)
+register(
+    "upsert_bloom_orders",
+    rq.upsert_bloom_orders,
+    rq.UPSERT_BLOOM_SQL,
+    ("sink", "merge", "bloom", "invariance-twin"),
+)
+register(
+    "window_time_orders",
+    aq.window_time_orders,
+    aq.WINDOW_TIME_ORDERS_SQL,
+    ("window", "scalar", "time", "merged-variants"),
+)
+register(
+    "zorder_orders",
+    rq.zorder_orders,
+    rq.ZORDER_ORDERS_SQL,
+    ("layout", "zorder", "data-skipping"),
+)
+register(
+    "corpus_split_suite",
+    gq.corpus_split_suite,
+    gq.CORPUS_SPLIT_SUITE_SQL,
+    ("corpus", "split", "suite", "graph"),
+)
+register(
+    "bpe_encode_documents",
+    xc.bpe_encode_documents,
+    xc.BPE_ENCODE_SQL,
+    ("corpus", "tokenize", "bpe"),
+)
+register(
+    "corpus_span_dedup",
+    xc.corpus_span_dedup,
+    xc.CORPUS_SPAN_DEDUP_SQL,
+    ("corpus", "dedup", "span"),
+)
+register(
+    "training_corpus_report",
+    xc.training_corpus_report,
+    xc.TRAINING_CORPUS_REPORT_SQL,
+    ("corpus", "capstone", "lineage", "composition"),
+)
+register(
+    "corpus_mix_suite",
+    xc.corpus_mix_suite,
+    xc.CORPUS_MIX_SUITE_SQL,
+    ("corpus", "sampling", "merged-variants"),
+)
+register(
+    "ann_assign_suite",
+    gq.ann_assign_suite,
+    gq.ANN_ASSIGN_SUITE_SQL,
+    ("similarity", "ivf", "routing", "iterative", "merged-variants"),
+)
+register(
+    "pq_suite",
+    gq.pq_suite,
+    gq.PQ_SUITE_SQL,
+    ("similarity", "pq", "compression"),
+)
+register(
+    "ivfpq_suite",
+    gq.ivfpq_suite,
+    gq.IVFPQ_SUITE_SQL,
+    ("similarity", "ivf", "pq", "ann"),
+)
+register(
+    "incremental_pq_fresh",
+    gq.incremental_pq_fresh,
+    gq.INCREMENTAL_PQ_SQL,
+    ("dedup", "similarity", "pq", "incremental"),
+)
+
+# --- 51-98: r11-green specs (freshest evidence; rotate back in r13) ----
 register(
     "array_functions_documents",
     fq.array_functions_documents,
@@ -323,288 +613,6 @@ register(
 register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
 register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
 register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-
-# --- 51-98: r10-green specs (freshest evidence; rotate back in r12) ----
-register(
-    "agg_cardinality_lineitem",
-    rq.agg_cardinality_lineitem,
-    rq.AGG_CARDINALITY_SQL,
-    ("agg",),
-)
-register(
-    "bloom_semi_lineitem",
-    rq.bloom_semi_lineitem,
-    rq.BLOOM_SEMI_SQL,
-    ("join", "semi", "bloom", "runtime-filter"),
-)
-register(
-    "cascade_delete_orders",
-    rq.cascade_delete_orders,
-    rq.CASCADE_DELETE_SQL,
-    ("sink", "referential-action"),
-)
-register(
-    "corpus_cluster_reps",
-    xc.corpus_cluster_reps,
-    xc.CORPUS_CLUSTER_REPS_SQL,
-    ("corpus", "dedup", "iterative"),
-)
-register(
-    "corpus_decontaminate",
-    xc.corpus_decontaminate,
-    xc.CORPUS_DECONTAMINATE_SQL,
-    ("corpus", "decontamination"),
-)
-register(
-    "corpus_pack_sequences",
-    xc.corpus_pack_sequences,
-    xc.CORPUS_PACK_SQL,
-    ("corpus", "packing", "window"),
-)
-register(
-    "corpus_quality_funnel",
-    xc.corpus_quality_funnel,
-    xc.CORPUS_QUALITY_FUNNEL_SQL,
-    ("corpus", "quality", "fused-agg"),
-)
-register(
-    "corpus_repetition",
-    xc.corpus_repetition,
-    xc.CORPUS_REPETITION_SQL,
-    ("corpus", "quality"),
-)
-register(
-    "corpus_tfidf_topk",
-    xc.corpus_tfidf_topk,
-    xc.CORPUS_TFIDF_SQL,
-    ("corpus", "text", "topk"),
-)
-register(
-    "dedup_embedding_cosine",
-    xq.dedup_embedding_cosine,
-    xq.DEDUP_EMBEDDING_COSINE_SQL,
-    ("dedup", "similarity", "all-pairs", "bounded-baseline"),
-)
-register(
-    "dedup_simhash_suite",
-    xq.dedup_simhash_suite,
-    xq.DEDUP_SIMHASH_SUITE_SQL,
-    ("dedup", "simhash", "banded", "merged-variants"),
-)
-register(
-    "dedup_variants_lineitem",
-    cq.dedup_variants_lineitem,
-    cq.DEDUP_VARIANTS_SQL,
-    ("dedup", "merged-variants"),
-)
-register(
-    "embedding_retrieval_suite",
-    gq.embedding_retrieval_suite,
-    gq.EMBEDDING_RETRIEVAL_SUITE_SQL,
-    ("similarity", "ann", "ivf", "topk", "merged-variants"),
-)
-register(
-    "events_gapfill_hourly",
-    aq.events_gapfill_hourly,
-    aq.EVENTS_GAPFILL_SQL,
-    ("temporal", "gapfill", "locf"),
-)
-register(
-    "events_zscore_outliers",
-    aq.events_zscore_outliers,
-    aq.EVENTS_ZSCORE_SQL,
-    ("agg", "anomaly"),
-)
-register(
-    "ffill_bfill_events",
-    cq.ffill_bfill_events,
-    cq.FFILL_BFILL_SQL,
-    ("nulls", "window", "merged-variants"),
-)
-register(
-    "fill_strategies_events",
-    cq.fill_strategies_events,
-    cq.FILL_STRATEGIES_SQL,
-    ("nulls", "merged-variants"),
-)
-register(
-    "funnel_events",
-    aq.funnel_events,
-    aq.FUNNEL_EVENTS_SQL,
-    ("agg", "funnel", "fused-agg"),
-)
-register(
-    "group_quantiles_events",
-    aq.group_quantiles_events,
-    aq.GROUP_QUANTILES_SQL,
-    ("agg", "quantile", "per-group"),
-)
-register(
-    "histogram_orders",
-    rq.histogram_orders,
-    rq.HISTOGRAM_ORDERS_SQL,
-    ("profile", "histogram"),
-)
-register(
-    "incremental_minhash_fresh",
-    xq.incremental_minhash_fresh,
-    xq.INCREMENTAL_MINHASH_SQL,
-    ("dedup", "incremental", "lsh", "index-screen", "banded-index"),
-)
-register(
-    "incremental_simhash_fresh",
-    xq.incremental_simhash_fresh,
-    xq.INCREMENTAL_SIMHASH_SQL,
-    ("dedup", "incremental", "simhash", "index-screen"),
-)
-register(
-    "ngram_frequencies",
-    gq.ngram_frequencies,
-    gq.NGRAM_FREQUENCIES_SQL,
-    ("text", "topk"),
-)
-register(
-    "order_value_deciles",
-    aq.order_value_deciles,
-    aq.ORDER_VALUE_DECILES_SQL,
-    ("agg", "quantile", "discretizer", "exact-selection"),
-)
-register(
-    "pii_redact_customer",
-    xc.pii_redact_customer,
-    xc.PII_REDACT_SQL,
-    ("corpus", "pii", "strings"),
-)
-register("profile_lineitem", rq.profile_lineitem, rq.PROFILE_LINEITEM_SQL, ("profile",))
-register(
-    "quantiles_lineitem", aq.quantiles_lineitem, aq.QUANTILES_LINEITEM_SQL, ("agg",)
-)
-register(
-    "repeat_orders_7d",
-    aq.repeat_orders_7d,
-    aq.REPEAT_ORDERS_7D_SQL,
-    ("join", "range", "temporal"),
-)
-register(
-    "rfm_segments",
-    aq.rfm_segments,
-    aq.RFM_SEGMENTS_SQL,
-    ("window", "segmentation", "exact-selection"),
-)
-register(
-    "semdedup_routed_pairs",
-    gq.semdedup_routed_pairs,
-    gq.SEMDEDUP_ROUTED_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup", "routing"),
-)
-register(
-    "semdedup_trained_pairs",
-    gq.semdedup_trained_pairs,
-    gq.SEMDEDUP_TRAINED_PAIRS_SQL,
-    ("dedup", "similarity", "ivf", "semdedup", "iterative"),
-)
-register(
-    "set_semi_anti_ops",
-    aq.set_semi_anti_ops,
-    aq.SET_SEMI_ANTI_OPS_SQL,
-    ("set-ops", "join", "merged-variants"),
-)
-register(
-    "sketch_bounds_events",
-    aq.sketch_bounds_events,
-    aq.SKETCH_BOUNDS_EVENTS_SQL,
-    ("agg", "sketch", "bounds-twin"),
-)
-register(
-    "supplier_pagerank",
-    gq.supplier_pagerank,
-    gq.SUPPLIER_PAGERANK_SQL,
-    ("graph", "iterative", "multi-round"),
-)
-register(
-    "tpch_join_suite",
-    aq.tpch_join_suite,
-    aq.TPCH_JOIN_SUITE_SQL,
-    ("join", "agg", "merged-variants", "ratio", "multi-role-dim"),
-)
-register(
-    "unpivot_lineitem",
-    aq.unpivot_lineitem,
-    aq.UNPIVOT_LINEITEM_SQL,
-    ("reshape", "unpivot"),
-)
-register(
-    "upsert_bloom_orders",
-    rq.upsert_bloom_orders,
-    rq.UPSERT_BLOOM_SQL,
-    ("sink", "merge", "bloom", "invariance-twin"),
-)
-register(
-    "window_time_orders",
-    aq.window_time_orders,
-    aq.WINDOW_TIME_ORDERS_SQL,
-    ("window", "scalar", "time", "merged-variants"),
-)
-register(
-    "zorder_orders",
-    rq.zorder_orders,
-    rq.ZORDER_ORDERS_SQL,
-    ("layout", "zorder", "data-skipping"),
-)
-register(
-    "corpus_split_suite",
-    gq.corpus_split_suite,
-    gq.CORPUS_SPLIT_SUITE_SQL,
-    ("corpus", "split", "suite", "graph"),
-)
-register(
-    "bpe_encode_documents",
-    xc.bpe_encode_documents,
-    xc.BPE_ENCODE_SQL,
-    ("corpus", "tokenize", "bpe"),
-)
-register(
-    "corpus_span_dedup",
-    xc.corpus_span_dedup,
-    xc.CORPUS_SPAN_DEDUP_SQL,
-    ("corpus", "dedup", "span"),
-)
-register(
-    "training_corpus_report",
-    xc.training_corpus_report,
-    xc.TRAINING_CORPUS_REPORT_SQL,
-    ("corpus", "capstone", "lineage", "composition"),
-)
-register(
-    "corpus_mix_suite",
-    xc.corpus_mix_suite,
-    xc.CORPUS_MIX_SUITE_SQL,
-    ("corpus", "sampling", "merged-variants"),
-)
-register(
-    "ann_assign_suite",
-    gq.ann_assign_suite,
-    gq.ANN_ASSIGN_SUITE_SQL,
-    ("similarity", "ivf", "routing", "iterative", "merged-variants"),
-)
-register(
-    "pq_suite",
-    gq.pq_suite,
-    gq.PQ_SUITE_SQL,
-    ("similarity", "pq", "compression"),
-)
-register(
-    "ivfpq_suite",
-    gq.ivfpq_suite,
-    gq.IVFPQ_SUITE_SQL,
-    ("similarity", "ivf", "pq", "ann"),
-)
-register(
-    "incremental_pq_fresh",
-    gq.incremental_pq_fresh,
-    gq.INCREMENTAL_PQ_SQL,
-    ("dedup", "similarity", "pq", "incremental"),
-)
 
 # --- 99: rows-only specs (no oracle by design) last --------------------
 register(

@@ -19,15 +19,14 @@ def prebuilt_builders() -> dict:
     )
 
     return {
-        # the r12-r17 trades (pre-built in r08; the r10+r11 entries —
+        # the r13-r17 trades (pre-built in r08; earlier entries —
         # corpus_mix_suite, ann_assign_suite, pq_suite, ivfpq_suite,
-        # incremental_pq_fresh — registered in r10 and moved to the
-        # registry)
-        "incremental_dedup_suite": xq.incremental_dedup_suite,
+        # incremental_pq_fresh (r10), incremental_dedup_suite,
+        # quality_calibrate_domains (r12) — registered and moved to
+        # the registry)
         "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
         "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
         "corpus_decon_suite": xc.corpus_decon_suite,
-        "quality_calibrate_domains": xc.quality_calibrate_domains,
         "standardize_embeddings_suite": gq.standardize_embeddings_suite,
         # the r18-r19 trades (pre-built in r09): BPE train-once
         # consolidation, alternating-star CC debut, farthest-point

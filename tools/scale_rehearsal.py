@@ -29,10 +29,26 @@ never EXECUTED above 600k lineitem rows.  This script:
    ~linearly (disconnected replicas: nodes ×5, edges ×5).
 
 Usage: python tools/scale_rehearsal.py [--rebuild] [--factor N]
+       [--cap-clusters C]
        [--incremental [--exact|--minhash|--simhash|--semdedup]]
        [--bpe] [query ...]
 --factor N replicates sf0.1 N× into .scale/sf{0.1*N:g} (default 5 →
 sf0.5; --factor 25 built the r07 second-decade sf2.5 corpus).
+--cap-clusters C (r12, VERDICT r11 task 6 — FIXTURE-ONLY change):
+the default ``zrep<r>`` suffix law makes EVERY replica of a doc a
+near-dup of every other, so an N-replica corpus gives each doc an
+N-member near-dup cluster — at --factor 1250 that is a quadratic
+candidate volume (~5.5B rows, the documented sf125 ENOSPC), a
+fixture artifact no production corpus exhibits.  With the flag, a
+sibling dir ``.scale/sf<X>cap<C>`` is built (symlinks for every
+table except documents) where replica r's text is token-salted by
+GROUP g = r // C: each token gains a ``g<g>_`` prefix, so docs in
+the same C-member group stay near-dups (identical salted stream ±
+the zrep token) while cross-group Jaccard collapses to ~0 —
+clusters are capped at C (production-shaped), candidate volume is
+linear in the corpus, and the dedup families become measurable at
+the fourth decade.  The non-capped corpus stays authoritative for
+every other family (token identities change under salting).
 """
 
 from __future__ import annotations
@@ -75,10 +91,11 @@ QUERIES = [
     # r04 additions: explicit runtime-filter join + layout encoding
     "bloom_semi_lineitem",
     "zorder_orders",
-    # r05 additions: the round's five new registered specs
+    # r05 additions: the round's five new registered specs.
+    # incremental_minhash_fresh + incremental_simhash_fresh retired
+    # into incremental_dedup_suite at r12 (RENAMED_FROM).
     "incremental_exact_fresh",
-    "incremental_minhash_fresh",
-    "incremental_simhash_fresh",
+    "incremental_dedup_suite",
     "upsert_bloom_orders",
     "manifest_pruned_orders",
     # r06 additions: the routed SemDeDup registrations (the deeper
@@ -170,6 +187,44 @@ def build_sf05() -> None:
         " label FROM read_parquet('{src}'), " + rep,
     )
     conn.close()
+
+
+def build_capped_documents(cap: int) -> str:
+    """Build the bounded-cluster variant dir next to DST: every table
+    symlinked from the base corpus except ``documents``, whose text is
+    re-replicated with the group-salt law (see module docstring) so
+    near-dup clusters cap at ``cap`` members.  Returns the new dir."""
+    import duckdb
+
+    dst_cap = f"{DST}cap{cap}"
+    os.makedirs(dst_cap, exist_ok=True)
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings"
+    ).split():
+        link = os.path.join(dst_cap, f"{t}.parquet")
+        if not os.path.exists(link):
+            os.symlink(os.path.join(DST, f"{t}.parquet"), link)
+    out = os.path.join(dst_cap, "documents.parquet")
+    if os.path.exists(out):
+        return dst_cap
+    conn = duckdb.connect()
+    conn.execute(f"SET threads TO {max(os.cpu_count() - 2, 4)}")
+    src = os.path.join(SRC, "documents.parquet")
+    rep = f"(SELECT unnest(range({N_REPLICAS})) AS r)"
+    conn.execute(
+        f"COPY (SELECT doc_id + r * {SHIFT} AS doc_id,"
+        f" replace(text, ' ', ' g' || CAST(r // {cap} AS VARCHAR) || '_')"
+        " || ' zrep' || CAST(r AS VARCHAR) AS text,"
+        f" lang, source, n_chars FROM read_parquet('{src}'), {rep})"
+        f" TO '{out}' (FORMAT PARQUET)"
+    )
+    n = conn.execute(
+        f"SELECT count(*) FROM read_parquet('{out}')"
+    ).fetchone()[0]
+    conn.close()
+    print(f"  documents (cap {cap}): {n} rows at {dst_cap}")
+    return dst_cap
 
 
 def incremental_rehearsal(spark) -> None:
@@ -407,6 +462,14 @@ def main() -> None:
     ):
         print(f"building sf0.5 at {DST}")
         build_sf05()
+
+    # --cap-clusters C: swap DST to the bounded-cluster variant (the
+    # dedup-family fixture law fix — see module docstring)
+    if "--cap-clusters" in sys.argv:
+        i = sys.argv.index("--cap-clusters")
+        cap = int(sys.argv[i + 1])
+        del sys.argv[i : i + 2]
+        DST = build_capped_documents(cap)
 
     from data_engineering_for_e_commerce_logistics_spark.plans.registry import (
         all_specs,
