@@ -1418,7 +1418,12 @@ def semdedup_trained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEMDEDUP_TRAINED_PAIRS_SQL = f"""
+def _semdedup_trained_sql(seed_pred: str) -> str:
+    """The trained-pairs oracle chain with a pluggable seed predicate:
+    the standalone spec seeds ``vec_id < N_CENTROIDS`` (fixed — the
+    documented per-cell quadratic fixture law); the routing suite
+    seeds ``vec_id < ceil(sqrt(n))`` (the production cell rule)."""
+    return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -1428,7 +1433,7 @@ n AS (
          sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
   FROM e
 ),
-seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+seeds AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE {seed_pred}),
 s0 AS (
   SELECT e.vec_id, e.v, c.centroid_id,
          list_reduce(list_transform(list_zip(e.v, c.cv),
@@ -1478,6 +1483,11 @@ SELECT cell, pair_rank, id_a, id_b, cosine FROM (
   FROM pairs
 ) WHERE pair_rank <= {SEMDEDUP_TOPK}
 """
+
+
+SEMDEDUP_TRAINED_PAIRS_SQL = _semdedup_trained_sql(
+    f"vec_id < {N_CENTROIDS}"
+)
 
 
 # --- SemDeDup with coarse-routed assignment (r06 registry candidate) --------
@@ -1618,6 +1628,184 @@ SELECT cell, pair_rank, id_a, id_b, cosine FROM (
 
 
 SEMDEDUP_ROUTED_PAIRS_SQL = _semdedup_routed_sql()
+
+
+def semdedup_routing_suite(
+    spark: SparkSession, sf_dir: str, n_seed: int | None = None
+) -> DataFrame:
+    """Merged-variants consolidation earmarked for r14 (pre-built
+    unit-first in r12): the two ASSIGNMENT-path SemDeDup pair miners —
+    ``semdedup_trained_pairs`` (seed assign → decimal-exact Lloyd
+    refine → flat packed re-assign) and ``semdedup_routed_pairs``
+    (two-level coarse routing, n_probe=2) — under one tagged union.
+    As separate specs each leg re-scanned ``embeddings`` and
+    re-derived the (v, nrm) projection; the suite caches that
+    projection ONCE and both assignment paths AND both cell-keyed
+    mining self-joins read the cached frame.  The mining tail
+    (within-cell cosine + per-cell top-k) is the same code for both
+    legs — only the cell assignment differs, which is exactly the
+    comparison a production corpus wants side-by-side (trained-flat
+    = exact cells at n·k cost; routed = sub-n·k with the bounded
+    mis-route tolerance SemDeDup affords).
+
+    ONE deliberate upgrade over the retiring spec (the
+    ``group_quantiles_events`` precedent — register the 100 TB
+    shape): the trained leg's seed-centroid count AUTO-SCALES to
+    ceil(sqrt(n)) like the routed leg's, instead of the standalone's
+    fixed ``N_CENTROIDS = 8``.  Fixed seeds make cells grow linearly
+    with the corpus and the per-cell pair quadratic pays factor²
+    (the documented seed-path fixture law — measured 99× at 25× data
+    on the fixed-8 form); sqrt(n) cells keep total pair work at
+    n^1.5.  Pass ``n_seed`` to pin the seed count — the unit test
+    uses ``n_seed=N_CENTROIDS`` to prove the trained leg is
+    bit-identical to the retiring spec under its own seeding.
+
+    Plan shape: everything before the two per-cell windows is
+    broadcast/packed map work over the cached projection; the only
+    shuffles are the two legs' cell-keyed exchanges (bounded per-cell
+    work under the sqrt(n) rule) plus the trained leg's k-row
+    centroid aggregate.  Nothing quadratic in the corpus."""
+    from pyspark.sql import Window
+
+    from ..operators.similarity import (
+        _as_double_vec,
+        _fold_sum,
+        _nearest_packed,
+        _pack_rows,
+        two_level_assign,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = (
+        emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+        .withColumn(
+            "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
+        )
+        .cache()  # one scan serves both assignment paths + both mines
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        return (
+            vecs.crossJoin(
+                F.broadcast(_pack_rows(centroids, "centroid_id", "cv"))
+            )
+            .withColumn(
+                "__best",
+                _nearest_packed(
+                    F.col("v"), F.col("__packed"), "centroid_id", "cv"
+                ),
+            )
+            .select("vec_id", "v", "nrm", F.col("__best.id").alias("cell"))
+        )
+
+    def mine(assigned: DataFrame, variant: str) -> DataFrame:
+        a = assigned.select(
+            "cell",
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        b = assigned.select(
+            "cell",
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        pairs = (
+            a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine",
+                _fold_sum(F.zip_with("va", "vb", lambda x, y: x * y))
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+            )
+        )
+        w_rank = Window.partitionBy("cell").orderBy(
+            F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        return (
+            pairs.withColumn(
+                "pair_rank", F.row_number().over(w_rank).cast("long")
+            )
+            .filter(F.col("pair_rank") <= SEMDEDUP_TOPK)
+            .select(
+                F.lit(variant).alias("variant"),
+                "cell",
+                "pair_rank",
+                "id_a",
+                "id_b",
+                "cosine",
+            )
+        )
+
+    # shared auto-scale scalar: both legs' seed sets are the first
+    # ceil(sqrt(n)) ids (broadcast 1-row k, the routed spec's rule)
+    k = vecs.agg(
+        F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("__k")
+    )
+
+    def first_k_seeds() -> DataFrame:
+        if n_seed is not None:
+            return vecs.filter(F.col("vec_id") < n_seed).select(
+                F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+            )
+        return (
+            vecs.crossJoin(F.broadcast(k))
+            .filter(F.col("vec_id") < F.col("__k"))
+            .select(
+                F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+            )
+        )
+
+    # --- trained leg: seed assign → decimal-exact refine → re-assign
+    seeds = first_k_seeds()
+    assign0 = assign(seeds)
+    refined = (
+        assign0.select("cell", F.posexplode(F.col("v")).alias("dim", "val"))
+        .groupBy(F.col("cell").alias("centroid_id"), "dim")
+        .agg(
+            (
+                F.expr("cast(sum(cast(val as decimal(28,8))) as double)")
+                / F.count(F.lit(1))
+            ).alias("cval")
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+    )
+    trained = assign(refined).cache()  # both mine sides read it
+
+    # --- routed leg: auto-scaled sqrt(n) seed centroids, 2-probe
+    # coarse routing off the SAME cached projection (ALWAYS sqrt(n),
+    # matching the standalone routed spec regardless of n_seed)
+    centroids = (
+        vecs.crossJoin(F.broadcast(k))
+        .filter(F.col("vec_id") < F.col("__k"))
+        .select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+        )
+    )
+    cells = two_level_assign(vecs, centroids, vec_col="v", n_probe=2)
+    routed = vecs.join(cells, "vec_id").select(
+        "vec_id", "v", "nrm", "cell"
+    ).cache()
+
+    return mine(trained, "trained").unionByName(mine(routed, "routed"))
+
+
+SEMDEDUP_ROUTING_SUITE_SQL = f"""
+SELECT 'trained' AS variant, cell, pair_rank, id_a, id_b, cosine
+FROM ({_semdedup_trained_sql(
+    "vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM e)"
+)})
+UNION ALL
+SELECT 'routed', cell, pair_rank, id_a, id_b, cosine
+FROM ({SEMDEDUP_ROUTED_PAIRS_SQL})
+"""
 
 
 # tau sits below the synthetic corpus's max pair cosine (0.49 at

@@ -590,6 +590,24 @@ def test_incremental_dedup_suite_shared_cached_scan(spark):
     assert "InMemoryTableScan" in plan
 
 
+def test_semdedup_routing_suite_shared_cached_scan(spark):
+    """The r14 consolidation's point: both assignment paths and both
+    cell-keyed mining self-joins read the (v, nrm) projection from
+    ONE cached frame (InMemoryTableScan) instead of four embeddings
+    scans; the only nested-loop joins are the broadcast packed-
+    centroid / scalar-k forms (never a shuffled cartesian).  The
+    routed leg's vec_id equi-join (assignment back onto the cached
+    projection, same shape as the standalone spec) may plan as a
+    sort-merge — a co-partitioned key join, fine at scale."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.semdedup_routing_suite)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
 def test_decontaminate_semantic_map_only_corpus(spark):
     """The semantic decon's 100 TB shape is MAP-ONLY over the corpus:
     the benchmark collapses to one broadcast row (its tiny agg may

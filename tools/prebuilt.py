@@ -24,6 +24,9 @@ def prebuilt_builders() -> dict:
         # incremental_pq_fresh (r10), incremental_dedup_suite,
         # quality_calibrate_domains (r12) — registered and moved to
         # the registry)
+        # THE r14 trade (pre-built r12): the two assignment-path
+        # SemDeDup pair miners consolidated off one cached projection
+        "semdedup_routing_suite": gq.semdedup_routing_suite,
         "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
         "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
         "corpus_decon_suite": xc.corpus_decon_suite,
