@@ -539,6 +539,105 @@ def pack_sequences(
     )
 
 
+def weighted_sample_flag(
+    df: DataFrame,
+    weight_col: str,
+    n_per_stratum: int,
+    strata: list[str] | tuple[str, ...] = (),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic WEIGHTED sampling without replacement — exactly
+    the top ``n_per_stratum`` rows per stratum by the Sequential
+    Poisson Sampling order (Ohlsson 1998): rank key ``ξ = u / w``
+    ascending, where ``u`` is the uniform-(0,1] fraction encoded by
+    the row id's first 8 md5 hex digits and ``w`` the row's weight —
+    inclusion probability ≈ proportional to weight (πps), the
+    quality- or length-weighted corpus subsampling pretraining mixes
+    use instead of uniform draws.  Hash-keyed (no ``rand()``), so
+    runs, engines, and cluster sizes agree row-for-row; ξ is ONE
+    exact-rounded IEEE division of two exactly-constructed doubles,
+    so DuckDB reproduces every key bit-for-bit — no transcendental
+    (the classic Efraimidis–Spirakis ``u^(1/w)`` key would order
+    identically but its ``pow`` is not cross-engine bit-stable).
+
+    Returns ONLY the sampled rows: (strata…, id, weight, skey,
+    sample_rank), rank 1 = smallest key.  Rows with NULL or
+    non-positive weight are excluded (a zero-weight row has inclusion
+    probability 0 by definition).  Null strata values form their own
+    stratum (null-safe joins throughout).
+
+    Scale shape — top-n-per-stratum WITHOUT a per-stratum window: a
+    window partitioned on strata alone serializes each mega-stratum
+    into one task (the audited cliff).  Instead (1) each row's bucket
+    = #power-of-two boundaries ≤ ξ, an EXACT comparison ladder
+    (power-of-two doubles are exact literals; counting boundaries is
+    monotone BY CONSTRUCTION — ``floor(log2(ξ))`` would be one libm
+    rounding away from inverting a boundary pair, the same
+    double-evaluation class of hazard as an uncached approx
+    boundary).  Deterministic pure per-row expression: no boundary
+    frame, no cache;
+    (2) per-(stratum, bucket) counts fold to cumulative offsets;
+    (3) only rows in buckets whose offset < n can be top-n — every
+    other row is dropped WITHOUT ranking (for uniform-ish u the
+    small-key buckets are the thin geometric tail, so the ranked
+    candidate set is O(n) per stratum); (4) exact rank = offset +
+    row_number within (stratum, bucket), ties (astronomically
+    unlikely sub-ulp key collisions) broken by id.  Parallelism is
+    strata × candidate-buckets; the offsets frame broadcasts."""
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    # geometric bucket ladder: exact power-of-two doubles spanning the
+    # practical key range; keys outside collapse into the end buckets
+    # (still ordered ranges — balance degrades, never correctness)
+    ladder = F.array(*[F.lit(2.0**k) for k in range(-48, 49)])
+    d = (
+        df.filter(w > 0)
+        .select(
+            *strata,
+            F.col(id_col),
+            w.alias("weight"),
+            (u / w).alias("skey"),
+        )
+        .withColumn(
+            "__bkt",
+            F.size(F.filter(ladder, lambda b: b <= F.col("skey"))).cast(
+                "long"
+            ),
+        )
+    )
+    counts = d.groupBy(*strata, "__bkt").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy(*strata)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *strata,
+        "__bkt",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0)).alias("__off"),
+    ).filter(F.col("__off") < n_per_stratum)
+    keys = [*strata, "__bkt"]
+    off2 = offsets.withColumnsRenamed({k: f"__r_{k}" for k in keys})
+    cond = functools.reduce(
+        Column.__and__,
+        [F.col(k).eqNullSafe(F.col(f"__r_{k}")) for k in keys],
+    )
+    w_rank = Window.partitionBy(*strata, "__bkt").orderBy("skey", id_col)
+    return (
+        d.join(F.broadcast(off2), cond)
+        .withColumn(
+            "sample_rank",
+            (F.col("__off") + F.row_number().over(w_rank)).cast("long"),
+        )
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(*strata, id_col, "weight", "skey", "sample_rank")
+    )
+
+
 def domain_mix_sample(
     df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
 ) -> DataFrame:

@@ -397,6 +397,71 @@ SELECT doc_id, lang, hash_key, split,
 FROM t
 """
 
+# --- Weighted sampling (Sequential Poisson, r14 debut candidate) -----------
+
+WEIGHTED_SAMPLE_PER_SOURCE = 40
+WEIGHTED_SAMPLE_GLOBAL = 100
+
+
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus subsampling (pre-built r12, r14
+    registry candidate): Sequential Poisson Sampling keyed on
+    ``u/n_chars`` — longer documents are proportionally likelier to
+    be drawn, the length/quality-weighted mix rule pretraining
+    pipelines use instead of uniform draws.  Two variants under one
+    tagged union: exactly 40 per source (domain-balanced) and exactly
+    100 global, both from the SAME deterministic keys, so a doc's
+    global draw and its within-source draw agree on ξ.  Each leg is
+    a 3-column pruned scan + the exponent-ladder top-n (no
+    per-stratum window).  See ``corpus.weighted_sample_flag``."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    per = corpus.weighted_sample_flag(
+        docs, "n_chars", WEIGHTED_SAMPLE_PER_SOURCE, ("source",)
+    ).select(
+        F.lit("per_source").alias("variant"),
+        "source",
+        "doc_id",
+        "weight",
+        "skey",
+        "sample_rank",
+    )
+    glob = corpus.weighted_sample_flag(
+        docs, "n_chars", WEIGHTED_SAMPLE_GLOBAL, ()
+    ).select(
+        F.lit("global").alias("variant"),
+        F.lit(None).cast("string").alias("source"),
+        "doc_id",
+        "weight",
+        "skey",
+        "sample_rank",
+    )
+    return per.unionByName(glob)
+
+
+CORPUS_WEIGHTED_SAMPLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS weight,
+         ((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)::DOUBLE
+          / 4294967296.0) / CAST(n_chars AS DOUBLE) AS skey
+  FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+)
+SELECT * FROM (
+  SELECT 'per_source' AS variant, source, doc_id, weight, skey,
+         CAST(row_number() OVER (
+             PARTITION BY source ORDER BY skey, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM k
+) WHERE sample_rank <= {WEIGHTED_SAMPLE_PER_SOURCE}
+UNION ALL
+SELECT * FROM (
+  SELECT 'global' AS variant, CAST(NULL AS VARCHAR) AS source, doc_id,
+         weight, skey,
+         CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM k
+) WHERE sample_rank <= {WEIGHTED_SAMPLE_GLOBAL}
+"""
+
 # --- Sequence packing -------------------------------------------------------
 
 PACK_TOKEN_BUDGET = 512

@@ -27,6 +27,9 @@ def prebuilt_builders() -> dict:
         # THE r14 trade (pre-built r12): the two assignment-path
         # SemDeDup pair miners consolidated off one cached projection
         "semdedup_routing_suite": gq.semdedup_routing_suite,
+        # r14 debut candidate (pre-built r12): Sequential Poisson
+        # weighted sampling, exponent-ladder top-n per stratum
+        "corpus_weighted_sample": xc.corpus_weighted_sample,
         "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
         "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
         "corpus_decon_suite": xc.corpus_decon_suite,
