@@ -61,7 +61,14 @@ backlog — the suite's exact leg preserves every cell) to fund the
 ``corpus_decon_suite`` debut, and retire ``corpus_decontaminate``
 from the opposite (r12-green) half in the same commit — the suite
 subsumes it, so carrying it to r14 re-verification buys nothing.
-r14+: the
+r14 load = 2 + 47 backlog (48 r12-green minus the r13-retired
+``corpus_decontaminate``) = 49; THE r14 TRADE (pre-built r12):
+retire ``semdedup_trained_pairs`` + ``semdedup_routed_pairs`` (both
+r12-green, r14's own backlog) into ``semdedup_routing_suite``, and
+debut ``corpus_weighted_sample`` (Sequential Poisson weighted
+sampling, pre-built r12) in the freed + spare slots: 2 + 45 + 2 =
+49 ≤ 50.
+r15+: the
 remaining pre-built runway (``standardize_embeddings_suite``; THE r18
 trade retiring ``bpe_merges_documents`` + ``bpe_encode_documents``
 into ``bpe_suite`` funding ``events_chain_components``; THE r19
