@@ -2851,6 +2851,104 @@ ORDER BY vec_id
 INCREMENTAL_PQ_SQL = _incremental_pq_sql()
 
 
+def incremental_embedding_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-variants consolidation earmarked for r14 (pre-built
+    unit-first in r12; the documents-side twin registered r12 as
+    ``incremental_dedup_suite``): the two EMBEDDING-side incremental
+    ingest flows — ``incremental_semdedup_fresh`` (full-vector cell
+    index, cosine screen) and ``incremental_pq_fresh`` (PQ-code
+    index, triangle-inequality ADC screen + exact verify) — under one
+    tagged union.  Both specs independently scanned ``embeddings``
+    and re-derived the SAME coarse centroids and the SAME
+    vec_id%10 batch split; the suite caches the raw (vec_id,
+    embedding) frame once and derives centroids, batch 1, and
+    batch 2 from the shared cache, then runs each family's unchanged
+    operator chain (the flows stay distinct by design: one persists
+    full vectors, the other 16× smaller codes — that trade-off is the
+    point of having both).  Output schema is identical across
+    variants — (variant, vec_id, cell, ingest_batch) — so no padding
+    is needed, and each leg's cells are bit-identical to its
+    standalone spec (pinned by the parts-equality unit).
+
+    Cache lifetime contract as the incremental-dedup family: one-shot
+    callers ignore it, loops ``clearCache()`` per batch.  The
+    localCheckpoint pins (batch-1 index, offline codebook) carry over
+    unchanged from the standalone specs."""
+    from ..operators.similarity import (
+        incremental_pq_dedup,
+        incremental_semdedup,
+        pq_train_encode,
+    )
+    from .extended_queries import INC_B1_LT, INC_B2_GE, INC_OFFSET
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"].select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") < ROUTED_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    b1 = emb.where(F.col("vec_id") % 10 < INC_B1_LT)
+    b2 = emb.where(F.col("vec_id") % 10 >= INC_B2_GE).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(INC_OFFSET)
+    )
+
+    # --- semantic leg (full-vector index)
+    _, sem1 = incremental_semdedup(b1, None, centroids, tau=INC_SEM_TAU)
+    sem1 = sem1.localCheckpoint()
+    _, sem2 = incremental_semdedup(b2, sem1, centroids, tau=INC_SEM_TAU)
+    sem = sem1.select(
+        "vec_id", "cell", F.lit(1).alias("ingest_batch")
+    ).unionByName(
+        sem2.select("vec_id", "cell", F.lit(2).alias("ingest_batch"))
+    )
+
+    # --- PQ leg (compressed-code index)
+    _, codebook = pq_train_encode(
+        emb, dim=EMB_DIM, n_sub=PQ_SUB, k=PQ_K, n_refine=1
+    )
+    codebook = codebook.localCheckpoint()
+    _, pq1 = incremental_pq_dedup(
+        b1, None, centroids, codebook, INC_PQ_THETA, dim=EMB_DIM, n_sub=PQ_SUB
+    )
+    pq1 = pq1.localCheckpoint()
+    _, pq2 = incremental_pq_dedup(
+        b2,
+        pq1,
+        centroids,
+        codebook,
+        INC_PQ_THETA,
+        dim=EMB_DIM,
+        n_sub=PQ_SUB,
+        corpus_lookup=b1,
+    )
+    pq = (
+        pq1.select("vec_id", "cell")
+        .distinct()
+        .withColumn("ingest_batch", F.lit(1))
+        .unionByName(
+            pq2.select("vec_id", "cell")
+            .distinct()
+            .withColumn("ingest_batch", F.lit(2))
+        )
+    )
+
+    return (
+        sem.select(F.lit("semantic").alias("variant"), "*")
+        .unionByName(pq.select(F.lit("pq").alias("variant"), "*"))
+        .orderBy("variant", "vec_id")
+    )
+
+
+INCREMENTAL_EMBEDDING_SUITE_SQL = f"""
+SELECT 'semantic' AS variant, vec_id, cell, ingest_batch
+FROM ({INCREMENTAL_SEMDEDUP_SQL})
+UNION ALL
+SELECT 'pq', vec_id, cell, ingest_batch
+FROM ({INCREMENTAL_PQ_SQL})
+ORDER BY variant, vec_id
+"""
+
+
 # --- Semantic decontamination (third decon family member; r15 debut) --------
 
 SEM_DECON_TAU = 0.4       # = SEMDEDUP_TAU: the fixture's near-dup radius

@@ -608,6 +608,22 @@ def test_semdedup_routing_suite_shared_cached_scan(spark):
     assert "InMemoryTableScan" in plan
 
 
+def test_incremental_embedding_suite_shared_cached_scan(spark):
+    """The embedding-side r14 consolidation's point: both incremental
+    flows (semantic full-vector + PQ code index) read the embeddings
+    table from ONE cached frame (InMemoryTableScan) with shared
+    centroids and batch splits, and nothing is a shuffled cartesian
+    (the broadcast packed/codebook nested loops are the designed
+    shape)."""
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
+        graph_queries as gq,
+    )
+
+    plan = _plan_of(spark, gq.incremental_embedding_suite)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
 def test_weighted_sample_bucketed_topn_shape(spark):
     """Weighted sampling's 100 TB shape: the exact-rank window
     partitions on (stratum, exponent-bucket) — never on the stratum

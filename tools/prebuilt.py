@@ -30,6 +30,9 @@ def prebuilt_builders() -> dict:
         # r14 debut candidate (pre-built r12): Sequential Poisson
         # weighted sampling, exponent-ladder top-n per stratum
         "corpus_weighted_sample": xc.corpus_weighted_sample,
+        # THE r14 trade, embedding-side half (pre-built r12): the
+        # semantic + PQ incremental ingest flows off one cached scan
+        "incremental_embedding_suite": gq.incremental_embedding_suite,
         "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
         "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
         "corpus_decon_suite": xc.corpus_decon_suite,
