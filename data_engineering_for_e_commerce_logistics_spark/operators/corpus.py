@@ -609,6 +609,26 @@ def weighted_sample_flag(
             ),
         )
     )
+    return _topn_by_bucketed_key(d, strata, n_per_stratum, id_col, ("weight",))
+
+
+def _topn_by_bucketed_key(
+    d: DataFrame,
+    strata: list[str] | tuple[str, ...],
+    n_per_stratum: int,
+    id_col: str,
+    payload_cols: tuple[str, ...],
+) -> DataFrame:
+    """Exact top-n-per-stratum by ascending ``skey`` WITHOUT a
+    per-stratum window — the shared tail of ``weighted_sample_flag``
+    and ``dsir_resample_flag``.  ``d`` must carry ``skey`` (the order
+    key), ``__bkt`` (a monotone-in-skey bucket id), ``strata``,
+    ``id_col`` and ``payload_cols``.  Per-(stratum, bucket) counts
+    fold to cumulative offsets; only buckets whose offset < n can
+    hold top-n rows, so everything else drops WITHOUT ranking; exact
+    rank = offset + row_number within (stratum, bucket), ties broken
+    by id.  Parallelism is strata × candidate-buckets; the offsets
+    frame broadcasts."""
     counts = d.groupBy(*strata, "__bkt").agg(F.count(F.lit(1)).alias("__c"))
     w_off = (
         Window.partitionBy(*strata)
@@ -634,7 +654,165 @@ def weighted_sample_flag(
             (F.col("__off") + F.row_number().over(w_rank)).cast("long"),
         )
         .filter(F.col("sample_rank") <= n_per_stratum)
-        .select(*strata, id_col, "weight", "skey", "sample_rank")
+        .select(*strata, id_col, *payload_cols, "skey", "sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al., 2023)
+# ---------------------------------------------------------------------------
+
+
+def hashed_ngram_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per hashed word-{1,2}-gram OCCURRENCE: (id, carry…, b)
+    with ``b = md5(feature) mod n_buckets`` — the feature extractor
+    shared by the DSIR weight estimator and the hashed quality
+    classifier.  Pure per-row array expressions (split → zip_with →
+    explode), no shuffle, whole-stage codegen; the md5/conv bucket is
+    the repo's engine-portable hash (same text → same bucket in
+    Spark and DuckDB)."""
+    t = F.split(F.col(text_col), " ")
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(t, 1, n - 1),
+            F.slice(t, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feat = F.explode(F.concat(t, bigrams)).alias("feat")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    return df.select(F.col(id_col), *carry_cols, feat).select(
+        F.col(id_col), *carry_cols, b.alias("b")
+    )
+
+
+def dsir_log_ratio_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """DSIR importance weights: fit hashed-n-gram bag-of-words models
+    on the TARGET slice (rows where ``target`` is true — the domain
+    the training mix should match) and on the RAW corpus, then score
+    every document by its log importance ratio
+    ``Σ_feat ln(p_target[b]/p_raw[b])`` under add-0.5 smoothing.
+    Returns (id, n_feats, lr_weight); docs that look like the target
+    domain score high and feed ``dsir_resample_flag``.
+
+    Cross-engine exactness: each bucket's log-ratio is ONE rounded
+    double (exact_round 9dp — the ln-then-decimal-round pattern of
+    graph_queries.price_ln), and the per-doc score is an exact
+    DECIMAL(28,9) sum of those rounded values, so Spark's unordered
+    partial aggregation and DuckDB's sequential sum agree bitwise.
+
+    Scale shape: two passes over the exploded features — (1) ONE
+    fused hash-agg on the 64-bucket key computing raw and target
+    counts together (map-side combine collapses each partition to
+    ≤64 rows, the distributed n-gram-LM fit); totals fold the tiny
+    bucket frame and broadcast back as a 1-row scalar frame; (2) the
+    per-doc score joins features against the BROADCAST 64-row
+    log-ratio table and shuffles once on id.  No driver state, no
+    UDF, no cache of the unbounded corpus."""
+    feats = hashed_ngram_buckets(
+        df.select(id_col, text_col, target.alias("__is_target")),
+        text_col,
+        id_col,
+        n_buckets,
+        carry_cols=("__is_target",),
+    )
+    counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_r").alias("tot_r"), F.sum("c_t").alias("tot_t")
+    )
+    half_b = float(0.5 * n_buckets)
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        exact_round(
+            F.log(
+                (F.col("c_t") + F.lit(0.5))
+                / (F.col("tot_t") + F.lit(half_b))
+            )
+            - F.log(
+                (F.col("c_r") + F.lit(0.5))
+                / (F.col("tot_r") + F.lit(half_b))
+            ),
+            9,
+        ).alias("lr"),
+    )
+    return (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.col("lr").cast("decimal(28,9)"))
+            .cast("double")
+            .alias("lr_weight"),
+        )
+    )
+
+
+def dsir_resample_flag(
+    weights: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    weight_col: str = "lr_weight",
+    payload_cols: tuple[str, ...] = ("n_feats",),
+) -> DataFrame:
+    """Gumbel-top-n importance resampling in LOG space: DSIR draws n
+    docs without replacement with probability ∝ exp(lr_weight), which
+    is Sequential Poisson order on ξ = u / exp(lr) — ranked here by
+    ln ξ = ln u − lr so the comparison path never evaluates exp()
+    (unbounded magnitude + not cross-engine bit-stable; ln u IS
+    rounded to the same 9dp grid as lr, making the key a plain
+    difference of two exact-decimal images).  Top-n via the bucketed
+    ladder (``_topn_by_bucketed_key``) — the log-space ladder is the
+    INTEGER grid floor(key) (exact on decimal-image doubles), clamped
+    to ±80 (ln u ∈ [−22.2, 0], |lr| bounded by n_feats × max|ratio|;
+    outside keys collapse into end buckets — balance degrades, never
+    correctness).  No global window, no exp, no rand()."""
+    ln_u = exact_round(
+        F.log(
+            (
+                F.conv(
+                    F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("double")
+                + F.lit(1.0)
+            )
+            / F.lit(4294967296.0)
+        ),
+        9,
+    )
+    d = weights.select(
+        F.col(id_col),
+        *payload_cols,
+        F.col(weight_col),
+        (ln_u - F.col(weight_col)).alias("skey"),
+    ).withColumn(
+        "__bkt",
+        F.greatest(
+            F.least(F.floor(F.col("skey")), F.lit(80)), F.lit(-80)
+        ).cast("long"),
+    )
+    return _topn_by_bucketed_key(
+        d, (), n, id_col, (*payload_cols, weight_col)
     )
 
 

@@ -462,6 +462,116 @@ SELECT * FROM (
 ) WHERE sample_rank <= {WEIGHTED_SAMPLE_GLOBAL}
 """
 
+# --- DSIR importance resampling ---------------------------------------------
+
+DSIR_BUCKETS = 64
+DSIR_SAMPLE_K = 25
+DSIR_TARGET_SOURCE = "src0"
+
+
+def corpus_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): re-weight the raw corpus toward a target domain
+    (here ``source = 'src0'``) by the hashed-n-gram log importance
+    ratio, then draw a fixed-size sample ∝ exp(weight) without
+    replacement.  Two legs under one tagged union: variant 'weight'
+    = every doc's (n_feats, lr_weight) — the reusable DSIR artifact —
+    and variant 'sample' = the top-{k} Gumbel/Sequential-Poisson draw
+    in log space.
+
+    Scale shape: the 64-bucket n-gram LMs come from ONE fused
+    hash-agg over the exploded features (map-side combine → ≤64 rows
+    per partition); the log-ratio table BROADCASTS back; per-doc
+    weights shuffle once on doc_id; the draw ranks only candidate
+    buckets of the integer log-space ladder (no global window, no
+    exp() in the comparison path).  The per-doc weights frame (3
+    narrow columns, one row per doc) is cached for the two legs —
+    at 100 TB it is the doc-count table, disk-persistable, never the
+    corpus."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    w = corpus.dsir_log_ratio_weights(
+        docs,
+        F.col("source") == DSIR_TARGET_SOURCE,
+        n_buckets=DSIR_BUCKETS,
+    ).cache()
+    weight_leg = w.select(
+        F.lit("weight").alias("variant"),
+        "doc_id",
+        "n_feats",
+        "lr_weight",
+        F.lit(None).cast("double").alias("skey"),
+        F.lit(None).cast("long").alias("sample_rank"),
+    )
+    sample_leg = corpus.dsir_resample_flag(w, DSIR_SAMPLE_K).select(
+        F.lit("sample").alias("variant"),
+        "doc_id",
+        "n_feats",
+        "lr_weight",
+        "skey",
+        "sample_rank",
+    )
+    return weight_leg.unionByName(sample_leg)
+
+
+_DSIR_LN_U = (
+    "ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1.0)"
+    " / 4294967296.0)"
+)
+
+CORPUS_DSIR_SAMPLE_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(f), 1, 8))::BIGINT % {DSIR_BUCKETS}) AS b
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_concat(t,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> t[i] || ' ' || t[i + 1]))) AS f
+    FROM tok
+  )
+),
+counts AS (
+  SELECT b, count(*) AS c_r,
+         sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+           AS c_t
+  FROM feats GROUP BY b
+),
+tot AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t FROM counts),
+lr AS (
+  SELECT b,
+         {sql_exact_round(
+             f"ln((c_t + 0.5) / (tot_t + {0.5 * DSIR_BUCKETS}))"
+             f" - ln((c_r + 0.5) / (tot_r + {0.5 * DSIR_BUCKETS}))", 9)}
+           AS lr
+  FROM counts, tot
+),
+w AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         cast(sum(cast(lr AS DECIMAL(28,9))) AS DOUBLE) AS lr_weight
+  FROM feats JOIN lr USING (b)
+  GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_feats, lr_weight,
+         {sql_exact_round(_DSIR_LN_U, 9)} - lr_weight AS skey
+  FROM w
+)
+SELECT 'weight' AS variant, doc_id, n_feats, lr_weight,
+       CAST(NULL AS DOUBLE) AS skey, CAST(NULL AS BIGINT) AS sample_rank
+FROM w
+UNION ALL
+SELECT 'sample' AS variant, doc_id, n_feats, lr_weight, skey, sample_rank
+FROM (
+  SELECT doc_id, n_feats, lr_weight, skey,
+         CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM keyed
+) WHERE sample_rank <= {DSIR_SAMPLE_K}
+"""
+
 # --- Sequence packing -------------------------------------------------------
 
 PACK_TOKEN_BUDGET = 512
