@@ -816,6 +816,153 @@ def dsir_resample_flag(
     )
 
 
+# ---------------------------------------------------------------------------
+# Hashed-feature logistic quality classifier (fastText-style filter)
+# ---------------------------------------------------------------------------
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    iters: int = 3,
+    step: float = 0.5,
+) -> DataFrame:
+    """fastText-style quality classifier, trained IN the engine: a
+    logistic regression over hashed {1,2}-gram frequency features
+    (x_b = count_b / n_feats), fit by ``iters`` full-batch gradient
+    steps and applied back to every document.  The standard
+    pretraining-corpus filter (CCNet / GPT-3 / LLaMA pipelines) uses
+    exactly this shape with a weak label — here ``label`` marks the
+    reference slice the filter should prefer.  Returns one row per
+    doc: (id, y, n_feats, score, pred).
+
+    Cross-engine exactness: noise can only enter through exp(); every
+    sigmoid is rounded to the 9dp decimal grid, every per-row
+    gradient/margin term is one IEEE multiply of bit-identical
+    doubles rounded to 9dp, and every across-row SUM aggregates
+    DECIMAL(28,9) — so Spark's unordered partial aggregation, the
+    unrolled DuckDB oracle, and any cluster size agree bitwise.
+
+    Scale shape — textbook distributed full-batch GD: the (doc,
+    bucket) frequency frame is built once (two hash-aggs) and cached;
+    per iteration, the margin pass joins it against the BROADCAST
+    64-row weight table and folds per doc (map-side combine), the
+    gradient pass folds per bucket (64 keys), and the weight update
+    is a 64×64 join — model state never leaves the plan, no driver
+    collect, no UDF.  Iteration count is fixed and small, the plan
+    stays bounded (the bpe_train precedent applies if it ever
+    grows)."""
+    spark = df.sparkSession
+    feats = hashed_ngram_buckets(
+        df.select(id_col, text_col), text_col, id_col, n_buckets
+    )
+    cnt = feats.groupBy(id_col, "b").agg(F.count(F.lit(1)).alias("c"))
+    nf = cnt.groupBy(id_col).agg(F.sum("c").alias("n_feats"))
+    # bucket n_buckets is the intercept: x = 1.0 for every doc, so the
+    # model calibrates the base rate instead of anchoring scores at 0.5
+    x = (
+        cnt.join(nf, id_col)
+        .select(
+            id_col,
+            "b",
+            (F.col("c").cast("double") / F.col("n_feats")).alias("x"),
+        )
+        .unionByName(
+            nf.select(
+                id_col,
+                F.lit(n_buckets).cast("long").alias("b"),
+                F.lit(1.0).alias("x"),
+            )
+        )
+        .cache()
+    )
+    meta = df.select(
+        F.col(id_col), label.cast("int").alias("y")
+    ).join(nf, id_col)
+    n_docs = meta.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+
+    w = spark.range(n_buckets + 1).select(
+        F.col("id").alias("b"), F.lit(0.0).alias("w")
+    )
+    dec9 = "decimal(28,9)"
+    for _ in range(iters):
+        margin = (
+            x.join(F.broadcast(w), "b")
+            .groupBy(id_col)
+            .agg(
+                F.sum(
+                    exact_round(F.col("w") * F.col("x"), 9).cast(dec9)
+                )
+                .cast("double")
+                .alias("margin")
+            )
+        )
+        p = meta.join(margin, id_col).select(
+            id_col,
+            "y",
+            exact_round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 9
+            ).alias("p"),
+        )
+        grad = (
+            x.join(p, id_col)
+            .groupBy("b")
+            .agg(
+                F.sum(
+                    exact_round(
+                        (F.col("y") - F.col("p")) * F.col("x"), 9
+                    ).cast(dec9)
+                )
+                .cast("double")
+                .alias("gsum")
+            )
+            .crossJoin(F.broadcast(n_docs))
+            .select("b", (F.col("gsum") / F.col("n_docs")).alias("g"))
+        )
+        w = (
+            w.join(grad, "b", "left")
+            .select(
+                "b",
+                exact_round(
+                    F.col("w")
+                    + F.lit(step) * F.coalesce(F.col("g"), F.lit(0.0)),
+                    9,
+                ).alias("w"),
+            )
+        )
+
+    final_margin = (
+        x.join(F.broadcast(w), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum(exact_round(F.col("w") * F.col("x"), 9).cast(dec9))
+            .cast("double")
+            .alias("margin")
+        )
+    )
+    return meta.join(final_margin, id_col).select(
+        id_col,
+        "y",
+        "n_feats",
+        exact_round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 9
+        ).alias("score"),
+        F.when(
+            exact_round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))), 9
+            )
+            >= 0.5,
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("pred"),
+    )
+
+
 def domain_mix_sample(
     df: DataFrame, id_col: str = "doc_id", source_col: str = "source"
 ) -> DataFrame:

@@ -572,6 +572,114 @@ FROM (
 ) WHERE sample_rank <= {DSIR_SAMPLE_K}
 """
 
+# --- Hashed logistic quality classifier --------------------------------------
+
+QC_BUCKETS = 64
+QC_ITERS = 3
+QC_STEP = 0.5
+QC_LABEL_SOURCE = "src0"
+
+
+def corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style corpus quality filter trained in-engine: hashed
+    {1,2}-gram frequency features, logistic regression fit by 3
+    full-batch gradient steps against the weak label
+    ``source = 'src0'`` (the reference slice), scored back over every
+    document — the CCNet/GPT-3/LLaMA filtering step as a Spark plan.
+    Model state is a 64-row broadcast table each iteration; the
+    corpus-side frequency frame is built once and cached; gradients
+    are 64-key map-side-combined folds.  Every sigmoid is 9dp-rounded
+    and every across-row sum is DECIMAL(28,9), so the unrolled DuckDB
+    oracle reproduces training bit-for-bit."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.train_quality_classifier(
+        docs,
+        F.col("source") == QC_LABEL_SOURCE,
+        n_buckets=QC_BUCKETS,
+        iters=QC_ITERS,
+        step=QC_STEP,
+    )
+
+
+def _qc_iter_block(i: int) -> str:
+    """One unrolled GD iteration: margins under w{i-1}, sigmoids,
+    per-bucket mean gradient, updated w{i} (the bpe_merges unrolled-
+    iteration precedent)."""
+    return f"""
+m{i} AS (
+  SELECT x.doc_id,
+         cast(sum(cast({sql_exact_round("w.w * x.x", 9)} AS DECIMAL(28,9)))
+              AS DOUBLE) AS margin
+  FROM x JOIN w{i - 1} w USING (b) GROUP BY x.doc_id
+),
+p{i} AS (
+  SELECT d.doc_id, d.y,
+         {sql_exact_round("1.0 / (1.0 + exp(-m.margin))", 9)} AS p
+  FROM meta d JOIN m{i} m USING (doc_id)
+),
+g{i} AS (
+  SELECT x.b,
+         cast(sum(cast({sql_exact_round("(p.y - p.p) * x.x", 9)}
+                       AS DECIMAL(28,9))) AS DOUBLE)
+           / (SELECT n_docs FROM nn) AS g
+  FROM x JOIN p{i} p USING (doc_id) GROUP BY x.b
+),
+w{i} AS (
+  SELECT w.b,
+         {sql_exact_round(f"w.w + {QC_STEP} * coalesce(g.g, 0.0)", 9)} AS w
+  FROM w{i - 1} w LEFT JOIN g{i} g USING (b)
+)"""
+
+
+CORPUS_QUALITY_CLASSIFIER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(f), 1, 8))::BIGINT % {QC_BUCKETS}) AS b
+  FROM (
+    SELECT doc_id,
+           unnest(list_concat(t,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> t[i] || ' ' || t[i + 1]))) AS f
+    FROM tok
+  )
+),
+cnt AS (SELECT doc_id, b, count(*) AS c FROM feats GROUP BY doc_id, b),
+nf AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats FROM cnt GROUP BY doc_id
+),
+x AS (
+  SELECT cnt.doc_id, b, cnt.c::DOUBLE / nf.n_feats AS x
+  FROM cnt JOIN nf USING (doc_id)
+  UNION ALL
+  SELECT doc_id, {QC_BUCKETS} AS b, 1.0 AS x FROM nf
+),
+meta AS (
+  SELECT d.doc_id,
+         CAST(CASE WHEN d.source = '{QC_LABEL_SOURCE}' THEN 1 ELSE 0 END
+              AS INT) AS y,
+         nf.n_feats
+  FROM documents d JOIN nf USING (doc_id)
+),
+nn AS (SELECT count(*)::DOUBLE AS n_docs FROM meta),
+w0 AS (SELECT unnest(generate_series(0, {QC_BUCKETS})) AS b, 0.0 AS w),
+{",".join(_qc_iter_block(i) for i in range(1, QC_ITERS + 1))},
+mf AS (
+  SELECT x.doc_id,
+         cast(sum(cast({sql_exact_round("w.w * x.x", 9)} AS DECIMAL(28,9)))
+              AS DOUBLE) AS margin
+  FROM x JOIN w{QC_ITERS} w USING (b) GROUP BY x.doc_id
+)
+SELECT d.doc_id, d.y, d.n_feats,
+       {sql_exact_round("1.0 / (1.0 + exp(-mf.margin))", 9)} AS score,
+       CAST(CASE WHEN {sql_exact_round("1.0 / (1.0 + exp(-mf.margin))", 9)}
+                      >= 0.5
+                 THEN 1 ELSE 0 END AS INT) AS pred
+FROM meta d JOIN mf USING (doc_id)
+"""
+
 # --- Sequence packing -------------------------------------------------------
 
 PACK_TOKEN_BUDGET = 512
