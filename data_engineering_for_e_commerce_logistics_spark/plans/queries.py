@@ -75,8 +75,17 @@ into ``bpe_suite`` funding ``events_chain_components``; THE r19
 ``kcenter_seed_embeddings`` debut; THE r20 trade retiring
 ``corpus_tfidf_topk`` into ``lexical_retrieval_suite``) lands under
 the same rule — each trade's retiring specs must be scheduled into
-the trade's own backlog round.  All builders sit in
-``tools/prebuilt.py`` with solo baselines and sf0.01 differentials.
+the trade's own backlog round.  NEW r12 pre-builds widening the
+runway: ``corpus_dsir_sample`` (DSIR importance resampling) and
+``corpus_quality_classifier`` (in-engine hashed logistic filter) are
+r15/r16 debut candidates — funding comes from the
+``incremental_embedding_suite`` trade (retiring
+``incremental_semdedup_fresh`` + ``incremental_pq_fresh`` once both
+sit in the registering round's own backlog) plus the slack the r14
+window's 49-load leaves; pin the exact arithmetic with
+``tools/rotate_registry.py`` at that round's open.  All builders sit
+in ``tools/prebuilt.py`` with solo baselines and sf0.01
+differentials.
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

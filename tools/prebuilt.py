@@ -26,6 +26,10 @@ def prebuilt_builders() -> dict:
         # the registry)
         # THE r14 trade (pre-built r12): the two assignment-path
         # SemDeDup pair miners consolidated off one cached projection
+        # r15/r16 debut candidates (pre-built r12): DSIR importance
+        # resampling and the in-engine hashed logistic quality filter
+        "corpus_dsir_sample": xc.corpus_dsir_sample,
+        "corpus_quality_classifier": xc.corpus_quality_classifier,
         "semdedup_routing_suite": gq.semdedup_routing_suite,
         # r14 debut candidate (pre-built r12): Sequential Poisson
         # weighted sampling, exponent-ladder top-n per stratum
