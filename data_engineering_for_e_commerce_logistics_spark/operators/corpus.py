@@ -1169,6 +1169,76 @@ def bm25_topk(
 
 
 # ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion (hybrid retrieval)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(
+    legs: dict[str, DataFrame],
+    c: int = 60,
+    k: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR'09):
+    merge per-query ranked lists from heterogeneous retrievers by
+    ``score(d) = Σ_legs 1/(c + rank_leg(d))`` — the standard hybrid
+    lexical+semantic combiner; a doc absent from a leg contributes 0.
+    ``legs`` maps leg name → (query, item, rank) frame; output carries
+    one nullable ``<name>_rank`` per leg plus (rrf_score, rrf_rank),
+    top-k per query, item-id tiebreak.
+
+    Cross-engine exactness: each term is ONE IEEE division of exact
+    integers and the score a fixed-width sum of ≤len(legs) such
+    doubles — no transcendental, no across-row float sum — so every
+    engine orders candidates identically.
+
+    Scale shape: each leg is already a per-query top-n (bounded by
+    construction — the fused pool is ≤ Σ n_leg rows per query), so
+    the outer joins and the final rank window touch only
+    |queries| × pool rows no matter the corpus size behind the
+    legs."""
+    fused: DataFrame | None = None
+    names = list(legs)
+    for name in names:
+        leg = legs[name].select(
+            query_col,
+            item_col,
+            F.col(rank_col).cast("int").alias(f"{name}_rank"),
+        )
+        fused = (
+            leg
+            if fused is None
+            else fused.join(leg, [query_col, item_col], "full_outer")
+        )
+    score = functools.reduce(
+        Column.__add__,
+        [
+            F.coalesce(
+                F.lit(1.0) / (F.lit(c) + F.col(f"{n}_rank")), F.lit(0.0)
+            )
+            for n in names
+        ],
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(item_col).asc()
+    )
+    return (
+        fused.withColumn("rrf_score", score)
+        .withColumn("rrf_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rrf_rank") <= k)
+        .select(
+            query_col,
+            item_col,
+            *[f"{n}_rank" for n in names],
+            "rrf_score",
+            "rrf_rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cluster representative selection
 # ---------------------------------------------------------------------------
 

@@ -919,6 +919,135 @@ SELECT 'bm25', query_id, CAST(doc_id AS VARCHAR), n_terms, NULL, bm25, rank
 FROM bmr WHERE rank <= {BM25_TOPK}
 """
 
+# --- Hybrid retrieval: Reciprocal Rank Fusion --------------------------------
+
+RRF_QUERY_IDS = list(range(10))
+RRF_POOL = 20
+RRF_C = 60
+RRF_K = 10
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval via Reciprocal Rank Fusion
+    (Cormack et al., SIGIR'09 — the standard production combiner):
+    the first 10 ids query BOTH retrievers over the paired corpus
+    views (BM25 over ``documents`` text, exact cosine over
+    ``embeddings`` vectors), each yields its top-{pool}, and per-doc
+    ranks fuse as Σ 1/(60 + rank); top-10 fused per query.
+
+    Scale shape: both legs are the already-registered bounded shapes
+    (broadcast query terms / query vectors; the corpus side never
+    self-joins), and the fusion itself touches only
+    |queries| × 2·pool rows — full-outer join + one per-query window
+    over ≤40 candidates, independent of corpus size.  No
+    transcendental enters the fused score (exact-int divisions), so
+    engines order identically without rounding."""
+    from ..operators import similarity
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    # cache the (doc, term, tf) frame: bm25_topk consumes it four ways
+    # (query terms, query-vocab df, candidates, doc lengths) — without
+    # the cache each consumer re-explodes the corpus (the
+    # lexical_retrieval_suite discipline; measured 126s → ~45s at
+    # sf2.5)
+    tf = (
+        docs.select("doc_id", F.explode(text.tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    lex = corpus.bm25_topk(
+        docs, RRF_QUERY_IDS, k=RRF_POOL, k1=BM25_K1, b=BM25_B, tf_table=tf
+    ).select("query_id", F.col("doc_id").alias("item_id"), "rank")
+    sem = similarity.brute_force_topk(
+        emb, query_ids=RRF_QUERY_IDS, k=RRF_POOL
+    ).select("query_id", F.col("neighbor_id").alias("item_id"), "rank")
+    return corpus.rrf_fuse(
+        {"lex": lex, "sem": sem}, c=RRF_C, k=RRF_K
+    )
+
+
+HYBRID_RETRIEVAL_RRF_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term
+),
+doclen AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS total_dl FROM doclen),
+qt AS (SELECT doc_id AS query_id, term FROM tf
+       WHERE doc_id IN ({", ".join(map(str, RRF_QUERY_IDS))})),
+qdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+contrib AS (
+  SELECT q.query_id, t.doc_id,
+         {_BM25_CONTRIB} AS contrib
+  FROM tf t
+  JOIN qt q USING (term)
+  JOIN qdf USING (term)
+  JOIN doclen l ON l.doc_id = t.doc_id
+  CROSS JOIN stats
+  WHERE t.doc_id <> q.query_id
+),
+bm AS (
+  SELECT query_id, doc_id, {sql_exact_sum("contrib", 4)} AS bm25
+  FROM contrib GROUP BY query_id, doc_id
+),
+lex AS (
+  SELECT query_id, doc_id AS item_id, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY bm25 DESC, doc_id ASC) AS INT)
+              AS rank
+    FROM bm
+  ) WHERE rank <= {RRF_POOL}
+),
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+nv AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b))
+           AS nrm
+  FROM e
+),
+qv AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM nv
+       WHERE vec_id IN ({", ".join(map(str, RRF_QUERY_IDS))})),
+cs AS (
+  SELECT qv.query_id, c.vec_id AS item_id,
+         list_reduce(list_transform(list_zip(qv.qv, c.v), p -> p[1] * p[2]),
+                     (a, b) -> a + b) / (qv.qnrm * c.nrm) AS cosine
+  FROM qv, nv c WHERE qv.query_id <> c.vec_id
+),
+sem AS (
+  SELECT query_id, item_id, rank FROM (
+    SELECT *, CAST(row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, item_id) AS INT)
+              AS rank
+    FROM cs
+  ) WHERE rank <= {RRF_POOL}
+),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.item_id, s.item_id) AS item_id,
+         l.rank AS lex_rank, s.rank AS sem_rank,
+         coalesce(1.0 / ({RRF_C} + l.rank), 0.0)
+           + coalesce(1.0 / ({RRF_C} + s.rank), 0.0) AS rrf_score
+  FROM lex l FULL OUTER JOIN sem s
+    ON l.query_id = s.query_id AND l.item_id = s.item_id
+)
+SELECT query_id, item_id, lex_rank, sem_rank, rrf_score, rrf_rank FROM (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, item_id) AS INT)
+            AS rrf_rank
+  FROM fused
+) WHERE rrf_rank <= {RRF_K}
+"""
+
 # --- Cluster representative selection ---------------------------------------
 
 

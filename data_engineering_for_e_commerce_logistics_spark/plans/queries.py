@@ -76,9 +76,10 @@ into ``bpe_suite`` funding ``events_chain_components``; THE r19
 ``corpus_tfidf_topk`` into ``lexical_retrieval_suite``) lands under
 the same rule — each trade's retiring specs must be scheduled into
 the trade's own backlog round.  NEW r12 pre-builds widening the
-runway: ``corpus_dsir_sample`` (DSIR importance resampling) and
-``corpus_quality_classifier`` (in-engine hashed logistic filter) are
-r15/r16 debut candidates — funding comes from the
+runway: ``corpus_dsir_sample`` (DSIR importance resampling),
+``corpus_quality_classifier`` (in-engine hashed logistic filter) and
+``hybrid_retrieval_rrf`` (BM25 + cosine Reciprocal Rank Fusion) are
+r15-r17 debut candidates — funding comes from the
 ``incremental_embedding_suite`` trade (retiring
 ``incremental_semdedup_fresh`` + ``incremental_pq_fresh`` once both
 sit in the registering round's own backlog) plus the slack the r14

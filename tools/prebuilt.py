@@ -30,6 +30,7 @@ def prebuilt_builders() -> dict:
         # resampling and the in-engine hashed logistic quality filter
         "corpus_dsir_sample": xc.corpus_dsir_sample,
         "corpus_quality_classifier": xc.corpus_quality_classifier,
+        "hybrid_retrieval_rrf": xc.hybrid_retrieval_rrf,
         "semdedup_routing_suite": gq.semdedup_routing_suite,
         # r14 debut candidate (pre-built r12): Sequential Poisson
         # weighted sampling, exponent-ladder top-n per stratum
