@@ -737,11 +737,22 @@ def dsir_log_ratio_weights(
         F.count(F.lit(1)).alias("c_r"),
         F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_t"),
     )
+    return _dsir_doc_scores(
+        feats.select(id_col, "b"),
+        _dsir_lr_table(counts, n_buckets),
+        id_col,
+    )
+
+
+def _dsir_lr_table(counts: DataFrame, n_buckets: int) -> DataFrame:
+    """(b, c_r, c_t) bucket counts → the broadcastable (b, lr)
+    log-ratio table under add-0.5 smoothing (9dp-rounded, the
+    ln-then-decimal-round pattern)."""
     totals = counts.agg(
         F.sum("c_r").alias("tot_r"), F.sum("c_t").alias("tot_t")
     )
     half_b = float(0.5 * n_buckets)
-    lr = counts.crossJoin(F.broadcast(totals)).select(
+    return counts.crossJoin(F.broadcast(totals)).select(
         "b",
         exact_round(
             F.log(
@@ -755,6 +766,13 @@ def dsir_log_ratio_weights(
             9,
         ).alias("lr"),
     )
+
+
+def _dsir_doc_scores(
+    feats: DataFrame, lr: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, b) feature stream × broadcast (b, lr) → per-doc
+    (id, n_feats, lr_weight) with the exact DECIMAL(28,9) sum."""
     return (
         feats.join(F.broadcast(lr), "b")
         .groupBy(id_col)
@@ -765,6 +783,69 @@ def dsir_log_ratio_weights(
             .alias("lr_weight"),
         )
     )
+
+
+def dsir_bucket_index(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The persisted DSIR state: (b, c_r, c_t) hashed-n-gram bucket
+    counts — 64 rows no matter the corpus, the whole reason DSIR
+    suits incremental ingest (contrast the dedup families, whose
+    indexes grow with the corpus)."""
+    feats = hashed_ngram_buckets(
+        df.select(id_col, text_col, target.alias("__is_target")),
+        text_col,
+        id_col,
+        n_buckets,
+        carry_cols=("__is_target",),
+    )
+    return feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_t"),
+    )
+
+
+def dsir_score_batch(
+    batch: DataFrame,
+    index: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental DSIR step: score a fresh batch against the LMs the
+    index already holds (one broadcast of 64 rows + one batch-side
+    shuffle on id — the 100 TB corpus is never re-read), then accrue
+    the batch's own counts into the index.  Returns (new_index,
+    batch_scores); scoring sees the PRE-batch index, so re-ingesting
+    the same batch yields identical scores — the family's
+    determinism law."""
+    feats = hashed_ngram_buckets(
+        batch.select(id_col, text_col, target.alias("__is_target")),
+        text_col,
+        id_col,
+        n_buckets,
+        carry_cols=("__is_target",),
+    ).cache()
+    scores = _dsir_doc_scores(
+        feats.select(id_col, "b"),
+        _dsir_lr_table(index, n_buckets),
+        id_col,
+    )
+    batch_counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("c_r"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("c_t"),
+    )
+    new_index = (
+        index.unionByName(batch_counts)
+        .groupBy("b")
+        .agg(F.sum("c_r").alias("c_r"), F.sum("c_t").alias("c_t"))
+    )
+    return new_index, scores
 
 
 def dsir_resample_flag(

@@ -23,6 +23,9 @@ from ..functions import sql_exact_avg, sql_exact_round, sql_exact_sum
 from ..operators import corpus, text
 from ..operators.dedup import sql_shingles
 from .extended_queries import (
+    INC_B1_LT,
+    INC_B2_GE,
+    INC_OFFSET,
     QUALITY_SCORE_EXPR,
     QUALITY_T_SUBSELECT,
     _EN_STOP_SQL,
@@ -570,6 +573,106 @@ FROM (
            AS sample_rank
   FROM keyed
 ) WHERE sample_rank <= {DSIR_SAMPLE_K}
+"""
+
+# --- Incremental DSIR (persisted bucket-LM index) ----------------------------
+
+
+def incremental_dsir_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIXTH incremental-ingest family member, DSIR flavor: batch 1
+    builds the 64-row bucket-LM index, batch 2 (the standard 20%
+    re-ingest overlap split of the exact/minhash/simhash/semdedup/PQ
+    siblings) is scored against that PRE-batch index — the corpus is
+    never re-read, and unlike the dedup siblings the persisted state
+    is O(buckets), not O(corpus), so the per-batch cost is flat BY
+    CONSTRUCTION.  Output legs: 'batch_score' = every batch-2 doc's
+    (n_feats, lr_weight) under the index LMs; 'index_after' = the
+    accrued counts after both batches (proves the update law the
+    unit equivalence test pins: accrue(index(C1), C2) =
+    index(C1 ∪ C2))."""
+    from .extended_queries import _inc_batches
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    b1, b2 = _inc_batches(docs)
+    target = F.col("source") == DSIR_TARGET_SOURCE
+    idx1 = corpus.dsir_bucket_index(b1, target, n_buckets=DSIR_BUCKETS)
+    after, scores = corpus.dsir_score_batch(
+        b2, idx1, target, n_buckets=DSIR_BUCKETS
+    )
+    score_leg = scores.select(
+        F.lit("batch_score").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("n_feats").alias("n"),
+        F.lit(None).cast("long").alias("c_t"),
+        "lr_weight",
+    )
+    index_leg = after.select(
+        F.lit("index_after").alias("variant"),
+        F.col("b").alias("k"),
+        F.col("c_r").alias("n"),
+        "c_t",
+        F.lit(None).cast("double").alias("lr_weight"),
+    )
+    return score_leg.unionByName(index_leg)
+
+
+INCREMENTAL_DSIR_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(f), 1, 8))::BIGINT % {DSIR_BUCKETS}) AS b
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_concat(t,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> t[i] || ' ' || t[i + 1]))) AS f
+    FROM tok
+  )
+),
+idx1 AS (
+  SELECT b, count(*) AS c_r,
+         sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+           AS c_t
+  FROM feats WHERE doc_id % 10 < {INC_B1_LT} GROUP BY b
+),
+tot1 AS (SELECT sum(c_r) AS tot_r, sum(c_t) AS tot_t FROM idx1),
+lr1 AS (
+  SELECT b,
+         {sql_exact_round(
+             f"ln((c_t + 0.5) / (tot_t + {0.5 * DSIR_BUCKETS}))"
+             f" - ln((c_r + 0.5) / (tot_r + {0.5 * DSIR_BUCKETS}))", 9)}
+           AS lr
+  FROM idx1, tot1
+),
+f2 AS (
+  SELECT doc_id + {INC_OFFSET} AS doc_id, source, b
+  FROM feats WHERE doc_id % 10 >= {INC_B2_GE}
+),
+scores AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         cast(sum(cast(lr AS DECIMAL(28,9))) AS DOUBLE) AS lr_weight
+  FROM f2 JOIN lr1 USING (b) GROUP BY doc_id
+),
+cnt2 AS (
+  SELECT b, count(*) AS c_r,
+         sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+           AS c_t
+  FROM f2 GROUP BY b
+),
+idx_after AS (
+  SELECT coalesce(i.b, c.b) AS b,
+         CAST(coalesce(i.c_r, 0) + coalesce(c.c_r, 0) AS BIGINT) AS c_r,
+         CAST(coalesce(i.c_t, 0) + coalesce(c.c_t, 0) AS BIGINT) AS c_t
+  FROM idx1 i FULL OUTER JOIN cnt2 c ON i.b = c.b
+)
+SELECT 'batch_score' AS variant, doc_id AS k, n_feats AS n,
+       CAST(NULL AS BIGINT) AS c_t, lr_weight
+FROM scores
+UNION ALL
+SELECT 'index_after', b, c_r, c_t, CAST(NULL AS DOUBLE)
+FROM idx_after
 """
 
 # --- Hashed logistic quality classifier --------------------------------------

@@ -138,3 +138,57 @@ def test_corpus_dsir_sample_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_dsir_incremental_laws(spark):
+    """(1) Self-index equivalence: scoring a batch against the index
+    built FROM that batch reproduces dsir_log_ratio_weights exactly.
+    (2) Accrual law: accrue(index(C1), C2) = index(C1 ∪ C2) — exact
+    integer counts, cell equality."""
+    import pyspark.sql.functions as SF
+
+    rows = [
+        (
+            i,
+            ["wiki", "crawl"][i % 2],
+            " ".join(
+                ["alpha beta gamma", "delta epsilon zeta"][(i + j) % 2]
+                for j in range(1 + i % 3)
+            ),
+        )
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, src string, text string")
+    tgt = SF.col("src") == "wiki"
+
+    idx_self = corpus.dsir_bucket_index(df, tgt)
+    _, scores = corpus.dsir_score_batch(df, idx_self, tgt)
+    direct = corpus.dsir_log_ratio_weights(df, tgt)
+    got = {r.doc_id: (r.n_feats, r.lr_weight) for r in scores.collect()}
+    want = {r.doc_id: (r.n_feats, r.lr_weight) for r in direct.collect()}
+    assert got == want
+
+    c1 = df.where(SF.col("doc_id") < 40)
+    c2 = df.where(SF.col("doc_id") >= 40)
+    accrued, _ = corpus.dsir_score_batch(
+        c2, corpus.dsir_bucket_index(c1, tgt), tgt
+    )
+    full = corpus.dsir_bucket_index(df, tgt)
+    a = {r.b: (r.c_r, r.c_t) for r in accrued.collect()}
+    f = {r.b: (r.c_r, r.c_t) for r in full.collect()}
+    assert a == f
+
+
+def test_incremental_dsir_fresh_matches_duckdb(spark):
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = xc.incremental_dsir_fresh(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(xc.INCREMENTAL_DSIR_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "incremental_dsir_fresh") == []
+    assert set(spdf.variant) == {"batch_score", "index_after"}
+    # O(buckets) state: the index leg is exactly the bucket count
+    assert (spdf.variant == "index_after").sum() <= xc.DSIR_BUCKETS

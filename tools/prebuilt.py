@@ -31,6 +31,7 @@ def prebuilt_builders() -> dict:
         "corpus_dsir_sample": xc.corpus_dsir_sample,
         "corpus_quality_classifier": xc.corpus_quality_classifier,
         "hybrid_retrieval_rrf": xc.hybrid_retrieval_rrf,
+        "incremental_dsir_fresh": xc.incremental_dsir_fresh,
         "semdedup_routing_suite": gq.semdedup_routing_suite,
         # r14 debut candidate (pre-built r12): Sequential Poisson
         # weighted sampling, exponent-ladder top-n per stratum
