@@ -1,0 +1,131 @@
+"""Count-min sketch frequency estimation — bounded-state heavy
+hitters for the 100 TB / streaming path.
+
+The exact form of "which keys are hot" is ``groupBy(key).count()``:
+state proportional to the key cardinality, which at corpus scale (URL
+hosts, user ids, n-grams) is exactly what cannot be held.  The
+count-min sketch (Cormode & Muthukrishnan '05) replaces it with a
+fixed ``depth × width`` grid of counters: every occurrence increments
+one counter per row (``depth`` independent hashes), and a key's
+estimate is the MIN over its counters — never below the true count
+(each counter only ever over-counts via collisions), and above it by
+at most ``2N/width`` with probability ``1 - 2^-depth``.
+
+Spark shape — everything the streaming/mergeable story needs:
+
+* build: one ``posexplode`` (×depth row multiplier, no join) then a
+  single map-side-combinable ``groupBy(d, bucket).count()`` — the
+  partial aggregates ARE per-partition sketches and the shuffle
+  merges ≤ depth·width rows per partition, independent of data size.
+  That linearity (sketch(A ∪ B) = sketch(A) + sketch(B) cell-wise) is
+  what makes the sketch a streaming accumulator and a
+  ``foreachBatch``-friendly persisted state.
+* estimate: candidate keys re-derive their ``depth`` buckets
+  (posexplode again), LEFT-join the ≤ depth·width-row sketch —
+  always a broadcast hash join — and take ``min(coalesce(cnt, 0))``.
+  No shuffle touches the sketch side.
+* cross-engine exactness: the hash family is plain 64-bit integer
+  arithmetic ``((key pmod P) · a_d + b_d) mod P mod width`` with
+  P = 2^31 − 1 and public LCG multipliers, so the DuckDB oracle
+  rebuilds the IDENTICAL sketch from the same SQL text — estimates
+  hash-match cell-exactly, no FP anywhere.
+
+Reference scope: the reference engine has no sketch support; this is
+a beyond-parity operator for the training-data pipeline (hot-key
+detection feeding the salting path in ``operators/skew.py``, vocab
+pruning, abuse throttling).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime modulus + public LCG constants (Numerical Recipes,
+# glibc, Knuth) — all < 2^31 so (key mod P)·a stays under 2^63.
+CMS_P = 2_147_483_647
+CMS_HASHES: tuple[tuple[int, int], ...] = (
+    (1103515245, 12345),
+    (69069, 362437),
+    (1664525, 1013904223),
+    (22695477, 1),
+)
+
+
+def _bucket_sql(key: str, a: int, b: int, width: int) -> str:
+    """The shared Spark/DuckDB hash text: pmod into [0, P), one LCG
+    step, fold to [0, width).  Pure BIGINT ops, truncating ``%`` on
+    nonneg operands behaves identically in both engines."""
+    return (
+        f"((((({key}) % {CMS_P}) + {CMS_P}) % {CMS_P})"
+        f" * {a} + {b}) % {CMS_P} % {width}"
+    )
+
+
+def _bucket_array(key_col: str, width: int, depth: int) -> F.Column:
+    """array<long> of the key's ``depth`` bucket indices (index = d)."""
+    return F.array(
+        *[
+            F.expr(_bucket_sql(key_col, a, b, width)).cast("long")
+            for a, b in CMS_HASHES[:depth]
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, *, width: int = 128, depth: int = 4
+) -> DataFrame:
+    """Build the sketch: (d, bucket, cnt) with ≤ depth·width rows.
+
+    NULL keys are excluded (a null hashes nowhere; callers wanting a
+    null bucket coalesce to a sentinel first — the same contract as
+    the bucketed-rank joins).  Cells never hit by any key are simply
+    absent; ``cms_estimate`` reads absent as 0.
+    """
+    if depth > len(CMS_HASHES):
+        raise ValueError(f"depth ≤ {len(CMS_HASHES)} (fixed hash family)")
+    return (
+        df.where(F.col(key_col).isNotNull())
+        .select(
+            F.posexplode(_bucket_array(key_col, width, depth)).alias(
+                "d", "bucket"
+            )
+        )
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Cell-wise sum — the linearity that makes the sketch a
+    distributed/streaming accumulator: cms_merge(build(A), build(B))
+    equals build(A ∪ B) exactly (pinned by the unit law test)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    width: int = 128,
+    depth: int = 4,
+    est_col: str = "cms_est",
+) -> DataFrame:
+    """Point-query every row of ``keys``: MIN over the key's ``depth``
+    counters, missing cells counting as 0.  The sketch side is ≤
+    depth·width rows — broadcast it explicitly so the join never
+    shuffles the candidate stream."""
+    probes = keys.select(
+        "*", F.posexplode(_bucket_array(key_col, width, depth)).alias(
+            "d", "bucket"
+        )
+    )
+    joined = probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+    return (
+        joined.groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
+    )

@@ -865,6 +865,117 @@ FROM agg
 """
 
 
+# --- Count-min sketch heavy hitters (bounded-state hot keys) -----------------
+
+CMS_WIDTH = 128
+CMS_DEPTH = 4
+CMS_TOP_K = 20
+
+
+def cms_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection over ``events.user_id`` through a
+    count-min sketch (``operators/sketches.py``): the estimate of
+    every candidate key is the MIN over its depth×width counters, the
+    top-``CMS_TOP_K`` by estimate are emitted next to their exact
+    counts, and ``est_ge_exact`` states the CMS one-sided-error law
+    (never true-count-below — deterministically TRUE for every row).
+
+    The sketch hash family is pure BIGINT arithmetic shared verbatim
+    with the oracle SQL, so both engines build the IDENTICAL sketch
+    and the estimates hash-match cell-exactly — no bounds-twin
+    weakening needed (contrast ``sketch_aggregates_events``).
+
+    Scale shape: the sketch is one map-side-combinable aggregate into
+    ≤ 512 cells (partial aggregates are per-partition sketches — the
+    shuffle moves ≤ 512 rows per partition regardless of data size),
+    and the estimate join broadcasts those cells.  The exact
+    ``groupBy(user_id)`` twin is the verification half: at corpus
+    scale you keep the sketch, feed candidates from the current batch
+    only, and spot-check exact counts on a sample — the same
+    verification-query framing as ``sketch_bounds_events``.
+    """
+    from ..operators import sketches
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cms = sketches.cms_build(
+        ev, "user_id", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    est = sketches.cms_estimate(
+        cms, exact, "user_id", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+    from pyspark.sql import Window
+
+    # TakeOrdered top-K first (bounded, no global-window single task),
+    # THEN rank inside the K-row frame — identical to the global rank
+    # because the limit used the same ordering.
+    topk = est.orderBy(F.desc("cms_est"), F.asc("user_id")).limit(CMS_TOP_K)
+    w = Window.orderBy(F.desc("cms_est"), F.asc("user_id"))
+    return (
+        topk.withColumn("hh_rank", F.row_number().over(w))
+        .select(
+            "hh_rank",
+            "user_id",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("cms_est") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("est_err"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+        )
+    )
+
+
+def _cms_heavy_hitters_sql() -> str:
+    from ..operators.sketches import CMS_HASHES, _bucket_sql
+
+    hash_rows = ", ".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(CMS_HASHES[:CMS_DEPTH])
+    )
+    # the same arithmetic as _bucket_sql, parameterized by the VALUES row
+    bucket = _bucket_sql("e.user_id", 1, 0, CMS_WIDTH).replace(
+        " * 1 + 0", " * h.a + h.b"
+    )
+    return f"""
+WITH h AS (SELECT * FROM (VALUES {hash_rows}) t(d, a, b)),
+cells AS (
+  SELECT h.d, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM events e CROSS JOIN h
+  WHERE e.user_id IS NOT NULL
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+),
+probes AS (
+  SELECT e.user_id, e.exact_cnt, h.d, {bucket} AS bucket
+  FROM exact e CROSS JOIN h
+),
+est AS (
+  SELECT user_id, exact_cnt,
+         CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+  FROM probes p LEFT JOIN cells c USING (d, bucket)
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY cms_est DESC, user_id ASC) AS INT)
+           AS hh_rank,
+         user_id, cms_est, exact_cnt,
+         cms_est - exact_cnt AS est_err,
+         cms_est >= exact_cnt AS est_ge_exact
+  FROM est
+) WHERE hh_rank <= {CMS_TOP_K}
+"""
+
+
+CMS_HEAVY_HITTERS_SQL = _cms_heavy_hitters_sql()
+
+
 # --- Set operations ---------------------------------------------------------
 
 

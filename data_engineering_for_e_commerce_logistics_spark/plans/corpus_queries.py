@@ -15,7 +15,7 @@ Exactness notes (cross-engine):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
@@ -1150,6 +1150,92 @@ SELECT query_id, item_id, lex_rank, sem_rank, rrf_score, rrf_rank FROM (
   FROM fused
 ) WHERE rrf_rank <= {RRF_K}
 """
+
+# --- Hard-negative mining (retriever-training pairs) -------------------------
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine BM25 hard negatives for dense-retriever training (the
+    DPR / RocketQA recipe: the strongest negatives are documents a
+    lexical retriever scores HIGH but that are not true neighbors).
+    With no relevance labels in the corpus, the exact-cosine top-pool
+    stands in for the positive set — so a hard negative is a doc in
+    the BM25 top-``RRF_POOL`` that is NOT in the semantic
+    top-``RRF_POOL`` for the same query.
+
+    Emits the full lexical pool per query with ``sem_rank`` (NULL ⇔
+    hard negative) and ``hn_rank`` — the training-pair order, densest
+    lexical confusions first.
+
+    Scale shape: both legs are the registered bounded retrievers
+    (broadcast query terms / query vectors, corpus never self-joins);
+    the mining join touches only |queries| × pool rows, and the
+    hn_rank window partitions on (query, flag) over ≤ pool rows per
+    group — bounded by construction, independent of corpus size.
+    Shares the one cached (doc, term, tf) corpus pass with the other
+    lexical legs (a future registry trade can fuse this with
+    ``hybrid_retrieval_rrf`` off one shared pool)."""
+    from ..operators import similarity
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    tf = (
+        docs.select("doc_id", F.explode(text.tokens_col("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
+    )
+    lex = corpus.bm25_topk(
+        docs, RRF_QUERY_IDS, k=RRF_POOL, k1=BM25_K1, b=BM25_B, tf_table=tf
+    ).select(
+        "query_id",
+        F.col("doc_id").alias("item_id"),
+        F.col("rank").alias("lex_rank"),
+    )
+    sem = similarity.brute_force_topk(
+        emb, query_ids=RRF_QUERY_IDS, k=RRF_POOL
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("item_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    base = lex.join(F.broadcast(sem), ["query_id", "item_id"], "left").withColumn(
+        "is_hard_negative", F.col("sem_rank").isNull()
+    )
+    w = Window.partitionBy("query_id", "is_hard_negative").orderBy("lex_rank")
+    return base.select(
+        "query_id",
+        "item_id",
+        "lex_rank",
+        "sem_rank",
+        "is_hard_negative",
+        F.when(F.col("is_hard_negative"), F.row_number().over(w))
+        .cast("int")
+        .alias("hn_rank"),
+    )
+
+
+def _hard_negative_sql() -> str:
+    """Reuse the RRF oracle's two retrieval legs verbatim (same
+    constants, same CTE chain) and swap the fusion tail for the
+    mining select — the SQL-surgery pattern of _cluster_reps_sql."""
+    prefix, _ = HYBRID_RETRIEVAL_RRF_SQL.rsplit(",\nfused AS (", 1)
+    return f"""{prefix},
+hn AS (
+  SELECT l.query_id, l.item_id, l.rank AS lex_rank, s.rank AS sem_rank,
+         s.rank IS NULL AS is_hard_negative
+  FROM lex l LEFT JOIN sem s
+    ON l.query_id = s.query_id AND l.item_id = s.item_id
+)
+SELECT query_id, item_id, lex_rank, sem_rank, is_hard_negative,
+       CASE WHEN is_hard_negative THEN CAST(row_number() OVER (
+            PARTITION BY query_id, is_hard_negative
+            ORDER BY lex_rank) AS INT) END AS hn_rank
+FROM hn
+"""
+
+
+HARD_NEGATIVE_MINING_SQL = _hard_negative_sql()
 
 # --- Cluster representative selection ---------------------------------------
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions import exact_round
+from ..functions import exact_round, sql_exact_round
 from ..operators import dedup
 from ..operators.dedup import sql_shingles
 from .extended_queries import BANDS, NUM_HASHES, SHINGLE_K, THRESHOLD
@@ -3082,6 +3082,125 @@ SELECT 'vector', ex.dim, ex.vec_id, NULL, NULL,
 FROM ex JOIN st USING (dim)
 WHERE ex.vec_id % {STD_SAMPLE_MOD} = 0
 """
+
+
+# --- Johnson–Lindenstrauss projection (map-only dim reduction) ---------------
+
+JL_OUT_DIM = 16
+JL_DIST_IDS = 20  # pairwise distance-preservation leg: first N vectors
+
+
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic JL projection 64→16 (r12 unit-first;
+    ``operators/similarity.py:jl_project``) with its own evidence leg:
+
+    * 'comp' rows — every vector's projected components, exploded, so
+      the driver hash pins the map-only transform cell-exactly;
+    * 'dist' rows — for the first JL_DIST_IDS vectors, every pair's
+      (projected squared distance / original squared distance): the
+      JL lemma made visible inside the oracle-checked result (ratios
+      cluster around 1; the unit test asserts the ε-band, the oracle
+      asserts cross-engine equality).
+
+    Scale: the comp leg is one shuffle-free codegen expression over
+    the corpus; the dist leg joins a broadcast {JL_DIST_IDS}-row frame
+    against itself — bounded by construction."""
+    from ..operators.similarity import _sq_dist, jl_project
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    proj = jl_project(emb, out_dim=JL_OUT_DIM)
+    comp = proj.select(
+        F.lit("comp").alias("variant"),
+        F.col("vec_id").alias("a"),
+        F.posexplode("jl").alias("b", "__x"),
+    ).select(
+        "variant",
+        "a",
+        F.col("b").cast("bigint").alias("b"),
+        exact_round(F.col("__x"), 6).alias("x"),
+    )
+
+    sub = (
+        emb.where(F.col("vec_id") < JL_DIST_IDS)
+        .join(proj, "vec_id")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda z: z.cast("double")).alias("v"),
+            "jl",
+        )
+    )
+    rhs = sub.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("jl").alias("bjl"),
+    )
+    dist = (
+        sub.join(F.broadcast(rhs), F.col("vec_id") < F.col("b_id"))
+        .select(
+            F.lit("dist").alias("variant"),
+            F.col("vec_id").alias("a"),
+            F.col("b_id").alias("b"),
+            _sq_dist(F.col("jl"), F.col("bjl")).alias("__jd"),
+            _sq_dist(F.col("v"), F.col("bv")).alias("__od"),
+        )
+        .where(F.col("__od") > 0)
+        .select(
+            "variant",
+            "a",
+            "b",
+            exact_round(F.col("__jd") / F.col("__od"), 4).alias("x"),
+        )
+    )
+    return comp.unionByName(dist)
+
+
+def _jl_sql() -> str:
+    from ..operators.similarity import JL_I, JL_J, JL_P
+
+    sign = (
+        f"(1 - 2 * ((i * {JL_I[0]} + {JL_I[1]}) % {JL_P}"
+        f" * ((j * {JL_J[0]} + {JL_J[1]}) % {JL_P}) % {JL_P} % 2))"
+    )
+    inv = repr(float(JL_OUT_DIM) ** 0.5)
+    sqd = (
+        "list_reduce(list_transform(list_zip({a}, {b}),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])), (x, y) -> x + y)"
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, zz -> CAST(zz AS DOUBLE)) AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id,
+         list_transform(range(0, {JL_OUT_DIM}), j ->
+           list_reduce(
+             list_transform(range(0, len(v)),
+               i -> v[i + 1] * {sign}),
+             (x, y) -> x + y) / {inv}) AS jl
+  FROM e
+),
+comp AS (
+  SELECT 'comp' AS variant, vec_id AS a,
+         CAST(generate_subscripts(jl, 1) - 1 AS BIGINT) AS b,
+         {sql_exact_round('unnest(jl)', 6)} AS x
+  FROM proj
+),
+sub AS (
+  SELECT e.vec_id, e.v, p.jl FROM e JOIN proj p USING (vec_id)
+  WHERE e.vec_id < {JL_DIST_IDS}
+),
+dist AS (
+  SELECT 'dist' AS variant, s.vec_id AS a, t.vec_id AS b,
+         {sql_exact_round(sqd.format(a='s.jl', b='t.jl') + ' / ' + sqd.format(a='s.v', b='t.v'), 4)} AS x
+  FROM sub s JOIN sub t ON s.vec_id < t.vec_id
+  WHERE {sqd.format(a='s.v', b='t.v')} > 0
+)
+SELECT * FROM comp UNION ALL SELECT * FROM dist
+"""
+
+
+JL_PROJECT_SQL = _jl_sql()
 
 
 # --- Alternating-star CC over user activity chains (THE r18 debut,

@@ -86,7 +86,11 @@ sit in the registering round's own backlog) plus the slack the r14
 window's 49-load leaves; pin the exact arithmetic with
 ``tools/rotate_registry.py`` at that round's open.  All builders sit
 in ``tools/prebuilt.py`` with solo baselines and sf0.01
-differentials.
+differentials.  Late-r12 additions to the runway (debut candidates
+r15+ as slots free): ``cms_heavy_hitters_events`` (count-min sketch,
+cell-exact shared-arithmetic oracle), ``hard_negative_mining``
+(BM25 ∖ cosine retriever-training pairs) and
+``jl_project_embeddings`` (map-only ±1 dimension reduction).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

@@ -1,0 +1,110 @@
+"""Count-min sketch family (pre-built r12): the sketch must obey the
+CMS laws against an independent Python reference (cell-exact build,
+one-sided estimates, cell-wise mergeability), and the heavy-hitter
+spec must match its DuckDB oracle exactly — the hash family is shared
+integer arithmetic, so both engines build the identical sketch."""
+
+from __future__ import annotations
+
+from data_engineering_for_e_commerce_logistics_spark.operators import (
+    sketches,
+)
+from data_engineering_for_e_commerce_logistics_spark.plans import (
+    analytics_queries as aq,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _py_bucket(k: int, a: int, b: int, width: int) -> int:
+    p = sketches.CMS_P
+    return ((((k % p) + p) % p) * a + b) % p % width
+
+
+def _py_cms(keys, width=32, depth=4):
+    cells: dict[tuple[int, int], int] = {}
+    for k in keys:
+        for d, (a, b) in enumerate(sketches.CMS_HASHES[:depth]):
+            cell = (d, _py_bucket(k, a, b, width))
+            cells[cell] = cells.get(cell, 0) + 1
+    return cells
+
+
+def test_cms_build_matches_python_reference(spark):
+    keys = [i * i % 97 for i in range(500)] + [-5] * 7  # skew + negatives
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        (r.d, r.bucket): r.cnt
+        for r in sketches.cms_build(df, "k", width=32).collect()
+    }
+    assert got == _py_cms(keys, width=32)
+
+
+def test_cms_estimate_one_sided_and_exact_when_sparse(spark):
+    """Estimates never fall below true counts (the CMS law the spec's
+    est_ge_exact column states), and with width >> cardinality the
+    estimate is exact for every key."""
+    keys = [i % 10 for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    exact = {k: keys.count(k) for k in set(keys)}
+
+    # collision-heavy: width 4 forces overcounts, never undercounts
+    tight = sketches.cms_build(df, "k", width=4)
+    cand = df.distinct()
+    for r in sketches.cms_estimate(tight, cand, "k", width=4).collect():
+        assert r.cms_est >= exact[r.k]
+
+    # sparse: width 1024 over 10 keys — min over 4 rows is exact
+    wide = sketches.cms_build(df, "k", width=1024)
+    got = {
+        r.k: r.cms_est
+        for r in sketches.cms_estimate(wide, cand, "k", width=1024).collect()
+    }
+    assert got == exact
+
+
+def test_cms_merge_law(spark):
+    """sketch(C1) + sketch(C2) = sketch(C1 ∪ C2) cell-wise — the
+    property that makes partial aggregates per-partition sketches and
+    the sketch a streaming accumulator."""
+    df = spark.createDataFrame([(i % 37,) for i in range(300)], "k long")
+    c1 = df.where("k < 20")
+    c2 = df.where("k >= 20")
+    merged = {
+        (r.d, r.bucket): r.cnt
+        for r in sketches.cms_merge(
+            sketches.cms_build(c1, "k", width=32),
+            sketches.cms_build(c2, "k", width=32),
+        ).collect()
+    }
+    full = {
+        (r.d, r.bucket): r.cnt
+        for r in sketches.cms_build(df, "k", width=32).collect()
+    }
+    assert merged == full
+
+
+def test_cms_heavy_hitters_matches_duckdb(spark):
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = aq.cms_heavy_hitters_events(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(aq.CMS_HEAVY_HITTERS_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "cms_heavy_hitters_events") == []
+    assert len(spdf) == aq.CMS_TOP_K
+    assert spdf.est_ge_exact.all()  # the one-sided law, stated per row
+    assert (spdf.est_err >= 0).all()
+
+
+def test_cms_heavy_hitters_plan_shape(spark):
+    """Sketch side must broadcast (≤ 512 cells); no cartesian, no
+    Python, top-K via TakeOrdered not a global window over all keys."""
+    df = aq.cms_heavy_hitters_events(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan

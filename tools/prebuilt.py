@@ -9,6 +9,9 @@ from __future__ import annotations
 
 def prebuilt_builders() -> dict:
     from data_engineering_for_e_commerce_logistics_spark.plans import (
+        analytics_queries as aq,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.plans import (
         corpus_queries as xc,
     )
     from data_engineering_for_e_commerce_logistics_spark.plans import (
@@ -31,7 +34,16 @@ def prebuilt_builders() -> dict:
         "corpus_dsir_sample": xc.corpus_dsir_sample,
         "corpus_quality_classifier": xc.corpus_quality_classifier,
         "hybrid_retrieval_rrf": xc.hybrid_retrieval_rrf,
+        # r12 pre-build: BM25 hard negatives vs the cosine pool (the
+        # retriever-training miner; oracle reuses the RRF leg CTEs)
+        "hard_negative_mining": xc.hard_negative_mining,
         "incremental_dsir_fresh": xc.incremental_dsir_fresh,
+        # r12 pre-build: count-min sketch heavy hitters (bounded-state
+        # hot keys; shared-arithmetic hash family, cell-exact oracle)
+        "cms_heavy_hitters_events": aq.cms_heavy_hitters_events,
+        # r12 pre-build: JL ±1 random projection (map-only 64→16 dim
+        # reduction for the ANN screen path; distance-ratio leg)
+        "jl_project_embeddings": gq.jl_project_embeddings,
         "semdedup_routing_suite": gq.semdedup_routing_suite,
         # r14 debut candidate (pre-built r12): Sequential Poisson
         # weighted sampling, exponent-ladder top-n per stratum
