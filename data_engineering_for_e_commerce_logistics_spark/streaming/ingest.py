@@ -570,3 +570,84 @@ def start_dedup_ingest_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- Count-min sketch as streaming state --------------------------------------
+
+
+def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """Merge-on-read of the persisted sketch segments: cell-wise sum
+    over every committed per-batch partial (CMS linearity — the sum
+    of partials IS the sketch of the union).  Between compactions the
+    read touches ≤ compact_every × depth × width rows."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def start_cms_stream(
+    spark: SparkSession,
+    source_path: str,
+    sketch_path: str,
+    checkpoint_path: str,
+    key_col: str,
+    schema: str | T.StructType,
+    width: int = 128,
+    depth: int = 4,
+    compact_every: int = 8,
+    trigger_available_now: bool = True,
+):
+    """Streaming frequency sketch: each micro-batch builds its OWN
+    count-min partial (``operators/sketches.py:cms_build``) and lands
+    it as a ``batch_id``-keyed segment; the live sketch is the
+    cell-wise merge of all segments (``read_cms_sketch``).  Total
+    state is ≤ depth·width counters regardless of ingest volume — the
+    streaming twin of the heavy-hitter spec's build half, and the
+    bounded-state contrast to ``running_user_totals`` (whose state
+    grows with key cardinality).
+
+    Exactly-once without a state store (the dedup-ingest discipline):
+    a replayed micro-batch recomputes an identical partial, and the
+    ``_SUCCESS``-guarded per-batch partition write skips committed
+    segments — counts can never double.  Every ``compact_every``
+    batches the segments swap-collapse into ONE (a cell-wise merge —
+    linearity again), bounding segment count by the rhythm; the
+    compaction is itself replay-idempotent (re-merging a single
+    compacted segment reproduces it, and it lands under the already-
+    committed triggering batch_id via the same write-new + swap dance
+    as ``layout.compact_in_place``)."""
+    import os
+    import shutil
+
+    from ..operators.sketches import cms_build
+
+    def cms_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        part = cms_build(batch_df, key_col, width=width, depth=depth)
+        part_dir = os.path.join(sketch_path, f"batch_id={batch_id}")
+        if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+            part.write.mode("overwrite").parquet(part_dir)
+        if (batch_id + 1) % compact_every == 0:
+            merged = read_cms_sketch(sess, sketch_path)
+            tmp = sketch_path + ".compact-tmp"
+            old = sketch_path + ".compact-old"
+            shutil.rmtree(tmp, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            merged.write.mode("overwrite").parquet(
+                os.path.join(tmp, f"batch_id={batch_id}")
+            )
+            os.rename(sketch_path, old)
+            os.rename(tmp, sketch_path)
+            shutil.rmtree(old, ignore_errors=True)
+
+    reader = spark.readStream.schema(schema)
+    writer = (
+        reader.parquet(source_path)
+        .writeStream.foreachBatch(cms_batch)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

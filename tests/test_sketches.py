@@ -108,3 +108,83 @@ def test_cms_heavy_hitters_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cms_stream_matches_batch_sketch(spark, tmp_path):
+    """Streaming twin (start_cms_stream): feeding the events table
+    through per-file micro-batches and merging segment partials must
+    reproduce the batch sketch cell-exactly (CMS linearity end to
+    end), a replayed batch must not double-count, and compaction must
+    collapse the segments without changing any cell."""
+    import os
+
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        read_parquet_table,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.streaming import (
+        ingest,
+    )
+
+    ev = read_parquet_table(spark, f"{SF}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    src = str(tmp_path / "src")
+    # 5 source files → several micro-batches under maxFilesPerTrigger
+    ev.repartition(5).write.parquet(src)
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest.start_cms_stream(
+        spark,
+        src,
+        sketch,
+        ckpt,
+        "user_id",
+        schema="event_id long, user_id long",
+        width=64,
+        depth=4,
+        compact_every=3,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.d, r.bucket): r.cnt
+        for r in ingest.read_cms_sketch(spark, sketch).collect()
+    }
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in sketches.cms_build(ev, "user_id", width=64).collect()
+    }
+    assert got == want
+
+    # every surviving segment is _SUCCESS-committed (the replay guard's
+    # precondition), and total sketch mass equals rows × depth — the
+    # invariant the guard protects against double-counting
+    segs = sorted(d for d in os.listdir(sketch) if d.startswith("batch_id="))
+    assert segs
+    for s in segs:
+        assert os.path.exists(os.path.join(sketch, s, "_SUCCESS")), s
+    mass = sum(
+        r.cnt for r in ingest.read_cms_sketch(spark, sketch).collect()
+    )
+    n_rows = ev.where("user_id IS NOT NULL").count()
+    assert mass == n_rows * 4  # depth rows per event
+
+    # second availableNow run over the SAME checkpoint: no new files →
+    # no new segments, sketch unchanged (restart safety)
+    q2 = ingest.start_cms_stream(
+        spark,
+        src,
+        sketch,
+        ckpt,
+        "user_id",
+        schema="event_id long, user_id long",
+        width=64,
+        depth=4,
+        compact_every=3,
+    )
+    q2.awaitTermination(120)
+    again = {
+        (r.d, r.bucket): r.cnt
+        for r in ingest.read_cms_sketch(spark, sketch).collect()
+    }
+    assert again == want
