@@ -430,6 +430,38 @@ def split_assign(
     )
 
 
+def cluster_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: every member of a
+    near-duplicate cluster lands in the SAME split, so a test document
+    can never have a near-copy in train (the contamination channel
+    row-level hashing leaves open — ``split_assign`` keyed on doc_id
+    happily separates two 0.95-Jaccard twins across the boundary).
+
+    ``clusters`` maps member ids → cluster representative (the
+    LSH connected-components output); docs outside any cluster are
+    their own singleton cluster (coalesce to own id), and the split
+    key is md5 of the CLUSTER id — members inherit the representative
+    draw, split fractions stay 13/2/1 over clusters.
+
+    Scale shape: one left equi-join of the corpus against the cluster
+    map (a small fraction of the corpus — only near-dup members
+    appear) + the per-row hash map; no window, no corpus self-join.
+    At 100 TB the cluster map is the dedup pipeline's existing
+    byproduct — this operator adds one join to work already done."""
+    key = F.coalesce(F.col(cluster_col), F.col(id_col))
+    joined = (
+        df.join(clusters.select(id_col, cluster_col), id_col, "left")
+        .withColumn("cluster_key", key)
+        .drop(cluster_col)
+    )
+    return split_assign(joined, id_col="cluster_key")
+
+
 def stratified_sample_flag(
     df: DataFrame,
     strata: list[str],

@@ -400,6 +400,101 @@ SELECT doc_id, lang, hash_key, split,
 FROM t
 """
 
+# --- Leakage-safe cluster split (pre-built r12) ------------------------------
+
+
+def cluster_safe_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-proof corpus split (``corpus.cluster_safe_split``):
+    near-dup clusters from the LSH pipeline assign atomically to one
+    split, so no test doc has a train near-copy.  Three evidence legs
+    under one tagged union:
+
+    * 'doc' — every doc's cluster key and inherited split;
+    * 'audit' — per-split doc and cluster counts (the 13/2/1 hash
+      fractions hold over CLUSTERS, the unit of assignment);
+    * 'leak' — the count of clusters spanning >1 split: the operator's
+      defining invariant, deterministically 0, hash-checked (the
+      est_ge_exact discipline — state the law as a checked cell).
+
+    Scale: the cluster map is the dedup pipeline's byproduct (bounded
+    by near-dup membership, not corpus size); the audit legs add two
+    hash-aggs over (cluster_key, split) pairs."""
+    from . import graph_queries as gq
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    clusters = gq.dedup_clusters(spark, sf_dir)
+    labeled = corpus.cluster_safe_split(
+        docs.select("doc_id"), clusters
+    ).select("doc_id", "cluster_key", "split")
+    nb = F.lit(None).cast("bigint")
+    doc_rows = labeled.select(
+        F.lit("doc").alias("variant"),
+        "doc_id",
+        "cluster_key",
+        "split",
+        nb.alias("n_docs"),
+        nb.alias("n_clusters"),
+    )
+    audit = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_key").alias("n_clusters"),
+    ).select(
+        F.lit("audit").alias("variant"),
+        nb.alias("doc_id"),
+        nb.alias("cluster_key"),
+        "split",
+        "n_docs",
+        "n_clusters",
+    )
+    leak = (
+        labeled.groupBy("cluster_key")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .where(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.lit("leak").alias("variant"),
+            nb.alias("doc_id"),
+            nb.alias("cluster_key"),
+            F.lit(None).cast("string").alias("split"),
+            nb.alias("n_docs"),
+            "n_clusters",
+        )
+    )
+    return doc_rows.unionByName(audit).unionByName(leak)
+
+
+def _cluster_safe_split_sql() -> str:
+    from .graph_queries import DEDUP_CLUSTERS_SQL
+
+    body, final = DEDUP_CLUSTERS_SQL.rsplit("SELECT", 1)
+    return f"""{body}
+, clusters AS (SELECT{final})
+, labeled AS (
+  SELECT d.doc_id,
+         coalesce(c.cluster_id, d.doc_id) AS cluster_key,
+         CASE WHEN substr(md5(coalesce(c.cluster_id, d.doc_id)::VARCHAR),
+                          1, 1) < 'd' THEN 'train'
+              WHEN substr(md5(coalesce(c.cluster_id, d.doc_id)::VARCHAR),
+                          1, 1) < 'f' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents d LEFT JOIN clusters c USING (doc_id)
+)
+SELECT 'doc' AS variant, doc_id, cluster_key, split,
+       CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_clusters
+FROM labeled
+UNION ALL
+SELECT 'audit', NULL, NULL, split, count(*),
+       count(DISTINCT cluster_key)
+FROM labeled GROUP BY split
+UNION ALL
+SELECT 'leak', NULL, NULL, NULL, NULL, CAST(count(*) AS BIGINT)
+FROM (SELECT cluster_key FROM labeled
+      GROUP BY cluster_key HAVING count(DISTINCT split) > 1)
+"""
+
+
+CLUSTER_SAFE_SPLIT_SQL = _cluster_safe_split_sql()
+
 # --- Weighted sampling (Sequential Poisson, r14 debut candidate) -----------
 
 WEIGHTED_SAMPLE_PER_SOURCE = 40

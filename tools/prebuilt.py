@@ -48,6 +48,9 @@ def prebuilt_builders() -> dict:
         # r14 debut candidate (pre-built r12): Sequential Poisson
         # weighted sampling, exponent-ladder top-n per stratum
         "corpus_weighted_sample": xc.corpus_weighted_sample,
+        # r12 pre-build: leakage-safe split (near-dup clusters assign
+        # atomically; 'leak' leg states the invariant as a checked cell)
+        "cluster_safe_split_documents": xc.cluster_safe_split_documents,
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
