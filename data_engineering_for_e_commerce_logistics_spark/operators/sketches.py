@@ -129,3 +129,92 @@ def cms_estimate(
         joined.groupBy(*keys.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))
     )
+
+
+def cms_pack(cms: DataFrame) -> DataFrame:
+    """Fold the ≤ depth·width sketch cells into a ONE-ROW map keyed by
+    ``d·width + bucket`` (the broadcast-scalar pattern of
+    ``operators/bloom.py`` — never ``.collect()``), so per-row
+    estimates become pure map lookups with no join and no explode of
+    the probing table."""
+    return cms.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("d") * F.lit(1_000_000) + F.col("bucket"))
+                    .cast("long")
+                    .alias("k"),
+                    F.col("cnt").alias("v"),
+                )
+            )
+        ).alias("__cmsmap")
+    )
+
+
+def cms_salted_aggregate(
+    df: DataFrame,
+    key_col: str,
+    cms: DataFrame,
+    threshold: int,
+    *,
+    sums: dict[str, str] | None = None,
+    count_alias: str = "n_rows",
+    flag_alias: str = "took_salted_path",
+    salt_buckets: int = 16,
+    width: int = 128,
+    depth: int = 4,
+) -> DataFrame:
+    """Skew-aware aggregation with the hot keys DISCOVERED by the
+    sketch instead of a prior exact count: every row's key estimates
+    against the packed sketch (map lookups on a broadcast scalar —
+    no join, no row multiplier), keys at or above ``threshold`` get a
+    per-row salt, cold keys salt 0 — ONE aggregation tree where the
+    hot keys spread over ``salt_buckets`` partitions and everything
+    else pays nothing.
+
+    Correct by the CMS one-sided law: estimates never undershoot, so
+    NO truly-hot key can miss the salted path — false positives just
+    take it unnecessarily.  Result is bit-identical to the plain
+    ``groupBy(key)`` (count and decimal sums are associative-exact;
+    the salt only reshapes the shuffle), which is what the oracle
+    checks.
+
+    The 100 TB point: ``operators/skew.py:salted_aggregate`` salts
+    EVERY key (phase-2 cost on the full key cardinality), and finding
+    hot keys exactly costs the very skewed shuffle being avoided; the
+    sketch finds them in one cheap mergeable pass — or arrives
+    already-built from the streaming accumulator."""
+    sums = sums or {}
+    probes = [
+        (
+            F.expr(_bucket_sql(key_col, a, b, width)) + F.lit(d * 1_000_000)
+        ).cast("long")
+        for d, (a, b) in enumerate(CMS_HASHES[:depth])
+    ]
+    est = F.least(
+        *[
+            F.coalesce(F.element_at(F.col("__cmsmap"), p), F.lit(0))
+            for p in probes
+        ]
+    )
+    salted = (
+        df.crossJoin(F.broadcast(cms_pack(cms)))
+        .withColumn("__hot", est >= F.lit(threshold))
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot"),
+                F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)),
+            ).otherwise(F.lit(0)),
+        )
+    )
+    phase1 = salted.groupBy(key_col, "__salt").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.max("__hot").alias("__hot"),  # constant per key
+        *[F.sum(F.expr(col)).alias(f"__sum_{a}") for a, col in sums.items()],
+    )
+    return phase1.groupBy(key_col).agg(
+        F.sum("__cnt").alias(count_alias),
+        F.max("__hot").alias(flag_alias),
+        *[F.sum(f"__sum_{a}").alias(a) for a in sums],
+    )

@@ -976,6 +976,93 @@ SELECT * FROM (
 CMS_HEAVY_HITTERS_SQL = _cms_heavy_hitters_sql()
 
 
+# --- CMS-informed conditional salting ----------------------------------------
+
+CMS_SALT_WIDTH = 1024  # wider than the heavy-hitter sketch: estimates
+# gate a per-key routing decision here, so width should dominate key
+# cardinality (~1.5k users at sf0.1) — still only 4096 cells
+CMS_SALT_THRESHOLD = 75
+CMS_SALT_BUCKETS = 16
+
+
+def cms_salted_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event rollup through the sketch-gated salting path
+    (``operators/sketches.py:cms_salted_aggregate``): keys the CMS
+    estimates at ≥ {threshold} rows take a 16-way salt, the rest
+    aggregate plain — one tree, and the result is bit-identical to
+    ``groupBy(user_id)`` (the oracle is exactly that plain GROUP BY,
+    plus the deterministic flag recomputed from the shared-arithmetic
+    sketch).  ``took_salted_path`` makes the routing decision itself
+    a hash-checked cell.
+
+    The one-sided CMS law guarantees no truly-hot key dodges the
+    salt; estimate inflation under bucket collisions only ever salts
+    MORE keys (still correct, mildly more phase-2 work) — which is
+    why this spec widens the sketch to dominate key cardinality."""
+    from ..operators import sketches
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = ev.where(F.col("user_id").isNotNull())
+    cms = sketches.cms_build(
+        ev, "user_id", width=CMS_SALT_WIDTH, depth=CMS_DEPTH
+    )
+    out = sketches.cms_salted_aggregate(
+        ev,
+        "user_id",
+        cms,
+        CMS_SALT_THRESHOLD,
+        sums={"__sv": "cast(value as decimal(28,8))"},
+        count_alias="n_events",
+        salt_buckets=CMS_SALT_BUCKETS,
+        width=CMS_SALT_WIDTH,
+        depth=CMS_DEPTH,
+    )
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round(F.col("__sv"), 2).cast("double").alias("sum_value"),
+        "took_salted_path",
+    )
+
+
+def _cms_salted_rollup_sql() -> str:
+    from ..operators.sketches import CMS_HASHES, _bucket_sql
+
+    hash_rows = ", ".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(CMS_HASHES[:CMS_DEPTH])
+    )
+    bucket = _bucket_sql("e.user_id", 1, 0, CMS_SALT_WIDTH).replace(
+        " * 1 + 0", " * h.a + h.b"
+    )
+    return f"""
+WITH h AS (SELECT * FROM (VALUES {hash_rows}) t(d, a, b)),
+ev AS (SELECT * FROM events WHERE user_id IS NOT NULL),
+cells AS (
+  SELECT h.d, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev e CROSS JOIN h
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         {sql_exact_sum("value", 2)} AS sum_value
+  FROM ev GROUP BY 1
+),
+est AS (
+  SELECT p.user_id, min(coalesce(c.cnt, 0)) AS cms_est
+  FROM (SELECT e.user_id, h.d, {bucket} AS bucket
+        FROM (SELECT DISTINCT user_id FROM ev) e CROSS JOIN h) p
+  LEFT JOIN cells c USING (d, bucket)
+  GROUP BY 1
+)
+SELECT a.user_id, a.n_events, a.sum_value,
+       e.cms_est >= {CMS_SALT_THRESHOLD} AS took_salted_path
+FROM agg a JOIN est e USING (user_id)
+"""
+
+
+CMS_SALTED_ROLLUP_SQL = _cms_salted_rollup_sql()
+
+
 # --- Set operations ---------------------------------------------------------
 
 

@@ -188,3 +188,69 @@ def test_cms_stream_matches_batch_sketch(spark, tmp_path):
         for r in ingest.read_cms_sketch(spark, sketch).collect()
     }
     assert again == want
+
+
+def test_cms_salted_aggregate_equals_plain_groupby(spark):
+    """The conditional-salting law: result bit-identical to the plain
+    groupBy (salt only reshapes the shuffle), and the one-sided CMS
+    law means every truly-hot key is flagged — no false negatives."""
+    from pyspark.sql import functions as F
+
+    rows = [(i % 50, float(i % 7)) for i in range(2000)] + [
+        (999, 1.5)
+    ] * 500  # one genuinely hot key
+    df = spark.createDataFrame(rows, "k long, v double")
+    cms = sketches.cms_build(df, "k", width=256)
+    out = {
+        r.k: (r.n_rows, r.sv, r.took_salted_path)
+        for r in sketches.cms_salted_aggregate(
+            df,
+            "k",
+            cms,
+            threshold=100,
+            sums={"sv": "cast(v as decimal(28,8))"},
+            width=256,
+        ).collect()
+    }
+    plain = {
+        r.k: (r.n, float(r.sv))
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("cast(v as decimal(28,8))")).alias("sv"),
+        )
+        .collect()
+    }
+    assert set(out) == set(plain)
+    for k, (n, sv) in plain.items():
+        assert out[k][0] == n, k
+        assert float(out[k][1]) == sv, k
+        if n >= 100:  # truly hot ⇒ MUST be salted (one-sided law)
+            assert out[k][2], k
+
+
+def test_cms_salted_rollup_matches_duckdb(spark):
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = aq.cms_salted_rollup_events(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(aq.CMS_SALTED_ROLLUP_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "cms_salted_rollup_events") == []
+    # the fixture actually exercises BOTH paths
+    assert spdf.took_salted_path.any()
+    assert (~spdf.took_salted_path).any()
+
+
+def test_cms_salted_rollup_plan_shape(spark):
+    """Packed sketch is a broadcast scalar (nested-loop over ONE row,
+    the bloom-words pattern); no cartesian, no Python, no sort-merge
+    join anywhere — one aggregation tree."""
+    df = aq.cms_salted_rollup_events(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan

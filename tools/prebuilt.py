@@ -41,6 +41,10 @@ def prebuilt_builders() -> dict:
         # r12 pre-build: count-min sketch heavy hitters (bounded-state
         # hot keys; shared-arithmetic hash family, cell-exact oracle)
         "cms_heavy_hitters_events": aq.cms_heavy_hitters_events,
+        # r12 pre-build: sketch-gated conditional salting (hot keys
+        # discovered by the CMS take the salt; bit-identical to plain
+        # groupBy, flag is a hash-checked cell)
+        "cms_salted_rollup_events": aq.cms_salted_rollup_events,
         # r12 pre-build: JL ±1 random projection (map-only 64→16 dim
         # reduction for the ANN screen path; distance-ratio leg)
         "jl_project_embeddings": gq.jl_project_embeddings,
