@@ -218,3 +218,113 @@ def cms_salted_aggregate(
         F.max("__hot").alias(flag_alias),
         *[F.sum(f"__sum_{a}").alias(a) for a in sums],
     )
+
+
+# --- Mergeable quantile histogram ---------------------------------------------
+#
+# The quantile companion to the count-min sketch: a fixed-bin
+# histogram is the simplest MERGEABLE quantile summary (cell-wise sum,
+# like the CMS), with deterministic error ≤ one bin width — versus
+# approx_percentile's t-digest, whose cell values are engine- and
+# merge-order-specific (the reason sketch_aggregates_events is
+# rows-only).  Shared-arithmetic binning makes the histogram itself
+# cell-exact across engines, so the sketch AND its quantile estimates
+# hash-match; pick lo/hi/bins so the width is a dyadic rational
+# (e.g. (1024 - 0)/256 = 4.0) and the binning division is exact.
+
+
+def _hist_bin_sql(col: str, lo: float, hi: float, bins: int) -> str:
+    """Shared Spark/DuckDB bin text: -1 underflow, ``bins`` overflow,
+    else floor((x-lo)/w) clamped to bins-1 (FP guard at the top
+    edge).  Identical doubles + identical IEEE ops ⇒ identical bins."""
+    w = (hi - lo) / bins
+    return (
+        f"CASE WHEN ({col}) < {lo!r} THEN CAST(-1 AS BIGINT)"
+        f" WHEN ({col}) >= {hi!r} THEN CAST({bins} AS BIGINT)"
+        f" ELSE least(CAST(floor((({col}) - {lo!r}) / {w!r}) AS BIGINT),"
+        f" CAST({bins - 1} AS BIGINT)) END"
+    )
+
+
+def hist_build(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Build the histogram: (bin, cnt), ≤ bins+2 rows (−1/bins are the
+    under/overflow bins, so no value is silently dropped — the caller
+    sees mass outside the assumed range instead of wrong quantiles).
+    One map-side-combinable aggregate; NULLs excluded like cms_build.
+    Merge histograms with ``cms_merge``-style cell-wise sums via
+    ``hist_merge``."""
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(F.expr(_hist_bin_sql(col, lo, hi, bins)).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame) -> DataFrame:
+    """Cell-wise sum: hist(A) + hist(B) = hist(A ∪ B) exactly."""
+    out = hists[0]
+    for h in hists[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantile(
+    hist: DataFrame,
+    qs: list[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from the histogram: for each q, locate the
+    bin where the cumulative count crosses rank q·N and interpolate
+    linearly inside it — error ≤ one bin width by construction
+    (|est − percentile_cont(q)| ≤ 2·width covers the two rank
+    conventions' off-by-one at a bin boundary).
+
+    Everything runs on the ≤ bins+2-row histogram frame: one ordered
+    cumsum window (a single task over a BOUNDED frame — the sketch is
+    fixed-size, so this is not the mega-domain cliff) and one
+    broadcast join against the |qs|-row quantile list.  Under/overflow
+    bins participate in ranks but clamp their estimate to lo/hi."""
+    from pyspark.sql import Window
+
+    w = (hi - lo) / bins
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn("cumb", F.col("cum") - F.col("cnt"))
+    total = hist.agg(F.sum("cnt").alias("n"))
+    qdf = F.broadcast(
+        cum.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+        .crossJoin(F.broadcast(total))
+        .withColumn("need", F.col("q") * F.col("n"))
+    )
+    est = (
+        F.lit(lo)
+        + F.lit(w) * F.col("bin").cast("double")
+        + F.lit(w)
+        * (F.col("need") - F.col("cumb").cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return (
+        cum.join(
+            qdf,
+            (F.col("cumb").cast("double") < F.col("need"))
+            & (F.col("cum").cast("double") >= F.col("need")),
+        )
+        .select(
+            "q",
+            F.greatest(F.lit(lo), F.least(F.lit(hi), est)).alias("est"),
+        )
+    )

@@ -1063,6 +1063,133 @@ FROM agg a JOIN est e USING (user_id)
 CMS_SALTED_ROLLUP_SQL = _cms_salted_rollup_sql()
 
 
+# --- Mergeable quantile histogram --------------------------------------------
+
+HIST_LO, HIST_HI, HIST_BINS = 0.0, 1024.0, 256  # width exactly 4.0
+HIST_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from the mergeable fixed-bin histogram
+    (``operators/sketches.py:hist_build/hist_quantile``) — the
+    deterministic, cross-engine-exact alternative to
+    ``approx_percentile`` whose t-digest cells are engine-specific
+    (the reason ``sketch_aggregates_events`` is rows-only; THIS sketch
+    is hash-checked cell-exact).
+
+    * 'cell' rows — the histogram itself (≤ 258 bins incl. under/
+      overflow), built from shared binning arithmetic so both engines
+      produce identical cells;
+    * 'quantile' rows — interpolated estimates for q ∈ {0.25, 0.5,
+      0.9, 0.99} (hash-exact: pure arithmetic on identical cells) and
+      ``ok`` = |est − exact percentile| ≤ 2·width — the deterministic
+      error bound as a checked cell (exact enters ONLY through the
+      wide-margin boolean, the sketch_bounds_events discipline, since
+      engines' percentile interpolation can differ in the last ulp).
+
+    Scale: build is one map-side-combinable agg into ≤ 258 cells;
+    estimation runs entirely on the bounded histogram frame.  The
+    sketch merges cell-wise (hist_merge) and drops into
+    ``start_cms_stream``'s segment/compact loop unchanged — quantiles
+    over a 100 TB stream with 2 KB of state."""
+    from ..operators import sketches
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hist = sketches.hist_build(
+        ev, "value", lo=HIST_LO, hi=HIST_HI, bins=HIST_BINS
+    ).cache()  # two consumers (cells + quantile walk): one evaluation
+    nd = F.lit(None).cast("double")
+    cells = hist.select(
+        F.lit("cell").alias("variant"),
+        "bin",
+        "cnt",
+        nd.alias("q"),
+        nd.alias("est"),
+        F.lit(None).cast("boolean").alias("ok"),
+    )
+    est = sketches.hist_quantile(
+        hist, list(HIST_QS), lo=HIST_LO, hi=HIST_HI, bins=HIST_BINS
+    )
+    exact = ev.agg(
+        F.expr(
+            "percentile(value, array("
+            + ", ".join(f"{q}D" for q in HIST_QS)
+            + "))"
+        ).alias("__arr")
+    ).select(
+        F.posexplode("__arr").alias("__i", "__x")
+    ).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in HIST_QS]), F.col("__i") + 1
+        ).alias("q"),
+        F.col("__x").alias("__exact"),
+    )
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    quant = (
+        est.join(F.broadcast(exact), "q")
+        .select(
+            F.lit("quantile").alias("variant"),
+            F.lit(None).cast("bigint").alias("bin"),
+            F.lit(None).cast("bigint").alias("cnt"),
+            "q",
+            exact_round(F.col("est"), 6).alias("est"),
+            (
+                F.abs(F.col("est") - F.col("__exact"))
+                <= F.lit(2.0 * width)
+            ).alias("ok"),
+        )
+    )
+    return cells.unionByName(quant)
+
+
+def _hist_quantiles_sql() -> str:
+    from ..functions import sql_exact_round
+    from ..operators.sketches import _hist_bin_sql
+
+    w = (HIST_HI - HIST_LO) / HIST_BINS
+    binsql = _hist_bin_sql("value", HIST_LO, HIST_HI, HIST_BINS)
+    exact_rows = "\nUNION ALL\n".join(
+        f"SELECT {q!r} AS q, quantile_cont(value, {q!r}) AS x FROM events"
+        for q in HIST_QS
+    )
+    est = (
+        f"greatest({HIST_LO!r}, least({HIST_HI!r},"
+        f" {HIST_LO!r} + {w!r} * bin"
+        f" + {w!r} * (need - cumb) / cnt))"
+    )
+    return f"""
+WITH h AS (
+  SELECT {binsql} AS bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+),
+c AS (
+  SELECT bin, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin) AS DOUBLE) AS cum,
+         CAST(sum(cnt) OVER (ORDER BY bin) - cnt AS DOUBLE) AS cumb
+  FROM h
+),
+n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM h),
+qs AS (SELECT unnest([{", ".join(repr(q) for q in HIST_QS)}]) AS q),
+pick AS (
+  SELECT qs.q, c.bin, c.cnt, c.cumb, qs.q * n.n AS need
+  FROM c CROSS JOIN n CROSS JOIN qs
+  WHERE c.cumb < qs.q * n.n AND c.cum >= qs.q * n.n
+),
+ex AS ({exact_rows})
+SELECT 'cell' AS variant, bin, cnt, CAST(NULL AS DOUBLE) AS q,
+       CAST(NULL AS DOUBLE) AS est, CAST(NULL AS BOOLEAN) AS ok
+FROM h
+UNION ALL
+SELECT 'quantile', NULL, NULL, p.q,
+       {sql_exact_round(est, 6)},
+       abs({est} - ex.x) <= {2.0 * w!r}
+FROM pick p JOIN ex ON p.q = ex.q
+"""
+
+
+HIST_QUANTILES_SQL = _hist_quantiles_sql()
+
+
 # --- Set operations ---------------------------------------------------------
 
 

@@ -88,9 +88,16 @@ window's 49-load leaves; pin the exact arithmetic with
 in ``tools/prebuilt.py`` with solo baselines and sf0.01
 differentials.  Late-r12 additions to the runway (debut candidates
 r15+ as slots free): ``cms_heavy_hitters_events`` (count-min sketch,
-cell-exact shared-arithmetic oracle), ``hard_negative_mining``
-(BM25 ∖ cosine retriever-training pairs) and
-``jl_project_embeddings`` (map-only ±1 dimension reduction).
+cell-exact shared-arithmetic oracle), ``cms_salted_rollup_events``
+(sketch-gated conditional salting, bit-identical to plain groupBy),
+``hard_negative_mining`` (BM25 ∖ cosine retriever-training pairs),
+``jl_project_embeddings`` (map-only ±1 dimension reduction),
+``cluster_safe_split_documents`` (leakage-safe split; shares the LSH
+chain with ``minhash_cluster_suite`` — a natural future trade) and
+``hist_quantiles_events`` (mergeable quantile histogram, the
+hash-checkable counterpart of the rows-only t-digest spec).  The
+streaming CMS accumulator (``start_cms_stream``) is unit-pinned like
+the rest of §2.8 (no oracle slot needed).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

@@ -254,3 +254,84 @@ def test_cms_salted_rollup_plan_shape(spark):
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def _py_hist(vals, lo, hi, bins):
+    import math
+
+    w = (hi - lo) / bins
+    cells: dict[int, int] = {}
+    for x in vals:
+        if x is None:
+            continue
+        b = (
+            -1
+            if x < lo
+            else bins
+            if x >= hi
+            else min(int(math.floor((x - lo) / w)), bins - 1)
+        )
+        cells[b] = cells.get(b, 0) + 1
+    return cells
+
+
+def test_hist_build_matches_python_and_merge_law(spark):
+    vals = [float(i * i % 97) - 3.0 for i in range(400)] + [None, 1e9, -1e9]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r.bin: r.cnt
+        for r in sketches.hist_build(df, "x", lo=0.0, hi=64.0, bins=16).collect()
+    }
+    assert got == _py_hist(vals, 0.0, 64.0, 16)
+    # merge law over a split
+    a = df.where("x < 30")
+    b = df.where("x >= 30 OR x IS NULL")
+    merged = {
+        r.bin: r.cnt
+        for r in sketches.hist_merge(
+            sketches.hist_build(a, "x", lo=0.0, hi=64.0, bins=16),
+            sketches.hist_build(b, "x", lo=0.0, hi=64.0, bins=16),
+        ).collect()
+    }
+    assert merged == got
+
+
+def test_hist_quantile_within_bin_width(spark):
+    """The estimator's deterministic error bound on a known
+    distribution: uniform ints 0..999 → every estimate within one bin
+    width of the true percentile."""
+    df = spark.createDataFrame(
+        [(float(i % 1000),) for i in range(10000)], "x double"
+    )
+    hist = sketches.hist_build(df, "x", lo=0.0, hi=1024.0, bins=256)
+    got = {
+        r.q: r.est
+        for r in sketches.hist_quantile(
+            hist, [0.1, 0.5, 0.9], lo=0.0, hi=1024.0, bins=256
+        ).collect()
+    }
+    for q, est in got.items():
+        assert abs(est - q * 1000.0) <= 4.0, (q, est)
+
+
+def test_hist_quantiles_events_matches_duckdb(spark):
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = aq.hist_quantiles_events(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(aq.HIST_QUANTILES_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "hist_quantiles_events") == []
+    quant = spdf[spdf.variant == "quantile"]
+    assert len(quant) == len(aq.HIST_QS)
+    assert quant.ok.all()  # every estimate inside the error bound
+
+
+def test_hist_quantiles_events_plan_shape(spark):
+    df = aq.hist_quantiles_events(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan

@@ -45,6 +45,10 @@ def prebuilt_builders() -> dict:
         # discovered by the CMS take the salt; bit-identical to plain
         # groupBy, flag is a hash-checked cell)
         "cms_salted_rollup_events": aq.cms_salted_rollup_events,
+        # r12 pre-build: mergeable quantile histogram (cell-exact
+        # cross-engine sketch; exact percentile enters only via the
+        # wide-margin ok boolean)
+        "hist_quantiles_events": aq.hist_quantiles_events,
         # r12 pre-build: JL ±1 random projection (map-only 64→16 dim
         # reduction for the ANN screen path; distance-ratio leg)
         "jl_project_embeddings": gq.jl_project_embeddings,
