@@ -575,16 +575,26 @@ def start_dedup_ingest_stream(
 # --- Count-min sketch as streaming state --------------------------------------
 
 
-def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+def read_sketch(
+    spark: SparkSession, sketch_path: str, cell_cols: tuple = ("d", "bucket")
+) -> DataFrame:
     """Merge-on-read of the persisted sketch segments: cell-wise sum
-    over every committed per-batch partial (CMS linearity — the sum
+    over every committed per-batch partial (sketch linearity — the sum
     of partials IS the sketch of the union).  Between compactions the
-    read touches ≤ compact_every × depth × width rows."""
+    read touches ≤ compact_every × |cells| rows.  ``cell_cols`` names
+    the sketch's cell key — ("d", "bucket") for the CMS, ("bin",) for
+    the quantile histogram; any summary whose merge is cell-wise
+    addition fits."""
     return (
         spark.read.parquet(sketch_path)
-        .groupBy("d", "bucket")
+        .groupBy(*cell_cols)
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def read_cms_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
+    """The CMS view of ``read_sketch`` (cells keyed (d, bucket))."""
+    return read_sketch(spark, sketch_path, ("d", "bucket"))
 
 
 def start_cms_stream(
@@ -598,6 +608,8 @@ def start_cms_stream(
     depth: int = 4,
     compact_every: int = 8,
     trigger_available_now: bool = True,
+    build=None,
+    cell_cols: tuple = ("d", "bucket"),
 ):
     """Streaming frequency sketch: each micro-batch builds its OWN
     count-min partial (``operators/sketches.py:cms_build``) and lands
@@ -617,20 +629,31 @@ def start_cms_stream(
     compaction is itself replay-idempotent (re-merging a single
     compacted segment reproduces it, and it lands under the already-
     committed triggering batch_id via the same write-new + swap dance
-    as ``layout.compact_in_place``)."""
+    as ``layout.compact_in_place``).
+
+    Any cell-wise-additive summary streams through the same loop:
+    pass ``build`` (batch_df → partial cells frame) and ``cell_cols``
+    — e.g. ``build=lambda b: hist_build(b, "value", lo=.., hi=..),
+    cell_cols=("bin",)`` persists the mergeable quantile histogram
+    with identical exactly-once/compaction semantics (pinned by the
+    histogram streaming twin test)."""
     import os
     import shutil
 
     from ..operators.sketches import cms_build
 
+    if build is None:
+        def build(b):
+            return cms_build(b, key_col, width=width, depth=depth)
+
     def cms_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        part = cms_build(batch_df, key_col, width=width, depth=depth)
+        part = build(batch_df)
         part_dir = os.path.join(sketch_path, f"batch_id={batch_id}")
         if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
             part.write.mode("overwrite").parquet(part_dir)
         if (batch_id + 1) % compact_every == 0:
-            merged = read_cms_sketch(sess, sketch_path)
+            merged = read_sketch(sess, sketch_path, cell_cols)
             tmp = sketch_path + ".compact-tmp"
             old = sketch_path + ".compact-old"
             shutil.rmtree(tmp, ignore_errors=True)

@@ -335,3 +335,48 @@ def test_hist_quantiles_events_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hist_streams_through_sketch_loop(spark, tmp_path):
+    """The generic claim pinned: the quantile histogram streams
+    through start_cms_stream via build/cell_cols and the merged
+    segments equal the batch histogram cell-exactly."""
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        read_parquet_table,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.streaming import (
+        ingest,
+    )
+
+    ev = read_parquet_table(spark, f"{SF}/events.parquet").select(
+        "event_id", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    q = ingest.start_cms_stream(
+        spark,
+        src,
+        str(tmp_path / "hist"),
+        str(tmp_path / "ckpt"),
+        "value",
+        schema="event_id long, value double",
+        compact_every=2,
+        build=lambda b: sketches.hist_build(
+            b, "value", lo=0.0, hi=1024.0, bins=256
+        ),
+        cell_cols=("bin",),
+    )
+    q.awaitTermination(120)
+    got = {
+        r.bin: r.cnt
+        for r in ingest.read_sketch(
+            spark, str(tmp_path / "hist"), ("bin",)
+        ).collect()
+    }
+    want = {
+        r.bin: r.cnt
+        for r in sketches.hist_build(
+            ev, "value", lo=0.0, hi=1024.0, bins=256
+        ).collect()
+    }
+    assert got == want
