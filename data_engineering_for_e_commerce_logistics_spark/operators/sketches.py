@@ -253,27 +253,30 @@ def hist_build(
     lo: float,
     hi: float,
     bins: int = 256,
+    by: tuple = (),
 ) -> DataFrame:
-    """Build the histogram: (bin, cnt), ≤ bins+2 rows (−1/bins are the
-    under/overflow bins, so no value is silently dropped — the caller
-    sees mass outside the assumed range instead of wrong quantiles).
-    One map-side-combinable aggregate; NULLs excluded like cms_build.
-    Merge histograms with ``cms_merge``-style cell-wise sums via
-    ``hist_merge``."""
+    """Build the histogram: (*by, bin, cnt), ≤ |groups|·(bins+2) rows
+    (−1/bins are the under/overflow bins, so no value is silently
+    dropped — the caller sees mass outside the assumed range instead
+    of wrong quantiles).  One map-side-combinable aggregate; NULLs in
+    ``col`` excluded like cms_build.  ``by`` adds grouping keys — the
+    bounded-state form of per-group quantiles (A8's per-group twin):
+    state per group is the fixed bin grid, never the group's rows.
+    Merge histograms cell-wise via ``hist_merge``."""
     return (
         df.where(F.col(col).isNotNull())
-        .select(F.expr(_hist_bin_sql(col, lo, hi, bins)).alias("bin"))
-        .groupBy("bin")
+        .select(*by, F.expr(_hist_bin_sql(col, lo, hi, bins)).alias("bin"))
+        .groupBy(*by, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 
-def hist_merge(*hists: DataFrame) -> DataFrame:
+def hist_merge(*hists: DataFrame, by: tuple = ()) -> DataFrame:
     """Cell-wise sum: hist(A) + hist(B) = hist(A ∪ B) exactly."""
     out = hists[0]
     for h in hists[1:]:
         out = out.unionByName(h)
-    return out.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*by, "bin").agg(F.sum("cnt").alias("cnt"))
 
 
 def hist_quantile(
@@ -283,6 +286,7 @@ def hist_quantile(
     lo: float,
     hi: float,
     bins: int = 256,
+    by: tuple = (),
 ) -> DataFrame:
     """Quantile estimates from the histogram: for each q, locate the
     bin where the cumulative count crosses rank q·N and interpolate
@@ -295,20 +299,36 @@ def hist_quantile(
     fixed-size, so this is not the mega-domain cliff) and one
     broadcast join against the |qs|-row quantile list.  Under/overflow
     bins participate in ranks but clamp their estimate to lo/hi."""
+    from functools import reduce
+
     from pyspark.sql import Window
 
     w = (hi - lo) / bins
-    cum = hist.withColumn(
-        "cum",
-        F.sum("cnt").over(
-            Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    ).withColumn("cumb", F.col("cum") - F.col("cnt"))
-    total = hist.agg(F.sum("cnt").alias("n"))
+    win = Window.partitionBy(*by).orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # partitioned by group over ≤ bins+2 SKETCH rows per group — the
+    # frame is fixed-size regardless of data volume, so this is not
+    # the mega-domain window cliff
+    cum = hist.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "cumb", F.col("cum") - F.col("cnt")
+    )
+    totals = hist.groupBy(*by).agg(F.sum("cnt").alias("__n"))
+    qlist = hist.sparkSession.createDataFrame([(q,) for q in qs], "q double")
     qdf = F.broadcast(
-        cum.sparkSession.createDataFrame([(q,) for q in qs], "q double")
-        .crossJoin(F.broadcast(total))
-        .withColumn("need", F.col("q") * F.col("n"))
+        totals.crossJoin(F.broadcast(qlist))
+        .withColumn("need", F.col("q") * F.col("__n"))
+        .select(
+            *[F.col(k).alias(f"__q_{k}") for k in by], "q", "need"
+        )
+    )
+    rank_cond = (F.col("cumb").cast("double") < F.col("need")) & (
+        F.col("cum").cast("double") >= F.col("need")
+    )
+    cond = reduce(
+        lambda a, k: a & F.col(k).eqNullSafe(F.col(f"__q_{k}")),
+        by,
+        rank_cond,
     )
     est = (
         F.lit(lo)
@@ -317,14 +337,8 @@ def hist_quantile(
         * (F.col("need") - F.col("cumb").cast("double"))
         / F.col("cnt").cast("double")
     )
-    return (
-        cum.join(
-            qdf,
-            (F.col("cumb").cast("double") < F.col("need"))
-            & (F.col("cum").cast("double") >= F.col("need")),
-        )
-        .select(
-            "q",
-            F.greatest(F.lit(lo), F.least(F.lit(hi), est)).alias("est"),
-        )
+    return cum.join(qdf, cond).select(
+        *by,
+        "q",
+        F.greatest(F.lit(lo), F.least(F.lit(hi), est)).alias("est"),
     )

@@ -1189,6 +1189,134 @@ FROM pick p JOIN ex ON p.q = ex.q
 
 HIST_QUANTILES_SQL = _hist_quantiles_sql()
 
+GROUP_HIST_QS = (0.5, 0.9)
+
+
+def group_hist_quantiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantiles from the mergeable histogram — the
+    bounded-state twin of ``group_quantiles_events``: that spec's
+    bucketed exact rank walks the DATA per group; this one keeps a
+    fixed 258-cell grid per group, so per-group state is constant and
+    the whole estimate runs on |groups|·258 sketch rows.  Same tagged
+    union as ``hist_quantiles_events`` plus the group key; the
+    quantile window partitions on the group over SKETCH rows (fixed
+    frame, not the mega-domain cliff)."""
+    from ..operators import sketches
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    ev = ev.where(F.col("event_type").isNotNull())
+    hist = sketches.hist_build(
+        ev,
+        "value",
+        lo=HIST_LO,
+        hi=HIST_HI,
+        bins=HIST_BINS,
+        by=("event_type",),
+    ).cache()  # two consumers: one evaluation
+    nd = F.lit(None).cast("double")
+    cells = hist.select(
+        F.lit("cell").alias("variant"),
+        "event_type",
+        "bin",
+        "cnt",
+        nd.alias("q"),
+        nd.alias("est"),
+        F.lit(None).cast("boolean").alias("ok"),
+    )
+    est = sketches.hist_quantile(
+        hist,
+        list(GROUP_HIST_QS),
+        lo=HIST_LO,
+        hi=HIST_HI,
+        bins=HIST_BINS,
+        by=("event_type",),
+    )
+    exact = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array("
+                + ", ".join(f"{q}D" for q in GROUP_HIST_QS)
+                + "))"
+            ).alias("__arr")
+        )
+        .select("event_type", F.posexplode("__arr").alias("__i", "__x"))
+        .select(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(q) for q in GROUP_HIST_QS]), F.col("__i") + 1
+            ).alias("q"),
+            F.col("__x").alias("__exact"),
+        )
+    )
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+    quant = est.join(F.broadcast(exact), ["event_type", "q"]).select(
+        F.lit("quantile").alias("variant"),
+        "event_type",
+        F.lit(None).cast("bigint").alias("bin"),
+        F.lit(None).cast("bigint").alias("cnt"),
+        "q",
+        exact_round(F.col("est"), 6).alias("est"),
+        (F.abs(F.col("est") - F.col("__exact")) <= F.lit(2.0 * width)).alias(
+            "ok"
+        ),
+    )
+    return cells.unionByName(quant)
+
+
+def _group_hist_quantiles_sql() -> str:
+    from ..functions import sql_exact_round
+    from ..operators.sketches import _hist_bin_sql
+
+    w = (HIST_HI - HIST_LO) / HIST_BINS
+    binsql = _hist_bin_sql("value", HIST_LO, HIST_HI, HIST_BINS)
+    est = (
+        f"greatest({HIST_LO!r}, least({HIST_HI!r},"
+        f" {HIST_LO!r} + {w!r} * bin"
+        f" + {w!r} * (need - cumb) / cnt))"
+    )
+    return f"""
+WITH ev AS (SELECT * FROM events WHERE event_type IS NOT NULL),
+h AS (
+  SELECT event_type, {binsql} AS bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM ev WHERE value IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+              AS DOUBLE) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) - cnt
+              AS DOUBLE) AS cumb
+  FROM h
+),
+n AS (SELECT event_type, CAST(sum(cnt) AS DOUBLE) AS n FROM h GROUP BY 1),
+qs AS (SELECT unnest([{", ".join(repr(q) for q in GROUP_HIST_QS)}]) AS q),
+pick AS (
+  SELECT qs.q, c.event_type, c.bin, c.cnt, c.cumb, qs.q * n.n AS need
+  FROM c JOIN n USING (event_type) CROSS JOIN qs
+  WHERE c.cumb < qs.q * n.n AND c.cum >= qs.q * n.n
+),
+ex AS (
+  {chr(10).join(
+      ("UNION ALL " if i else "")
+      + f"SELECT event_type, {q!r} AS q, quantile_cont(value, {q!r}) AS x"
+        " FROM ev GROUP BY 1"
+      for i, q in enumerate(GROUP_HIST_QS)
+  )}
+)
+SELECT 'cell' AS variant, event_type, bin, cnt, CAST(NULL AS DOUBLE) AS q,
+       CAST(NULL AS DOUBLE) AS est, CAST(NULL AS BOOLEAN) AS ok
+FROM h
+UNION ALL
+SELECT 'quantile', p.event_type, NULL, NULL, p.q,
+       {sql_exact_round(est, 6)},
+       abs({est} - ex.x) <= {2.0 * w!r}
+FROM pick p JOIN ex ON p.q = ex.q AND p.event_type = ex.event_type
+"""
+
+
+GROUP_HIST_QUANTILES_SQL = _group_hist_quantiles_sql()
+
 
 # --- Set operations ---------------------------------------------------------
 

@@ -380,3 +380,51 @@ def test_hist_streams_through_sketch_loop(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_group_hist_quantiles_matches_duckdb(spark):
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = aq.group_hist_quantiles_events(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(aq.GROUP_HIST_QUANTILES_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "group_hist_quantiles_events") == []
+    quant = spdf[spdf.variant == "quantile"]
+    # every (event_type, q) present, every estimate inside its bound
+    assert len(quant) == 5 * len(aq.GROUP_HIST_QS)
+    assert quant.ok.all()
+
+
+def test_group_hist_quantile_grouped_law(spark):
+    """Grouped estimates equal per-group ungrouped estimates (the
+    grouping is pure bookkeeping, not a semantics change)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(["a", "b"][i % 2], float((i * 13) % 500)) for i in range(3000)],
+        "g string, x double",
+    )
+    hist = sketches.hist_build(
+        df, "x", lo=0.0, hi=512.0, bins=128, by=("g",)
+    )
+    grouped = {
+        (r.g, r.q): r.est
+        for r in sketches.hist_quantile(
+            hist, [0.25, 0.75], lo=0.0, hi=512.0, bins=128, by=("g",)
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = sketches.hist_build(
+            df.where(F.col("g") == g), "x", lo=0.0, hi=512.0, bins=128
+        )
+        want = {
+            r.q: r.est
+            for r in sketches.hist_quantile(
+                solo, [0.25, 0.75], lo=0.0, hi=512.0, bins=128
+            ).collect()
+        }
+        for q, est in want.items():
+            assert grouped[(g, q)] == est, (g, q)
