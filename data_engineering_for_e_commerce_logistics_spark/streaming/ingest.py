@@ -576,19 +576,24 @@ def start_dedup_ingest_stream(
 
 
 def read_sketch(
-    spark: SparkSession, sketch_path: str, cell_cols: tuple = ("d", "bucket")
+    spark: SparkSession,
+    sketch_path: str,
+    cell_cols: tuple = ("d", "bucket"),
+    merge_expr=None,
 ) -> DataFrame:
-    """Merge-on-read of the persisted sketch segments: cell-wise sum
-    over every committed per-batch partial (sketch linearity — the sum
-    of partials IS the sketch of the union).  Between compactions the
-    read touches ≤ compact_every × |cells| rows.  ``cell_cols`` names
-    the sketch's cell key — ("d", "bucket") for the CMS, ("bin",) for
-    the quantile histogram; any summary whose merge is cell-wise
-    addition fits."""
+    """Merge-on-read of the persisted sketch segments: fold every
+    committed per-batch partial with the sketch's merge (default
+    cell-wise SUM — the CMS/histogram linearity; pass ``merge_expr``
+    for non-additive merges, e.g. ``F.hll_union_agg("cnt")`` for the
+    DataSketches HLL register-max).  Between compactions the read
+    touches ≤ compact_every × |cells| rows.  ``cell_cols`` names the
+    cell key — ("d", "bucket") for the CMS, ("bin",) for the
+    histogram, () for a single-cell summary like the HLL."""
+    merged = merge_expr if merge_expr is not None else F.sum("cnt")
     return (
         spark.read.parquet(sketch_path)
         .groupBy(*cell_cols)
-        .agg(F.sum("cnt").alias("cnt"))
+        .agg(merged.alias("cnt"))
     )
 
 
@@ -610,6 +615,7 @@ def start_cms_stream(
     trigger_available_now: bool = True,
     build=None,
     cell_cols: tuple = ("d", "bucket"),
+    merge_expr=None,
 ):
     """Streaming frequency sketch: each micro-batch builds its OWN
     count-min partial (``operators/sketches.py:cms_build``) and lands
@@ -631,12 +637,15 @@ def start_cms_stream(
     committed triggering batch_id via the same write-new + swap dance
     as ``layout.compact_in_place``).
 
-    Any cell-wise-additive summary streams through the same loop:
-    pass ``build`` (batch_df → partial cells frame) and ``cell_cols``
-    — e.g. ``build=lambda b: hist_build(b, "value", lo=.., hi=..),
-    cell_cols=("bin",)`` persists the mergeable quantile histogram
-    with identical exactly-once/compaction semantics (pinned by the
-    histogram streaming twin test)."""
+    Any MERGEABLE summary streams through the same loop: pass
+    ``build`` (batch_df → partial cells frame) and ``cell_cols`` —
+    e.g. ``build=lambda b: hist_build(b, "value", lo=.., hi=..),
+    cell_cols=("bin",)`` persists the mergeable quantile histogram —
+    and ``merge_expr`` when the merge is not cell-wise addition
+    (``F.hll_union_agg("cnt")`` with ``cell_cols=()`` persists a
+    DataSketches HLL distinct-count register set; union is a register
+    max, so replay/compaction idempotency holds exactly as for sums).
+    All three pinned by streaming batch-equivalence twins."""
     import os
     import shutil
 
@@ -653,7 +662,7 @@ def start_cms_stream(
         if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
             part.write.mode("overwrite").parquet(part_dir)
         if (batch_id + 1) % compact_every == 0:
-            merged = read_sketch(sess, sketch_path, cell_cols)
+            merged = read_sketch(sess, sketch_path, cell_cols, merge_expr)
             tmp = sketch_path + ".compact-tmp"
             old = sketch_path + ".compact-old"
             shutil.rmtree(tmp, ignore_errors=True)

@@ -428,3 +428,55 @@ def test_group_hist_quantile_grouped_law(spark):
         }
         for q, est in want.items():
             assert grouped[(g, q)] == est, (g, q)
+
+
+def test_hll_streams_through_sketch_loop(spark, tmp_path):
+    """Non-additive merge through the same loop: DataSketches HLL
+    distinct-count registers stream per batch and union (register
+    max) on read — streamed estimate equals the batch sketch estimate
+    EXACTLY (identical registers), and both land within 5% of the
+    true distinct count."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        read_parquet_table,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.streaming import (
+        ingest,
+    )
+
+    ev = read_parquet_table(spark, f"{SF}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.parquet(src)
+    q = ingest.start_cms_stream(
+        spark,
+        src,
+        str(tmp_path / "hll"),
+        str(tmp_path / "ckpt"),
+        "user_id",
+        schema="event_id long, user_id long",
+        compact_every=2,
+        build=lambda b: b.agg(F.hll_sketch_agg("user_id").alias("cnt")),
+        cell_cols=(),
+        merge_expr=F.hll_union_agg("cnt"),
+    )
+    q.awaitTermination(120)
+    streamed = (
+        ingest.read_sketch(
+            spark, str(tmp_path / "hll"), (), F.hll_union_agg("cnt")
+        )
+        .select(F.hll_sketch_estimate("cnt").alias("e"))
+        .collect()[0]
+        .e
+    )
+    batch = (
+        ev.agg(F.hll_sketch_agg("user_id").alias("s"))
+        .select(F.hll_sketch_estimate("s").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert streamed == batch  # identical registers, not just close
+    exact = ev.select("user_id").distinct().count()
+    assert abs(streamed - exact) <= 0.05 * exact
