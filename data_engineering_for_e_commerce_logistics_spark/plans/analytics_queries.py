@@ -1318,6 +1318,206 @@ FROM pick p JOIN ex ON p.q = ex.q AND p.event_type = ex.event_type
 GROUP_HIST_QUANTILES_SQL = _group_hist_quantiles_sql()
 
 
+def hist_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-family consolidation (the registry-trade vehicle for
+    ``hist_quantiles_events`` + ``group_hist_quantiles_events``): ONE
+    grouped build pass serves both — the GLOBAL histogram is the
+    marginal of the grouped one (sum cells over event_type: sketch
+    linearity again, no second corpus scan), with the null-event_type
+    mass folded in by the same marginalization that recovers it.
+    Variants 'gcell'/'gquantile' are the grouped spec's cells and
+    estimates verbatim; 'cell'/'quantile' the global spec's (both
+    specs' own oracles pin the parts; the suite oracle pins the
+    union).  At 100 TB the consolidation removes a full duplicate
+    scan+bin pass of the fact table."""
+    from ..operators import sketches
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # grouped build includes null event types so the global marginal
+    # covers ALL rows (the grouped LEGS then filter them out, matching
+    # group_hist_quantiles_events' not-null contract)
+    ghist = sketches.hist_build(
+        ev,
+        "value",
+        lo=HIST_LO,
+        hi=HIST_HI,
+        bins=HIST_BINS,
+        by=("event_type",),
+    ).cache()  # one evaluation, four consumers
+    hist = ghist.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    gh = ghist.where(F.col("event_type").isNotNull())
+    nd = F.lit(None).cast("double")
+    nb = F.lit(None).cast("bigint")
+    ns = F.lit(None).cast("string")
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+
+    def _quant_leg(est_df, exact_df, variant, keys):
+        return est_df.join(F.broadcast(exact_df), [*keys, "q"]).select(
+            F.lit(variant).alias("variant"),
+            (F.col("event_type") if keys else ns).alias("event_type"),
+            nb.alias("bin"),
+            nb.alias("cnt"),
+            "q",
+            exact_round(F.col("est"), 6).alias("est"),
+            (
+                F.abs(F.col("est") - F.col("__exact")) <= F.lit(2.0 * width)
+            ).alias("ok"),
+        )
+
+    cells = hist.select(
+        F.lit("cell").alias("variant"),
+        ns.alias("event_type"),
+        "bin",
+        "cnt",
+        nd.alias("q"),
+        nd.alias("est"),
+        F.lit(None).cast("boolean").alias("ok"),
+    )
+    gcells = gh.select(
+        F.lit("gcell").alias("variant"),
+        "event_type",
+        "bin",
+        "cnt",
+        nd.alias("q"),
+        nd.alias("est"),
+        F.lit(None).cast("boolean").alias("ok"),
+    )
+    est = sketches.hist_quantile(
+        hist, list(HIST_QS), lo=HIST_LO, hi=HIST_HI, bins=HIST_BINS
+    )
+    exact = (
+        ev.agg(
+            F.expr(
+                "percentile(value, array("
+                + ", ".join(f"{q}D" for q in HIST_QS)
+                + "))"
+            ).alias("__arr")
+        )
+        .select(F.posexplode("__arr").alias("__i", "__x"))
+        .select(
+            F.element_at(
+                F.array(*[F.lit(q) for q in HIST_QS]), F.col("__i") + 1
+            ).alias("q"),
+            F.col("__x").alias("__exact"),
+        )
+    )
+    gest = sketches.hist_quantile(
+        gh,
+        list(GROUP_HIST_QS),
+        lo=HIST_LO,
+        hi=HIST_HI,
+        bins=HIST_BINS,
+        by=("event_type",),
+    )
+    gexact = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "percentile(value, array("
+                + ", ".join(f"{q}D" for q in GROUP_HIST_QS)
+                + "))"
+            ).alias("__arr")
+        )
+        .select("event_type", F.posexplode("__arr").alias("__i", "__x"))
+        .select(
+            "event_type",
+            F.element_at(
+                F.array(*[F.lit(q) for q in GROUP_HIST_QS]), F.col("__i") + 1
+            ).alias("q"),
+            F.col("__x").alias("__exact"),
+        )
+    )
+    return (
+        cells.unionByName(gcells)
+        .unionByName(_quant_leg(est, exact, "quantile", []))
+        .unionByName(_quant_leg(gest, gexact, "gquantile", ["event_type"]))
+    )
+
+
+def _hist_suite_sql() -> str:
+    """The parts' SQL texts, re-keyed: the global half re-derives its
+    cells as the marginal of the grouped build (matching the Spark
+    plan's single pass), then both quantile tails run unchanged."""
+    from ..functions import sql_exact_round
+    from ..operators.sketches import _hist_bin_sql
+
+    w = (HIST_HI - HIST_LO) / HIST_BINS
+    binsql = _hist_bin_sql("value", HIST_LO, HIST_HI, HIST_BINS)
+    est = (
+        f"greatest({HIST_LO!r}, least({HIST_HI!r},"
+        f" {HIST_LO!r} + {w!r} * bin"
+        f" + {w!r} * (need - cumb) / cnt))"
+    )
+    g_exact_rows = "\n  UNION ALL\n  ".join(
+        ("" if i == 0 else "")
+        + f"SELECT event_type, {q!r} AS q, quantile_cont(value, {q!r}) AS x"
+        " FROM events WHERE event_type IS NOT NULL GROUP BY 1"
+        for i, q in enumerate(GROUP_HIST_QS)
+    )
+    exact_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT {q!r} AS q, quantile_cont(value, {q!r}) AS x FROM events"
+        for q in HIST_QS
+    )
+    return f"""
+WITH gh0 AS (
+  SELECT event_type, {binsql} AS bin, CAST(count(*) AS BIGINT) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+h AS (SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM gh0 GROUP BY 1),
+gh AS (SELECT * FROM gh0 WHERE event_type IS NOT NULL),
+c AS (
+  SELECT bin, cnt,
+         CAST(sum(cnt) OVER (ORDER BY bin) AS DOUBLE) AS cum,
+         CAST(sum(cnt) OVER (ORDER BY bin) - cnt AS DOUBLE) AS cumb
+  FROM h
+),
+n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM h),
+qs AS (SELECT unnest([{", ".join(repr(q) for q in HIST_QS)}]) AS q),
+pick AS (
+  SELECT qs.q, c.bin, c.cnt, c.cumb, qs.q * n.n AS need
+  FROM c CROSS JOIN n CROSS JOIN qs
+  WHERE c.cumb < qs.q * n.n AND c.cum >= qs.q * n.n
+),
+ex AS ({exact_rows}),
+gc AS (
+  SELECT event_type, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+              AS DOUBLE) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) - cnt
+              AS DOUBLE) AS cumb
+  FROM gh
+),
+gn AS (SELECT event_type, CAST(sum(cnt) AS DOUBLE) AS n FROM gh GROUP BY 1),
+gqs AS (SELECT unnest([{", ".join(repr(q) for q in GROUP_HIST_QS)}]) AS q),
+gpick AS (
+  SELECT gqs.q, gc.event_type, gc.bin, gc.cnt, gc.cumb, gqs.q * gn.n AS need
+  FROM gc JOIN gn USING (event_type) CROSS JOIN gqs
+  WHERE gc.cumb < gqs.q * gn.n AND gc.cum >= gqs.q * gn.n
+),
+gex AS (
+  {g_exact_rows}
+)
+SELECT 'cell' AS variant, CAST(NULL AS VARCHAR) AS event_type, bin, cnt,
+       CAST(NULL AS DOUBLE) AS q, CAST(NULL AS DOUBLE) AS est,
+       CAST(NULL AS BOOLEAN) AS ok
+FROM h
+UNION ALL
+SELECT 'gcell', event_type, bin, cnt, NULL, NULL, NULL FROM gh
+UNION ALL
+SELECT 'quantile', NULL, NULL, NULL, p.q,
+       {sql_exact_round(est, 6)}, abs({est} - ex.x) <= {2.0 * w!r}
+FROM pick p JOIN ex ON p.q = ex.q
+UNION ALL
+SELECT 'gquantile', p.event_type, NULL, NULL, p.q,
+       {sql_exact_round(est, 6)}, abs({est} - gex.x) <= {2.0 * w!r}
+FROM gpick p JOIN gex ON p.q = gex.q AND p.event_type = gex.event_type
+"""
+
+
+HIST_SUITE_SQL = _hist_suite_sql()
+
+
 # --- Set operations ---------------------------------------------------------
 
 

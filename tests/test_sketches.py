@@ -480,3 +480,53 @@ def test_hll_streams_through_sketch_loop(spark, tmp_path):
     assert streamed == batch  # identical registers, not just close
     exact = ev.select("user_id").distinct().count()
     assert abs(streamed - exact) <= 0.05 * exact
+
+
+def test_hist_suite_matches_duckdb_and_parts(spark):
+    """Suite ↔ oracle, and suite ↔ the two standalone specs: the
+    marginalized global histogram must reproduce hist_quantiles_events
+    verbatim and the grouped legs group_hist_quantiles_events verbatim
+    (the registry-trade equivalence)."""
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = aq.hist_suite_events(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(aq.HIST_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "hist_suite_events") == []
+
+    glob = aq.hist_quantiles_events(spark, SF).toPandas()
+    grp = aq.group_hist_quantiles_events(spark, SF).toPandas()
+
+    def rows(df, variant, cols):
+        sub = df[df.variant == variant]
+        return sorted(
+            tuple(r[c] for c in cols) for _, r in sub.iterrows()
+        )
+
+    assert rows(spdf, "cell", ["bin", "cnt"]) == rows(
+        glob, "cell", ["bin", "cnt"]
+    )
+    assert rows(spdf, "quantile", ["q", "est", "ok"]) == rows(
+        glob, "quantile", ["q", "est", "ok"]
+    )
+    assert rows(spdf, "gcell", ["event_type", "bin", "cnt"]) == rows(
+        grp, "cell", ["event_type", "bin", "cnt"]
+    )
+    assert rows(spdf, "gquantile", ["event_type", "q", "est", "ok"]) == rows(
+        grp, "quantile", ["event_type", "q", "est", "ok"]
+    )
+
+
+def test_hist_suite_single_build_pass(spark):
+    """The consolidation's point: exactly ONE binning scan of events —
+    the grouped build is cached and the global histogram derives from
+    it by marginalization, so the plan reuses the cached pass instead
+    of re-scanning."""
+    df = aq.hist_suite_events(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2  # both halves read the cache
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

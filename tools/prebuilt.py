@@ -52,6 +52,9 @@ def prebuilt_builders() -> dict:
         # r12 pre-build: per-group histogram quantiles (bounded-state
         # twin of group_quantiles_events' exact bucketed rank)
         "group_hist_quantiles_events": aq.group_hist_quantiles_events,
+        # r12 pre-build: the histogram-family trade vehicle — global
+        # cells marginalize from the one cached grouped build pass
+        "hist_suite_events": aq.hist_suite_events,
         # r12 pre-build: JL ±1 random projection (map-only 64→16 dim
         # reduction for the ANN screen path; distance-ratio leg)
         "jl_project_embeddings": gq.jl_project_embeddings,
