@@ -342,3 +342,66 @@ def hist_quantile(
         "q",
         F.greatest(F.lit(lo), F.least(F.lit(hi), est)).alias("est"),
     )
+
+
+def hist_psi(
+    ref: DataFrame,
+    cur: DataFrame,
+    *,
+    by: tuple = (),
+    eps: float = 0.5,
+    psi_col: str = "psi",
+) -> DataFrame:
+    """Population Stability Index between two histograms — the
+    standard production drift monitor (PSI = Σ (p−q)·ln(p/q) over
+    bins; rule of thumb: < 0.1 stable, > 0.25 drifted).  Built on the
+    mergeable histogram, so the reference side is a PERSISTED sketch
+    (2 KB) and per-ingest drift checks never rescan the reference
+    corpus — and both sides can arrive from the streaming accumulator.
+
+    Laplace smoothing ``eps`` per bin keeps ln finite on bins one side
+    never hit (p, q > 0 always); the bin universe is the UNION of both
+    sides' bins per group (a full outer join of two sketch frames).
+    Per-bin terms are 9dp-rounded and summed in DECIMAL(28,9) — the
+    DSIR discipline — so the score is bit-reproducible across engines
+    and cluster sizes despite the ln."""
+    keys = [*by, "bin"]
+    r = ref.select(
+        *[F.col(k) for k in keys], F.col("cnt").alias("__rc")
+    )
+    c = cur.select(
+        *[F.col(k) for k in keys], F.col("cnt").alias("__cc")
+    )
+    from pyspark.sql import Window
+
+    joined = r.join(c, keys, "full_outer").select(
+        *[F.col(k) for k in by],
+        F.col("bin"),
+        F.coalesce("__rc", F.lit(0)).alias("__rc"),
+        F.coalesce("__cc", F.lit(0)).alias("__cc"),
+    )
+    w = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1))
+    tot = (
+        joined.withColumn("__rn", F.sum("__rc").over(w))
+        .withColumn("__cn", F.sum("__cc").over(w))
+        .withColumn("__nb", F.count(F.lit(1)).over(w))
+    )
+    p = (F.col("__rc") + F.lit(eps)) / (
+        F.col("__rn") + F.lit(eps) * F.col("__nb")
+    )
+    q = (F.col("__cc") + F.lit(eps)) / (
+        F.col("__cn") + F.lit(eps) * F.col("__nb")
+    )
+    term = F.expr(
+        "cast(round(cast((__p - __q) * ln(__p / __q) as decimal(28,12)),"
+        " 9) as decimal(28,9))"
+    )
+    return (
+        tot.withColumn("__p", p)
+        .withColumn("__q", q)
+        .withColumn("__t", term)
+        .groupBy(*by)
+        .agg(
+            F.round(F.sum("__t"), 9).cast("double").alias(psi_col)
+        )
+    )

@@ -1518,6 +1518,114 @@ FROM gpick p JOIN gex ON p.q = gex.q AND p.event_type = gex.event_type
 HIST_SUITE_SQL = _hist_suite_sql()
 
 
+# --- Distribution drift (PSI over mergeable histograms) ----------------------
+
+DRIFT_BINS = 16
+DRIFT_SCALE = 3.0
+DRIFT_THRESHOLD = 0.25
+
+
+def hist_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest drift monitoring (``operators/sketches.py:hist_psi``):
+    Population Stability Index per event_type between a reference and
+    a current histogram, with the verdict (`drifted` = PSI > 0.25,
+    the standard alert line) as a hash-checked cell.  Two legs:
+
+    * 'split' — even vs odd event_ids: two samples of the SAME
+      distribution, PSI ≈ the B/n small-sample bias (measured ≤ 0.02
+      per type at sf0.01) → drifted FALSE everywhere;
+    * 'scaled' — even vs odd·3: a real shift, PSI ≥ 1.0 per type
+      (measured) → drifted TRUE everywhere.
+
+    Coarse DRIFT_BINS=16 keeps the small-sample bias (≈ 2B/n) far
+    under the threshold at the driver scale; at sf0.001 per-type
+    halves drop to ~100 rows and the bias can cross it — the
+    documented reason this spec's differential runs at sf0.01+.
+
+    Scale story: the reference side is a persisted 2 KB sketch (built
+    once, or accrued by the streaming loop), so per-ingest drift
+    checks cost one histogram pass over the NEW data plus sketch-frame
+    arithmetic — never a rescan of the reference corpus.  The 9dp
+    decimal term sum makes the score bit-reproducible despite ln."""
+    from ..operators import sketches
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"].where(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    common = dict(lo=HIST_LO, hi=HIST_HI, bins=DRIFT_BINS, by=("event_type",))
+    ref = sketches.hist_build(
+        ev.where(F.col("event_id") % 2 == 0), "value", **common
+    ).cache()  # two PSI consumers: one evaluation of the even-half scan
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    cur_split = sketches.hist_build(odd, "value", **common)
+    cur_scaled = sketches.hist_build(
+        odd.select(
+            "event_type", (F.col("value") * DRIFT_SCALE).alias("value")
+        ),
+        "value",
+        **common,
+    )
+    legs = []
+    for variant, cur in (("split", cur_split), ("scaled", cur_scaled)):
+        legs.append(
+            sketches.hist_psi(ref, cur, by=("event_type",)).select(
+                F.lit(variant).alias("variant"),
+                "event_type",
+                "psi",
+                (F.col("psi") > F.lit(DRIFT_THRESHOLD)).alias("drifted"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
+def _hist_drift_sql() -> str:
+    from ..operators.sketches import _hist_bin_sql
+
+    def leg(variant: str, val_expr: str) -> str:
+        b_ref = _hist_bin_sql("value", HIST_LO, HIST_HI, DRIFT_BINS)
+        b_cur = _hist_bin_sql(val_expr, HIST_LO, HIST_HI, DRIFT_BINS)
+        p = "(rc + 0.5) / (rn + 0.5 * nb)"
+        q = "(cc + 0.5) / (cn + 0.5 * nb)"
+        term = (
+            f"cast(round(cast((({p}) - ({q})) * ln(({p}) / ({q}))"
+            f" as decimal(28,12)), 9) as decimal(28,9))"
+        )
+        return f"""
+  SELECT '{variant}' AS variant, event_type,
+         CAST(round(sum({term}), 9) AS DOUBLE) AS psi,
+         CAST(round(sum({term}), 9) AS DOUBLE) > {DRIFT_THRESHOLD}
+           AS drifted
+  FROM (
+    SELECT coalesce(r.event_type, c.event_type) AS event_type,
+           coalesce(r.cnt, 0) AS rc, coalesce(c.cnt, 0) AS cc,
+           sum(coalesce(r.cnt, 0)) OVER (
+             PARTITION BY coalesce(r.event_type, c.event_type)) AS rn,
+           sum(coalesce(c.cnt, 0)) OVER (
+             PARTITION BY coalesce(r.event_type, c.event_type)) AS cn,
+           count(*) OVER (
+             PARTITION BY coalesce(r.event_type, c.event_type)) AS nb
+    FROM (SELECT event_type, {b_ref} AS bin, count(*) AS cnt
+          FROM ev WHERE event_id % 2 = 0 GROUP BY 1, 2) r
+    FULL OUTER JOIN
+         (SELECT event_type, {b_cur} AS bin, count(*) AS cnt
+          FROM ev WHERE event_id % 2 = 1 GROUP BY 1, 2) c
+      ON r.event_type = c.event_type AND r.bin = c.bin
+  ) GROUP BY event_type"""
+
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, value FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+)
+{leg("split", "value")}
+UNION ALL
+{leg("scaled", f"value * {DRIFT_SCALE!r}")}
+"""
+
+
+HIST_DRIFT_SQL = _hist_drift_sql()
+
+
 # --- Set operations ---------------------------------------------------------
 
 

@@ -94,10 +94,13 @@ cell-exact shared-arithmetic oracle), ``cms_salted_rollup_events``
 ``jl_project_embeddings`` (map-only ±1 dimension reduction),
 ``cluster_safe_split_documents`` (leakage-safe split; shares the LSH
 chain with ``minhash_cluster_suite`` — a natural future trade) and
-``hist_quantiles_events`` (mergeable quantile histogram, the
-hash-checkable counterpart of the rows-only t-digest spec).  The
-streaming CMS accumulator (``start_cms_stream``) is unit-pinned like
-the rest of §2.8 (no oracle slot needed).
+``hist_quantiles_events`` + ``group_hist_quantiles_events``
+(mergeable quantile histograms, the hash-checkable counterpart of
+the rows-only t-digest spec) — whose preferred debut vehicle is
+``hist_suite_events`` (one slot, global cells marginalized from the
+grouped build; parts-equivalence pinned).  The streaming sketch loop
+(``start_cms_stream`` — CMS, histogram, and DataSketches-HLL twins)
+is unit-pinned like the rest of §2.8 (no oracle slot needed).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a

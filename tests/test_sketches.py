@@ -530,3 +530,55 @@ def test_hist_suite_single_build_pass(spark):
     assert plan.count("InMemoryTableScan") >= 2  # both halves read the cache
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hist_psi_matches_python_reference_and_zero_law(spark):
+    """PSI against an independent reference on a hand-built pair, and
+    the identity law: PSI(h, h) = 0 exactly (p = q per bin ⇒ every
+    term is 0, no smoothing artifact)."""
+    import math
+
+    a = [(float(i % 40),) for i in range(500)]
+    b = [(float((i * 3) % 60),) for i in range(400)]
+    ra = spark.createDataFrame(a, "x double")
+    rb = spark.createDataFrame(b, "x double")
+    ha = sketches.hist_build(ra, "x", lo=0.0, hi=64.0, bins=8)
+    hb = sketches.hist_build(rb, "x", lo=0.0, hi=64.0, bins=8)
+    got = sketches.hist_psi(ha, hb).collect()[0].psi
+
+    ca = _py_hist([v for (v,) in a], 0.0, 64.0, 8)
+    cb = _py_hist([v for (v,) in b], 0.0, 64.0, 8)
+    bins = set(ca) | set(cb)
+    nb, rn, cn = len(bins), sum(ca.values()), sum(cb.values())
+    want = 0.0
+    for bn in bins:
+        p = (ca.get(bn, 0) + 0.5) / (rn + 0.5 * nb)
+        q = (cb.get(bn, 0) + 0.5) / (cn + 0.5 * nb)
+        want += round((p - q) * math.log(p / q), 9)
+    assert abs(got - round(want, 9)) < 2e-9 * nb
+
+    assert sketches.hist_psi(ha, ha).collect()[0].psi == 0.0
+
+
+def test_hist_drift_events_matches_duckdb(spark):
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = aq.hist_drift_events(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(aq.HIST_DRIFT_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "hist_drift_events") == []
+    # the legs behave as designed: same-distribution halves stable,
+    # the 3x-scaled half drifted — for EVERY event type
+    assert not spdf[spdf.variant == "split"].drifted.any()
+    assert spdf[spdf.variant == "scaled"].drifted.all()
+
+
+def test_hist_drift_events_plan_shape(spark):
+    df = aq.hist_drift_events(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" in plan  # the cached reference sketch
