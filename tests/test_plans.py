@@ -743,3 +743,30 @@ def test_no_scale_killers_in_any_registered_plan(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_prebuilt_wide_no_scale_killers(spark):
+    """The registry-wide sweep extended to the PRE-BUILT runway
+    (tools/prebuilt.py): every not-yet-registered builder gets the
+    same two universal anti-pattern checks before it ever holds a
+    registry slot — a debut can't smuggle in a cartesian product or a
+    row-at-a-time Python UDF between its unit round and its
+    registration round."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.prebuilt import prebuilt_builders
+
+    offenders: dict[str, list[str]] = {}
+    for name, build in prebuilt_builders().items():
+        spark.catalog.clearCache()
+        plan = (
+            build(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        )
+        bad = [
+            p for p in ("CartesianProduct", "BatchEvalPython") if p in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
