@@ -1626,6 +1626,100 @@ UNION ALL
 HIST_DRIFT_SQL = _hist_drift_sql()
 
 
+def cms_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS-family consolidation (the trade vehicle for
+    ``cms_heavy_hitters_events`` + ``cms_salted_rollup_events``): ONE
+    cached events projection feeds both sketches (widths differ by
+    design — 128 shows the one-sided error, 1024 gates routing — so
+    the SCAN is the shared pass, not the grid), the heavy-hitter leg's
+    exact candidate counts, and the salted rollup.  Padded union
+    ``(variant, user_id, n, cms_est, exact_cnt, est_err, x, flag)``:
+
+    * 'hh' rows — the heavy-hitter spec verbatim (n = hh_rank,
+      x = NULL, flag = est_ge_exact);
+    * 'rollup' rows — the salted rollup verbatim (n = n_events,
+      cms_est/exact_cnt/est_err = NULL, x = sum_value,
+      flag = took_salted_path).
+
+    Parts-equivalence is pinned in tests; at 100 TB the consolidation
+    halves the fact-table scans for the sketch-maintenance job."""
+    from ..operators import sketches
+
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .where(F.col("user_id").isNotNull())
+        .select("user_id", "value")
+        .cache()  # one scan, four consumers
+    )
+    nb = F.lit(None).cast("bigint")
+    nd = F.lit(None).cast("double")
+
+    cms_hh = sketches.cms_build(ev, "user_id", width=CMS_WIDTH, depth=CMS_DEPTH)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    est = sketches.cms_estimate(
+        cms_hh, exact, "user_id", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+    from pyspark.sql import Window
+
+    topk = est.orderBy(F.desc("cms_est"), F.asc("user_id")).limit(CMS_TOP_K)
+    w = Window.orderBy(F.desc("cms_est"), F.asc("user_id"))
+    hh = topk.withColumn("hh_rank", F.row_number().over(w)).select(
+        F.lit("hh").alias("variant"),
+        "user_id",
+        F.col("hh_rank").cast("bigint").alias("n"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("est_err"),
+        nd.alias("x"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("flag"),
+    )
+
+    cms_salt = sketches.cms_build(
+        ev, "user_id", width=CMS_SALT_WIDTH, depth=CMS_DEPTH
+    )
+    roll = sketches.cms_salted_aggregate(
+        ev,
+        "user_id",
+        cms_salt,
+        CMS_SALT_THRESHOLD,
+        sums={"__sv": "cast(value as decimal(28,8))"},
+        count_alias="n_events",
+        salt_buckets=CMS_SALT_BUCKETS,
+        width=CMS_SALT_WIDTH,
+        depth=CMS_DEPTH,
+    ).select(
+        F.lit("rollup").alias("variant"),
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n"),
+        nb.alias("cms_est"),
+        nb.alias("exact_cnt"),
+        nb.alias("est_err"),
+        F.round(F.col("__sv"), 2).cast("double").alias("x"),
+        F.col("took_salted_path").alias("flag"),
+    )
+    return hh.unionByName(roll)
+
+
+def _cms_suite_sql() -> str:
+    """The parts' oracle texts verbatim, wrapped and padded — both
+    parts keep their own oracles; the suite oracle pins the union."""
+    return f"""
+WITH hh_part AS ({CMS_HEAVY_HITTERS_SQL}),
+roll_part AS ({CMS_SALTED_ROLLUP_SQL})
+SELECT 'hh' AS variant, user_id, CAST(hh_rank AS BIGINT) AS n,
+       cms_est, exact_cnt, est_err, CAST(NULL AS DOUBLE) AS x,
+       est_ge_exact AS flag
+FROM hh_part
+UNION ALL
+SELECT 'rollup', user_id, n_events, NULL, NULL, NULL, sum_value,
+       took_salted_path
+FROM roll_part
+"""
+
+
+CMS_SUITE_SQL = _cms_suite_sql()
+
+
 # --- Set operations ---------------------------------------------------------
 
 

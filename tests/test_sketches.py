@@ -582,3 +582,49 @@ def test_hist_drift_events_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" in plan  # the cached reference sketch
+
+
+def test_cms_suite_matches_duckdb_and_parts(spark):
+    """Suite ↔ oracle, and suite ↔ the two standalone CMS specs
+    (the registry-trade bit-identity)."""
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = aq.cms_suite_events(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(aq.CMS_SUITE_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "cms_suite_events") == []
+
+    hh = aq.cms_heavy_hitters_events(spark, SF).toPandas()
+    roll = aq.cms_salted_rollup_events(spark, SF).toPandas()
+    got_hh = sorted(
+        (r.user_id, r.n, r.cms_est, r.exact_cnt, r.est_err, r.flag)
+        for _, r in spdf[spdf.variant == "hh"].iterrows()
+    )
+    want_hh = sorted(
+        (r.user_id, r.hh_rank, r.cms_est, r.exact_cnt, r.est_err, r.est_ge_exact)
+        for _, r in hh.iterrows()
+    )
+    assert got_hh == want_hh
+    got_roll = sorted(
+        (r.user_id, r.n, r.x, r.flag)
+        for _, r in spdf[spdf.variant == "rollup"].iterrows()
+    )
+    want_roll = sorted(
+        (r.user_id, r.n_events, r.sum_value, r.took_salted_path)
+        for _, r in roll.iterrows()
+    )
+    assert got_roll == want_roll
+
+
+def test_cms_suite_single_cached_scan(spark):
+    """The consolidation's point: the events projection is cached and
+    every consumer reads the cache — plus the universal guards."""
+    df = aq.cms_suite_events(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan

@@ -57,6 +57,9 @@ def prebuilt_builders() -> dict:
         "hist_suite_events": aq.hist_suite_events,
         # r12 pre-build: PSI drift monitor over persisted histograms
         "hist_drift_events": aq.hist_drift_events,
+        # r12 pre-build: the CMS-family trade vehicle — one cached
+        # events projection feeds both sketches + exact + salted legs
+        "cms_suite_events": aq.cms_suite_events,
         # r12 pre-build: JL ±1 random projection (map-only 64→16 dim
         # reduction for the ANN screen path; distance-ratio leg)
         "jl_project_embeddings": gq.jl_project_embeddings,
