@@ -73,9 +73,17 @@ def _bucket_array(key_col: str, width: int, depth: int) -> F.Column:
 
 
 def cms_build(
-    df: DataFrame, key_col: str, *, width: int = 128, depth: int = 4
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 128,
+    depth: int = 4,
+    by: tuple = (),
 ) -> DataFrame:
-    """Build the sketch: (d, bucket, cnt) with ≤ depth·width rows.
+    """Build the sketch: (*by, d, bucket, cnt) with ≤ |groups|·depth·
+    width rows.  ``by`` adds grouping keys — one independent sketch
+    per group (per-tenant hot keys, per-type abuse counters) with the
+    same fixed per-group state.
 
     NULL keys are excluded (a null hashes nowhere; callers wanting a
     null bucket coalesce to a sentinel first — the same contract as
@@ -87,11 +95,12 @@ def cms_build(
     return (
         df.where(F.col(key_col).isNotNull())
         .select(
+            *by,
             F.posexplode(_bucket_array(key_col, width, depth)).alias(
                 "d", "bucket"
-            )
+            ),
         )
-        .groupBy("d", "bucket")
+        .groupBy(*by, "d", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
@@ -114,17 +123,19 @@ def cms_estimate(
     width: int = 128,
     depth: int = 4,
     est_col: str = "cms_est",
+    by: tuple = (),
 ) -> DataFrame:
     """Point-query every row of ``keys``: MIN over the key's ``depth``
-    counters, missing cells counting as 0.  The sketch side is ≤
-    depth·width rows — broadcast it explicitly so the join never
-    shuffles the candidate stream."""
+    counters, missing cells counting as 0.  With ``by``, each key
+    queries its own group's sketch (the join adds the group columns).
+    The sketch side is ≤ |groups|·depth·width rows — broadcast it
+    explicitly so the join never shuffles the candidate stream."""
     probes = keys.select(
         "*", F.posexplode(_bucket_array(key_col, width, depth)).alias(
             "d", "bucket"
         )
     )
-    joined = probes.join(F.broadcast(cms), ["d", "bucket"], "left")
+    joined = probes.join(F.broadcast(cms), [*by, "d", "bucket"], "left")
     return (
         joined.groupBy(*keys.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(est_col))

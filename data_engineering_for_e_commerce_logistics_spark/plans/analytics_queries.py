@@ -1719,6 +1719,108 @@ FROM roll_part
 
 CMS_SUITE_SQL = _cms_suite_sql()
 
+GROUP_CMS_TOP_K = 5
+
+
+def group_cms_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters: one independent CMS per event_type
+    (``cms_build(by=...)``), top-{GROUP_CMS_TOP_K} users by estimate
+    within each type next to exact counts and the one-sided-law flag.
+    The per-tenant form of hot-key detection — per-group sketch state
+    stays depth×width regardless of the group's traffic.
+
+    The rank window partitions on the group over the CANDIDATE set
+    (the exact-count verification twin at test scale; at 100 TB
+    candidates come from the current batch's keys, bounded per the
+    ``cms_heavy_hitters_events`` framing)."""
+    from pyspark.sql import Window
+
+    from ..operators import sketches
+
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .where(F.col("user_id").isNotNull() & F.col("event_type").isNotNull())
+        .select("event_type", "user_id")
+        .cache()  # two consumers: sketch build + exact candidates
+    )
+    cms = sketches.cms_build(
+        ev, "user_id", width=CMS_WIDTH, depth=CMS_DEPTH, by=("event_type",)
+    )
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    est = sketches.cms_estimate(
+        cms,
+        exact,
+        "user_id",
+        width=CMS_WIDTH,
+        depth=CMS_DEPTH,
+        by=("event_type",),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("cms_est"), F.asc("user_id")
+    )
+    return (
+        est.withColumn("grp_rank", F.row_number().over(w))
+        .where(F.col("grp_rank") <= GROUP_CMS_TOP_K)
+        .select(
+            "event_type",
+            "grp_rank",
+            "user_id",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+        )
+    )
+
+
+def _group_cms_topk_sql() -> str:
+    from ..operators.sketches import CMS_HASHES, _bucket_sql
+
+    hash_rows = ", ".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(CMS_HASHES[:CMS_DEPTH])
+    )
+    bucket = _bucket_sql("e.user_id", 1, 0, CMS_WIDTH).replace(
+        " * 1 + 0", " * h.a + h.b"
+    )
+    return f"""
+WITH h AS (SELECT * FROM (VALUES {hash_rows}) t(d, a, b)),
+ev AS (SELECT event_type, user_id FROM events
+       WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+cells AS (
+  SELECT e.event_type, h.d, {bucket} AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM ev e CROSS JOIN h
+  GROUP BY 1, 2, 3
+),
+exact AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM ev GROUP BY 1, 2
+),
+probes AS (
+  SELECT e.event_type, e.user_id, e.exact_cnt, h.d, {bucket} AS bucket
+  FROM exact e CROSS JOIN h
+),
+est AS (
+  SELECT p.event_type, p.user_id, p.exact_cnt,
+         CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+  FROM probes p LEFT JOIN cells c
+    ON p.event_type = c.event_type AND p.d = c.d AND p.bucket = c.bucket
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, grp_rank, user_id, cms_est, exact_cnt,
+       cms_est >= exact_cnt AS est_ge_exact
+FROM (
+  SELECT *, CAST(row_number() OVER (
+            PARTITION BY event_type
+            ORDER BY cms_est DESC, user_id ASC) AS INT) AS grp_rank
+  FROM est
+) WHERE grp_rank <= {GROUP_CMS_TOP_K}
+"""
+
+
+GROUP_CMS_TOPK_SQL = _group_cms_topk_sql()
+
 
 # --- Set operations ---------------------------------------------------------
 

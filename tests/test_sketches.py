@@ -628,3 +628,53 @@ def test_cms_suite_single_cached_scan(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_grouped_cms_is_per_group_independent(spark):
+    """Grouped build equals per-group standalone builds (grouping is
+    bookkeeping, each group's grid independent), and grouped estimates
+    query the right group's sketch."""
+    rows = [(["a", "b"][i % 2], i % 30) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    grouped = {
+        (r.g, r.d, r.bucket): r.cnt
+        for r in sketches.cms_build(
+            df, "k", width=32, by=("g",)
+        ).collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            (g, r.d, r.bucket): r.cnt
+            for r in sketches.cms_build(
+                df.where(f"g = '{g}'"), "k", width=32
+            ).collect()
+        }
+        assert {k: v for k, v in grouped.items() if k[0] == g} == solo
+
+    cand = df.distinct()
+    est = {
+        (r.g, r.k): r.cms_est
+        for r in sketches.cms_estimate(
+            sketches.cms_build(df, "k", width=1024, by=("g",)),
+            cand,
+            "k",
+            width=1024,
+            by=("g",),
+        ).collect()
+    }
+    exact = {(g, k): rows.count((g, k)) for g, k in set(rows)}
+    assert est == exact  # sparse grid ⇒ exact per group
+
+
+def test_group_cms_topk_matches_duckdb(spark):
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = aq.group_cms_topk_events(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(aq.GROUP_CMS_TOPK_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "group_cms_topk_events") == []
+    assert spdf.est_ge_exact.all()
+    assert (spdf.groupby("event_type").grp_rank.max() == aq.GROUP_CMS_TOP_K).all()

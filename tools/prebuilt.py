@@ -60,6 +60,8 @@ def prebuilt_builders() -> dict:
         # r12 pre-build: the CMS-family trade vehicle — one cached
         # events projection feeds both sketches + exact + salted legs
         "cms_suite_events": aq.cms_suite_events,
+        # r12 pre-build: per-group heavy hitters (one CMS per group)
+        "group_cms_topk_events": aq.group_cms_topk_events,
         # r12 pre-build: JL ±1 random projection (map-only 64→16 dim
         # reduction for the ANN screen path; distance-ratio leg)
         "jl_project_embeddings": gq.jl_project_embeddings,
