@@ -1821,6 +1821,95 @@ FROM (
 
 GROUP_CMS_TOPK_SQL = _group_cms_topk_sql()
 
+TOKEN_CMS_TOP_K = 10
+
+
+def cms_token_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING-keyed heavy hitters — the corpus hot-key case the
+    integer hash family alone can't serve (tokens, hosts, URLs):
+    every token derives a portable 60-bit integer key
+    (``sketches.string_key_int`` — md5-prefix, value-equal across
+    engines despite dialect differences in hex→int), then the
+    standard CMS pipeline runs unchanged.  Top-{k} tokens by estimate
+    next to exact counts — the vocab-pruning / stopword-discovery
+    pass over a 100 TB corpus with depth×width counters of state."""
+    from pyspark.sql import Window
+
+    from ..operators import sketches
+    from ..operators import text as text_ops
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    toks = docs.select(
+        F.explode(text_ops.tokens_col("text")).alias("term")
+    ).withColumn("__k", sketches.string_key_int("term")).cache()
+    # one cached explode: sketch build + exact candidate twin
+    cms = sketches.cms_build(toks, "__k", width=CMS_WIDTH, depth=CMS_DEPTH)
+    exact = toks.groupBy("term", "__k").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    est = sketches.cms_estimate(
+        cms, exact, "__k", width=CMS_WIDTH, depth=CMS_DEPTH
+    )
+    topk = est.orderBy(
+        F.desc("cms_est"), F.asc("term")
+    ).limit(TOKEN_CMS_TOP_K)
+    w = Window.orderBy(F.desc("cms_est"), F.asc("term"))
+    return topk.withColumn("hh_rank", F.row_number().over(w)).select(
+        "hh_rank",
+        "term",
+        F.col("cms_est").cast("long").alias("cms_est"),
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        (F.col("cms_est") >= F.col("exact_cnt")).alias("est_ge_exact"),
+    )
+
+
+def _cms_token_topk_sql() -> str:
+    from ..operators.sketches import (
+        CMS_HASHES,
+        _bucket_sql,
+        sql_string_key_int,
+    )
+
+    hash_rows = ", ".join(
+        f"({d}, {a}, {b})" for d, (a, b) in enumerate(CMS_HASHES[:CMS_DEPTH])
+    )
+    bucket = _bucket_sql("e.k", 1, 0, CMS_WIDTH).replace(
+        " * 1 + 0", " * h.a + h.b"
+    )
+    return f"""
+WITH h AS (SELECT * FROM (VALUES {hash_rows}) t(d, a, b)),
+toks AS (
+  SELECT term, {sql_string_key_int("term")} AS k FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+),
+cells AS (
+  SELECT h.d, {bucket} AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks e CROSS JOIN h GROUP BY 1, 2
+),
+exact AS (
+  SELECT term, k, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM toks GROUP BY 1, 2
+),
+probes AS (
+  SELECT e.term, e.exact_cnt, h.d, {bucket} AS bucket
+  FROM exact e CROSS JOIN h
+),
+est AS (
+  SELECT term, exact_cnt, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+  FROM probes p LEFT JOIN cells c USING (d, bucket)
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT CAST(row_number() OVER (ORDER BY cms_est DESC, term ASC) AS INT)
+           AS hh_rank,
+         term, cms_est, exact_cnt, cms_est >= exact_cnt AS est_ge_exact
+  FROM est
+) WHERE hh_rank <= {TOKEN_CMS_TOP_K}
+"""
+
+
+CMS_TOKEN_TOPK_SQL = _cms_token_topk_sql()
+
 
 # --- Set operations ---------------------------------------------------------
 

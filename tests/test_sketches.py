@@ -678,3 +678,20 @@ def test_group_cms_topk_matches_duckdb(spark):
     assert compare_frames(spdf, opdf, "group_cms_topk_events") == []
     assert spdf.est_ge_exact.all()
     assert (spdf.groupby("event_type").grp_rank.max() == aq.GROUP_CMS_TOP_K).all()
+
+
+def test_cms_token_topk_matches_duckdb(spark):
+    """String-keyed CMS: the portable md5-prefix key derivation keeps
+    the sketch cell-exact across engines, and the top tokens match
+    the exact frequency ranking on the near-collision-free fixture."""
+    from tests.oracle import compare_frames, duckdb_conn
+
+    spdf = aq.cms_token_topk_documents(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    try:
+        opdf = conn.execute(aq.CMS_TOKEN_TOPK_SQL).fetchdf()
+    finally:
+        conn.close()
+    assert compare_frames(spdf, opdf, "cms_token_topk_documents") == []
+    assert len(spdf) == aq.TOKEN_CMS_TOP_K
+    assert spdf.est_ge_exact.all()

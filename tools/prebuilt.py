@@ -62,6 +62,9 @@ def prebuilt_builders() -> dict:
         "cms_suite_events": aq.cms_suite_events,
         # r12 pre-build: per-group heavy hitters (one CMS per group)
         "group_cms_topk_events": aq.group_cms_topk_events,
+        # r12 pre-build: string-keyed token heavy hitters (portable
+        # md5-prefix key derivation; the vocab-pruning pass)
+        "cms_token_topk_documents": aq.cms_token_topk_documents,
         # r12 pre-build: JL ±1 random projection (map-only 64→16 dim
         # reduction for the ANN screen path; distance-ratio leg)
         "jl_project_embeddings": gq.jl_project_embeddings,
