@@ -96,11 +96,17 @@ cell-exact shared-arithmetic oracle), ``cms_salted_rollup_events``
 chain with ``minhash_cluster_suite`` — a natural future trade) and
 ``hist_quantiles_events`` + ``group_hist_quantiles_events``
 (mergeable quantile histograms, the hash-checkable counterpart of
-the rows-only t-digest spec) — whose preferred debut vehicle is
-``hist_suite_events`` (one slot, global cells marginalized from the
-grouped build; parts-equivalence pinned).  The streaming sketch loop
-(``start_cms_stream`` — CMS, histogram, and DataSketches-HLL twins)
-is unit-pinned like the rest of §2.8 (no oracle slot needed).
+the rows-only t-digest spec), ``group_cms_topk_events`` (per-group
+hot keys), ``cms_token_topk_documents`` (string-keyed vocab pass)
+and ``hist_drift_events`` (PSI drift verdicts as hash-checked
+cells).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
+for the two CMS specs off one cached scan) and ``hist_suite_events``
+(one slot for the two histogram specs; global cells marginalized
+from the grouped build) — parts-equivalence pinned for both, so a
+future round can register each suite instead of its parts.  The
+streaming sketch loop (``start_cms_stream`` — CMS, histogram, and
+DataSketches-HLL batch-equivalence twins) is unit-pinned like the
+rest of §2.8 (no oracle slot needed).
 
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
