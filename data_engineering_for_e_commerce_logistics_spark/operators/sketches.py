@@ -123,14 +123,16 @@ def cms_build(
     )
 
 
-def cms_merge(*sketches: DataFrame) -> DataFrame:
+def cms_merge(*sketches: DataFrame, by: tuple = ()) -> DataFrame:
     """Cell-wise sum — the linearity that makes the sketch a
     distributed/streaming accumulator: cms_merge(build(A), build(B))
-    equals build(A ∪ B) exactly (pinned by the unit law test)."""
+    equals build(A ∪ B) exactly (pinned by the unit law test).
+    Pass the same ``by`` as the builds when merging GROUPED sketches —
+    otherwise distinct groups' cells would collapse into one grid."""
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+    return out.groupBy(*by, "d", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_estimate(

@@ -695,3 +695,26 @@ def test_cms_token_topk_matches_duckdb(spark):
     assert compare_frames(spdf, opdf, "cms_token_topk_documents") == []
     assert len(spdf) == aq.TOKEN_CMS_TOP_K
     assert spdf.est_ge_exact.all()
+
+
+def test_grouped_cms_merge_law(spark):
+    """Merge law holds per group when by= threads through: merging two
+    grouped partials equals the grouped build of the union, and
+    groups never bleed into each other's grids."""
+    rows = [(["a", "b"][i % 2], (i * 7) % 23) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    c1 = df.where("k < 12")
+    c2 = df.where("k >= 12")
+    merged = {
+        (r.g, r.d, r.bucket): r.cnt
+        for r in sketches.cms_merge(
+            sketches.cms_build(c1, "k", width=16, by=("g",)),
+            sketches.cms_build(c2, "k", width=16, by=("g",)),
+            by=("g",),
+        ).collect()
+    }
+    full = {
+        (r.g, r.d, r.bucket): r.cnt
+        for r in sketches.cms_build(df, "k", width=16, by=("g",)).collect()
+    }
+    assert merged == full
