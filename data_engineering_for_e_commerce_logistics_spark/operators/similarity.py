@@ -1610,8 +1610,13 @@ JL_J = (22695477, 1)
 
 
 def _jl_sign(i: Column, j: Column) -> Column:
-    fi = (i * F.lit(JL_I[0]) + F.lit(JL_I[1])) % F.lit(JL_P)
-    fj = (j * F.lit(JL_J[0]) + F.lit(JL_J[1])) % F.lit(JL_P)
+    # Cast the sequence indices to long FIRST (ADVICE r12): sequence
+    # elements are int32, and int32 · 22695477 overflows in Spark for
+    # j ≥ ~95 while the DuckDB oracle computes BIGINT throughout — the
+    # promotion keeps both engines in the shared-BIGINT contract for
+    # any out_dim / input dim.
+    fi = (i.cast("long") * F.lit(JL_I[0]) + F.lit(JL_I[1])) % F.lit(JL_P)
+    fj = (j.cast("long") * F.lit(JL_J[0]) + F.lit(JL_J[1])) % F.lit(JL_P)
     return (F.lit(1) - F.lit(2) * (fi * fj % F.lit(JL_P) % F.lit(2))).cast(
         "double"
     )

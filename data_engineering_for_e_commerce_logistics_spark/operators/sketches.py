@@ -110,6 +110,13 @@ def cms_build(
     """
     if depth > len(CMS_HASHES):
         raise ValueError(f"depth ≤ {len(CMS_HASHES)} (fixed hash family)")
+    clash = {"d", "bucket"}.intersection(by)
+    if clash:
+        raise ValueError(
+            f"cms_build: grouping columns {sorted(clash)} collide with the"
+            " sketch's reserved cell columns ('d', 'bucket') — alias them"
+            " first (ADVICE r12)"
+        )
     return (
         df.where(F.col(key_col).isNotNull())
         .select(
@@ -149,7 +156,19 @@ def cms_estimate(
     counters, missing cells counting as 0.  With ``by``, each key
     queries its own group's sketch (the join adds the group columns).
     The sketch side is ≤ |groups|·depth·width rows — broadcast it
-    explicitly so the join never shuffles the candidate stream."""
+    explicitly so the join never shuffles the candidate stream.
+
+    ``keys`` is a CANDIDATE SET: the closing ``groupBy(*keys.columns)``
+    collapses fully-duplicate candidate rows (by design — one estimate
+    per distinct candidate), and 'd'/'bucket' are reserved probe
+    columns, so the frame may not already carry them (ADVICE r12)."""
+    clash = {"d", "bucket"}.intersection(keys.columns)
+    if clash:
+        raise ValueError(
+            f"cms_estimate: candidate columns {sorted(clash)} collide with"
+            " the reserved probe columns ('d', 'bucket') — rename them"
+            " before estimating"
+        )
     probes = keys.select(
         "*", F.posexplode(_bucket_array(key_col, width, depth)).alias(
             "d", "bucket"
@@ -162,17 +181,36 @@ def cms_estimate(
     )
 
 
-def cms_pack(cms: DataFrame) -> DataFrame:
+# Packed-cell key stride: cell (d, bucket) → d·STRIDE + bucket.  Any
+# width < STRIDE packs collision-free; the guard below rejects wider
+# sketches instead of silently colliding across depths (ADVICE r12).
+CMS_PACK_STRIDE = 1_000_000
+
+
+def _check_pack_width(width: int, who: str) -> None:
+    if width >= CMS_PACK_STRIDE:
+        raise ValueError(
+            f"{who}: width={width} ≥ pack stride {CMS_PACK_STRIDE} — packed"
+            " cell keys would collide across depths; use a narrower sketch"
+            " (width error scales as 1/width, so ≥1M buckets is never"
+            " needed) or the joined cms_estimate path"
+        )
+
+
+def cms_pack(cms: DataFrame, *, width: int = 128) -> DataFrame:
     """Fold the ≤ depth·width sketch cells into a ONE-ROW map keyed by
-    ``d·width + bucket`` (the broadcast-scalar pattern of
+    ``d·{CMS_PACK_STRIDE} + bucket`` (the broadcast-scalar pattern of
     ``operators/bloom.py`` — never ``.collect()``), so per-row
     estimates become pure map lookups with no join and no explode of
-    the probing table."""
+    the probing table.  ``width`` is validation-only (the stride is
+    fixed so probe expressions stay caller-independent): it must match
+    the build width and stay under the stride."""
+    _check_pack_width(width, "cms_pack")
     return cms.agg(
         F.map_from_entries(
             F.collect_list(
                 F.struct(
-                    (F.col("d") * F.lit(1_000_000) + F.col("bucket"))
+                    (F.col("d") * F.lit(CMS_PACK_STRIDE) + F.col("bucket"))
                     .cast("long")
                     .alias("k"),
                     F.col("cnt").alias("v"),
@@ -216,9 +254,11 @@ def cms_salted_aggregate(
     sketch finds them in one cheap mergeable pass — or arrives
     already-built from the streaming accumulator."""
     sums = sums or {}
+    _check_pack_width(width, "cms_salted_aggregate")
     probes = [
         (
-            F.expr(_bucket_sql(key_col, a, b, width)) + F.lit(d * 1_000_000)
+            F.expr(_bucket_sql(key_col, a, b, width))
+            + F.lit(d * CMS_PACK_STRIDE)
         ).cast("long")
         for d, (a, b) in enumerate(CMS_HASHES[:depth])
     ]
@@ -229,7 +269,7 @@ def cms_salted_aggregate(
         ]
     )
     salted = (
-        df.crossJoin(F.broadcast(cms_pack(cms)))
+        df.crossJoin(F.broadcast(cms_pack(cms, width=width)))
         .withColumn("__hot", est >= F.lit(threshold))
         .withColumn(
             "__salt",

@@ -655,8 +655,31 @@ def start_cms_stream(
         def build(b):
             return cms_build(b, key_col, width=width, depth=depth)
 
+    def recover_compaction() -> None:
+        # Crash recovery (ADVICE r12): the swap below has a window —
+        # between rename(sketch_path, old) and rename(tmp, sketch_path)
+        # the accumulated sketch exists ONLY as ``.compact-old``.  A
+        # replayed batch used to recreate ``sketch_path`` with just its
+        # own partial, and the next compaction rmtree'd ``.compact-old``
+        # — silently losing every prior count.  Recover BEFORE any
+        # write: if the old copy exists and the live path is missing,
+        # the crash landed mid-swap — roll the old table back; if both
+        # exist, the swap completed and only the cleanup was lost —
+        # drop the superseded copy.  (Same discipline as
+        # ``layout.compact_in_place``; like it, the rename/_SUCCESS
+        # pattern assumes an atomic-rename filesystem — on object
+        # stores, run the loop against a rename-capable layer or keep
+        # segments individually and compact via a manifest instead.)
+        old = sketch_path + ".compact-old"
+        if os.path.exists(old):
+            if not os.path.exists(sketch_path):
+                os.rename(old, sketch_path)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+
     def cms_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        recover_compaction()
         part = build(batch_df)
         part_dir = os.path.join(sketch_path, f"batch_id={batch_id}")
         if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):

@@ -42,6 +42,26 @@ def test_jl_project_matches_python_reference(spark):
         assert all(abs(a - b) < 1e-12 for a, b in zip(got[k], want)), k
 
 
+def test_jl_project_wide_out_dim_no_int_overflow(spark):
+    """ADVICE r12: j·22695477 in int32 overflows for j ≥ ~95.  With
+    the long-cast fix, out_dim=128 must still match the (arbitrary-
+    precision) Python reference exactly — and every sign must be ±1,
+    which the overflowed parity would break."""
+    rows = [(k, [math.cos(k * 7 + i) for i in range(12)]) for k in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: list(r.jl)
+        for r in similarity.jl_project(df, out_dim=128).collect()
+    }
+    inv = math.sqrt(128.0)
+    for k, v in rows:
+        want = [
+            sum(v[i] * _py_sign(i, j) for i in range(12)) / inv
+            for j in range(128)
+        ]
+        assert all(abs(a - b) < 1e-12 for a, b in zip(got[k], want)), k
+
+
 def test_jl_preserves_pairwise_distances(spark):
     """The Achlioptas bound made empirical: over the fixture's real
     embeddings, squared-distance ratios must center on 1 (16 dims ⇒

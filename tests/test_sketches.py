@@ -190,6 +190,111 @@ def test_cms_stream_matches_batch_sketch(spark, tmp_path):
     assert again == want
 
 
+def test_cms_stream_recovers_mid_swap_crash(spark, tmp_path):
+    """Compaction crash-window recovery (ADVICE r12): if a crash lands
+    between the two swap renames, the accumulated sketch survives only
+    as ``.compact-old``.  A restarted stream must roll it back BEFORE
+    writing any partial — otherwise the replayed batch recreates the
+    sketch dir with just its own counts and the next compaction
+    silently deletes the history.  Simulate both crash states and
+    assert the final sketch still equals the batch build over ALL
+    ingested rows."""
+    import os
+    import shutil
+
+    from data_engineering_for_e_commerce_logistics_spark.catalog import (
+        read_parquet_table,
+    )
+    from data_engineering_for_e_commerce_logistics_spark.streaming import (
+        ingest,
+    )
+
+    ev = read_parquet_table(spark, f"{SF}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    first = ev.where("event_id % 2 = 0")
+    second = ev.where("event_id % 2 = 1")
+    src = str(tmp_path / "src")
+    first.repartition(2).write.mode("append").parquet(src)
+    sketch = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = ingest.start_cms_stream(
+            spark,
+            src,
+            sketch,
+            ckpt,
+            "user_id",
+            schema="event_id long, user_id long",
+            width=64,
+            depth=4,
+            compact_every=2,
+        )
+        q.awaitTermination(120)
+
+    run()
+
+    # Crash state A: mid-swap — the live dir was renamed aside and the
+    # tmp→live rename never happened.  The only copy is .compact-old.
+    os.rename(sketch, sketch + ".compact-old")
+    # new data arrives, stream restarts over the same checkpoint
+    second.repartition(2).write.mode("append").parquet(src)
+    run()
+
+    got = {
+        (r.d, r.bucket): r.cnt
+        for r in ingest.read_cms_sketch(spark, sketch).collect()
+    }
+    want = {
+        (r.d, r.bucket): r.cnt
+        for r in sketches.cms_build(ev, "user_id", width=64).collect()
+    }
+    assert got == want  # pre-crash counts recovered, not lost
+    assert not os.path.exists(sketch + ".compact-old")
+
+    # Crash state B: swap completed but cleanup didn't — a stale
+    # superseded copy sits at .compact-old.  Recovery must drop it
+    # (NOT roll it back over the newer live sketch).
+    shutil.copytree(sketch, sketch + ".compact-old")
+    # a 0-row file: fires a batch (so recovery runs) without new counts
+    ev.limit(0).repartition(1).write.mode("append").parquet(src)
+    run()
+    again = {
+        (r.d, r.bucket): r.cnt
+        for r in ingest.read_cms_sketch(spark, sketch).collect()
+    }
+    assert again == want
+    assert not os.path.exists(sketch + ".compact-old")
+
+
+def test_cms_guards_reject_misuse(spark):
+    """ADVICE r12 guard rails: pack-stride collision and reserved
+    probe-column clashes fail loudly instead of corrupting results."""
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "k long")
+    cms = sketches.cms_build(df, "k", width=32)
+    with pytest.raises(ValueError, match="stride"):
+        sketches.cms_pack(cms, width=sketches.CMS_PACK_STRIDE)
+    with pytest.raises(ValueError, match="stride"):
+        sketches.cms_salted_aggregate(
+            df, "k", cms, threshold=1, width=sketches.CMS_PACK_STRIDE * 2
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        sketches.cms_build(
+            spark.createDataFrame([(1, 2)], "k long, d long"),
+            "k",
+            width=32,
+            by=("d",),
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        sketches.cms_estimate(
+            cms, spark.createDataFrame([(1, 2)], "k long, bucket long"), "k",
+            width=32,
+        )
+
+
 def test_cms_salted_aggregate_equals_plain_groupby(spark):
     """The conditional-salting law: result bit-identical to the plain
     groupBy (salt only reshapes the shuffle), and the one-sided CMS
