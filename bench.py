@@ -60,7 +60,6 @@ HEADLINE = [
     "ngram_frequencies",
     # r02 corpus-pipeline additions (cluster_reps excluded: it re-runs
     # the full LSH+fixpoint pipeline already timed via dedup_minhash_lsh)
-    "corpus_decontaminate",
     "corpus_quality_funnel",
     "corpus_repetition",
     "corpus_tfidf_topk",
@@ -94,7 +93,8 @@ HEADLINE = [
     "zorder_orders",
     # r05 additions: the incremental-dedup driver proofs, the
     # bloom-split upsert invariance twin, the manifest-planned scan
-    "incremental_exact_fresh",
+    # (incremental_exact_fresh retired r13 — its flow is timed inside
+    # incremental_dedup_suite, whose baseline already sums it)
     "upsert_bloom_orders",
     "manifest_pruned_orders",
     # r05: previously-unbenched cheap registry specs (VERDICT r04 ask
@@ -162,6 +162,13 @@ HEADLINE = [
     # recording becomes baseline)
     "incremental_dedup_suite",
     "quality_calibrate_domains",
+    # r13 addition: THE r13 TRADE's debut — exact + fuzzy + semantic
+    # decontamination off one cached scan (baseline = the retired
+    # corpus_decontaminate via RENAMED_FROM is NOT fair, since the
+    # suite adds the fuzzy and semantic legs the single never ran;
+    # its pre-registration solo baseline from tools/bench_solo.py
+    # governs, first in-bench recording becomes the tracked number)
+    "corpus_decon_suite",
 ]
 
 # Registry specs deliberately NOT in HEADLINE (the bench exclusion

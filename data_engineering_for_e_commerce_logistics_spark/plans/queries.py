@@ -20,49 +20,41 @@ so the order below is deliberate and rotates per round:
 * last: rows-only specs (no oracle by design) — they only ever get
   the weaker rows-only check, so they spend no verified slot.
 
-r12 window — THE COMMITTED TRADE executed:
-``incremental_minhash_fresh`` + ``incremental_simhash_fresh`` (both
-r10-green, i.e. in this round's own backlog — the funding rule)
-retire into ``incremental_dedup_suite`` (pre-built r08, rebuilt r11
-on pre-banded persisted indexes), freeing one net slot for the
-``quality_calibrate_domains`` debut (bucketed-exact-rank form,
-unit-proven since r08):
+r13 window — THE COMMITTED TRADE (planned r12, executed here):
+``incremental_exact_fresh`` (r11-green, i.e. in THIS round's own
+backlog — the funding rule) retires to fund the
+``corpus_decon_suite`` debut (exact + fuzzy + semantic
+decontamination legs off one cached scan; pre-built and sf2.5-
+rehearsed r12) — the incremental dedup suite's exact leg preserves
+every retired cell.  ``corpus_decontaminate`` retires from the
+opposite (r12-green) half in the same commit: the suite subsumes
+it, so carrying it to r14 re-verification buys nothing.
 
 * positions 1-2: the flagship views (always in-window).
-* positions 3-4: the two debuts (never-checked — MUST be in-window).
-* positions 5-50: the r10-green stale backlog (CORRECTNESS r10 ∖
-  r11) minus the two retired specs — 46 specs.
-* positions 51-98: the 48 r11-green specs (they become the r13
-  backlog; ``incremental_exact_fresh`` is among them and retires in
-  r13 when the suite's own driver row makes its standalone slot
-  redundant).
-* position 99: ``sketch_aggregates_events``, rows-only by design.
+* position 3: the ``corpus_decon_suite`` debut (never-checked —
+  MUST be in-window).
+* positions 4-50: the r11-green stale backlog (CORRECTNESS r11 ∖
+  r12) minus the retired ``incremental_exact_fresh`` — 47 specs.
+* positions 51-97: the 47 r12-green specs (48 minus the retired
+  ``corpus_decontaminate``) — they become the r14 backlog.
+* position 98: ``sketch_aggregates_events``, rows-only by design.
 
-Arithmetic: 2 + 2 + 46 = 50 exactly.  Once CORRECTNESS_r12 lands,
-every live oracle spec's last driver row is r11 or r12 (the three
-r11 bucketed-rank rewrites — group_quantiles_events,
-ngram_frequencies, corpus_split_suite — all sit in the r10-green
-backlog, so their post-rewrite code gets its first driver row here,
-closing the r11 verdict's staleness caveat).
+Arithmetic: 2 + 1 + 47 = 50 exactly.  Once CORRECTNESS_r13 lands,
+every live oracle spec's last driver row is r12 or r13.
 
-WINDOW ARITHMETIC going forward: the registry stays at 99 specs /
-98 oracle-paired (2 flagships + 96 rotating + 1 rows-only) — the
-trade is net-zero (2 retired, 2 debuted), so EXACT 2-round
-re-check capacity (2 rounds × 48 free slots = 96) still holds.
+WINDOW ARITHMETIC going forward: the registry is now 98 specs /
+97 oracle-paired (2 flagships + 95 rotating + 1 rows-only) — the
+trade is net −1 (2 retired, 1 debuted), so the 2-round re-check
+capacity (2 rounds × 48 free slots = 96 ≥ 95) gains one slot of
+slack over r12's exact squeeze.
 The standing rule from r11's exact-capacity squeeze: every debut
 must be funded by retiring at least as many specs FROM THAT
 ROUND'S OWN BACKLOG (a retirement from the opposite half relieves
 nothing, the lesson the r11 pull-forward encodes).
-r12 load = 2 + 2 debuts + 46 backlog = 50 exactly (this window —
-executed above; net-zero trade, registry unchanged at 99/98).
-r13 load = 2 + the 48 r11-green backlog = 50; THE r13 TRADE:
-retire ``incremental_exact_fresh`` (r11-green, i.e. in r13's own
-backlog — the suite's exact leg preserves every cell) to fund the
-``corpus_decon_suite`` debut, and retire ``corpus_decontaminate``
-from the opposite (r12-green) half in the same commit — the suite
-subsumes it, so carrying it to r14 re-verification buys nothing.
-r14 load = 2 + 47 backlog (48 r12-green minus the r13-retired
-``corpus_decontaminate``) = 49; THE r14 TRADE (pre-built r12):
+r13 load = 2 + 1 debut + 47 backlog = 50 exactly (this window —
+executed above).
+r14 load = 2 + 47 backlog (the r12-green half above) = 49 before
+its trade; THE r14 TRADE (pre-built r12, re-rehearsed r13):
 retire ``semdedup_trained_pairs`` + ``semdedup_routed_pairs`` (both
 r12-green, r14's own backlog) into ``semdedup_routing_suite``, and
 debut ``corpus_weighted_sample`` (Sequential Poisson weighted
@@ -139,8 +131,243 @@ register(
     tags=("view", "join", "agg", "conditional-agg"),
 )
 
-# --- 3-4: r12 debuts (never-checked — MUST be in-window): the committed
-# --- trade (incremental suite funding the calibration debut) ----------
+# --- 3: r13 debut (never-checked — MUST be in-window): THE r13 TRADE —
+# --- the decontamination suite (exact + fuzzy + semantic legs off one
+# --- cached scan) subsumes corpus_decontaminate (retired from the
+# --- r12-green half) and is funded by retiring incremental_exact_fresh
+# --- (r11-green = THIS round's own backlog; the incremental dedup
+# --- suite's exact leg preserves every cell) ---------------------------
+register(
+    "corpus_decon_suite",
+    xc.corpus_decon_suite,
+    xc.CORPUS_DECON_SUITE_SQL,
+    ("corpus", "decontamination", "merged-variants", "suite"),
+)
+
+# --- 4-50: the r11-green stale backlog (CORRECTNESS r11 ∖ r12, oldest
+# --- evidence first) minus the retired incremental_exact_fresh --------
+register(
+    "array_functions_documents",
+    fq.array_functions_documents,
+    fq.ARRAY_FUNCTIONS_SQL,
+    ("scalar", "array"),
+)
+register(
+    "asof_events_orders",
+    aq.asof_events_orders,
+    aq.ASOF_EVENTS_ORDERS_SQL,
+    ("join", "asof", "temporal"),
+)
+register(
+    "basket_pairs",
+    aq.basket_pairs,
+    aq.BASKET_PAIRS_SQL,
+    ("agg", "market-basket", "pair-mining"),
+)
+register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
+register(
+    "bpe_merges_documents",
+    xc.bpe_merges_documents,
+    xc.BPE_MERGES_SQL,
+    ("text", "tokenizer", "bpe", "iterative", "multi-round"),
+)
+register(
+    "coerce_timestamps_orders",
+    cq.coerce_timestamps_orders,
+    cq.COERCE_TIMESTAMPS_SQL,
+    ("timestamps",),
+)
+register(
+    "cohort_retention",
+    aq.cohort_retention,
+    aq.COHORT_RETENTION_SQL,
+    ("agg", "cohort", "temporal"),
+)
+register(
+    "corpus_chunk_documents",
+    xc.corpus_chunk_documents,
+    xc.CORPUS_CHUNK_SQL,
+    ("corpus", "chunking"),
+)
+register(
+    "corpus_export_suite",
+    xc.corpus_export_suite,
+    xc.CORPUS_EXPORT_SUITE_SQL,
+    ("corpus", "sampling", "export"),
+)
+register(
+    "corpus_lm_quality",
+    xc.corpus_lm_quality,
+    xc.CORPUS_LM_QUALITY_SQL,
+    ("corpus", "quality", "lm"),
+)
+register(
+    "correlated_above_avg_orders",
+    aq.correlated_above_avg_orders,
+    aq.CORRELATED_ABOVE_AVG_SQL,
+    ("subquery",),
+)
+register(
+    "customer_rolling_7d_spend",
+    aq.customer_rolling_7d_spend,
+    aq.CUSTOMER_ROLLING_7D_SQL,
+    ("window", "range-frame", "temporal"),
+)
+register(
+    "customer_running_spend",
+    rq.customer_running_spend,
+    rq.CUSTOMER_RUNNING_SPEND_SQL,
+    ("window",),
+)
+register(
+    "customer_spend_slope",
+    aq.customer_spend_slope,
+    aq.CUSTOMER_SPEND_SLOPE_SQL,
+    ("agg", "regression"),
+)
+register(
+    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
+)
+register(
+    "dedup_ngram_jaccard",
+    xq.dedup_ngram_jaccard,
+    xq.DEDUP_NGRAM_JACCARD_SQL,
+    ("dedup", "all-pairs", "bounded-baseline"),
+)
+register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
+register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
+register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
+register(
+    "events_sessionize",
+    rq.events_sessionize,
+    rq.EVENTS_SESSIONIZE_SQL,
+    ("window", "session"),
+)
+register(
+    "explode_document_tokens",
+    rq.explode_document_tokens,
+    rq.EXPLODE_TOKENS_SQL,
+    ("explode",),
+)
+register(
+    "graph_degree_profile",
+    gq.graph_degree_profile,
+    gq.GRAPH_DEGREE_PROFILE_SQL,
+    ("graph", "degree"),
+)
+register(
+    "graph_triangle_count",
+    gq.graph_triangle_count,
+    gq.GRAPH_TRIANGLE_COUNT_SQL,
+    ("graph", "triangles"),
+)
+register(
+    "grouping_sets_orders",
+    aq.grouping_sets_orders,
+    aq.GROUPING_SETS_ORDERS_SQL,
+    ("grouping-sets", "merged-variants"),
+)
+register(
+    "incremental_semdedup_fresh",
+    gq.incremental_semdedup_fresh,
+    gq.INCREMENTAL_SEMDEDUP_SQL,
+    ("dedup", "incremental", "similarity", "semdedup", "index-screen"),
+)
+register(
+    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
+)
+register(
+    "ivm_spend_refresh",
+    rq.ivm_spend_refresh,
+    rq.IVM_SPEND_REFRESH_SQL,
+    ("sink", "ivm", "incremental"),
+)
+register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
+register(
+    "kmeans_suite",
+    gq.kmeans_suite,
+    gq.KMEANS_SUITE_SQL,
+    ("similarity", "iterative", "multi-round", "merged-variants"),
+)
+register(
+    "manifest_pruned_orders",
+    rq.manifest_pruned_orders,
+    rq.MANIFEST_PRUNED_SQL,
+    ("layout", "manifest", "data-skipping", "agg"),
+)
+register(
+    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
+)
+register(
+    "minhash_cluster_suite",
+    gq.minhash_cluster_suite,
+    gq.MINHASH_CLUSTER_SUITE_SQL,
+    ("dedup", "lsh", "graph", "iterative", "merged-variants"),
+)
+register(
+    "normalize_strings_customer",
+    cq.normalize_strings_customer,
+    cq.NORMALIZE_STRINGS_SQL,
+    ("strings",),
+)
+register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
+register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
+register(
+    "q3_shipping_priority",
+    aq.q3_shipping_priority,
+    aq.Q3_SHIPPING_PRIORITY_SQL,
+    ("join", "agg", "topk"),
+)
+register(
+    "region_nation_list",
+    aq.region_nation_list,
+    aq.REGION_NATION_LIST_SQL,
+    ("agg", "string-agg"),
+)
+register(
+    "salted_rollup_events",
+    rq.salted_rollup_events,
+    rq.SALTED_ROLLUP_SQL,
+    ("agg", "skew", "salted"),
+)
+register(
+    "scalar_functions_part",
+    gq.scalar_functions_part,
+    gq.SCALAR_FUNCTIONS_SQL,
+    ("scalar",),
+)
+register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
+register(
+    "semdedup_suite",
+    gq.semdedup_suite,
+    gq.SEMDEDUP_SUITE_SQL,
+    ("dedup", "similarity", "semdedup", "merged-variants"),
+)
+register(
+    "sql_api_params",
+    rq.sql_api_params,
+    rq.SQL_API_PARAMS_SQL,
+    ("sql", "params"),
+)
+register(
+    "struct_flatten_roundtrip",
+    rq.struct_flatten_roundtrip,
+    rq.STRUCT_FLATTEN_SQL,
+    ("struct",),
+)
+register(
+    "text_analysis_suite",
+    xq.text_analysis_suite,
+    xq.TEXT_ANALYSIS_SUITE_SQL,
+    ("text", "merged-variants"),
+)
+register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
+register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
+register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
+
+# --- 51-97: the r12-green fresh remainder (freshest evidence, lowest
+# --- re-check urgency; rotates back into the window at r14) minus the
+# --- retired corpus_decontaminate --------------------------------------
 register(
     "incremental_dedup_suite",
     xq.incremental_dedup_suite,
@@ -153,9 +380,6 @@ register(
     xc.QUALITY_CALIBRATE_DOMAINS_SQL,
     ("corpus", "quality", "calibration", "bucketed-rank"),
 )
-
-# --- 5-50: the r10-green stale backlog (CORRECTNESS r10 ∖ r11, oldest
-# --- evidence first) minus the two retired incremental specs ----------
 register(
     "agg_cardinality_lineitem",
     rq.agg_cardinality_lineitem,
@@ -179,12 +403,6 @@ register(
     xc.corpus_cluster_reps,
     xc.CORPUS_CLUSTER_REPS_SQL,
     ("corpus", "dedup", "iterative"),
-)
-register(
-    "corpus_decontaminate",
-    xc.corpus_decontaminate,
-    xc.CORPUS_DECONTAMINATE_SQL,
-    ("corpus", "decontamination"),
 )
 register(
     "corpus_pack_sequences",
@@ -425,233 +643,7 @@ register(
     ("dedup", "similarity", "pq", "incremental"),
 )
 
-# --- 51-98: r11-green specs (freshest evidence; rotate back in r13) ----
-register(
-    "array_functions_documents",
-    fq.array_functions_documents,
-    fq.ARRAY_FUNCTIONS_SQL,
-    ("scalar", "array"),
-)
-register(
-    "asof_events_orders",
-    aq.asof_events_orders,
-    aq.ASOF_EVENTS_ORDERS_SQL,
-    ("join", "asof", "temporal"),
-)
-register(
-    "basket_pairs",
-    aq.basket_pairs,
-    aq.BASKET_PAIRS_SQL,
-    ("agg", "market-basket", "pair-mining"),
-)
-register("binary_features", rq.binary_features, rq.BINARY_FEATURES_SQL, ("multimodal",))
-register(
-    "bpe_merges_documents",
-    xc.bpe_merges_documents,
-    xc.BPE_MERGES_SQL,
-    ("text", "tokenizer", "bpe", "iterative", "multi-round"),
-)
-register(
-    "coerce_timestamps_orders",
-    cq.coerce_timestamps_orders,
-    cq.COERCE_TIMESTAMPS_SQL,
-    ("timestamps",),
-)
-register(
-    "cohort_retention",
-    aq.cohort_retention,
-    aq.COHORT_RETENTION_SQL,
-    ("agg", "cohort", "temporal"),
-)
-register(
-    "corpus_chunk_documents",
-    xc.corpus_chunk_documents,
-    xc.CORPUS_CHUNK_SQL,
-    ("corpus", "chunking"),
-)
-register(
-    "corpus_export_suite",
-    xc.corpus_export_suite,
-    xc.CORPUS_EXPORT_SUITE_SQL,
-    ("corpus", "sampling", "export"),
-)
-register(
-    "corpus_lm_quality",
-    xc.corpus_lm_quality,
-    xc.CORPUS_LM_QUALITY_SQL,
-    ("corpus", "quality", "lm"),
-)
-register(
-    "correlated_above_avg_orders",
-    aq.correlated_above_avg_orders,
-    aq.CORRELATED_ABOVE_AVG_SQL,
-    ("subquery",),
-)
-register(
-    "customer_rolling_7d_spend",
-    aq.customer_rolling_7d_spend,
-    aq.CUSTOMER_ROLLING_7D_SQL,
-    ("window", "range-frame", "temporal"),
-)
-register(
-    "customer_running_spend",
-    rq.customer_running_spend,
-    rq.CUSTOMER_RUNNING_SPEND_SQL,
-    ("window",),
-)
-register(
-    "customer_spend_slope",
-    aq.customer_spend_slope,
-    aq.CUSTOMER_SPEND_SLOPE_SQL,
-    ("agg", "regression"),
-)
-register(
-    "dedup_exact_documents", xq.dedup_exact_documents, xq.DEDUP_EXACT_SQL, ("dedup",)
-)
-register(
-    "dedup_ngram_jaccard",
-    xq.dedup_ngram_jaccard,
-    xq.DEDUP_NGRAM_JACCARD_SQL,
-    ("dedup", "all-pairs", "bounded-baseline"),
-)
-register("derived_lineitem", cq.derived_lineitem, cq.DERIVED_LINEITEM_SQL, ("derived",))
-register("drop_missing_events", cq.drop_missing_events, cq.DROP_MISSING_SQL, ("nulls",))
-register("events_hourly_rollup", rq.events_hourly_rollup, rq.EVENTS_HOURLY_SQL, ("agg",))
-register(
-    "events_sessionize",
-    rq.events_sessionize,
-    rq.EVENTS_SESSIONIZE_SQL,
-    ("window", "session"),
-)
-register(
-    "explode_document_tokens",
-    rq.explode_document_tokens,
-    rq.EXPLODE_TOKENS_SQL,
-    ("explode",),
-)
-register(
-    "graph_degree_profile",
-    gq.graph_degree_profile,
-    gq.GRAPH_DEGREE_PROFILE_SQL,
-    ("graph", "degree"),
-)
-register(
-    "graph_triangle_count",
-    gq.graph_triangle_count,
-    gq.GRAPH_TRIANGLE_COUNT_SQL,
-    ("graph", "triangles"),
-)
-register(
-    "grouping_sets_orders",
-    aq.grouping_sets_orders,
-    aq.GROUPING_SETS_ORDERS_SQL,
-    ("grouping-sets", "merged-variants"),
-)
-register(
-    "incremental_exact_fresh",
-    xq.incremental_exact_fresh,
-    xq.INCREMENTAL_EXACT_SQL,
-    ("dedup", "incremental", "bloom", "index-screen"),
-)
-register(
-    "incremental_semdedup_fresh",
-    gq.incremental_semdedup_fresh,
-    gq.INCREMENTAL_SEMDEDUP_SQL,
-    ("dedup", "incremental", "similarity", "semdedup", "index-screen"),
-)
-register(
-    "interpolate_events", cq.interpolate_events, cq.INTERPOLATE_SQL, ("nulls", "window")
-)
-register(
-    "ivm_spend_refresh",
-    rq.ivm_spend_refresh,
-    rq.IVM_SPEND_REFRESH_SQL,
-    ("sink", "ivm", "incremental"),
-)
-register("json_extract_events", rq.json_extract_events, rq.JSON_EXTRACT_SQL, ("json",))
-register(
-    "kmeans_suite",
-    gq.kmeans_suite,
-    gq.KMEANS_SUITE_SQL,
-    ("similarity", "iterative", "multi-round", "merged-variants"),
-)
-register(
-    "manifest_pruned_orders",
-    rq.manifest_pruned_orders,
-    rq.MANIFEST_PRUNED_SQL,
-    ("layout", "manifest", "data-skipping", "agg"),
-)
-register(
-    "map_functions_events", fq.map_functions_events, fq.MAP_FUNCTIONS_SQL, ("map",)
-)
-register(
-    "minhash_cluster_suite",
-    gq.minhash_cluster_suite,
-    gq.MINHASH_CLUSTER_SUITE_SQL,
-    ("dedup", "lsh", "graph", "iterative", "merged-variants"),
-)
-register(
-    "normalize_strings_customer",
-    cq.normalize_strings_customer,
-    cq.NORMALIZE_STRINGS_SQL,
-    ("strings",),
-)
-register("pivot_orders", aq.pivot_orders, aq.PIVOT_ORDERS_SQL, ("pivot",))
-register("pricing_summary", rq.pricing_summary, rq.PRICING_SUMMARY_SQL, ("agg",))
-register(
-    "q3_shipping_priority",
-    aq.q3_shipping_priority,
-    aq.Q3_SHIPPING_PRIORITY_SQL,
-    ("join", "agg", "topk"),
-)
-register(
-    "region_nation_list",
-    aq.region_nation_list,
-    aq.REGION_NATION_LIST_SQL,
-    ("agg", "string-agg"),
-)
-register(
-    "salted_rollup_events",
-    rq.salted_rollup_events,
-    rq.SALTED_ROLLUP_SQL,
-    ("agg", "skew", "salted"),
-)
-register(
-    "scalar_functions_part",
-    gq.scalar_functions_part,
-    gq.SCALAR_FUNCTIONS_SQL,
-    ("scalar",),
-)
-register("scd2_customer", fq.scd2_customer, fq.SCD2_CUSTOMER_SQL, ("sink", "scd2"))
-register(
-    "semdedup_suite",
-    gq.semdedup_suite,
-    gq.SEMDEDUP_SUITE_SQL,
-    ("dedup", "similarity", "semdedup", "merged-variants"),
-)
-register(
-    "sql_api_params",
-    rq.sql_api_params,
-    rq.SQL_API_PARAMS_SQL,
-    ("sql", "params"),
-)
-register(
-    "struct_flatten_roundtrip",
-    rq.struct_flatten_roundtrip,
-    rq.STRUCT_FLATTEN_SQL,
-    ("struct",),
-)
-register(
-    "text_analysis_suite",
-    xq.text_analysis_suite,
-    xq.TEXT_ANALYSIS_SUITE_SQL,
-    ("text", "merged-variants"),
-)
-register("top_orders", rq.top_orders, rq.TOP_ORDERS_SQL, ("sort", "limit"))
-register("upsert_orders", rq.upsert_orders, rq.UPSERT_ORDERS_SQL, ("sink", "merge"))
-register("validate_orders", cq.validate_orders, cq.VALIDATE_ORDERS_SQL, ("validation",))
-
-# --- 99: rows-only specs (no oracle by design) last --------------------
+# --- 98: rows-only specs (no oracle by design) last --------------------
 register(
     "sketch_aggregates_events",
     aq.sketch_aggregates_events,

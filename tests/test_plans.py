@@ -121,8 +121,24 @@ def test_pack_sequences_window_is_sharded(spark):
 
 
 def test_decontaminate_broadcasts_benchmark(spark):
-    plan = _plan(spark, "corpus_decontaminate")
+    # retired r13 into corpus_decon_suite; the builder still backs the
+    # suite's exact leg, so the guard pins it via _plan_of
+    from data_engineering_for_e_commerce_logistics_spark.plans.corpus_queries import (
+        corpus_decontaminate,
+    )
+
+    plan = _plan_of(spark, corpus_decontaminate)
     assert "BroadcastHashJoin" in plan
+
+
+def test_decon_suite_broadcasts_benchmark_all_legs(spark):
+    """The registered suite (r13 debut): every leg's benchmark side
+    must broadcast — no exact/fuzzy/semantic leg may shuffle the
+    corpus against the (tiny) benchmark."""
+    plan = _plan(spark, "corpus_decon_suite")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_domain_mix_broadcasts_rates(spark):

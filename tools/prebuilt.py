@@ -78,9 +78,10 @@ def prebuilt_builders() -> dict:
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
+        # (corpus_decon_suite registered r13; its fuzzy/semantic legs
+        # stay pre-built for standalone solo timings)
         "corpus_decontaminate_fuzzy": xc.corpus_decontaminate_fuzzy,
         "corpus_decontaminate_semantic": gq.corpus_decontaminate_semantic,
-        "corpus_decon_suite": xc.corpus_decon_suite,
         "standardize_embeddings_suite": gq.standardize_embeddings_suite,
         # the r18-r19 trades (pre-built in r09): BPE train-once
         # consolidation, alternating-star CC debut, farthest-point

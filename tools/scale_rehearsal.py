@@ -93,8 +93,8 @@ QUERIES = [
     "zorder_orders",
     # r05 additions: the round's five new registered specs.
     # incremental_minhash_fresh + incremental_simhash_fresh retired
-    # into incremental_dedup_suite at r12 (RENAMED_FROM).
-    "incremental_exact_fresh",
+    # into incremental_dedup_suite at r12, incremental_exact_fresh
+    # at r13 (RENAMED_FROM).
     "incremental_dedup_suite",
     "upsert_bloom_orders",
     "manifest_pruned_orders",
