@@ -1771,3 +1771,150 @@ def prepare_training_corpus(
         " n_exact_dedup long, n_train long",
     )
     return packed, report
+
+
+# ---------------------------------------------------------------------------
+# Coverage-maximizing source selection (submodular greedy)
+# ---------------------------------------------------------------------------
+
+# The greedy runs on a mask-count SUMMARY whose size is bounded by
+# 2^|sources| regardless of corpus size; past ~20 sources the pull
+# stops being "bounded driver state" and selection should go
+# hierarchical (select within source groups, then across groups).
+COVERAGE_MAX_SOURCES = 20
+
+
+def source_coverage_masks(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    ngram_k: int = 3,
+) -> DataFrame:
+    """The distributed half of greedy source selection: collapse the
+    corpus to ``(mask, cnt)`` — for every distinct word-``ngram_k``-gram,
+    the bitmask of sources containing it (bit i = i-th source in
+    lexicographic order), counted per distinct mask.
+
+    Scale shape: one shingle explode, then ``bit_or`` straight to
+    masks (OR is idempotent, so no distinct pass is needed — repeated
+    (source, ngram) hits set the same bit), one hash-agg to mask
+    counts — all map-side combinable, two real exchanges total.
+    The output is ≤ 2^|sources| rows
+    (≤ 1M at the COVERAGE_MAX_SOURCES=20 cap) INDEPENDENT of
+    corpus size — the whole point: a 100 TB corpus folds into a ≤16 MB
+    coverage summary that a driver (or a notebook) can optimize over
+    exactly."""
+    srcs = [
+        r[0]
+        for r in df.where(F.col(source_col).isNotNull())
+        .select(source_col)
+        .distinct()
+        .orderBy(source_col)
+        .collect()
+    ]
+    if len(srcs) > COVERAGE_MAX_SOURCES:
+        raise ValueError(
+            f"source_coverage: {len(srcs)} sources exceeds the "
+            f"{COVERAGE_MAX_SOURCES}-source mask bound (2^|S| driver "
+            "summary); select hierarchically over source groups instead"
+        )
+    spark = df.sparkSession
+    idx = F.broadcast(
+        spark.createDataFrame(
+            [(s, i) for i, s in enumerate(srcs)],
+            f"{source_col} string, __idx int",
+        )
+    )
+    pairs = (
+        df.where(
+            F.col(source_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(source_col),
+            F.explode(
+                shingles_from_tokens(F.split(F.col(text_col), " "), ngram_k)
+            ).alias("__ng"),
+        )
+    )
+    return (
+        pairs.join(idx, source_col)
+        .groupBy("__ng")
+        # shiftleft by a COLUMN needs the SQL form (the PySpark helper
+        # only takes a literal bit count)
+        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __idx)")).alias("mask"))
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def source_coverage_greedy(
+    df: DataFrame,
+    k_select: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+    ngram_k: int = 3,
+) -> DataFrame:
+    """Greedy coverage-maximizing source selection — "which
+    ``k_select`` sources, taken together, cover the most distinct
+    n-grams?"  The curation question behind corpus mixing: coverage
+    (distinct n-grams) is monotone submodular, so the greedy sweep is
+    within (1 − 1/e) ≈ 63% of the optimal subset (Nemhauser,
+    Wolsey & Fisher 1978) — and in practice the ranking is what gets
+    used: sources ordered by MARGINAL novelty, with the diminishing
+    returns made visible.
+
+    Returns one row per greedy pick: ``(sel_rank, source, gain,
+    covered, coverage_frac)`` — gain = distinct n-grams this pick adds
+    over everything already selected, covered = running total,
+    coverage_frac = covered / all distinct n-grams.  Ties break to the
+    lexicographically smaller source; exhausted coverage still picks
+    (gain 0) so the output is always ``k_select`` rows (or |sources|
+    if fewer).
+
+    Exactness: the greedy runs on the EXACT mask-count summary from
+    ``source_coverage_masks`` (bounded driver pull ≤ 2^|S| rows — the
+    quantile-bracket precedent, not a data collect), so gains are
+    exact integers and the single coverage division is reproduced
+    bit-for-bit by the SQL oracle's unrolled greedy."""
+    masks = [
+        (r["mask"], r["cnt"])
+        for r in source_coverage_masks(
+            df, text_col, source_col, ngram_k
+        ).collect()
+    ]
+    srcs = [
+        r[0]
+        for r in df.where(F.col(source_col).isNotNull())
+        .select(source_col)
+        .distinct()
+        .orderBy(source_col)
+        .collect()
+    ]
+    total = sum(c for _, c in masks)
+    picked = 0
+    covered = 0
+    rows = []
+    for rank in range(1, min(k_select, len(srcs)) + 1):
+        best = None
+        for i, s in enumerate(srcs):
+            bit = 1 << i
+            if picked & bit:
+                continue
+            gain = sum(
+                c for m, c in masks if (m & bit) and not (m & picked)
+            )
+            if best is None or gain > best[0] or (
+                gain == best[0] and s < best[1]
+            ):
+                best = (gain, s, bit)
+        gain, s, bit = best
+        picked |= bit
+        covered += gain
+        rows.append(
+            (rank, s, gain, covered, (covered / total) if total else 0.0)
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "sel_rank int, source string, gain bigint, covered bigint,"
+        " coverage_frac double",
+    )

@@ -218,13 +218,22 @@ def compact_files(
     return n_files
 
 
-def parquet_file_count(path: str) -> int:
+def parquet_file_count(path: str, spark=None) -> int:
     """Data files currently in a parquet directory (the fragmentation
-    metric compaction bounds)."""
-    import glob
-    import os
+    metric compaction bounds).  Counts through the Hadoop FileSystem
+    API so HDFS/S3A index paths work (ADVICE r12); falls back to a
+    local glob only when no SparkSession exists to reach the JVM."""
+    from pyspark.sql import SparkSession
 
-    return len(glob.glob(os.path.join(path, "*.parquet")))
+    from ..fsio import fs_list_names
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        import glob
+        import os
+
+        return len(glob.glob(os.path.join(path, "*.parquet")))
+    return sum(1 for n in fs_list_names(spark, path) if n.endswith(".parquet"))
 
 
 def compact_in_place(
@@ -249,32 +258,34 @@ def compact_in_place(
     only once ``path`` itself exists.  Callers
     must hold no open scans over ``path`` across the call (the ingest
     loops here re-read per batch and ``clearCache()`` after each).
+    All path ops go through the Hadoop FileSystem API (``fsio``,
+    ADVICE r12) so the same loop maintains an HDFS/S3A-resident index
+    — with fsio's stated atomic-rename caveat on S3A.
     At 100 TB the same rhythm applies per PARTITION of the index
     (compact only partitions whose small-file count crossed the
     threshold), keeping each rewrite bounded by partition size, not
     table size."""
-    import os
-    import shutil
+    from ..fsio import fs_delete, fs_exists, fs_rename
 
     tmp, old = path + ".compact-tmp", path + ".compact-old"
-    if not os.path.exists(path):
+    if not fs_exists(spark, path):
         # Interrupted mid-swap: restore the pre-compaction table (the
         # tmp copy may be complete too, but old is the known-good
         # original; re-compaction next cycle is cheap, data loss not).
-        if os.path.exists(old):
-            os.rename(old, path)
-        elif os.path.exists(tmp):
-            os.rename(tmp, path)
+        if fs_exists(spark, old):
+            fs_rename(spark, old, path)
+        elif fs_exists(spark, tmp):
+            fs_rename(spark, tmp, path)
         else:
             raise FileNotFoundError(
                 f"compact_in_place: {path} missing and no"
                 " .compact-old/.compact-tmp to recover from"
             )
-    files_before = parquet_file_count(path)
-    shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    files_before = parquet_file_count(path, spark)
+    fs_delete(spark, tmp)
+    fs_delete(spark, old)
     compact_files(spark, path, tmp, target_rows_per_file, sort_col)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
-    return files_before, parquet_file_count(path)
+    fs_rename(spark, path, old)
+    fs_rename(spark, tmp, path)
+    fs_delete(spark, old)
+    return files_before, parquet_file_count(path, spark)

@@ -2135,6 +2135,104 @@ FROM d JOIN trates USING (source)
 )
 
 
+
+
+# --- Coverage-maximizing source selection (submodular greedy) ----------------
+#
+# Unit-first pre-build (r13): registers when an r15+ slot frees.  The
+# Spark side collapses the corpus to the exact (mask, cnt) coverage
+# summary (bounded by 2^|sources| — see operators/corpus.py) and runs
+# the greedy on the driver; the oracle UNROLLS the same greedy as
+# K nested argmax CTEs over the identical mask table (the
+# corpus_quality_classifier unrolled-GD precedent), so every gain is
+# an exact integer and the single coverage division matches bitwise.
+
+COVERAGE_K_SELECT = 5
+COVERAGE_NGRAM_K = 3
+
+
+def source_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.source_coverage_greedy(
+        docs, k_select=COVERAGE_K_SELECT, ngram_k=COVERAGE_NGRAM_K
+    )
+
+
+def _source_coverage_sql() -> str:
+    shift = "(CAST(1 AS BIGINT) << s.idx)"
+    ctes = [
+        "tok AS (SELECT source, string_split(text, ' ') AS tok\n"
+        "  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)",
+        "pairs AS (SELECT source, ng\n"
+        f"  FROM tok, UNNEST({sql_shingles('tok', COVERAGE_NGRAM_K)})"
+        " AS u(ng))",
+        "sidx AS (SELECT source,\n"
+        "  CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS idx\n"
+        "  FROM (SELECT DISTINCT source FROM documents"
+        " WHERE source IS NOT NULL))",
+        "ngmask AS (SELECT ng,\n"
+        "  CAST(bit_or(CAST(1 AS BIGINT) << sidx.idx) AS BIGINT) AS mask\n"
+        "  FROM pairs JOIN sidx USING (source) GROUP BY ng)",
+        "mc AS (SELECT mask, CAST(count(*) AS BIGINT) AS cnt"
+        " FROM ngmask GROUP BY mask)",
+        "tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total"
+        " FROM mc)",
+    ]
+    prev_picked = "CAST(0 AS BIGINT)"
+    prev_covered = "CAST(0 AS BIGINT)"
+    finals = []
+    for i in range(1, COVERAGE_K_SELECT + 1):
+        if i == 1:
+            g = (
+                f"g{i} AS (SELECT s.source, s.idx,\n"
+                f"  CAST(coalesce(SUM(CASE WHEN (m.mask & {shift}) <> 0"
+                f" THEN m.cnt END), 0) AS BIGINT) AS gain\n"
+                "  FROM sidx s LEFT JOIN mc m ON TRUE\n"
+                "  GROUP BY s.source, s.idx)"
+            )
+            p = (
+                f"p{i} AS (SELECT source, gain,\n"
+                f"  ({prev_picked} | (CAST(1 AS BIGINT) << idx)) AS picked,\n"
+                f"  ({prev_covered} + gain) AS covered\n"
+                f"  FROM g{i} ORDER BY gain DESC, source LIMIT 1)"
+            )
+        else:
+            g = (
+                f"g{i} AS (SELECT s.source, s.idx, p.picked AS prev_picked,"
+                " p.covered AS prev_covered,\n"
+                f"  CAST(coalesce(SUM(CASE WHEN (m.mask & {shift}) <> 0"
+                " AND (m.mask & p.picked) = 0"
+                f" THEN m.cnt END), 0) AS BIGINT) AS gain\n"
+                f"  FROM sidx s CROSS JOIN p{i - 1} p"
+                " LEFT JOIN mc m ON TRUE\n"
+                f"  WHERE (p.picked & {shift}) = 0\n"
+                "  GROUP BY s.source, s.idx, p.picked, p.covered)"
+            )
+            p = (
+                f"p{i} AS (SELECT source, gain,\n"
+                "  (prev_picked | (CAST(1 AS BIGINT) << idx)) AS picked,\n"
+                "  (prev_covered + gain) AS covered\n"
+                f"  FROM g{i} ORDER BY gain DESC, source LIMIT 1)"
+            )
+        ctes.append(g)
+        ctes.append(p)
+        finals.append(
+            f"SELECT CAST({i} AS INT) AS sel_rank, p{i}.source, p{i}.gain,"
+            f" p{i}.covered,\n"
+            "  CASE WHEN tot.total = 0 THEN 0.0"
+            f" ELSE CAST(p{i}.covered AS DOUBLE) / CAST(tot.total AS DOUBLE)"
+            f" END AS coverage_frac\n  FROM p{i} CROSS JOIN tot"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(finals)
+    )
+
+
+SOURCE_COVERAGE_SQL = _source_coverage_sql()
+
+
+
 def __getattr__(name: str):
     """Lazy cross-module SQL (see the CORPUS_DECON_SUITE_SQL note):
     resolved on first access, after both plan modules finish init."""

@@ -104,11 +104,15 @@ def load_multi_table(
     loader=None,
 ) -> dict[str, DataFrame]:
     """Multi-table dataset scan (S8): load every file that exists,
-    skip-with-tolerance on missing ones (ref csv_loader.py:187-215)."""
+    skip-with-tolerance on missing ones (ref csv_loader.py:187-215).
+    Existence checks go through the Hadoop FileSystem API so the map
+    may point at HDFS/S3A URIs (ADVICE r12)."""
+    from ..fsio import fs_exists
+
     loader = loader or (lambda s, p: load_csv(s, p))
     out: dict[str, DataFrame] = {}
     for name, path in file_map.items():
-        if not os.path.exists(path):
+        if not fs_exists(spark, path):
             continue
         try:
             out[name] = loader(spark, path)

@@ -117,11 +117,14 @@ def upsert_parquet(
     through ``operators.bloom.bloom_anti_join``: target rows that miss
     the update-batch's bloom filter bypass the anti join's shuffle —
     the row-level analogue of MERGE file pruning, result-identical.
-    Size ≈10 bits per update-batch key."""
-    import os
-    import shutil
+    Size ≈10 bits per update-batch key.
 
-    if os.path.exists(path):
+    Path ops go through the Hadoop FileSystem API (``fsio``, ADVICE
+    r12) so the MERGE rewrite targets HDFS/S3A tables, not just the
+    driver's disk — with fsio's atomic-rename caveat on S3A."""
+    from ..fsio import fs_delete, fs_exists, fs_rename
+
+    if fs_exists(spark, path):
         target = spark.read.parquet(path)
         if bloom_bits and len(key_columns) == 1:
             from ..operators.bloom import bloom_anti_join
@@ -139,9 +142,8 @@ def upsert_parquet(
     tmp = f"{path}__tmp_upsert"
     merged.write.mode("overwrite").parquet(tmp)
     count = spark.read.parquet(tmp).count()
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(tmp, path)
+    fs_delete(spark, path)
+    fs_rename(spark, tmp, path)
     return count
 
 

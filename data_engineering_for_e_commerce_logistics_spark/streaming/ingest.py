@@ -499,21 +499,22 @@ def start_dedup_ingest_stream(
     ``screen`` as a third argument ``{name: DataFrame | None}``, each
     projection of the batch's delta appends to its path, and sidecar
     paths compact on the same batch_id rhythm as the index."""
-    import os
-
+    from ..fsio import fs_exists, fs_join
     from ..operators.layout import compact_in_place
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         idx = (
             sess.read.parquet(index_path)
-            if os.path.exists(index_path)
+            if fs_exists(sess, index_path)
             else None
         )
         if sidecars:
             loaded = {
                 name: (
-                    sess.read.parquet(path) if os.path.exists(path) else None
+                    sess.read.parquet(path)
+                    if fs_exists(sess, path)
+                    else None
                 )
                 for name, (path, _) in sidecars.items()
             }
@@ -537,8 +538,8 @@ def start_dedup_ingest_stream(
         # rows without a state store; readers scan ``corpus_path`` as
         # a partitioned table (batch_id becomes a discovered,
         # prunable lineage column).
-        part_dir = os.path.join(corpus_path, f"batch_id={batch_id}")
-        if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+        part_dir = fs_join(corpus_path, f"batch_id={batch_id}")
+        if not fs_exists(sess, fs_join(part_dir, "_SUCCESS")):
             fresh.write.mode("overwrite").parquet(part_dir)
         delta.write.mode("append").parquet(index_path)
         for name, (path, project) in (sidecars or {}).items():
@@ -556,7 +557,7 @@ def start_dedup_ingest_stream(
                 sort_col=compact_sort_col,
             )
             for name, (path, _) in (sidecars or {}).items():
-                if os.path.exists(path):
+                if fs_exists(sess, path):
                     compact_in_place(
                         sess, path, target_rows_per_file=compact_target_rows
                     )
@@ -646,16 +647,14 @@ def start_cms_stream(
     DataSketches HLL distinct-count register set; union is a register
     max, so replay/compaction idempotency holds exactly as for sums).
     All three pinned by streaming batch-equivalence twins."""
-    import os
-    import shutil
-
+    from ..fsio import fs_delete, fs_exists, fs_join, fs_rename
     from ..operators.sketches import cms_build
 
     if build is None:
         def build(b):
             return cms_build(b, key_col, width=width, depth=depth)
 
-    def recover_compaction() -> None:
+    def recover_compaction(sess: SparkSession) -> None:
         # Crash recovery (ADVICE r12): the swap below has a window —
         # between rename(sketch_path, old) and rename(tmp, sketch_path)
         # the accumulated sketch exists ONLY as ``.compact-old``.  A
@@ -666,36 +665,36 @@ def start_cms_stream(
         # the crash landed mid-swap — roll the old table back; if both
         # exist, the swap completed and only the cleanup was lost —
         # drop the superseded copy.  (Same discipline as
-        # ``layout.compact_in_place``; like it, the rename/_SUCCESS
-        # pattern assumes an atomic-rename filesystem — on object
-        # stores, run the loop against a rename-capable layer or keep
-        # segments individually and compact via a manifest instead.)
+        # ``layout.compact_in_place``; all path ops go through the
+        # Hadoop FileSystem API — ``fsio`` — so the loop runs against
+        # HDFS/S3A exactly as against local disk, with the atomic-
+        # rename caveat fsio's module docstring states for S3A.)
         old = sketch_path + ".compact-old"
-        if os.path.exists(old):
-            if not os.path.exists(sketch_path):
-                os.rename(old, sketch_path)
+        if fs_exists(sess, old):
+            if not fs_exists(sess, sketch_path):
+                fs_rename(sess, old, sketch_path)
             else:
-                shutil.rmtree(old, ignore_errors=True)
+                fs_delete(sess, old)
 
     def cms_batch(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
-        recover_compaction()
+        recover_compaction(sess)
         part = build(batch_df)
-        part_dir = os.path.join(sketch_path, f"batch_id={batch_id}")
-        if not os.path.exists(os.path.join(part_dir, "_SUCCESS")):
+        part_dir = fs_join(sketch_path, f"batch_id={batch_id}")
+        if not fs_exists(sess, fs_join(part_dir, "_SUCCESS")):
             part.write.mode("overwrite").parquet(part_dir)
         if (batch_id + 1) % compact_every == 0:
             merged = read_sketch(sess, sketch_path, cell_cols, merge_expr)
             tmp = sketch_path + ".compact-tmp"
             old = sketch_path + ".compact-old"
-            shutil.rmtree(tmp, ignore_errors=True)
-            shutil.rmtree(old, ignore_errors=True)
+            fs_delete(sess, tmp)
+            fs_delete(sess, old)
             merged.write.mode("overwrite").parquet(
-                os.path.join(tmp, f"batch_id={batch_id}")
+                fs_join(tmp, f"batch_id={batch_id}")
             )
-            os.rename(sketch_path, old)
-            os.rename(tmp, sketch_path)
-            shutil.rmtree(old, ignore_errors=True)
+            fs_rename(sess, sketch_path, old)
+            fs_rename(sess, tmp, sketch_path)
+            fs_delete(sess, old)
 
     reader = spark.readStream.schema(schema)
     writer = (

@@ -75,6 +75,10 @@ def prebuilt_builders() -> dict:
         # r12 pre-build: leakage-safe split (near-dup clusters assign
         # atomically; 'leak' leg states the invariant as a checked cell)
         "cluster_safe_split_documents": xc.cluster_safe_split_documents,
+        # r13 pre-build: submodular greedy source selection over the
+        # exact n-gram coverage mask summary (bounded 2^|S| driver
+        # state; unrolled-argmax DuckDB oracle)
+        "source_coverage_greedy": xc.source_coverage_greedy,
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
