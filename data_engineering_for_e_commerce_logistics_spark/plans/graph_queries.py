@@ -3365,3 +3365,146 @@ UNION ALL
 
 
 KCENTER_SEED_SQL = _kcenter_sql()
+
+
+# --- Embedding-space drift (PSI over IVF cell occupancy; r13 pre-build) ------
+#
+# The vector-pipeline twin of ``hist_drift_events``: numeric-column
+# drift has the mergeable histogram, embedding drift has CELL
+# OCCUPANCY under a FIXED coarse quantizer — assign reference and
+# current vector sets to the same broadcast seed centroids, count per
+# cell, PSI over the two occupancy vectors (``sketches.hist_psi``
+# verbatim, bin := centroid_id).  The production question it answers:
+# did the upstream embedding model (or the traffic) shift enough that
+# the ANN index's cell balance — and with it recall — is stale?
+#
+# Scale: the reference side is a ≤ n_centroids-row persisted sketch
+# (the hist_drift discipline), the current side is ONE map-only
+# broadcast-assign pass over the new vectors, and the PSI is
+# sketch-frame arithmetic — no rescan of the reference corpus, no
+# index rebuild, bounded state.  Both legs reuse the pinned
+# packed-quantizer fold (bit-identical to the IVF_ASSIGN oracle).
+
+EMB_DRIFT_THRESHOLD = 0.25
+
+
+def embedding_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two legs off one centroid set: 'split' (even vs odd vec_ids —
+    same distribution, PSI ≈ small-sample bias → drifted FALSE) and
+    'shifted' (odd vectors displaced by +1.0 per component — an
+    embedding-model swap/recalibration stand-in that visibly moves
+    cell occupancy → drifted TRUE; a pure reversal or rescale was
+    measured NOT to move occupancy — argmin is nearly invariant to
+    them — which is itself the point: PSI flags distribution shifts,
+    not per-vector reassignment).
+    Verdict rows are hash-checked cells: the 9dp decimal term sum
+    (DSIR discipline) keeps the ln-based score bit-reproducible."""
+    from ..operators import sketches
+    from ..operators.similarity import (
+        _as_double_vec,
+        _nearest_packed,
+        _pack_rows,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    packed = F.broadcast(_pack_rows(centroids, "centroid_id", "cv"))
+
+    def cells(vdf: DataFrame) -> DataFrame:
+        return (
+            vdf.crossJoin(packed)
+            .select(
+                _nearest_packed(
+                    F.col("v"), F.col("__packed"), "centroid_id", "cv"
+                )["id"].alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    even = vecs.where(F.col("vec_id") % 2 == 0)
+    odd = vecs.where(F.col("vec_id") % 2 == 1)
+    ref = cells(even).cache()  # two PSI consumers of the even-half scan
+    legs = []
+    for variant, cur in (
+        ("split", cells(odd)),
+        (
+            "shifted",
+            cells(
+                odd.select(
+                    "vec_id",
+                    F.transform("v", lambda x: x + F.lit(1.0)).alias("v"),
+                )
+            ),
+        ),
+    ):
+        legs.append(
+            sketches.hist_psi(ref, cur).select(
+                F.lit(variant).alias("variant"),
+                "psi",
+                (F.col("psi") > F.lit(EMB_DRIFT_THRESHOLD)).alias("drifted"),
+            )
+        )
+    return legs[0].unionByName(legs[1])
+
+
+def _embedding_drift_sql() -> str:
+    def assign(src: str) -> str:
+        return f"""
+    SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM (
+      SELECT s.vec_id, s.centroid_id AS bin FROM (
+        SELECT e.vec_id, c.centroid_id,
+               list_reduce(list_transform(list_zip(e.v, c.cv),
+                   p -> (p[1] - p[2]) * (p[1] - p[2])),
+                   (a, b) -> a + b) AS dist,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_reduce(list_transform(list_zip(e.v, c.cv),
+                       p -> (p[1] - p[2]) * (p[1] - p[2])),
+                       (a, b) -> a + b) ASC, c.centroid_id ASC) AS rn
+        FROM {src} e, c
+      ) s WHERE s.rn = 1
+    ) GROUP BY bin"""
+
+    p = "(rc + 0.5) / (rn + 0.5 * nb)"
+    q = "(cc + 0.5) / (cn + 0.5 * nb)"
+    term = (
+        f"cast(round(cast((({p}) - ({q})) * ln(({p}) / ({q}))"
+        f" as decimal(28,12)), 9) as decimal(28,9))"
+    )
+
+    def leg(variant: str, cur_cte: str) -> str:
+        return f"""
+  SELECT '{variant}' AS variant,
+         CAST(round(sum({term}), 9) AS DOUBLE) AS psi,
+         CAST(round(sum({term}), 9) AS DOUBLE) > {EMB_DRIFT_THRESHOLD}
+           AS drifted
+  FROM (
+    SELECT coalesce(r.cnt, 0) AS rc, coalesce(cq.cnt, 0) AS cc,
+           sum(coalesce(r.cnt, 0)) OVER () AS rn,
+           sum(coalesce(cq.cnt, 0)) OVER () AS cn,
+           count(*) OVER () AS nb
+    FROM ref r FULL OUTER JOIN {cur_cte} cq ON r.bin = cq.bin
+  )"""
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+even AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+odd AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+oddrev AS (SELECT vec_id, list_transform(v, x -> x + 1.0) AS v FROM odd),
+ref AS ({assign("even")}),
+cur_split AS ({assign("odd")}),
+cur_rev AS ({assign("oddrev")})
+{leg("split", "cur_split")}
+UNION ALL
+{leg("shifted", "cur_rev")}
+"""
+
+
+EMBEDDING_DRIFT_SQL = _embedding_drift_sql()

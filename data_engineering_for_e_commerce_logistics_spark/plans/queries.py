@@ -91,9 +91,12 @@ chain with ``minhash_cluster_suite`` — a natural future trade) and
 the rows-only t-digest spec), ``group_cms_topk_events`` (per-group
 hot keys), ``cms_token_topk_documents`` (string-keyed vocab pass)
 and ``hist_drift_events`` (PSI drift verdicts as hash-checked
-cells), and — NEW r13 pre-build — ``source_coverage_greedy``
+cells), and — NEW r13 pre-builds — ``source_coverage_greedy``
 (submodular greedy source selection over the exact 2^|S|-bounded
-n-gram coverage mask summary; unrolled-argmax oracle).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
+n-gram coverage mask summary; unrolled-argmax oracle) and
+``embedding_drift_cells`` (PSI over IVF cell occupancy, the vector
+twin of ``hist_drift_events``; a natural future drift-suite trade
+pairs the two monitors in one slot).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
 for the two CMS specs off one cached scan) and ``hist_suite_events``
 (one slot for the two histogram specs; global cells marginalized
 from the grouped build) — parts-equivalence pinned for both, so a

@@ -79,6 +79,10 @@ def prebuilt_builders() -> dict:
         # exact n-gram coverage mask summary (bounded 2^|S| driver
         # state; unrolled-argmax DuckDB oracle)
         "source_coverage_greedy": xc.source_coverage_greedy,
+        # r13 pre-build: embedding-space drift — PSI over IVF cell
+        # occupancy (vector twin of hist_drift_events; map-only
+        # broadcast assign, sketch-frame PSI arithmetic)
+        "embedding_drift_cells": gq.embedding_drift_cells,
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
