@@ -3508,3 +3508,53 @@ UNION ALL
 
 
 EMBEDDING_DRIFT_SQL = _embedding_drift_sql()
+
+
+# --- Drift-monitor suite (future trade vehicle; r13 pre-build) ---------------
+#
+# Pairs BOTH drift monitors — numeric-column PSI over mergeable
+# histograms (``hist_drift_events``) and embedding-space PSI over IVF
+# cell occupancy (``embedding_drift_cells``) — under one padded
+# union, so a future trade can hold the whole "is tonight's ingest
+# distributionally sane" check in ONE registry slot.  No shared scan
+# (different tables), so the registration case is slot economy plus
+# the operational pairing; parts-equivalence is pinned by the suite
+# test, each part by its own oracle.
+
+
+def drift_monitor_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from . import analytics_queries as aq  # lazy: avoid module cycle
+
+    hist = aq.hist_drift_events(spark, sf_dir).select(
+        F.lit("hist").alias("monitor"), "variant", "event_type", "psi",
+        "drifted",
+    )
+    emb = embedding_drift_cells(spark, sf_dir).select(
+        F.lit("embedding").alias("monitor"),
+        "variant",
+        F.lit(None).cast("string").alias("event_type"),
+        "psi",
+        "drifted",
+    )
+    return hist.unionByName(emb)
+
+
+def _drift_monitor_suite_sql() -> str:
+    """Lazy cross-module SQL (the CORPUS_DECON_SUITE_SQL note): built
+    on first access so the analytics module import stays lazy."""
+    from . import analytics_queries as aq
+
+    return f"""
+WITH hist_leg AS ({aq.HIST_DRIFT_SQL}),
+emb_leg AS ({EMBEDDING_DRIFT_SQL})
+SELECT 'hist' AS monitor, variant, event_type, psi, drifted FROM hist_leg
+UNION ALL
+SELECT 'embedding', variant, CAST(NULL AS VARCHAR), psi, drifted
+FROM emb_leg
+"""
+
+
+def __getattr__(name: str):
+    if name == "DRIFT_MONITOR_SUITE_SQL":
+        return _drift_monitor_suite_sql()
+    raise AttributeError(name)

@@ -83,6 +83,10 @@ def prebuilt_builders() -> dict:
         # occupancy (vector twin of hist_drift_events; map-only
         # broadcast assign, sketch-frame PSI arithmetic)
         "embedding_drift_cells": gq.embedding_drift_cells,
+        # r13 pre-build: the drift-family trade vehicle — both
+        # monitors (numeric hist PSI + embedding cell PSI) in one
+        # padded union / one future registry slot
+        "drift_monitor_suite": gq.drift_monitor_suite,
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
