@@ -976,3 +976,75 @@ SELECT 'minhash', NULL, NULL, NULL, CAST(doc_id AS DOUBLE),
        {_MH_STR_SQL}
 FROM ({INCREMENTAL_MINHASH_SQL})
 """
+
+
+# --- Cross-source contamination matrix (r13 pre-build) -----------------------
+#
+# Dataset forensics over the SAME verified near-dup pair mine the LSH
+# dedup family already runs: label each pair with its two documents'
+# sources (canonically ordered) and aggregate — which source pairs
+# duplicate each other, how many times, how closely?  The curation
+# question behind source weighting and crawl-overlap audits ("is srcX
+# mostly a re-crawl of srcY?"), answered without any new pair mining:
+# the matrix is ≤ |sources|² rows however large the corpus, and the
+# max aggregate is order-independent so the score is cross-engine
+# exact without rounding.
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan shape: the full LSH chain (shingles → signatures → banded
+    buckets → verified pairs, never all-pairs), then the BOUNDED pair
+    frame broadcasts into two (doc_id, source) lookups and one
+    hash-agg over ≤ |sources|² keys."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_lsh_dedup(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=THRESHOLD,
+    )
+    srcs = docs.where(F.col("source").isNotNull()).select("doc_id", "source")
+    labeled = (
+        srcs.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("source", "__src_a")
+        .join(F.broadcast(pairs), "id_a")
+        .join(
+            srcs.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "source", "__src_b"
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__src_a", "__src_b").alias("source_a"),
+            F.greatest("__src_a", "__src_b").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return (
+        labeled.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .withColumn(
+            "cross_source", F.col("source_a") != F.col("source_b")
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH {minhash_pipeline_ctes()},
+srcs AS (SELECT doc_id, source FROM documents WHERE source IS NOT NULL),
+labeled AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         v.jaccard
+  FROM verified v
+  JOIN srcs sa ON v.id_a = sa.doc_id
+  JOIN srcs sb ON v.id_b = sb.doc_id
+)
+SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+       max(jaccard) AS max_jaccard, source_a <> source_b AS cross_source
+FROM labeled GROUP BY source_a, source_b
+"""

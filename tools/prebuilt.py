@@ -87,6 +87,10 @@ def prebuilt_builders() -> dict:
         # monitors (numeric hist PSI + embedding cell PSI) in one
         # padded union / one future registry slot
         "drift_monitor_suite": gq.drift_monitor_suite,
+        # r13 pre-build: cross-source contamination matrix — the LSH
+        # pair mine labeled by (source_a, source_b); crawl-overlap
+        # forensics, ≤ |sources|² rows at any corpus size
+        "source_overlap_matrix": xq.source_overlap_matrix,
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
