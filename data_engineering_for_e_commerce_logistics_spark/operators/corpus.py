@@ -1784,6 +1784,89 @@ def prepare_training_corpus(
 COVERAGE_MAX_SOURCES = 20
 
 
+def coverage_sources(
+    df: DataFrame, source_col: str = "source"
+) -> list[str]:
+    """The fixed source universe (sorted, bit i = i-th source).  For a
+    one-shot build it derives from the frame; an INCREMENTAL loop must
+    pass the same registry-known list at every batch — a batch that
+    happens to lack a source must not renumber the bits."""
+    srcs = [
+        r[0]
+        for r in df.where(F.col(source_col).isNotNull())
+        .select(source_col)
+        .distinct()
+        .orderBy(source_col)
+        .collect()
+    ]
+    if len(srcs) > COVERAGE_MAX_SOURCES:
+        raise ValueError(
+            f"source_coverage: {len(srcs)} sources exceeds the "
+            f"{COVERAGE_MAX_SOURCES}-source mask bound (2^|S| driver "
+            "summary); select hierarchically over source groups instead"
+        )
+    return srcs
+
+
+def ngram_masks(
+    df: DataFrame,
+    sources: list[str],
+    text_col: str = "text",
+    source_col: str = "source",
+    ngram_k: int = 3,
+) -> DataFrame:
+    """Per-ngram source bitmasks ``(ng, mask)`` — the coverage INDEX.
+    ``bit_or`` is associative, commutative, and idempotent, so the
+    index is MERGEABLE exactly like the CMS (cell = ngram, merge =
+    bit_or instead of sum): masks(C1 ∪ C2) = bit_or-merge(masks(C1),
+    masks(C2)), replayed batches change nothing, and the generic
+    streaming accumulator loop (``start_cms_stream`` with
+    ``merge_expr=F.bit_or(...)``) maintains it per ingest batch with
+    append-only segments.  Unlike the CMS grid the state grows with
+    DISTINCT ngrams — the dedup-index contrast, stated not hidden."""
+    if len(sources) > COVERAGE_MAX_SOURCES:
+        raise ValueError(
+            f"source_coverage: {len(sources)} sources exceeds the "
+            f"{COVERAGE_MAX_SOURCES}-source mask bound"
+        )
+    spark = df.sparkSession
+    idx = F.broadcast(
+        spark.createDataFrame(
+            [(s, i) for i, s in enumerate(sources)],
+            f"{source_col} string, __idx int",
+        )
+    )
+    pairs = (
+        df.where(
+            F.col(source_col).isNotNull() & F.col(text_col).isNotNull()
+        )
+        .select(
+            F.col(source_col),
+            F.explode(
+                shingles_from_tokens(F.split(F.col(text_col), " "), ngram_k)
+            ).alias("ng"),
+        )
+    )
+    return (
+        pairs.join(idx, source_col)
+        .groupBy("ng")
+        # shiftleft by a COLUMN needs the SQL form (the PySpark helper
+        # only takes a literal bit count)
+        .agg(
+            F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __idx)")).alias(
+                "mask"
+            )
+        )
+    )
+
+
+def masks_summary(index: DataFrame) -> DataFrame:
+    """Collapse the (ng, mask) index to the ``(mask, cnt)`` summary
+    the greedy optimizes over — ≤ 2^|sources| rows regardless of
+    corpus size."""
+    return index.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+
+
 def source_coverage_masks(
     df: DataFrame,
     text_col: str = "text",
@@ -1804,46 +1887,9 @@ def source_coverage_masks(
     corpus size — the whole point: a 100 TB corpus folds into a ≤16 MB
     coverage summary that a driver (or a notebook) can optimize over
     exactly."""
-    srcs = [
-        r[0]
-        for r in df.where(F.col(source_col).isNotNull())
-        .select(source_col)
-        .distinct()
-        .orderBy(source_col)
-        .collect()
-    ]
-    if len(srcs) > COVERAGE_MAX_SOURCES:
-        raise ValueError(
-            f"source_coverage: {len(srcs)} sources exceeds the "
-            f"{COVERAGE_MAX_SOURCES}-source mask bound (2^|S| driver "
-            "summary); select hierarchically over source groups instead"
-        )
-    spark = df.sparkSession
-    idx = F.broadcast(
-        spark.createDataFrame(
-            [(s, i) for i, s in enumerate(srcs)],
-            f"{source_col} string, __idx int",
-        )
-    )
-    pairs = (
-        df.where(
-            F.col(source_col).isNotNull() & F.col(text_col).isNotNull()
-        )
-        .select(
-            F.col(source_col),
-            F.explode(
-                shingles_from_tokens(F.split(F.col(text_col), " "), ngram_k)
-            ).alias("__ng"),
-        )
-    )
-    return (
-        pairs.join(idx, source_col)
-        .groupBy("__ng")
-        # shiftleft by a COLUMN needs the SQL form (the PySpark helper
-        # only takes a literal bit count)
-        .agg(F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), __idx)")).alias("mask"))
-        .groupBy("mask")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    srcs = coverage_sources(df, source_col)
+    return masks_summary(
+        ngram_masks(df, srcs, text_col, source_col, ngram_k)
     )
 
 
@@ -1876,27 +1922,31 @@ def source_coverage_greedy(
     quantile-bracket precedent, not a data collect), so gains are
     exact integers and the single coverage division is reproduced
     bit-for-bit by the SQL oracle's unrolled greedy."""
-    masks = [
-        (r["mask"], r["cnt"])
-        for r in source_coverage_masks(
-            df, text_col, source_col, ngram_k
-        ).collect()
-    ]
-    srcs = [
-        r[0]
-        for r in df.where(F.col(source_col).isNotNull())
-        .select(source_col)
-        .distinct()
-        .orderBy(source_col)
-        .collect()
-    ]
+    srcs = coverage_sources(df, source_col)
+    summary = masks_summary(
+        ngram_masks(df, srcs, text_col, source_col, ngram_k)
+    )
+    return greedy_from_summary(df.sparkSession, summary, srcs, k_select)
+
+
+def greedy_from_summary(
+    spark,
+    summary: DataFrame,
+    sources: list[str],
+    k_select: int,
+) -> DataFrame:
+    """The greedy sweep over an already-built ``(mask, cnt)`` summary —
+    shared by the one-shot build and the incremental flow (whose
+    summary comes off the PERSISTED streamed index instead of a
+    corpus scan).  Bounded driver pull ≤ 2^|sources| rows."""
+    masks = [(r["mask"], r["cnt"]) for r in summary.collect()]
     total = sum(c for _, c in masks)
     picked = 0
     covered = 0
     rows = []
-    for rank in range(1, min(k_select, len(srcs)) + 1):
+    for rank in range(1, min(k_select, len(sources)) + 1):
         best = None
-        for i, s in enumerate(srcs):
+        for i, s in enumerate(sources):
             bit = 1 << i
             if picked & bit:
                 continue
@@ -1913,7 +1963,7 @@ def source_coverage_greedy(
         rows.append(
             (rank, s, gain, covered, (covered / total) if total else 0.0)
         )
-    return df.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         rows,
         "sel_rank int, source string, gain bigint, covered bigint,"
         " coverage_frac double",

@@ -2233,6 +2233,105 @@ SOURCE_COVERAGE_SQL = _source_coverage_sql()
 
 
 
+# --- Incremental coverage (SEVENTH incremental-ingest family; r13) -----------
+#
+# The coverage index (ng → source bitmask) is MERGEABLE with bit_or —
+# associative, commutative, IDEMPOTENT — so it rides the generic
+# streaming accumulator loop (``start_cms_stream`` with
+# ``merge_expr=F.bit_or``) with append-only per-batch segments and
+# replay immunity stronger than the CMS's (_SUCCESS guards replays;
+# bit_or would forgive them anyway).  Per-batch cost is the batch's
+# own shingle pass plus the bounded summary refresh — the corpus is
+# never re-read; state grows with DISTINCT ngrams (the dedup-index
+# contrast; the DSIR sibling is the O(1)-state one).  The fresh spec
+# proves the accrual law end-to-end: the greedy over the two-batch
+# accrued index must EQUAL the one-shot full-corpus greedy (the
+# standard %10 batch split covers every doc with a 20% re-ingest
+# overlap), so the greedy leg's oracle is SOURCE_COVERAGE_SQL
+# reused verbatim; the novelty leg reports what batch 2 actually
+# added per source — the per-ingest readout a curation loop watches.
+
+
+def incremental_coverage_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extended_queries import _inc_batches
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    srcs = corpus.coverage_sources(docs)
+    b1, b2 = _inc_batches(docs)
+    idx1 = corpus.ngram_masks(b1, srcs, ngram_k=COVERAGE_NGRAM_K).cache()
+    idx2 = corpus.ngram_masks(b2, srcs, ngram_k=COVERAGE_NGRAM_K).cache()
+    accrued = (
+        idx1.unionByName(idx2)
+        .groupBy("ng")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    greedy = corpus.greedy_from_summary(
+        spark, corpus.masks_summary(accrued), srcs, COVERAGE_K_SELECT
+    ).select(
+        F.lit("greedy").alias("variant"),
+        "sel_rank",
+        "source",
+        "gain",
+        "covered",
+        "coverage_frac",
+    )
+    new2 = idx2.join(idx1, "ng", "left_anti")
+    new_summary = corpus.masks_summary(new2).collect()
+    novelty_rows = []
+    for i, s in enumerate(srcs):
+        bit = 1 << i
+        novelty_rows.append(
+            (s, sum(r["cnt"] for r in new_summary if r["mask"] & bit))
+        )
+    novelty = spark.createDataFrame(
+        novelty_rows, "source string, gain bigint"
+    ).select(
+        F.lit("batch_novelty").alias("variant"),
+        F.lit(None).cast("int").alias("sel_rank"),
+        "source",
+        "gain",
+        F.lit(None).cast("bigint").alias("covered"),
+        F.lit(None).cast("double").alias("coverage_frac"),
+    )
+    return greedy.unionByName(novelty)
+
+
+def _incremental_coverage_sql() -> str:
+    sh = sql_shingles("tok", COVERAGE_NGRAM_K)
+    return f"""
+WITH greedy_leg AS ({SOURCE_COVERAGE_SQL}),
+itok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS tok
+  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+),
+ng1 AS (
+  SELECT DISTINCT ng FROM itok, UNNEST({sh}) AS u(ng)
+  WHERE doc_id % 10 < {{b1}}
+),
+p2 AS (
+  SELECT DISTINCT source, ng FROM itok, UNNEST({sh}) AS u(ng)
+  WHERE doc_id % 10 >= {{b2}}
+),
+delta AS (
+  SELECT p2.source, CAST(count(DISTINCT p2.ng) AS BIGINT) AS gain
+  FROM p2 LEFT JOIN ng1 ON p2.ng = ng1.ng
+  WHERE ng1.ng IS NULL
+  GROUP BY p2.source
+),
+allsrc AS (SELECT DISTINCT source FROM documents WHERE source IS NOT NULL)
+SELECT 'greedy' AS variant, sel_rank, source, gain, covered, coverage_frac
+FROM greedy_leg
+UNION ALL
+SELECT 'batch_novelty', CAST(NULL AS INT), allsrc.source,
+       CAST(coalesce(delta.gain, 0) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM allsrc LEFT JOIN delta ON allsrc.source = delta.source
+""".format(b1=INC_B1_LT, b2=INC_B2_GE)
+
+
+INCREMENTAL_COVERAGE_SQL = _incremental_coverage_sql()
+
+
 def __getattr__(name: str):
     """Lazy cross-module SQL (see the CORPUS_DECON_SUITE_SQL note):
     resolved on first access, after both plan modules finish init."""

@@ -91,6 +91,11 @@ def prebuilt_builders() -> dict:
         # pair mine labeled by (source_a, source_b); crawl-overlap
         # forensics, ≤ |sources|² rows at any corpus size
         "source_overlap_matrix": xq.source_overlap_matrix,
+        # r13 pre-build: SEVENTH incremental family — the coverage
+        # index accrues per batch (bit_or mergeable, rides the generic
+        # streaming loop); greedy leg's oracle is the one-shot SQL
+        # verbatim (accrual law), novelty leg is the per-ingest readout
+        "incremental_coverage_fresh": xc.incremental_coverage_fresh,
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
