@@ -2332,6 +2332,105 @@ FROM allsrc LEFT JOIN delta ON allsrc.source = delta.source
 INCREMENTAL_COVERAGE_SQL = _incremental_coverage_sql()
 
 
+# --- Tokenizer fertility stats (r13 pre-build; BPE-family widening) ----------
+#
+# The tokenizer-health report every multilingual pipeline watches:
+# per-language FERTILITY (BPE tokens per whitespace word — how many
+# subwords a word fragments into) and compression (word chars per
+# token).  A language whose fertility runs hot is under-served by the
+# vocab (its words shatter to characters), the signal behind vocab
+# re-budgeting.  Reuses the trained encode chain (BPE_ENCODE_SQL as a
+# CTE) — no new tokenizer machinery; all aggregates are exact-integer
+# sums with ONE IEEE division each, so the ratios are cross-engine
+# bitwise.
+
+
+def tokenizer_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    _, vocab = text.bpe_train(
+        docs, n_merges=BPE_N_MERGES, return_vocab=True
+    )
+    enc = text.bpe_encode(docs, vocab).select("doc_id", "n_tokens")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "\\s+"), lambda w: w != ""
+    )
+    meta = docs.where(F.col("lang").isNotNull()).select(
+        "doc_id",
+        "lang",
+        F.greatest(F.size(toks), F.lit(0)).alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, w: acc + F.length(w),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_chars"),
+    )
+    agg = (
+        meta.join(enc, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.when(F.col("n_words") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double")
+        )
+        .alias("fertility"),
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")
+        )
+        .alias("chars_per_token"),
+    )
+
+
+def _tokenizer_fertility_sql() -> str:
+    return f"""
+WITH enc_out AS MATERIALIZED ({BPE_ENCODE_SQL}),
+meta AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents WHERE lang IS NOT NULL
+),
+per_doc AS (
+  SELECT m.doc_id, m.lang,
+         CAST(coalesce(len(m.ws), 0) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(m.ws, w -> length(w))), 0)
+              AS BIGINT) AS n_chars,
+         e.n_tokens
+  FROM meta m JOIN enc_out e USING (doc_id)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CASE WHEN sum(n_words) = 0 THEN 0.0
+            ELSE CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+       END AS fertility,
+       CASE WHEN sum(n_tokens) = 0 THEN 0.0
+            ELSE CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+       END AS chars_per_token
+FROM per_doc GROUP BY lang
+"""
+
+
+TOKENIZER_FERTILITY_SQL = _tokenizer_fertility_sql()
+
+
 def __getattr__(name: str):
     """Lazy cross-module SQL (see the CORPUS_DECON_SUITE_SQL note):
     resolved on first access, after both plan modules finish init."""

@@ -93,10 +93,15 @@ hot keys), ``cms_token_topk_documents`` (string-keyed vocab pass)
 and ``hist_drift_events`` (PSI drift verdicts as hash-checked
 cells), and — NEW r13 pre-builds — ``source_coverage_greedy``
 (submodular greedy source selection over the exact 2^|S|-bounded
-n-gram coverage mask summary; unrolled-argmax oracle) and
+n-gram coverage mask summary; unrolled-argmax oracle),
 ``embedding_drift_cells`` (PSI over IVF cell occupancy, the vector
-twin of ``hist_drift_events``; a natural future drift-suite trade
-pairs the two monitors in one slot).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
+twin of ``hist_drift_events``), ``drift_monitor_suite`` (the
+one-slot trade vehicle pairing both monitors; parts-equivalence
+pinned), ``source_overlap_matrix`` (cross-source contamination
+forensics off the registered LSH pair mine), and
+``incremental_coverage_fresh`` (SEVENTH incremental family — the
+bit_or-mergeable coverage index through the generic streaming loop;
+greedy-leg oracle = the one-shot SQL verbatim).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
 for the two CMS specs off one cached scan) and ``hist_suite_events``
 (one slot for the two histogram specs; global cells marginalized
 from the grouped build) — parts-equivalence pinned for both, so a

@@ -96,6 +96,10 @@ def prebuilt_builders() -> dict:
         # streaming loop); greedy leg's oracle is the one-shot SQL
         # verbatim (accrual law), novelty leg is the per-ingest readout
         "incremental_coverage_fresh": xc.incremental_coverage_fresh,
+        # r13 pre-build: per-language tokenizer fertility/compression
+        # report off the trained BPE encode chain (vocab re-budgeting
+        # signal; widens the BPE family ahead of its r18 trade)
+        "tokenizer_fertility_stats": xc.tokenizer_fertility_stats,
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
