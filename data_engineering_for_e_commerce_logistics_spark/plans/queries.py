@@ -101,7 +101,10 @@ pinned), ``source_overlap_matrix`` (cross-source contamination
 forensics off the registered LSH pair mine), and
 ``incremental_coverage_fresh`` (SEVENTH incremental family — the
 bit_or-mergeable coverage index through the generic streaming loop;
-greedy-leg oracle = the one-shot SQL verbatim).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
+greedy-leg oracle = the one-shot SQL verbatim), and
+``tokenizer_fertility_stats`` (per-language BPE fertility /
+compression health report off the trained encode chain — the
+natural second leg of the r18 ``bpe_suite`` trade).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
 for the two CMS specs off one cached scan) and ``hist_suite_events``
 (one slot for the two histogram specs; global cells marginalized
 from the grouped build) — parts-equivalence pinned for both, so a
