@@ -1037,6 +1037,135 @@ def standardize_embeddings(
     return standardized, stats
 
 
+def diversity_report(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding diversity report WITHOUT pairwise work.
+
+    For each group, reports over the unit-normalized vectors
+    ``u_i = v_i / ||v_i||`` (zero-norm vectors are excluded — they
+    carry no direction):
+
+    * ``n_vecs`` — group size after the zero-norm drop;
+    * ``mean_pairwise_cos`` — the mean cosine over ALL ``n·(n−1)``
+      ordered pairs, via the sum-vector identity
+      ``(||Σu||² − Σ||u||²) / (n·(n−1))`` — a pairwise statistic
+      computed with ZERO pairwise joins (NULL for singleton groups);
+    * ``mean_cos_centroid`` — mean cosine to the group's mean
+      direction: ``Σ_i u_i·(S/||S||) / n  =  ||S|| / n``, the
+      "concentration" twin of the pairwise number;
+    * ``spread`` — trace of the RAW-vector covariance,
+      ``Σ||v||²/n − ||mean_v||²``: the scale-carrying complement
+      (cosine stats are scale-blind).
+
+    Low ``mean_pairwise_cos`` = a diverse (well-spread) group; a value
+    near 1 flags near-duplicate collapse — the corpus-health signal a
+    training-data pipeline reads before sampling.
+
+    Cross-engine exactness: every per-row term (norms, ``||u||²``) is
+    a strict left fold over identical doubles; per-dimension and
+    per-row sums accumulate as decimal(28,8) before ONE double cast,
+    and the finishing arithmetic is single IEEE ops on identical
+    inputs — bitwise equal to the DuckDB oracle.
+
+    100 TB shape: one cached narrow projection feeds (a) a per-row
+    aggregate (groups rows) and (b) a posexplode whose per-(group,dim)
+    partial aggregate collapses each partition to groups×d rows BEFORE
+    its exchange — the shuffle moves statistics, never the corpus; the
+    two tiny aggregates then meet in a broadcast join.  No pairwise
+    expansion exists anywhere in the plan.
+
+    Caveat: rows with a NULL ``group_col`` drop out at the final join
+    (inner join on the group key — identical semantics in the DuckDB
+    oracle's USING join); pre-coalesce to a sentinel if the NULL group
+    should be reported.
+    """
+    base = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            _as_double_vec(vec_col).alias("__v"),
+        )
+        .withColumn("__sq", _fold_sum(F.transform("__v", lambda x: x * x)))
+        .where(F.col("__sq") > 0)
+        .withColumn(
+            "__u",
+            F.transform(
+                "__v", lambda x: x / F.sqrt(F.col("__sq"))
+            ),
+        )
+        .cache()
+    )
+    row_agg = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.expr(
+            "cast(sum(cast(aggregate(transform(__u, x -> x * x),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+            " as decimal(28,8))) as double)"
+        ).alias("__usq"),
+        F.expr(
+            "cast(sum(cast(__sq as decimal(28,8))) as double)"
+        ).alias("__vsq"),
+    )
+    dim_agg = (
+        base.select(
+            "grp",
+            F.posexplode("__u").alias("dim", "__ud"),
+            F.col("__v").alias("__vrow"),
+        )
+        .select(
+            "grp", "dim", "__ud", F.expr("__vrow[dim]").alias("__vd")
+        )
+        .groupBy("grp", "dim")
+        .agg(
+            F.expr(
+                "cast(sum(cast(__ud as decimal(28,8))) as double)"
+            ).alias("__su"),
+            F.expr(
+                "cast(sum(cast(__vd as decimal(28,8))) as double)"
+            ).alias("__sv"),
+        )
+    )
+    vecs = dim_agg.groupBy("grp").agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "__su", "__sv"))
+        ).alias("__s")
+    ).select(
+        "grp",
+        F.transform("__s", lambda s: s["__su"]).alias("__sus"),
+        F.transform("__s", lambda s: s["__sv"]).alias("__svs"),
+    )
+    n_dbl = F.col("n_vecs").cast("double")
+    ssq = _fold_sum(F.transform("__sus", lambda x: x * x))
+    return (
+        row_agg.join(F.broadcast(vecs), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_vecs",
+            F.when(
+                F.col("n_vecs") < 2, F.lit(None).cast("double")
+            )
+            .otherwise(
+                (ssq - F.col("__usq"))
+                / (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
+            )
+            .alias("mean_pairwise_cos"),
+            (F.sqrt(ssq) / n_dbl).alias("mean_cos_centroid"),
+            (
+                F.col("__vsq") / n_dbl
+                - _fold_sum(
+                    F.transform(
+                        "__svs",
+                        lambda x: (x / F.col("n_vecs").cast("double"))
+                        * (x / F.col("n_vecs").cast("double")),
+                    )
+                )
+            ).alias("spread"),
+        )
+    )
+
+
 def decontaminate_semantic_arrow(
     corpus_vecs: DataFrame,
     bench_vecs: DataFrame,

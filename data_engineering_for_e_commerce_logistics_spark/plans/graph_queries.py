@@ -3554,6 +3554,93 @@ FROM emb_leg
 """
 
 
+def embedding_diversity_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label embedding diversity report (pre-built r13;
+    ``operators/similarity.py:diversity_report``): mean pairwise
+    cosine over ALL n·(n−1) ordered pairs per group via the
+    sum-vector identity ``(||Σu||² − Σ||u||²)/(n(n−1))`` — a pairwise
+    corpus-health statistic with ZERO pairwise computation — plus the
+    mean cosine-to-centroid ``||Σu||/n`` and the raw-vector covariance
+    trace.  A group's number drifting toward 1 is the near-duplicate
+    collapse signal a sampling stage reads before drawing.
+
+    Scale: the only exchanges move per-(label,dim) and per-label
+    statistics (the posexplode's partial aggregate collapses each
+    partition to labels×d rows before its shuffle); the corpus is
+    scanned once from cache and never pair-joined."""
+    from ..operators.similarity import diversity_report
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    out = diversity_report(emb, group_col="label", vec_col="embedding")
+    return out.select(
+        F.col("label").cast("bigint").alias("label"),
+        "n_vecs",
+        "mean_pairwise_cos",
+        "mean_cos_centroid",
+        "spread",
+    )
+
+
+EMBEDDING_DIVERSITY_SQL = """
+WITH e AS (
+  SELECT label, list_transform(embedding, zz -> CAST(zz AS DOUBLE)) AS v
+  FROM embeddings
+),
+r AS (
+  SELECT label, v,
+         list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS sq
+  FROM e
+),
+k AS (
+  SELECT label, sq, v,
+         list_transform(v, x -> x / sqrt(sq)) AS u
+  FROM r WHERE sq > 0
+),
+ra AS (
+  SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         cast(sum(cast(list_reduce(list_transform(u, x -> x * x),
+                                   (a, b) -> a + b)
+                       AS decimal(28,8))) AS double) AS usq,
+         cast(sum(cast(sq AS decimal(28,8))) AS double) AS vsq
+  FROM k GROUP BY label
+),
+ex AS (
+  SELECT label, generate_subscripts(u, 1) - 1 AS dim,
+         unnest(u) AS ud, unnest(v) AS vd
+  FROM k
+),
+da AS (
+  SELECT label, dim,
+         cast(sum(cast(ud AS decimal(28,8))) AS double) AS su,
+         cast(sum(cast(vd AS decimal(28,8))) AS double) AS sv
+  FROM ex GROUP BY label, dim
+),
+vv AS (
+  SELECT label,
+         list(su ORDER BY dim) AS sus,
+         list(sv ORDER BY dim) AS svs
+  FROM da GROUP BY label
+)
+SELECT CAST(ra.label AS BIGINT) AS label, ra.n_vecs,
+       CASE WHEN ra.n_vecs < 2 THEN NULL
+            ELSE (list_reduce(list_transform(vv.sus, x -> x * x),
+                              (a, b) -> a + b) - ra.usq)
+                 / CAST(ra.n_vecs * (ra.n_vecs - 1) AS DOUBLE)
+       END AS mean_pairwise_cos,
+       sqrt(list_reduce(list_transform(vv.sus, x -> x * x),
+                        (a, b) -> a + b))
+         / CAST(ra.n_vecs AS DOUBLE) AS mean_cos_centroid,
+       ra.vsq / CAST(ra.n_vecs AS DOUBLE)
+         - list_reduce(list_transform(vv.svs,
+                x -> (x / CAST(ra.n_vecs AS DOUBLE))
+                     * (x / CAST(ra.n_vecs AS DOUBLE))),
+                (a, b) -> a + b) AS spread
+FROM ra JOIN vv USING (label)
+"""
+
+
 def __getattr__(name: str):
     if name == "DRIFT_MONITOR_SUITE_SQL":
         return _drift_monitor_suite_sql()

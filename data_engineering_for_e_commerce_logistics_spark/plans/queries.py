@@ -104,7 +104,10 @@ bit_or-mergeable coverage index through the generic streaming loop;
 greedy-leg oracle = the one-shot SQL verbatim), and
 ``tokenizer_fertility_stats`` (per-language BPE fertility /
 compression health report off the trained encode chain — the
-natural second leg of the r18 ``bpe_suite`` trade).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
+natural second leg of the r18 ``bpe_suite`` trade), and
+``embedding_diversity_report`` (per-label mean pairwise cosine via
+the sum-vector identity — zero pairwise work; the near-dup-collapse
+monitor).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
 for the two CMS specs off one cached scan) and ``hist_suite_events``
 (one slot for the two histogram specs; global cells marginalized
 from the grouped build) — parts-equivalence pinned for both, so a

@@ -100,6 +100,11 @@ def prebuilt_builders() -> dict:
         # report off the trained BPE encode chain (vocab re-budgeting
         # signal; widens the BPE family ahead of its r18 trade)
         "tokenizer_fertility_stats": xc.tokenizer_fertility_stats,
+        # r13 pre-build: per-label diversity report — mean pairwise
+        # cosine via the sum-vector identity (zero pairwise work),
+        # centroid concentration, covariance trace; the near-dup
+        # collapse monitor a sampling stage reads before drawing
+        "embedding_diversity_report": gq.embedding_diversity_report,
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
