@@ -878,6 +878,140 @@ SELECT d.doc_id, d.y, d.n_feats,
 FROM meta d JOIN mf USING (doc_id)
 """
 
+# --- DoReMi-style domain mixture reweighting --------------------------------
+
+DR_BUCKETS = 64
+DR_ITERS = 3
+DR_ETA = 1.0
+DR_SMOOTH = 0.2
+
+
+def domain_reweight_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture reweighting (pre-built r13;
+    ``operators/corpus.py:domain_reweight``): three unrolled
+    multiplicative-weights rounds where the proxy is the α-weighted
+    mixture of per-source hashed-bigram bucket LMs and each source's
+    excess loss is its cross-entropy under the mixture minus under
+    its own LM.  Sources whose text the shared mixture models worst
+    earn weight — the domain-mixture optimizer a pre-training data
+    pipeline runs before sampling.
+
+    Scale: ONE fused hash-agg collapses the corpus to the
+    (sources × {DR_BUCKETS})-bucket count grid; the whole optimization
+    loop runs on that cached statistics frame with broadcast-only
+    joins — the corpus is read exactly once."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.domain_reweight(
+        docs,
+        domain_col="source",
+        n_buckets=DR_BUCKETS,
+        n_iters=DR_ITERS,
+        eta=DR_ETA,
+        smooth=DR_SMOOTH,
+    )
+
+
+def _dr_iter_block(i: int) -> str:
+    """One multiplicative-weights round as CTEs (the _qc_iter_block
+    unrolling pattern): mixture LM under a{i-1}, per-source
+    cross-entropy, clipped excess vs the own-LM floor, exponentiated
+    re-normalized update."""
+    term = sql_exact_round("a.alpha * g.p_own", 9)
+    ex = sql_exact_round(f"exp({DR_ETA} * excess)", 9)
+    return f"""pm{i} AS (
+  SELECT g.b,
+         cast(sum(cast({term} AS DECIMAL(28,9))) AS DOUBLE) AS p_mix
+  FROM grid2 g JOIN a{i - 1} a USING (source) GROUP BY g.b
+),
+pmr{i} AS (SELECT b, {sql_exact_round("ln(p_mix)", 9)} AS lnp_mix
+           FROM pm{i}),
+lm{i} AS (
+  SELECT g.source,
+         - cast(sum(cast(g.c * p.lnp_mix AS DECIMAL(28,8))) AS DOUBLE)
+           / CAST(max(g.n_feats) AS DOUBLE) AS loss_mix
+  FROM grid2 g JOIN pmr{i} p USING (b) GROUP BY g.source
+),
+st{i} AS (
+  SELECT a.source, a.alpha, l.loss_mix,
+         greatest(l.loss_mix - o.loss_own, 0.0) AS excess
+  FROM a{i - 1} a JOIN lm{i} l USING (source) JOIN lown o USING (source)
+),
+r{i} AS (
+  SELECT source, loss_mix, excess,
+         {sql_exact_round(f"alpha * {ex}", 9)} AS raw
+  FROM st{i}
+),
+z{i} AS (SELECT cast(sum(cast(raw AS DECIMAL(28,9))) AS DOUBLE) AS z
+         FROM r{i}),
+a{i} AS (
+  SELECT source, loss_mix, excess,
+         {sql_exact_round(f"raw / (SELECT z FROM z{i})", 9)} AS alpha
+  FROM r{i}
+)"""
+
+
+DOMAIN_REWEIGHT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+),
+feats AS (
+  SELECT doc_id, source,
+         (('0x' || substr(md5(f), 1, 8))::BIGINT % {DR_BUCKETS}) AS b
+  FROM (
+    SELECT doc_id, source,
+           unnest(list_concat(t,
+             list_transform(generate_series(1, greatest(len(t) - 1, 0)),
+                            i -> t[i] || ' ' || t[i + 1]))) AS f
+    FROM tok
+  )
+),
+cnts AS (
+  SELECT source, b, CAST(count(*) AS BIGINT) AS c
+  FROM feats GROUP BY source, b
+),
+tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_feats FROM cnts GROUP BY source
+),
+nd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM tot),
+grid AS (
+  SELECT t.source, t.n_feats, gs.b, coalesce(c.c, 0) AS c,
+         CAST(coalesce(c.c, 0) * 2 + 1 AS DOUBLE)
+           / CAST(t.n_feats * 2 + {DR_BUCKETS} AS DOUBLE) AS p_own
+  FROM tot t
+  CROSS JOIN (SELECT CAST(unnest(generate_series(0, {DR_BUCKETS - 1}))
+                          AS BIGINT) AS b) gs
+  LEFT JOIN cnts c ON c.source = t.source AND c.b = gs.b
+),
+grid2 AS (
+  SELECT *, {sql_exact_round("ln(p_own)", 9)} AS lnp_own FROM grid
+),
+lown AS (
+  SELECT source,
+         - cast(sum(cast(c * lnp_own AS DECIMAL(28,8))) AS DOUBLE)
+           / CAST(max(n_feats) AS DOUBLE) AS loss_own
+  FROM grid2 GROUP BY source
+),
+a0 AS (
+  SELECT source, 1.0 / CAST((SELECT k FROM kk) AS DOUBLE) AS alpha
+  FROM tot
+),
+{",".join(_dr_iter_block(i) for i in range(1, DR_ITERS + 1))}
+SELECT t.source, nd.n_docs, t.n_feats, o.loss_own, a.loss_mix, a.excess,
+       a.alpha,
+       {sql_exact_round(
+           f"{1.0 - DR_SMOOTH} * a.alpha"
+           f" + {DR_SMOOTH} / CAST((SELECT k FROM kk) AS DOUBLE)", 9)}
+         AS weight
+FROM tot t
+JOIN nd USING (source)
+JOIN lown o USING (source)
+JOIN a{DR_ITERS} a USING (source)
+"""
+
 # --- Sequence packing -------------------------------------------------------
 
 PACK_TOKEN_BUDGET = 512

@@ -105,6 +105,10 @@ def prebuilt_builders() -> dict:
         # centroid concentration, covariance trace; the near-dup
         # collapse monitor a sampling stage reads before drawing
         "embedding_diversity_report": gq.embedding_diversity_report,
+        # r13 pre-build: DoReMi-style domain mixture reweighting —
+        # 3 multiplicative-weights rounds on the (domain × bucket)
+        # LM grid; excess loss vs the own-LM floor earns weight
+        "domain_reweight_mixture": xc.domain_reweight_mixture,
         # THE r14 trade, embedding-side half (pre-built r12): the
         # semantic + PQ incremental ingest flows off one cached scan
         "incremental_embedding_suite": gq.incremental_embedding_suite,
