@@ -1133,6 +1133,81 @@ def domain_reweight(
     )
 
 
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for a scored
+    frame: rows bucket by ``least(floor(score·n_bins), n_bins−1)``,
+    each bin reports ``(n, n_pos, mean_score, frac_pos, gap)`` and
+    every row carries the overall ``ece = Σ_b n_b·gap_b / N`` — the
+    standard check that a quality filter's scores MEAN what they say
+    before anyone thresholds on them (a miscalibrated 0.9 is not a
+    90% precision cut).
+
+    Cross-engine exactness: scores are assumed pre-rounded (every
+    in-engine classifier emits 9dp sigmoids); per-bin means are
+    decimal sums with one rounded division; gaps subtract identical
+    doubles; the ECE accumulates 9dp-rounded ``n·gap`` terms as
+    DECIMAL — bitwise vs the DuckDB mirror.
+
+    Scale: one groupBy on ≤``n_bins`` keys (map-side combine collapses
+    each partition to n_bins rows before the exchange), then window
+    expressions over the bounded bin frame — the scored corpus is
+    read once and never re-keyed."""
+    b = F.least(
+        F.floor(F.col(score_col) * n_bins), F.lit(n_bins - 1)
+    ).cast("long")
+    bins = df.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(score_col).cast("decimal(28,9)"))
+        .cast("double")
+        .alias("__ssum"),
+        F.sum(F.col(label_col).cast("long")).alias("n_pos"),
+    )
+    wall = Window.partitionBy(F.lit(1))
+    out = (
+        bins.withColumn(
+            "mean_score",
+            exact_round(F.col("__ssum") / F.col("n").cast("double"), 9),
+        )
+        .withColumn(
+            "frac_pos",
+            exact_round(
+                F.col("n_pos").cast("double") / F.col("n").cast("double"),
+                9,
+            ),
+        )
+        .withColumn(
+            "gap", F.abs(F.col("mean_score") - F.col("frac_pos"))
+        )
+        .withColumn("__N", F.sum("n").over(wall))
+        .withColumn(
+            "__esum",
+            F.sum(
+                exact_round(
+                    F.col("n").cast("double") * F.col("gap"), 9
+                ).cast("decimal(28,9)")
+            )
+            .over(wall)
+            .cast("double"),
+        )
+    )
+    return out.select(
+        "bin",
+        "n",
+        "n_pos",
+        "mean_score",
+        "frac_pos",
+        "gap",
+        exact_round(
+            F.col("__esum") / F.col("__N").cast("double"), 9
+        ).alias("ece"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hashed-feature logistic quality classifier (fastText-style filter)
 # ---------------------------------------------------------------------------

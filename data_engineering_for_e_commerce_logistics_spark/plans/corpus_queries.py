@@ -878,6 +878,128 @@ SELECT d.doc_id, d.y, d.n_feats,
 FROM meta d JOIN mf USING (doc_id)
 """
 
+# --- Classifier calibration (reliability diagram + ECE) ---------------------
+
+CALIB_BINS = 10
+
+
+def quality_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE over the in-engine trained quality
+    classifier (pre-built r13; ``operators/corpus.py:
+    calibration_bins`` composed on ``train_quality_classifier``):
+    ten score-decile bins each reporting mean predicted probability
+    vs observed positive fraction, every row carrying the corpus
+    ECE — the is-a-0.9-really-90% check run before anyone thresholds
+    the filter.  Scale: the scored corpus folds to ≤10 bin rows
+    through one map-side-combined groupBy; everything after is window
+    arithmetic on the bounded bin frame."""
+    scored = corpus_quality_classifier(spark, sf_dir)
+    return corpus.calibration_bins(
+        scored, score_col="score", label_col="y", n_bins=CALIB_BINS
+    )
+
+
+QUALITY_CALIBRATION_SQL = f"""
+WITH scored AS MATERIALIZED ({CORPUS_QUALITY_CLASSIFIER_SQL}),
+bins AS (
+  SELECT least(CAST(floor(score * {CALIB_BINS}) AS BIGINT),
+               {CALIB_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         cast(sum(cast(score AS DECIMAL(28,9))) AS DOUBLE) AS ssum,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+),
+calc AS (
+  SELECT bin, n, n_pos,
+         {sql_exact_round("ssum / CAST(n AS DOUBLE)", 9)} AS mean_score,
+         {sql_exact_round("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 9)}
+           AS frac_pos
+  FROM bins
+),
+g AS (SELECT *, abs(mean_score - frac_pos) AS gap FROM calc),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         cast(sum(cast({sql_exact_round("CAST(n AS DOUBLE) * gap", 9)}
+                       AS DECIMAL(28,9))) AS DOUBLE) AS esum
+  FROM g
+)
+SELECT g.bin, g.n, g.n_pos, g.mean_score, g.frac_pos, g.gap,
+       {sql_exact_round("tot.esum / CAST(tot.nn AS DOUBLE)", 9)} AS ece
+FROM g CROSS JOIN tot
+"""
+
+def quality_classifier_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier + calibration in ONE slot off ONE training chain
+    (pre-built r13, the bpe_suite consolidation pattern): the
+    in-engine trained scored frame is cached once; variant 'scored'
+    carries every doc's (y, n_feats, score, pred) verbatim and
+    variant 'calib' carries the reliability bins + ECE — the
+    standalone ``quality_calibration_bins`` replays the whole 63-job
+    training chain for ~0.3s of calibration arithmetic, so pairing
+    them is nearly free (solo: suite ≈ classifier alone).  Cells are
+    bit-identical to both standalone specs (parts-equivalence
+    pinned)."""
+    scored = corpus_quality_classifier(spark, sf_dir).cache()
+    nd = F.lit(None).cast("double")
+    s_leg = scored.select(
+        F.lit("scored").alias("variant"),
+        F.col("doc_id").alias("k"),
+        F.col("y").cast("long").alias("y"),
+        F.col("n_feats").alias("n"),
+        F.col("score").alias("s1"),
+        F.col("pred").cast("double").alias("s2"),
+        nd.alias("s3"),
+        nd.alias("s4"),
+    )
+    c_leg = corpus.calibration_bins(
+        scored, score_col="score", label_col="y", n_bins=CALIB_BINS
+    ).select(
+        F.lit("calib").alias("variant"),
+        F.col("bin").alias("k"),
+        F.col("n_pos").alias("y"),
+        "n",
+        F.col("mean_score").alias("s1"),
+        F.col("frac_pos").alias("s2"),
+        F.col("gap").alias("s3"),
+        F.col("ece").alias("s4"),
+    )
+    return s_leg.unionByName(c_leg)
+
+
+QUALITY_CLASSIFIER_SUITE_SQL = f"""
+WITH scored AS MATERIALIZED ({CORPUS_QUALITY_CLASSIFIER_SQL}),
+bins AS (
+  SELECT least(CAST(floor(score * {CALIB_BINS}) AS BIGINT),
+               {CALIB_BINS - 1}) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         cast(sum(cast(score AS DECIMAL(28,9))) AS DOUBLE) AS ssum,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM scored GROUP BY 1
+),
+calc AS (
+  SELECT bin, n, n_pos,
+         {sql_exact_round("ssum / CAST(n AS DOUBLE)", 9)} AS mean_score,
+         {sql_exact_round("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)", 9)}
+           AS frac_pos
+  FROM bins
+),
+g AS (SELECT *, abs(mean_score - frac_pos) AS gap FROM calc),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn,
+         cast(sum(cast({sql_exact_round("CAST(n AS DOUBLE) * gap", 9)}
+                       AS DECIMAL(28,9))) AS DOUBLE) AS esum
+  FROM g
+)
+SELECT 'scored' AS variant, doc_id AS k, CAST(y AS BIGINT) AS y,
+       n_feats AS n, score AS s1, CAST(pred AS DOUBLE) AS s2,
+       CAST(NULL AS DOUBLE) AS s3, CAST(NULL AS DOUBLE) AS s4
+FROM scored
+UNION ALL
+SELECT 'calib', g.bin, g.n_pos, g.n, g.mean_score, g.frac_pos, g.gap,
+       {sql_exact_round("tot.esum / CAST(tot.nn AS DOUBLE)", 9)}
+FROM g CROSS JOIN tot
+"""
+
 # --- DoReMi-style domain mixture reweighting --------------------------------
 
 DR_BUCKETS = 64

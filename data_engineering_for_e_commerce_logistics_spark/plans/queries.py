@@ -69,7 +69,10 @@ into ``bpe_suite`` funding ``events_chain_components``; THE r19
 the same rule — each trade's retiring specs must be scheduled into
 the trade's own backlog round.  NEW r12 pre-builds widening the
 runway: ``corpus_dsir_sample`` (DSIR importance resampling),
-``corpus_quality_classifier`` (in-engine hashed logistic filter) and
+``corpus_quality_classifier`` (in-engine hashed logistic filter —
+debut via ``quality_classifier_suite``, the r13 pre-build pairing the
+scored docs with ``quality_calibration_bins``' reliability/ECE leg
+off one cached training chain) and
 ``hybrid_retrieval_rrf`` (BM25 + cosine Reciprocal Rank Fusion) are
 r15-r17 debut candidates — funding comes from the
 ``incremental_embedding_suite`` trade (retiring

@@ -105,6 +105,12 @@ def prebuilt_builders() -> dict:
         # centroid concentration, covariance trace; the near-dup
         # collapse monitor a sampling stage reads before drawing
         "embedding_diversity_report": gq.embedding_diversity_report,
+        # r13 pre-build: reliability diagram + ECE over the trained
+        # quality classifier — is-a-0.9-really-90% before thresholding
+        "quality_calibration_bins": xc.quality_calibration_bins,
+        # r13 pre-build: the classifier-family trade vehicle — scored
+        # docs + reliability bins off ONE cached training chain
+        "quality_classifier_suite": xc.quality_classifier_suite,
         # r13 pre-build: DoReMi-style domain mixture reweighting —
         # 3 multiplicative-weights rounds on the (domain × bucket)
         # LM grid; excess loss vs the own-LM floor earns weight
