@@ -930,6 +930,128 @@ def dsir_resample_flag(
 
 
 # ---------------------------------------------------------------------------
+# Per-domain hashed-bigram bucket LMs (the shared statistics grid)
+# ---------------------------------------------------------------------------
+
+
+def domain_bucket_grid(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """The densified (domain × bucket) hashed-{1,2}-gram LM grid
+    shared by the DoReMi reweighter and the divergence matrix: ONE
+    fused hash-agg collapses the corpus to K×B counts (map-side
+    combine bounds the exchange at K·B rows per partition), then a
+    per-domain count MAP densifies every bucket — missing cells carry
+    the add-½ smoothing mass, and the map lookup avoids a join
+    entirely.  Returns ``(__dom, n_feats, b, c, p_own)`` with
+    ``p_own = (2c+1)/(2·n_feats+B)`` (exact-integer ratio, one IEEE
+    division — bit-stable cross-engine)."""
+    feats = hashed_ngram_buckets(
+        df.select(id_col, text_col, F.col(domain_col).alias("__dom")),
+        text_col,
+        id_col,
+        n_buckets,
+        carry_cols=("__dom",),
+    )
+    counts = feats.groupBy("__dom", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("__dom")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("b", "c"))
+            ).alias("__m"),
+            F.sum("c").alias("n_feats"),
+        )
+        .select(
+            "__dom",
+            "n_feats",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.lit(n_buckets - 1).cast("long"),
+                )
+            ).alias("b"),
+            "__m",
+        )
+        .select(
+            "__dom",
+            "n_feats",
+            "b",
+            F.coalesce(F.col("__m")[F.col("b")], F.lit(0)).alias("c"),
+        )
+        .withColumn(
+            "p_own",
+            (F.col("c") * 2 + 1).cast("double")
+            / (F.col("n_feats") * 2 + n_buckets).cast("double"),
+        )
+    )
+
+
+def source_divergence_matrix(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between every two domains'
+    hashed-bigram bucket LMs — the DISTRIBUTIONAL contamination
+    forensics: `source_overlap_matrix` catches copied documents (LSH
+    near-dups), this catches two crawls that merely write alike
+    (style/topic overlap no near-dup miner sees).  JS is symmetric
+    and bounded in [0, ln 2]; a pair near 0 is stylistic duplication
+    — the redundancy signal a mixture planner reads next to DoReMi's
+    excess-loss numbers.
+
+    Returns one row per unordered pair (``dom_a < dom_b``):
+    ``(source_a, source_b, js_div)`` with
+    ``js = Σ_b ½·p·ln(p/m) + ½·q·ln(q/m)``, ``m = (p+q)/2``, each
+    per-bucket term 9dp-rounded before the DECIMAL sum (the PSI
+    recipe), so the DuckDB oracle replays bitwise.
+
+    100 TB shape: the corpus collapses to the K×B grid once (the
+    shared ``domain_bucket_grid`` pass); the pair expansion joins the
+    grid against a BROADCAST copy of itself on the bucket key —
+    K²·B/2 rows, bounded by the DOMAIN count squared, never by the
+    corpus."""
+    grid = domain_bucket_grid(
+        df, domain_col, text_col, id_col, n_buckets
+    ).select("__dom", "b", "p_own")
+    rhs = grid.select(
+        F.col("__dom").alias("__dom_b"),
+        "b",
+        F.col("p_own").alias("q"),
+    )
+    pairs = grid.join(F.broadcast(rhs), "b").where(
+        F.col("__dom") < F.col("__dom_b")
+    )
+    m = (F.col("p_own") + F.col("q")) / 2
+    term = exact_round(
+        F.lit(0.5) * F.col("p_own") * F.log(F.col("p_own") / m)
+        + F.lit(0.5) * F.col("q") * F.log(F.col("q") / m),
+        9,
+    )
+    return (
+        pairs.withColumn("__t", term)
+        .groupBy(
+            F.col("__dom").alias("source_a"),
+            F.col("__dom_b").alias("source_b"),
+        )
+        .agg(
+            F.sum(F.col("__t").cast("decimal(28,9)"))
+            .cast("double")
+            .alias("js_div")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # DoReMi-style domain mixture reweighting (multiplicative weights)
 # ---------------------------------------------------------------------------
 
@@ -986,56 +1108,14 @@ def domain_reweight(
     used broadcast joins per round — 17 tiny driver jobs and 10.1s
     solo at sf0.1; the window form is one job after the corpus
     pass).  Driver holds no data."""
-    feats = hashed_ngram_buckets(
-        df.select(id_col, text_col, F.col(domain_col).alias("__dom")),
-        text_col,
-        id_col,
-        n_buckets,
-        carry_cols=("__dom",),
-    )
-    # The ONE corpus pass: K×B statistics out of the n-gram explode.
-    # Densify to every (domain, bucket) cell via a per-domain count
-    # map — missing cells carry the add-1/2 smoothing mass, and the
-    # map lookup avoids a join entirely.
-    counts = feats.groupBy("__dom", "b").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    grid = (
-        counts.groupBy("__dom")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("b", "c"))
-            ).alias("__m"),
-            F.sum("c").alias("n_feats"),
-        )
-        .select(
-            "__dom",
-            "n_feats",
-            F.explode(
-                F.sequence(
-                    F.lit(0).cast("long"),
-                    F.lit(n_buckets - 1).cast("long"),
-                )
-            ).alias("b"),
-            "__m",
-        )
-        .select(
-            "__dom",
-            "n_feats",
-            "b",
-            F.coalesce(F.col("__m")[F.col("b")], F.lit(0)).alias("c"),
-        )
+    grid = domain_bucket_grid(
+        df, domain_col, text_col, id_col, n_buckets
     )
     wd = Window.partitionBy("__dom")
     wb = Window.partitionBy("b")
     wall = Window.partitionBy(F.lit(1))
     g = (
-        grid.withColumn(
-            "p_own",
-            (F.col("c") * 2 + 1).cast("double")
-            / (F.col("n_feats") * 2 + n_buckets).cast("double"),
-        )
-        .withColumn("lnp_own", exact_round(F.log("p_own"), 9))
+        grid.withColumn("lnp_own", exact_round(F.log("p_own"), 9))
         .withColumn(
             "loss_own",
             -F.sum(

@@ -1072,8 +1072,10 @@ a{i} AS (
 )"""
 
 
-DOMAIN_REWEIGHT_SQL = f"""
-WITH tok AS (
+# The shared (domain × bucket) LM-grid CTE chain — used verbatim by
+# DOMAIN_REWEIGHT_SQL and SOURCE_DIVERGENCE_SQL (mirrors
+# operators/corpus.py:domain_bucket_grid).
+DOMAIN_GRID_CTES = f"""tok AS (
   SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
 ),
 feats AS (
@@ -1094,11 +1096,6 @@ cnts AS (
 tot AS (
   SELECT source, CAST(sum(c) AS BIGINT) AS n_feats FROM cnts GROUP BY source
 ),
-nd AS (
-  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
-  FROM documents GROUP BY source
-),
-kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM tot),
 grid AS (
   SELECT t.source, t.n_feats, gs.b, coalesce(c.c, 0) AS c,
          CAST(coalesce(c.c, 0) * 2 + 1 AS DOUBLE)
@@ -1107,7 +1104,15 @@ grid AS (
   CROSS JOIN (SELECT CAST(unnest(generate_series(0, {DR_BUCKETS - 1}))
                           AS BIGINT) AS b) gs
   LEFT JOIN cnts c ON c.source = t.source AND c.b = gs.b
+)"""
+
+DOMAIN_REWEIGHT_SQL = f"""
+WITH {DOMAIN_GRID_CTES},
+nd AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
 ),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM tot),
 grid2 AS (
   SELECT *, {sql_exact_round("ln(p_own)", 9)} AS lnp_own FROM grid
 ),
@@ -1132,6 +1137,42 @@ FROM tot t
 JOIN nd USING (source)
 JOIN lown o USING (source)
 JOIN a{DR_ITERS} a USING (source)
+"""
+
+
+def source_divergence_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between every two sources'
+    hashed-bigram bucket LMs (pre-built r13; ``operators/corpus.py:
+    source_divergence_matrix``) — the distributional twin of
+    ``source_overlap_matrix``: overlap catches copied documents, this
+    catches crawls that merely WRITE alike.  One row per unordered
+    source pair, JS ∈ [0, ln 2], per-bucket terms 9dp-rounded into a
+    decimal sum.  Scale: the corpus collapses to the shared K×B grid
+    once; the pair expansion is grid × broadcast-grid on the bucket
+    key — bounded by the domain count squared, never the corpus."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.source_divergence_matrix(
+        docs, domain_col="source", n_buckets=DR_BUCKETS
+    )
+
+
+SOURCE_DIVERGENCE_SQL = f"""
+WITH {DOMAIN_GRID_CTES},
+pairs AS (
+  SELECT a.source AS source_a, b2.source AS source_b,
+         a.p_own AS p, b2.p_own AS q
+  FROM grid a JOIN grid b2 ON a.b = b2.b AND a.source < b2.source
+),
+terms AS (
+  SELECT source_a, source_b,
+         {sql_exact_round(
+             "0.5 * p * ln(p / ((p + q) / 2))"
+             " + 0.5 * q * ln(q / ((p + q) / 2))", 9)} AS t
+  FROM pairs
+)
+SELECT source_a, source_b,
+       cast(sum(cast(t AS DECIMAL(28,9))) AS DOUBLE) AS js_div
+FROM terms GROUP BY source_a, source_b
 """
 
 # --- Sequence packing -------------------------------------------------------

@@ -110,10 +110,14 @@ compression health report off the trained encode chain — the
 natural second leg of the r18 ``bpe_suite`` trade), and
 ``embedding_diversity_report`` (per-label mean pairwise cosine via
 the sum-vector identity — zero pairwise work; the near-dup-collapse
-monitor), and ``domain_reweight_mixture`` (DoReMi-style
+monitor), ``domain_reweight_mixture`` (DoReMi-style
 multiplicative-weights domain mixture optimizer — the whole loop as
-window expressions over the K×64 bucket-LM grid).  PREFERRED DEBUT
-VEHICLES: ``cms_suite_events`` (one slot
+window expressions over the K×64 bucket-LM grid),
+``source_divergence_matrix`` (pairwise JS divergence between source
+bucket-LMs — crawls that write alike), and
+``quality_classifier_suite`` (scored docs + reliability/ECE bins off
+one cached training chain — the classifier-slot debut vehicle).
+PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
 for the two CMS specs off one cached scan) and ``hist_suite_events``
 (one slot for the two histogram specs; global cells marginalized
 from the grouped build) — parts-equivalence pinned for both, so a

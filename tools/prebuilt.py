@@ -111,6 +111,10 @@ def prebuilt_builders() -> dict:
         # r13 pre-build: the classifier-family trade vehicle — scored
         # docs + reliability bins off ONE cached training chain
         "quality_classifier_suite": xc.quality_classifier_suite,
+        # r13 pre-build: pairwise JS divergence between source
+        # bucket-LMs — the distributional twin of the LSH overlap
+        # matrix (crawls that write alike, not crawls that copy)
+        "source_divergence_matrix": xc.source_divergence_matrix,
         # r13 pre-build: DoReMi-style domain mixture reweighting —
         # 3 multiplicative-weights rounds on the (domain × bucket)
         # LM grid; excess loss vs the own-LM floor earns weight
