@@ -184,6 +184,126 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def zipf_fit(
+    df: DataFrame, text_col: str = "text", top_n: int = 100
+) -> DataFrame:
+    """Zipf-law fit over the corpus token-frequency ranking — the
+    corpus-health fingerprint: natural text ranks follow
+    ``freq ∝ rank^slope`` with slope ≈ −1; a slope drifting toward 0
+    flags templated/boilerplate-heavy text, a cliff past −1.5 flags
+    vocabulary collapse (the signals a pre-training mix review reads
+    next to the quality funnel).
+
+    Output, one padded frame:
+
+    * ``variant='top'`` — the top-``top_n`` tokens as
+      ``(k=rank, tok, n=count)`` (deterministic count-desc/token-asc
+      total order);
+    * ``variant='fit'`` — the in-engine OLS of ``ln freq`` on
+      ``ln rank`` over those rows: ``(v1=slope, v2=intercept,
+      v3=r2)``; a zero-variance degenerate fit reports NULLs;
+    * ``variant='totals'`` — ``(k=n_tokens, n=vocab_size)`` (the
+      Heaps-law coordinates; kept as exact BIGINTs — at corpus scale
+      token totals exceed double precision).
+
+    Cross-engine exactness: ln outputs are 9dp-rounded, the five OLS
+    sums accumulate as DECIMAL(28,9), and the closed-form
+    slope/intercept/R² are a handful of IEEE ops on identical
+    doubles, rounded once at 9dp.
+
+    100 TB shape: one word-count exchange on the token key (map-side
+    combine — the canonical wordcount), a TakeOrdered top-``top_n``
+    pull (never a global sort), and the regression runs on the
+    bounded ``top_n``-row frame."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(tokens_col(text_col)).alias("tok")
+    ).where(F.col("tok") != "")
+    # two consumers (totals + top-N): cache the vocab-bounded counts
+    # so the corpus wordcount runs once
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
+    totals = tf.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    top = tf.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = (
+        top.withColumn("k", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "x", exact_round(F.log(F.col("k").cast("double")), 9)
+        )
+        .withColumn(
+            "y", exact_round(F.log(F.col("c").cast("double")), 9)
+        )
+        .cache()  # top_n rows, two consumers (top leg + the OLS sums)
+    )
+
+    def _dsum(col):
+        return F.sum(col.cast("decimal(28,9)")).cast("double")
+
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        _dsum(F.col("x")).alias("sx"),
+        _dsum(F.col("y")).alias("sy"),
+        _dsum(exact_round(F.col("x") * F.col("x"), 9)).alias("sxx"),
+        _dsum(exact_round(F.col("x") * F.col("y"), 9)).alias("sxy"),
+        _dsum(exact_round(F.col("y") * F.col("y"), 9)).alias("syy"),
+    )
+    cov = F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")
+    fit = s.select(
+        F.when(
+            varx > 0, exact_round(cov / varx, 9)
+        ).alias("slope"),
+        F.when(
+            varx > 0,
+            exact_round(
+                (F.col("sy") - (cov / varx) * F.col("sx"))
+                / F.col("nn"),
+                9,
+            ),
+        ).alias("intercept"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            exact_round((cov * cov) / (varx * vary), 9),
+        ).alias("r2"),
+    )
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+    nd = F.lit(None).cast("double")
+    top_leg = ranked.select(
+        F.lit("top").alias("variant"),
+        "k",
+        "tok",
+        F.col("c").alias("n"),
+        nd.alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+    )
+    fit_leg = fit.select(
+        F.lit("fit").alias("variant"),
+        nl.alias("k"),
+        ns.alias("tok"),
+        nl.alias("n"),
+        F.col("slope").alias("v1"),
+        F.col("intercept").alias("v2"),
+        F.col("r2").alias("v3"),
+    )
+    tot_leg = totals.select(
+        F.lit("totals").alias("variant"),
+        F.col("n_tokens").alias("k"),
+        ns.alias("tok"),
+        F.col("vocab_size").alias("n"),
+        nd.alias("v1"),
+        nd.alias("v2"),
+        nd.alias("v3"),
+    )
+    return top_leg.unionByName(fit_leg).unionByName(tot_leg)
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",

@@ -1175,6 +1175,91 @@ SELECT source_a, source_b,
 FROM terms GROUP BY source_a, source_b
 """
 
+# --- Zipf-law corpus fingerprint --------------------------------------------
+
+ZIPF_TOP_N = 100
+
+
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus token ranking (pre-built r13;
+    ``operators/text.py:zipf_fit``): the top-100 tokens with their
+    exact counts, the in-engine OLS of ln freq on ln rank (natural
+    text: slope ≈ −1 — drift toward 0 flags boilerplate, past −1.5
+    vocabulary collapse), and the exact (n_tokens, vocab_size)
+    Heaps coordinates.  One word-count exchange + a TakeOrdered
+    top-100 pull; the regression runs on the bounded 100-row frame."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.zipf_fit(docs, top_n=ZIPF_TOP_N)
+
+
+ZIPF_FIT_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size
+  FROM tf
+),
+ranked AS (
+  SELECT tok, c,
+         CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS k
+  FROM tf
+  ORDER BY c DESC, tok ASC LIMIT {ZIPF_TOP_N}
+),
+xy AS (
+  SELECT k, tok, c,
+         {sql_exact_round("ln(CAST(k AS DOUBLE))", 9)} AS x,
+         {sql_exact_round("ln(CAST(c AS DOUBLE))", 9)} AS y
+  FROM ranked
+),
+s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         cast(sum(cast(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         cast(sum(cast(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         cast(sum(cast({sql_exact_round("x * x", 9)} AS DECIMAL(28,9)))
+              AS DOUBLE) AS sxx,
+         cast(sum(cast({sql_exact_round("x * y", 9)} AS DECIMAL(28,9)))
+              AS DOUBLE) AS sxy,
+         cast(sum(cast({sql_exact_round("y * y", 9)} AS DECIMAL(28,9)))
+              AS DOUBLE) AS syy
+  FROM xy
+),
+fit AS (
+  SELECT CASE WHEN nn * sxx - sx * sx > 0 THEN
+           {sql_exact_round(
+               "(nn * sxy - sx * sy) / (nn * sxx - sx * sx)", 9)}
+         END AS slope,
+         CASE WHEN nn * sxx - sx * sx > 0 THEN
+           {sql_exact_round(
+               "(sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx)"
+               " / nn", 9)}
+         END AS intercept,
+         CASE WHEN nn * sxx - sx * sx > 0 AND nn * syy - sy * sy > 0 THEN
+           {sql_exact_round(
+               "((nn * sxy - sx * sy) * (nn * sxy - sx * sy))"
+               " / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))", 9)}
+         END AS r2
+  FROM s
+)
+SELECT 'top' AS variant, k, tok, c AS n,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM xy
+UNION ALL
+SELECT 'fit', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT), slope, intercept, r2
+FROM fit
+UNION ALL
+SELECT 'totals', n_tokens, CAST(NULL AS VARCHAR), vocab_size,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+FROM tot
+"""
+
 # --- Sequence packing -------------------------------------------------------
 
 PACK_TOKEN_BUDGET = 512

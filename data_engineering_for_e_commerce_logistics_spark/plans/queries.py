@@ -116,8 +116,9 @@ window expressions over the K×64 bucket-LM grid),
 ``source_divergence_matrix`` (pairwise JS divergence between source
 bucket-LMs — crawls that write alike), and
 ``quality_classifier_suite`` (scored docs + reliability/ECE bins off
-one cached training chain — the classifier-slot debut vehicle).
-PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
+one cached training chain — the classifier-slot debut vehicle), and
+``zipf_fit_report`` (token-ranking corpus fingerprint with in-engine
+OLS; cheap-slot filler).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
 for the two CMS specs off one cached scan) and ``hist_suite_events``
 (one slot for the two histogram specs; global cells marginalized
 from the grouped build) — parts-equivalence pinned for both, so a

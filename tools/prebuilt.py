@@ -111,6 +111,9 @@ def prebuilt_builders() -> dict:
         # r13 pre-build: the classifier-family trade vehicle — scored
         # docs + reliability bins off ONE cached training chain
         "quality_classifier_suite": xc.quality_classifier_suite,
+        # r13 pre-build: Zipf-law corpus fingerprint — top-100 tokens,
+        # in-engine OLS on the log-log ranking, exact Heaps totals
+        "zipf_fit_report": xc.zipf_fit_report,
         # r13 pre-build: pairwise JS divergence between source
         # bucket-LMs — the distributional twin of the LSH overlap
         # matrix (crawls that write alike, not crawls that copy)
