@@ -3554,6 +3554,81 @@ FROM emb_leg
 """
 
 
+def dedup_retention_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dedup retention ledger (pre-built r13;
+    ``operators/dedup.py:retention_ledger`` over the registered LSH
+    miner's pair evidence): exact-fingerprint and near-dup-cluster
+    keep rules as per-doc flags, intersected, rolled up per source
+    with exact doc/token counts and 9dp retention rates — the
+    what-did-dedup-cost-us readout a data owner signs off before the
+    pruned corpus ships.  Scale: one cached narrow scan, one exchange
+    each on digest / id / source; pair evidence from banded LSH,
+    never all-pairs."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.select("doc_id", "text", "source").cache()
+    pairs = dedup.minhash_lsh_dedup(
+        base,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=THRESHOLD,
+    )
+    return dedup.retention_ledger(base, pairs)
+
+
+DEDUP_RETENTION_SQL = f"""
+WITH RECURSIVE
+{minhash_pipeline_ctes()},
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM verified UNION SELECT id_b FROM verified)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(root) AS rep FROM reach GROUP BY node),
+base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+fpk AS (SELECT fp, min(doc_id) AS kept FROM base GROUP BY fp),
+flags AS (
+  SELECT b.source, b.ntok,
+         CASE WHEN b.doc_id = k.kept THEN 1 ELSE 0 END AS ex,
+         CASE WHEN c.rep IS NULL OR c.rep = b.doc_id THEN 1 ELSE 0 END AS nr
+  FROM base b JOIN fpk k USING (fp) LEFT JOIN comp c USING (doc_id)
+),
+agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         CAST(sum(ex) AS BIGINT) AS exact_kept,
+         CAST(sum(ex * ntok) AS BIGINT) AS exact_tokens,
+         CAST(sum(nr) AS BIGINT) AS near_kept,
+         CAST(sum(nr * ntok) AS BIGINT) AS near_tokens,
+         CAST(sum(ex * nr) AS BIGINT) AS final_kept,
+         CAST(sum(ex * nr * ntok) AS BIGINT) AS final_tokens
+  FROM flags GROUP BY source
+)
+SELECT *,
+       {sql_exact_round(
+           "CAST(final_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)", 9)}
+         AS doc_retention,
+       {sql_exact_round(
+           "CAST(final_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 9)}
+         AS token_retention
+FROM agg
+"""
+
+
 def embedding_diversity_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

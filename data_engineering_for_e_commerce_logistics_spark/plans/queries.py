@@ -118,7 +118,10 @@ bucket-LMs — crawls that write alike), and
 ``quality_classifier_suite`` (scored docs + reliability/ECE bins off
 one cached training chain — the classifier-slot debut vehicle), and
 ``zipf_fit_report`` (token-ranking corpus fingerprint with in-engine
-OLS; cheap-slot filler).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
+OLS; cheap-slot filler), and ``dedup_retention_ledger`` (per-source
+dedup cost forensics off the registered LSH chain — future trade
+partner of the minhash/cluster-split family).  PREFERRED DEBUT
+VEHICLES: ``cms_suite_events`` (one slot
 for the two CMS specs off one cached scan) and ``hist_suite_events``
 (one slot for the two histogram specs; global cells marginalized
 from the grouped build) — parts-equivalence pinned for both, so a

@@ -111,6 +111,9 @@ def prebuilt_builders() -> dict:
         # r13 pre-build: the classifier-family trade vehicle — scored
         # docs + reliability bins off ONE cached training chain
         "quality_classifier_suite": xc.quality_classifier_suite,
+        # r13 pre-build: per-source dedup retention ledger — exact +
+        # near-dup keep flags intersected, doc/token retention rates
+        "dedup_retention_ledger": gq.dedup_retention_ledger,
         # r13 pre-build: Zipf-law corpus fingerprint — top-100 tokens,
         # in-engine OLS on the log-log ranking, exact Heaps totals
         "zipf_fit_report": xc.zipf_fit_report,
