@@ -184,6 +184,82 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ols_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Closed-form OLS of ``y_col`` on ``x_col`` over a BOUNDED frame
+    → one row ``(slope, intercept, r2)``; degenerate zero-variance
+    inputs report NULLs (never a division error).  Inputs are assumed
+    9dp-pre-rounded; the five sums accumulate as DECIMAL(28,9) and
+    the closed forms are a handful of IEEE ops on identical doubles,
+    9dp-rounded — bitwise cross-engine (shared by the Zipf and Heaps
+    fits)."""
+
+    def _dsum(col):
+        return F.sum(col.cast("decimal(28,9)")).cast("double")
+
+    x, y = F.col(x_col), F.col(y_col)
+    s = df.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        _dsum(x).alias("sx"),
+        _dsum(y).alias("sy"),
+        _dsum(exact_round(x * x, 9)).alias("sxx"),
+        _dsum(exact_round(x * y, 9)).alias("sxy"),
+        _dsum(exact_round(y * y, 9)).alias("syy"),
+    )
+    cov = F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.when(varx > 0, exact_round(cov / varx, 9)).alias("slope"),
+        F.when(
+            varx > 0,
+            exact_round(
+                (F.col("sy") - (cov / varx) * F.col("sx")) / F.col("nn"),
+                9,
+            ),
+        ).alias("intercept"),
+        F.when(
+            (varx > 0) & (vary > 0),
+            exact_round((cov * cov) / (varx * vary), 9),
+        ).alias("r2"),
+    )
+
+
+def sql_ols_ctes(src: str, x: str, y: str) -> str:
+    """The DuckDB mirror of ``ols_fit`` as two CTE bodies ``s``/
+    ``fit`` reading from CTE ``src`` with expressions ``x``/``y``
+    (both 9dp-pre-rounded)."""
+    from ..functions import sql_exact_round as r9
+
+    return f"""s AS (
+  SELECT CAST(count(*) AS DOUBLE) AS nn,
+         cast(sum(cast(({x}) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         cast(sum(cast(({y}) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         cast(sum(cast({r9(f"({x}) * ({x})", 9)} AS DECIMAL(28,9)))
+              AS DOUBLE) AS sxx,
+         cast(sum(cast({r9(f"({x}) * ({y})", 9)} AS DECIMAL(28,9)))
+              AS DOUBLE) AS sxy,
+         cast(sum(cast({r9(f"({y}) * ({y})", 9)} AS DECIMAL(28,9)))
+              AS DOUBLE) AS syy
+  FROM {src}
+),
+fit AS (
+  SELECT CASE WHEN nn * sxx - sx * sx > 0 THEN
+           {r9("(nn * sxy - sx * sy) / (nn * sxx - sx * sx)", 9)}
+         END AS slope,
+         CASE WHEN nn * sxx - sx * sx > 0 THEN
+           {r9(
+               "(sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx)"
+               " / nn", 9)}
+         END AS intercept,
+         CASE WHEN nn * sxx - sx * sx > 0 AND nn * syy - sy * sy > 0 THEN
+           {r9(
+               "((nn * sxy - sx * sy) * (nn * sxy - sx * sy))"
+               " / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))", 9)}
+         END AS r2
+  FROM s
+)"""
+
+
 def zipf_fit(
     df: DataFrame, text_col: str = "text", top_n: int = 100
 ) -> DataFrame:
@@ -240,37 +316,7 @@ def zipf_fit(
         .cache()  # top_n rows, two consumers (top leg + the OLS sums)
     )
 
-    def _dsum(col):
-        return F.sum(col.cast("decimal(28,9)")).cast("double")
-
-    s = ranked.agg(
-        F.count(F.lit(1)).cast("double").alias("nn"),
-        _dsum(F.col("x")).alias("sx"),
-        _dsum(F.col("y")).alias("sy"),
-        _dsum(exact_round(F.col("x") * F.col("x"), 9)).alias("sxx"),
-        _dsum(exact_round(F.col("x") * F.col("y"), 9)).alias("sxy"),
-        _dsum(exact_round(F.col("y") * F.col("y"), 9)).alias("syy"),
-    )
-    cov = F.col("nn") * F.col("sxy") - F.col("sx") * F.col("sy")
-    varx = F.col("nn") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("nn") * F.col("syy") - F.col("sy") * F.col("sy")
-    fit = s.select(
-        F.when(
-            varx > 0, exact_round(cov / varx, 9)
-        ).alias("slope"),
-        F.when(
-            varx > 0,
-            exact_round(
-                (F.col("sy") - (cov / varx) * F.col("sx"))
-                / F.col("nn"),
-                9,
-            ),
-        ).alias("intercept"),
-        F.when(
-            (varx > 0) & (vary > 0),
-            exact_round((cov * cov) / (varx * vary), 9),
-        ).alias("r2"),
-    )
+    fit = ols_fit(ranked, "x", "y")
     ns = F.lit(None).cast("string")
     nl = F.lit(None).cast("long")
     nd = F.lit(None).cast("double")
@@ -302,6 +348,108 @@ def zipf_fit(
         nd.alias("v3"),
     )
     return top_leg.unionByName(fit_leg).unionByName(tot_leg)
+
+
+def vocab_growth(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve WITHOUT a global sort: the
+    16 checkpoints are md5-nibble prefixes of the doc-id hash (each a
+    uniform random ~1/16 corpus slice, so checkpoint c = "the first
+    c/16 of a shuffled corpus"), and each token's contribution is its
+    FIRST-occurrence bucket ``min(nibble)`` — one aggregate per token
+    instead of per-checkpoint distinct counts.  The curve
+    ``vocab(n_tokens)`` plus the in-engine Heaps fit
+    ``ln V = ln K + β·ln N`` (natural text: β ≈ 0.7; β → 1 means the
+    corpus keeps minting vocabulary — OOV pressure for a fixed
+    tokenizer; β → 0 means saturation — more data buys no new words).
+
+    Output: ``variant='curve'`` rows ``(k=checkpoint 0–15, n_docs,
+    n_tokens, vocab)`` — cumulative, monotone — and ``variant='fit'``
+    ``(v1=beta, v2=intercept, v3=r2)`` over the non-empty
+    checkpoints.
+
+    100 TB shape: one exchange on the token key (min-bucket
+    aggregate, map-side combined), one on the 16-value bucket key;
+    the cumulative curve and the fit are window/aggregate arithmetic
+    on the bounded 16-row spine.  No sort, no join touches the
+    corpus."""
+    from pyspark.sql import Window
+
+    nib = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    base = df.select(
+        nib.alias("b"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("__nt"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    )
+    doc_agg = base.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("__nt").alias("nt")
+    )
+    tok_first = (
+        base.select("b", F.explode("__toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("b").alias("fb"))
+        .groupBy("fb")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    spine = (
+        df.agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        spine.join(F.broadcast(doc_agg), "b", "left")
+        .join(
+            F.broadcast(tok_first.withColumnRenamed("fb", "b")),
+            "b",
+            "left",
+        )
+        .na.fill({"nd": 0, "nt": 0, "nv": 0})
+        .select(
+            "b",
+            F.sum("nd").over(w).alias("n_docs"),
+            F.sum("nt").over(w).alias("n_tokens"),
+            F.sum("nv").over(w).alias("vocab"),
+        )
+        .cache()
+    )
+    pts = curve.where(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    ).select(
+        exact_round(F.log(F.col("n_tokens").cast("double")), 9).alias("x"),
+        exact_round(F.log(F.col("vocab").cast("double")), 9).alias("y"),
+    )
+    fit = ols_fit(pts, "x", "y")
+    nl = F.lit(None).cast("long")
+    nd_ = F.lit(None).cast("double")
+    curve_leg = curve.select(
+        F.lit("curve").alias("variant"),
+        F.col("b").cast("long").alias("k"),
+        "n_docs",
+        "n_tokens",
+        "vocab",
+        nd_.alias("v1"),
+        nd_.alias("v2"),
+        nd_.alias("v3"),
+    )
+    fit_leg = fit.select(
+        F.lit("fit").alias("variant"),
+        nl.alias("k"),
+        nl.alias("n_docs"),
+        nl.alias("n_tokens"),
+        nl.alias("vocab"),
+        F.col("slope").alias("v1"),
+        F.col("intercept").alias("v2"),
+        F.col("r2").alias("v3"),
+    )
+    return curve_leg.unionByName(fit_leg)
 
 
 def bpe_train(

@@ -1217,35 +1217,7 @@ xy AS (
          {sql_exact_round("ln(CAST(c AS DOUBLE))", 9)} AS y
   FROM ranked
 ),
-s AS (
-  SELECT CAST(count(*) AS DOUBLE) AS nn,
-         cast(sum(cast(x AS DECIMAL(28,9))) AS DOUBLE) AS sx,
-         cast(sum(cast(y AS DECIMAL(28,9))) AS DOUBLE) AS sy,
-         cast(sum(cast({sql_exact_round("x * x", 9)} AS DECIMAL(28,9)))
-              AS DOUBLE) AS sxx,
-         cast(sum(cast({sql_exact_round("x * y", 9)} AS DECIMAL(28,9)))
-              AS DOUBLE) AS sxy,
-         cast(sum(cast({sql_exact_round("y * y", 9)} AS DECIMAL(28,9)))
-              AS DOUBLE) AS syy
-  FROM xy
-),
-fit AS (
-  SELECT CASE WHEN nn * sxx - sx * sx > 0 THEN
-           {sql_exact_round(
-               "(nn * sxy - sx * sy) / (nn * sxx - sx * sx)", 9)}
-         END AS slope,
-         CASE WHEN nn * sxx - sx * sx > 0 THEN
-           {sql_exact_round(
-               "(sy - ((nn * sxy - sx * sy) / (nn * sxx - sx * sx)) * sx)"
-               " / nn", 9)}
-         END AS intercept,
-         CASE WHEN nn * sxx - sx * sx > 0 AND nn * syy - sy * sy > 0 THEN
-           {sql_exact_round(
-               "((nn * sxy - sx * sy) * (nn * sxy - sx * sy))"
-               " / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))", 9)}
-         END AS r2
-  FROM s
-)
+{text.sql_ols_ctes("xy", "x", "y")}
 SELECT 'top' AS variant, k, tok, c AS n,
        CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
        CAST(NULL AS DOUBLE) AS v3
@@ -1258,6 +1230,70 @@ UNION ALL
 SELECT 'totals', n_tokens, CAST(NULL AS VARCHAR), vocab_size,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM tot
+"""
+
+# --- Heaps-law vocabulary growth --------------------------------------------
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth (pre-built r13;
+    ``operators/text.py:vocab_growth``): 16 md5-nibble corpus-prefix
+    checkpoints, each token attributed to its FIRST-occurrence bucket
+    (one min-aggregate per token — no per-checkpoint distinct), the
+    cumulative (docs, tokens, vocab) curve, and the in-engine Heaps
+    fit ln V = ln K + β·ln N.  β → 1 = the corpus keeps minting
+    vocabulary (OOV pressure for a fixed tokenizer), β → 0 =
+    saturation: more data buys no new words — the data-scaling
+    signal read next to the Zipf slope."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return text.vocab_growth(docs)
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH base AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::INT AS b,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+doc_agg AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS nd, CAST(sum(nt) AS BIGINT) AS nt
+  FROM base GROUP BY b
+),
+tok_first AS (
+  SELECT fb AS b, CAST(count(*) AS BIGINT) AS nv FROM (
+    SELECT tok, min(b) AS fb FROM (
+      SELECT b, unnest(toks) AS tok FROM base
+    ) WHERE tok <> '' GROUP BY tok
+  ) GROUP BY fb
+),
+spine AS (SELECT unnest(generate_series(0, 15)) AS b),
+curve AS (
+  SELECT s.b,
+         CAST(sum(coalesce(d.nd, 0)) OVER (ORDER BY s.b
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+         CAST(sum(coalesce(d.nt, 0)) OVER (ORDER BY s.b
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(t.nv, 0)) OVER (ORDER BY s.b
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+  FROM spine s
+  LEFT JOIN doc_agg d USING (b)
+  LEFT JOIN tok_first t USING (b)
+),
+xy AS (
+  SELECT {sql_exact_round("ln(CAST(n_tokens AS DOUBLE))", 9)} AS x,
+         {sql_exact_round("ln(CAST(vocab AS DOUBLE))", 9)} AS y
+  FROM curve WHERE n_tokens > 0 AND vocab > 0
+),
+{text.sql_ols_ctes("xy", "x", "y")}
+SELECT 'curve' AS variant, CAST(b AS BIGINT) AS k, n_docs, n_tokens,
+       vocab, CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM curve
+UNION ALL
+SELECT 'fit', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), slope, intercept, r2
+FROM fit
 """
 
 # --- Sequence packing -------------------------------------------------------

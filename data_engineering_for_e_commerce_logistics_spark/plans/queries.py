@@ -118,7 +118,10 @@ bucket-LMs — crawls that write alike), and
 ``quality_classifier_suite`` (scored docs + reliability/ECE bins off
 one cached training chain — the classifier-slot debut vehicle), and
 ``zipf_fit_report`` (token-ranking corpus fingerprint with in-engine
-OLS; cheap-slot filler), and ``dedup_retention_ledger`` (per-source
+OLS; cheap-slot filler), ``vocab_growth_curve`` (Heaps-law vocabulary
+growth off 16 hash-prefix checkpoints — shares the factored
+``ols_fit`` helper with the Zipf spec and pairs with it in a future
+one-slot trade), and ``dedup_retention_ledger`` (per-source
 dedup cost forensics off the registered LSH chain — future trade
 partner of the minhash/cluster-split family).  PREFERRED DEBUT
 VEHICLES: ``cms_suite_events`` (one slot

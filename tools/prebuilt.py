@@ -114,6 +114,10 @@ def prebuilt_builders() -> dict:
         # r13 pre-build: per-source dedup retention ledger — exact +
         # near-dup keep flags intersected, doc/token retention rates
         "dedup_retention_ledger": gq.dedup_retention_ledger,
+        # r13 pre-build: Heaps-law vocabulary growth curve — 16
+        # hash-prefix checkpoints, first-occurrence attribution,
+        # in-engine Heaps-exponent fit (OOV-pressure signal)
+        "vocab_growth_curve": xc.vocab_growth_curve,
         # r13 pre-build: Zipf-law corpus fingerprint — top-100 tokens,
         # in-engine OLS on the log-log ranking, exact Heaps totals
         "zipf_fit_report": xc.zipf_fit_report,
