@@ -96,12 +96,13 @@ def minhash_band_union_sql(src: str) -> str:
     )
 
 
-def minhash_pipeline_ctes() -> str:
+def minhash_pipeline_ctes(threshold: float = THRESHOLD) -> str:
     """CTE body mirroring minhash_signature's Kirsch-Mitzenmacher
     family exactly (one md5 per shingle → two 60-bit hex ints →
     (h1 + i*h2) mod P), ending in a `verified(id_a, id_b, jaccard)`
     CTE.  Shared by the pair query and the cluster query's recursive
-    oracle."""
+    oracle; ``threshold`` defaults to the registered verify cut (the
+    threshold-sweep spec passes its loosest value instead)."""
     return f"""{minhash_sig_ctes()},
 bands AS (
   {minhash_band_union_sql('sig')}
@@ -120,7 +121,7 @@ verified AS (
   JOIN shl a ON cand.id_a = a.doc_id
   JOIN shl b ON cand.id_b = b.doc_id
   WHERE len(list_intersect(a.ws, b.ws))::DOUBLE /
-        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= {THRESHOLD}
+        (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= {threshold}
 )
 """
 

@@ -3554,6 +3554,102 @@ FROM emb_leg
 """
 
 
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup verify-threshold sensitivity sweep (pre-built r13):
+    mine the LSH candidates ONCE at the loosest threshold, then read
+    pair count / affected docs / removed docs / dup rate at every
+    sweep point — the tuning curve that answers "what does moving the
+    Jaccard cut from 0.6 to 0.8 actually cost" WITHOUT re-mining per
+    candidate threshold.  Honest scope: candidates come from the
+    registered banding (tuned for ~0.6), so the sweep measures
+    verify-threshold sensitivity GIVEN that candidate set, and
+    ``n_removed`` uses the keep-min-per-PAIR rule (distinct
+    greater-side ids), not full cluster transitivity.
+
+    Scale: one banded mine (never all-pairs), the verified-pair frame
+    cached once; the sweep itself is a broadcast of 5 threshold rows
+    against the bounded pair frame."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    pairs = dedup.minhash_lsh_dedup(
+        docs,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=SWEEP_THRESHOLDS[0],
+    ).cache()
+    th = docs.agg(F.count(F.lit(1)).alias("__nd")).select(
+        "__nd",
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+        ).alias("t"),
+    )
+    pt = pairs.crossJoin(F.broadcast(th.select("t"))).where(
+        F.col("jaccard") >= F.col("t")
+    )
+    agg = pt.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_removed"),
+    )
+    aff = (
+        pt.select(
+            "t", F.explode(F.array("id_a", "id_b")).alias("__id")
+        )
+        .groupBy("t")
+        .agg(F.countDistinct("__id").alias("n_docs_affected"))
+    )
+    return (
+        th.join(F.broadcast(agg), "t", "left")
+        .join(F.broadcast(aff), "t", "left")
+        .na.fill({"n_pairs": 0, "n_removed": 0, "n_docs_affected": 0})
+        .select(
+            F.col("t").alias("threshold"),
+            "n_pairs",
+            "n_docs_affected",
+            "n_removed",
+            exact_round(
+                F.col("n_removed").cast("double")
+                / F.col("__nd").cast("double"),
+                9,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+DEDUP_SWEEP_SQL = f"""
+WITH {minhash_pipeline_ctes(SWEEP_THRESHOLDS[0])},
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+th AS (
+  SELECT unnest({list(SWEEP_THRESHOLDS)}) AS t, n_docs FROM nn
+),
+pt AS (
+  SELECT th.t, v.id_a, v.id_b FROM verified v JOIN th ON v.jaccard >= th.t
+),
+agg AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT id_b) AS BIGINT) AS n_removed
+  FROM pt GROUP BY t
+),
+aff AS (
+  SELECT t, CAST(count(DISTINCT id) AS BIGINT) AS n_docs_affected FROM (
+    SELECT t, id_a AS id FROM pt UNION SELECT t, id_b FROM pt
+  ) GROUP BY t
+)
+SELECT th.t AS threshold,
+       coalesce(agg.n_pairs, 0) AS n_pairs,
+       coalesce(aff.n_docs_affected, 0) AS n_docs_affected,
+       coalesce(agg.n_removed, 0) AS n_removed,
+       {sql_exact_round(
+           "CAST(coalesce(agg.n_removed, 0) AS DOUBLE)"
+           " / CAST(th.n_docs AS DOUBLE)", 9)} AS dup_rate
+FROM th
+LEFT JOIN agg ON th.t = agg.t
+LEFT JOIN aff ON th.t = aff.t
+"""
+
+
 def dedup_retention_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup retention ledger (pre-built r13;
     ``operators/dedup.py:retention_ledger`` over the registered LSH

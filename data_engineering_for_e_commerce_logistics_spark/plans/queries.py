@@ -121,10 +121,11 @@ one cached training chain — the classifier-slot debut vehicle), and
 OLS; cheap-slot filler), ``vocab_growth_curve`` (Heaps-law vocabulary
 growth off 16 hash-prefix checkpoints — shares the factored
 ``ols_fit`` helper with the Zipf spec and pairs with it in a future
-one-slot trade), and ``dedup_retention_ledger`` (per-source
-dedup cost forensics off the registered LSH chain — future trade
-partner of the minhash/cluster-split family).  PREFERRED DEBUT
-VEHICLES: ``cms_suite_events`` (one slot
+one-slot trade), ``dedup_retention_ledger`` (per-source
+dedup cost forensics off the registered LSH chain), and
+``dedup_threshold_sweep`` (Jaccard-cut sensitivity off one cached
+mine) — ledger + sweep + minhash_cluster_suite are the future
+one-mine LSH suite trade.  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
 for the two CMS specs off one cached scan) and ``hist_suite_events``
 (one slot for the two histogram specs; global cells marginalized
 from the grouped build) — parts-equivalence pinned for both, so a

@@ -111,6 +111,9 @@ def prebuilt_builders() -> dict:
         # r13 pre-build: the classifier-family trade vehicle — scored
         # docs + reliability bins off ONE cached training chain
         "quality_classifier_suite": xc.quality_classifier_suite,
+        # r13 pre-build: verify-threshold sensitivity sweep — 5 sweep
+        # points off ONE cached banded mine (the Jaccard-cut tuner)
+        "dedup_threshold_sweep": gq.dedup_threshold_sweep,
         # r13 pre-build: per-source dedup retention ledger — exact +
         # near-dup keep flags intersected, doc/token retention rates
         "dedup_retention_ledger": gq.dedup_retention_ledger,
