@@ -3650,6 +3650,225 @@ LEFT JOIN aff ON th.t = aff.t
 """
 
 
+def lsh_forensics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE future one-mine LSH consolidation vehicle (pre-built r13):
+    verified pairs, connected-component cluster labels, the
+    per-source retention ledger, and the threshold sensitivity sweep
+    — four forensic readouts off ONE cached banded mine at the
+    loosest sweep threshold (the registered-cut legs filter it to
+    ≥ {THRESHOLD}, an identical set to mining at {THRESHOLD}
+    directly since verify stores exact Jaccards).  Registering this
+    retires minhash_cluster_suite + dedup_retention_ledger +
+    dedup_threshold_sweep into one slot; every leg's cells are
+    bit-identical to its standalone spec (parts-equivalence pinned).
+
+    Pads: pairs → (k1=id_a, k2=id_b, v1=jaccard); clusters →
+    (k1=doc_id, k2=cluster_id); ledger → (s=source, n1..n8 counts,
+    v1/v2 retention rates); sweep → (v1=threshold, n1..n3 counts,
+    v2=dup_rate)."""
+    from ..operators.graph import connected_components
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    base = docs.select("doc_id", "text", "source").cache()
+    mine = dedup.minhash_lsh_dedup(
+        base,
+        num_hashes=NUM_HASHES,
+        bands=BANDS,
+        shingle_k=SHINGLE_K,
+        threshold=SWEEP_THRESHOLDS[0],
+    ).cache()
+    pairs06 = mine.where(F.col("jaccard") >= THRESHOLD).cache()
+    clusters = connected_components(pairs06)
+    ledger = dedup.retention_ledger(base, pairs06)
+    th = base.agg(F.count(F.lit(1)).alias("__nd")).select(
+        "__nd",
+        F.explode(
+            F.array(*[F.lit(t) for t in SWEEP_THRESHOLDS])
+        ).alias("t"),
+    )
+    pt = mine.crossJoin(F.broadcast(th.select("t"))).where(
+        F.col("jaccard") >= F.col("t")
+    )
+    sweep_agg = pt.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("id_b").alias("n_removed"),
+    )
+    sweep_aff = (
+        pt.select("t", F.explode(F.array("id_a", "id_b")).alias("__id"))
+        .groupBy("t")
+        .agg(F.countDistinct("__id").alias("n_docs_affected"))
+    )
+    sweep = (
+        th.join(F.broadcast(sweep_agg), "t", "left")
+        .join(F.broadcast(sweep_aff), "t", "left")
+        .na.fill({"n_pairs": 0, "n_removed": 0, "n_docs_affected": 0})
+        .select(
+            F.col("t"),
+            "n_pairs",
+            "n_docs_affected",
+            "n_removed",
+            exact_round(
+                F.col("n_removed").cast("double")
+                / F.col("__nd").cast("double"),
+                9,
+            ).alias("dup_rate"),
+        )
+    )
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    nd_ = F.lit(None).cast("double")
+
+    def _pad(df, **cols):
+        out = []
+        for name in (
+            "k1", "k2", "s",
+            "n1", "n2", "n3", "n4", "n5", "n6", "n7", "n8",
+            "v1", "v2",
+        ):
+            if name in cols:
+                out.append(cols[name].alias(name))
+            elif name == "s":
+                out.append(ns.alias(name))
+            elif name.startswith("n") or name.startswith("k"):
+                out.append(nl.alias(name))
+            else:
+                out.append(nd_.alias(name))
+        return df.select(cols["variant"].alias("variant"), *out)
+
+    p_leg = _pad(
+        pairs06,
+        variant=F.lit("pairs"),
+        k1=F.col("id_a"),
+        k2=F.col("id_b"),
+        v1=F.col("jaccard"),
+    )
+    c_leg = _pad(
+        clusters,
+        variant=F.lit("clusters"),
+        k1=F.col("node"),
+        k2=F.col("label"),
+    )
+    l_leg = _pad(
+        ledger,
+        variant=F.lit("ledger"),
+        s=F.col("source"),
+        n1=F.col("n_docs"),
+        n2=F.col("n_tokens"),
+        n3=F.col("exact_kept"),
+        n4=F.col("exact_tokens"),
+        n5=F.col("near_kept"),
+        n6=F.col("near_tokens"),
+        n7=F.col("final_kept"),
+        n8=F.col("final_tokens"),
+        v1=F.col("doc_retention"),
+        v2=F.col("token_retention"),
+    )
+    s_leg = _pad(
+        sweep,
+        variant=F.lit("sweep"),
+        n1=F.col("n_pairs"),
+        n2=F.col("n_docs_affected"),
+        n3=F.col("n_removed"),
+        v1=F.col("t"),
+        v2=F.col("dup_rate"),
+    )
+    return p_leg.unionByName(c_leg).unionByName(l_leg).unionByName(s_leg)
+
+
+LSH_FORENSICS_SQL = f"""
+WITH RECURSIVE
+{minhash_pipeline_ctes(SWEEP_THRESHOLDS[0])},
+v06 AS (SELECT * FROM verified WHERE jaccard >= {THRESHOLD}),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT id_a AS id FROM v06 UNION SELECT id_b FROM v06)
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM v06
+  UNION SELECT id_b, id_a FROM v06
+),
+reach(node, root) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, min(root) AS rep FROM reach GROUP BY node),
+lbase AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+fpk AS (SELECT fp, min(doc_id) AS kept FROM lbase GROUP BY fp),
+flags AS (
+  SELECT b.source, b.ntok,
+         CASE WHEN b.doc_id = k.kept THEN 1 ELSE 0 END AS ex,
+         CASE WHEN c.rep IS NULL OR c.rep = b.doc_id THEN 1 ELSE 0 END AS nr
+  FROM lbase b JOIN fpk k USING (fp) LEFT JOIN comp c USING (doc_id)
+),
+ledger AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         CAST(sum(ex) AS BIGINT) AS exact_kept,
+         CAST(sum(ex * ntok) AS BIGINT) AS exact_tokens,
+         CAST(sum(nr) AS BIGINT) AS near_kept,
+         CAST(sum(nr * ntok) AS BIGINT) AS near_tokens,
+         CAST(sum(ex * nr) AS BIGINT) AS final_kept,
+         CAST(sum(ex * nr * ntok) AS BIGINT) AS final_tokens
+  FROM flags GROUP BY source
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+th AS (SELECT unnest({list(SWEEP_THRESHOLDS)}) AS t, n_docs FROM nn),
+pt AS (
+  SELECT th.t, v.id_a, v.id_b FROM verified v JOIN th ON v.jaccard >= th.t
+),
+sagg AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(count(DISTINCT id_b) AS BIGINT) AS n_removed
+  FROM pt GROUP BY t
+),
+saff AS (
+  SELECT t, CAST(count(DISTINCT id) AS BIGINT) AS n_docs_affected FROM (
+    SELECT t, id_a AS id FROM pt UNION SELECT t, id_b FROM pt
+  ) GROUP BY t
+)
+SELECT 'pairs' AS variant, id_a AS k1, id_b AS k2,
+       CAST(NULL AS VARCHAR) AS s,
+       CAST(NULL AS BIGINT) AS n1, CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS BIGINT) AS n3, CAST(NULL AS BIGINT) AS n4,
+       CAST(NULL AS BIGINT) AS n5, CAST(NULL AS BIGINT) AS n6,
+       CAST(NULL AS BIGINT) AS n7, CAST(NULL AS BIGINT) AS n8,
+       jaccard AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM v06
+UNION ALL
+SELECT 'clusters', node, min(root), NULL,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+       NULL, NULL
+FROM reach GROUP BY node
+UNION ALL
+SELECT 'ledger', NULL, NULL, source,
+       n_docs, n_tokens, exact_kept, exact_tokens,
+       near_kept, near_tokens, final_kept, final_tokens,
+       {sql_exact_round(
+           "CAST(final_kept AS DOUBLE) / CAST(n_docs AS DOUBLE)", 9)},
+       {sql_exact_round(
+           "CAST(final_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE)", 9)}
+FROM ledger
+UNION ALL
+SELECT 'sweep', NULL, NULL, NULL,
+       coalesce(sagg.n_pairs, 0), coalesce(saff.n_docs_affected, 0),
+       coalesce(sagg.n_removed, 0), NULL, NULL, NULL, NULL, NULL,
+       th.t,
+       {sql_exact_round(
+           "CAST(coalesce(sagg.n_removed, 0) AS DOUBLE)"
+           " / CAST(th.n_docs AS DOUBLE)", 9)}
+FROM th
+LEFT JOIN sagg ON th.t = sagg.t
+LEFT JOIN saff ON th.t = saff.t
+"""
+
+
 def dedup_retention_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source dedup retention ledger (pre-built r13;
     ``operators/dedup.py:retention_ledger`` over the registered LSH

@@ -124,8 +124,10 @@ growth off 16 hash-prefix checkpoints — shares the factored
 one-slot trade), ``dedup_retention_ledger`` (per-source
 dedup cost forensics off the registered LSH chain), and
 ``dedup_threshold_sweep`` (Jaccard-cut sensitivity off one cached
-mine) — ledger + sweep + minhash_cluster_suite are the future
-one-mine LSH suite trade.  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
+mine) — consolidated with minhash_cluster_suite into the pre-built
+``lsh_forensics_suite`` (4 legs, one cached mine, parts-equivalence
+pinned; solo 4.3s vs ≈7.8s for the parts — the 3-slots→1 trade once
+the funding arithmetic allows).  PREFERRED DEBUT VEHICLES: ``cms_suite_events`` (one slot
 for the two CMS specs off one cached scan) and ``hist_suite_events``
 (one slot for the two histogram specs; global cells marginalized
 from the grouped build) — parts-equivalence pinned for both, so a

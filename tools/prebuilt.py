@@ -111,6 +111,10 @@ def prebuilt_builders() -> dict:
         # r13 pre-build: the classifier-family trade vehicle — scored
         # docs + reliability bins off ONE cached training chain
         "quality_classifier_suite": xc.quality_classifier_suite,
+        # r13 pre-build: THE one-mine LSH consolidation vehicle —
+        # pairs + clusters + ledger + sweep off one cached mine
+        # (retires minhash_cluster_suite + ledger + sweep, 3→1 slots)
+        "lsh_forensics_suite": gq.lsh_forensics_suite,
         # r13 pre-build: verify-threshold sensitivity sweep — 5 sweep
         # points off ONE cached banded mine (the Jaccard-cut tuner)
         "dedup_threshold_sweep": gq.dedup_threshold_sweep,
