@@ -1288,6 +1288,98 @@ def calibration_bins(
     )
 
 
+def token_quota_plan(
+    avail: DataFrame,
+    budget: float,
+    group_col: str = "source",
+    avail_col: str = "avail_tokens",
+    weight_col: str = "weight",
+    n_rounds: int = 3,
+) -> DataFrame:
+    """Water-filling token-budget allocation — the step that turns
+    mixture WEIGHTS (DoReMi, temperature sampling) into realizable
+    sampler QUOTAS: each group's ideal share ``w_d·B`` is capped at
+    its available tokens, the surplus re-flows to the uncapped groups
+    by renormalized weight, ``n_rounds`` times (each round can only
+    cap more groups, so K rounds reach the fixpoint; 3 handles any
+    practical mixture).  Without this step a naive ``w_d·B`` quota
+    silently under-fills the budget whenever a small hot domain runs
+    out — the classic oversampling bug.
+
+    Input: one row per group ``(group_col, avail_col BIGINT,
+    weight_col ≥ 0, any scale — normalized internally)``.  Output
+    adds ``weight`` (normalized, 9dp), ``quota`` (allocated tokens,
+    double), and ``capped`` (1 = allocation hit availability).
+
+    Exactness: weights normalize through 9dp-rounded decimal sums;
+    allocated-token sums are EXACT BIGINTs (caps allocate the integer
+    availability); shares and quotas are single IEEE ops on identical
+    doubles, 9dp-rounded — bitwise vs the unrolled-CTE oracle.
+
+    Scale: the frame is one row per GROUP — every step is window
+    arithmetic over that bounded frame (the DoReMi window-loop
+    pattern); the corpus appears only in whatever aggregate built
+    ``avail``."""
+    wall = Window.partitionBy(F.lit(1))
+    g = avail.select(
+        F.col(group_col).alias("__grp"),
+        F.col(avail_col).cast("long").alias("__avail"),
+        exact_round(F.col(weight_col).cast("double"), 9).alias("__w"),
+    )
+    g = g.withColumn(
+        "__wsum",
+        F.sum(F.col("__w").cast("decimal(28,9)"))
+        .over(wall)
+        .cast("double"),
+    ).withColumn(
+        "wn", exact_round(F.col("__w") / F.col("__wsum"), 9)
+    ).withColumn("cap", F.lit(0))
+
+    def _round_cols(frame):
+        allocated = F.sum(
+            F.when(F.col("cap") == 1, F.col("__avail")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).over(wall)
+        r = F.lit(float(budget)) - allocated.cast("double")
+        wact = (
+            F.sum(
+                F.when(
+                    F.col("cap") == 0,
+                    F.col("wn").cast("decimal(28,9)"),
+                )
+            )
+            .over(wall)
+            .cast("double")
+        )
+        share = F.when(
+            (F.col("cap") == 0) & (wact > 0),
+            exact_round(F.col("wn") / wact, 9),
+        )
+        quota = share * r
+        return frame.withColumn("__quota", quota)
+
+    for _ in range(n_rounds):
+        g = _round_cols(g).withColumn(
+            "cap",
+            F.when(F.col("cap") == 1, 1)
+            .when(
+                F.col("__quota") >= F.col("__avail").cast("double"), 1
+            )
+            .otherwise(0),
+        ).drop("__quota")
+    g = _round_cols(g)
+    return g.select(
+        F.col("__grp").alias(group_col),
+        F.col("__avail").alias(avail_col),
+        F.col("wn").alias("weight"),
+        F.when(F.col("cap") == 1, F.col("__avail").cast("double"))
+        .otherwise(exact_round(F.col("__quota"), 9))
+        .alias("quota"),
+        F.col("cap").alias("capped"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hashed-feature logistic quality classifier (fastText-style filter)
 # ---------------------------------------------------------------------------

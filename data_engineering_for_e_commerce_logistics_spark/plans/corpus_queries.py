@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions import sql_exact_avg, sql_exact_round, sql_exact_sum
+from ..functions import (
+    exact_round,
+    sql_exact_avg,
+    sql_exact_round,
+    sql_exact_sum,
+)
 from ..operators import corpus, text
 from ..operators.dedup import sql_shingles
 from .extended_queries import (
@@ -1231,6 +1236,122 @@ SELECT 'totals', n_tokens, CAST(NULL AS VARCHAR), vocab_size,
        CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
 FROM tot
 """
+
+# --- Water-filling token-budget quotas --------------------------------------
+
+QUOTA_BUDGET = 22000.0
+QUOTA_ROUNDS = 3
+
+
+def token_quota_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling quota realization (pre-built r13;
+    ``operators/corpus.py:token_quota_plan``): per-source available
+    tokens from one corpus aggregate, a deterministic skewed weight
+    (sqrt-temperature × an md5-derived 1–5 multiplier so the capping
+    branch actually exercises at the driver scale), and a fixed
+    22000-token budget allocated by 3 water-filling rounds — capped sources take their availability, surplus re-flows
+    by renormalized weight.  The step between mixture weights
+    (DoReMi / temperature) and a sampler that cannot draw tokens a
+    source does not have."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    av = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "avail_tokens"
+        )
+    )
+    mult = (
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("source")), 1, 2), 16, 10
+            ).cast("int"),
+            F.lit(5),
+        )
+        + 1
+    )
+    weighted = av.withColumn(
+        "weight",
+        exact_round(
+            F.sqrt(F.col("avail_tokens").cast("double"))
+            * mult.cast("double"),
+            9,
+        ),
+    )
+    return corpus.token_quota_plan(
+        weighted, budget=QUOTA_BUDGET, n_rounds=QUOTA_ROUNDS
+    )
+
+
+def _wf_round_block(i: int, budget: float) -> str:
+    share = sql_exact_round("wn / wact", 9)
+    return f"""r{i} AS (
+  SELECT source, avail_tokens, wn,
+         CASE WHEN cap = 1 OR
+                   ({share}) * ({budget} - CAST(alloc AS DOUBLE))
+                   >= CAST(avail_tokens AS DOUBLE)
+              THEN 1 ELSE 0 END AS cap
+  FROM (
+    SELECT *,
+           sum(CASE WHEN cap = 1 THEN avail_tokens
+                    ELSE CAST(0 AS BIGINT) END) OVER () AS alloc,
+           cast(sum(CASE WHEN cap = 0
+                         THEN cast(wn AS DECIMAL(28,9)) END) OVER ()
+                AS DOUBLE) AS wact
+    FROM r{i - 1}
+  )
+)"""
+
+
+def _token_quota_sql() -> str:
+    b = QUOTA_BUDGET
+    share = sql_exact_round("wn / wact", 9)
+    rounds = ",\n".join(
+        _wf_round_block(i, b) for i in range(1, QUOTA_ROUNDS + 1)
+    )
+    return f"""
+WITH av AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           AS avail_tokens
+  FROM documents GROUP BY source
+),
+w0a AS (
+  SELECT source, avail_tokens,
+         {sql_exact_round(
+             "sqrt(CAST(avail_tokens AS DOUBLE))"
+             " * CAST(1 + (('0x' || substr(md5(source), 1, 2))::INT % 5)"
+             "       AS DOUBLE)", 9)} AS w
+  FROM av
+),
+r0 AS (
+  SELECT source, avail_tokens,
+         {sql_exact_round("w / wsum", 9)} AS wn, 0 AS cap
+  FROM (
+    SELECT *,
+           cast(sum(cast(w AS DECIMAL(28,9))) OVER () AS DOUBLE) AS wsum
+    FROM w0a
+  )
+),
+{rounds},
+fin AS (
+  SELECT *,
+         sum(CASE WHEN cap = 1 THEN avail_tokens
+                  ELSE CAST(0 AS BIGINT) END) OVER () AS alloc,
+         cast(sum(CASE WHEN cap = 0
+                       THEN cast(wn AS DECIMAL(28,9)) END) OVER ()
+              AS DOUBLE) AS wact
+  FROM r{QUOTA_ROUNDS}
+)
+SELECT source, avail_tokens, wn AS weight,
+       CASE WHEN cap = 1 THEN CAST(avail_tokens AS DOUBLE)
+            ELSE {sql_exact_round(
+                f"(({share}) * ({b} - CAST(alloc AS DOUBLE)))", 9)}
+       END AS quota,
+       cap AS capped
+FROM fin
+"""
+
+
+TOKEN_QUOTA_SQL = _token_quota_sql()
 
 # --- Heaps-law vocabulary growth --------------------------------------------
 

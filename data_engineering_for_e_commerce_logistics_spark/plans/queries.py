@@ -114,7 +114,9 @@ monitor), ``domain_reweight_mixture`` (DoReMi-style
 multiplicative-weights domain mixture optimizer — the whole loop as
 window expressions over the K×64 bucket-LM grid),
 ``source_divergence_matrix`` (pairwise JS divergence between source
-bucket-LMs — crawls that write alike), and
+bucket-LMs — crawls that write alike), ``token_quota_plan_sources``
+(water-filling budget quotas — the reweight→quota→sampler chain's
+middle step), and
 ``quality_classifier_suite`` (scored docs + reliability/ECE bins off
 one cached training chain — the classifier-slot debut vehicle), and
 ``zipf_fit_report`` (token-ranking corpus fingerprint with in-engine

@@ -132,6 +132,9 @@ def prebuilt_builders() -> dict:
         # bucket-LMs — the distributional twin of the LSH overlap
         # matrix (crawls that write alike, not crawls that copy)
         "source_divergence_matrix": xc.source_divergence_matrix,
+        # r13 pre-build: water-filling token-budget quotas — mixture
+        # weights → realizable sampler quotas under availability caps
+        "token_quota_plan_sources": xc.token_quota_plan_sources,
         # r13 pre-build: DoReMi-style domain mixture reweighting —
         # 3 multiplicative-weights rounds on the (domain × bucket)
         # LM grid; excess loss vs the own-LM floor earns weight
