@@ -1353,6 +1353,118 @@ FROM fin
 
 TOKEN_QUOTA_SQL = _token_quota_sql()
 
+# --- Mixture planning suite (reweight → quota, one chain) -------------------
+
+SUITE_QUOTA_BUDGET = 26000.0
+
+
+def mixture_planning_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end mixture-planning chain in ONE spec (pre-built
+    r13): DoReMi multiplicative-weights reweighting decides the
+    per-source mixture, and the water-filling planner turns those
+    exact weights into realizable token quotas under availability
+    caps — optimizer → allocator, the two decisions a pre-training
+    data pipeline makes before any sampler draws.  Variant
+    'reweight' carries every ``domain_reweight_mixture`` cell
+    verbatim (cached once, the suite pattern); variant 'quota'
+    carries the allocation under a 26000-token budget sized so caps
+    exercise at the driver scale."""
+    rw = domain_reweight_mixture(spark, sf_dir).cache()
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    av = docs.groupBy("source").agg(
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+            "avail_tokens"
+        )
+    )
+    plan = corpus.token_quota_plan(
+        av.join(rw.select("source", "weight"), "source"),
+        budget=SUITE_QUOTA_BUDGET,
+        n_rounds=QUOTA_ROUNDS,
+    )
+    nl = F.lit(None).cast("long")
+    nd_ = F.lit(None).cast("double")
+    r_leg = rw.select(
+        F.lit("reweight").alias("variant"),
+        F.col("source").alias("s"),
+        F.col("n_docs").alias("n1"),
+        F.col("n_feats").alias("n2"),
+        F.col("loss_own").alias("v1"),
+        F.col("loss_mix").alias("v2"),
+        F.col("excess").alias("v3"),
+        F.col("alpha").alias("v4"),
+        F.col("weight").alias("v5"),
+        nd_.alias("v6"),
+    )
+    q_leg = plan.select(
+        F.lit("quota").alias("variant"),
+        F.col("source").alias("s"),
+        F.col("avail_tokens").alias("n1"),
+        F.col("capped").cast("long").alias("n2"),
+        nd_.alias("v1"),
+        nd_.alias("v2"),
+        nd_.alias("v3"),
+        nd_.alias("v4"),
+        F.col("weight").alias("v5"),
+        F.col("quota").alias("v6"),
+    )
+    return r_leg.unionByName(q_leg)
+
+
+def _mixture_planning_sql() -> str:
+    b = SUITE_QUOTA_BUDGET
+    share = sql_exact_round("wn / wact", 9)
+    rounds = ",\n".join(
+        _wf_round_block(i, b) for i in range(1, QUOTA_ROUNDS + 1)
+    )
+    return f"""
+WITH rw AS MATERIALIZED ({DOMAIN_REWEIGHT_SQL}),
+av AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           AS avail_tokens
+  FROM documents GROUP BY source
+),
+w0a AS (
+  SELECT av.source, av.avail_tokens,
+         {sql_exact_round("rw.weight", 9)} AS w
+  FROM av JOIN rw USING (source)
+),
+r0 AS (
+  SELECT source, avail_tokens,
+         {sql_exact_round("w / wsum", 9)} AS wn, 0 AS cap
+  FROM (
+    SELECT *,
+           cast(sum(cast(w AS DECIMAL(28,9))) OVER () AS DOUBLE) AS wsum
+    FROM w0a
+  )
+),
+{rounds},
+fin AS (
+  SELECT *,
+         sum(CASE WHEN cap = 1 THEN avail_tokens
+                  ELSE CAST(0 AS BIGINT) END) OVER () AS alloc,
+         cast(sum(CASE WHEN cap = 0
+                       THEN cast(wn AS DECIMAL(28,9)) END) OVER ()
+              AS DOUBLE) AS wact
+  FROM r{QUOTA_ROUNDS}
+)
+SELECT 'reweight' AS variant, source AS s, n_docs AS n1, n_feats AS n2,
+       loss_own AS v1, loss_mix AS v2, excess AS v3, alpha AS v4,
+       weight AS v5, CAST(NULL AS DOUBLE) AS v6
+FROM rw
+UNION ALL
+SELECT 'quota', source, avail_tokens, CAST(cap AS BIGINT),
+       NULL, NULL, NULL, NULL, wn,
+       CASE WHEN cap = 1 THEN CAST(avail_tokens AS DOUBLE)
+            ELSE {sql_exact_round(
+                f"(({share}) * ({b} - CAST(alloc AS DOUBLE)))", 9)}
+       END
+FROM fin
+"""
+
+
+MIXTURE_PLANNING_SQL = _mixture_planning_sql()
+
 # --- Heaps-law vocabulary growth --------------------------------------------
 
 

@@ -116,7 +116,8 @@ window expressions over the K×64 bucket-LM grid),
 ``source_divergence_matrix`` (pairwise JS divergence between source
 bucket-LMs — crawls that write alike), ``token_quota_plan_sources``
 (water-filling budget quotas — the reweight→quota→sampler chain's
-middle step), and
+middle step; ``mixture_planning_suite`` pairs both chain stages off
+one cached reweight for the single-slot debut), and
 ``quality_classifier_suite`` (scored docs + reliability/ECE bins off
 one cached training chain — the classifier-slot debut vehicle), and
 ``zipf_fit_report`` (token-ranking corpus fingerprint with in-engine

@@ -98,3 +98,30 @@ def test_quota_plan_windows_on_bounded_frame(spark):
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition" in plan
     assert "hashpartitioning(doc_id" not in plan
+
+
+def test_mixture_suite_equals_parts(spark):
+    """The reweight leg must carry domain_reweight_mixture's cells
+    verbatim, and the quota leg must allocate the suite budget
+    exactly with caps exercised."""
+    suite = xc.mixture_planning_suite(spark, SF).toPandas()
+    rw = xc.domain_reweight_mixture(spark, SF).toPandas()
+    r = suite[suite.variant == "reweight"].rename(
+        columns={
+            "s": "source", "n1": "n_docs", "n2": "n_feats",
+            "v1": "loss_own", "v2": "loss_mix", "v3": "excess",
+            "v4": "alpha", "v5": "weight",
+        }
+    )[list(rw.columns)]
+    assert compare_frames(r, rw, "suite-reweight-leg") == []
+    q = suite[suite.variant == "quota"]
+    assert int(q.n2.sum()) > 0
+    assert abs(q.v6.sum() - 26000.0) < 1e-6
+
+
+def test_mixture_suite_matches_duckdb(spark):
+    spdf = xc.mixture_planning_suite(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    opdf = conn.execute(xc.MIXTURE_PLANNING_SQL).fetchdf()
+    conn.close()
+    assert compare_frames(spdf, opdf, "mixture_planning_suite") == []

@@ -132,6 +132,9 @@ def prebuilt_builders() -> dict:
         # bucket-LMs — the distributional twin of the LSH overlap
         # matrix (crawls that write alike, not crawls that copy)
         "source_divergence_matrix": xc.source_divergence_matrix,
+        # r13 pre-build: the reweight→quota chain in one slot —
+        # DoReMi weights feeding the water-filling allocator
+        "mixture_planning_suite": xc.mixture_planning_suite,
         # r13 pre-build: water-filling token-budget quotas — mixture
         # weights → realizable sampler quotas under availability caps
         "token_quota_plan_sources": xc.token_quota_plan_sources,
