@@ -503,3 +503,131 @@ def test_bpe_fold_equals_sequential_greedy(spark, docs, n_merges):
     want_merges, want_vocab = _py_bpe(words, n_merges)
     assert got_merges == want_merges
     assert got_vocab == want_vocab
+
+
+# --- r13 pre-build invariants (diversity / quota / ledger) -------------------
+
+# coordinates are exactly 0 or bounded away from the float32
+# underflow zone — the column is array<float>, and a double below
+# ~1e-45 casts to 0.0f, silently zero-norming a "nonzero" vector
+# (hypothesis found this on the first run)
+_coord = st.one_of(
+    st.just(0.0),
+    st.floats(min_value=0.01, max_value=10.0,
+              allow_nan=False, allow_infinity=False),
+    st.floats(min_value=-10.0, max_value=-0.01,
+              allow_nan=False, allow_infinity=False),
+)
+
+vec_groups = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # label (collisions likely)
+        st.lists(_coord, min_size=4, max_size=4),
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@given(rows=vec_groups)
+@settings(**SETTINGS)
+def test_diversity_bounds_any_frame(spark, rows):
+    """For ANY embedding frame: mean_pairwise_cos ∈ [−1, 1] (NULL only
+    for singletons), mean_cos_centroid ∈ [0, 1], spread ≥ 0, and the
+    zero-norm drop never counts a directionless vector."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.similarity import (
+        diversity_report,
+    )
+
+    df = spark.createDataFrame(
+        [(l, [float(x) for x in v]) for l, v in rows],
+        "label int, embedding array<float>",
+    )
+    nonzero = sum(1 for _, v in rows if any(x != 0.0 for x in v))
+    out = diversity_report(df).collect()
+    assert sum(r.n_vecs for r in out) == nonzero
+    eps = 1e-6
+    for r in out:
+        if r.n_vecs >= 2:
+            assert -1 - eps <= r.mean_pairwise_cos <= 1 + eps
+        else:
+            assert r.mean_pairwise_cos is None
+        assert -eps <= r.mean_cos_centroid <= 1 + eps
+        assert r.spread >= -1e-7
+
+
+quota_frames = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=10_000),  # avail tokens
+        st.floats(min_value=0.01, max_value=100.0,
+                  allow_nan=False, allow_infinity=False),  # weight
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=quota_frames, budget=st.integers(min_value=1, max_value=50_000))
+@settings(**SETTINGS)
+def test_quota_feasible_and_bounded_any_frame(spark, rows, budget):
+    """For ANY availability/weight frame and budget, with rounds = K
+    (the guaranteed fixpoint): every capped quota equals availability,
+    no quota is negative, and the total never exceeds
+    min(budget, total availability) beyond rounding."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.corpus import (
+        token_quota_plan,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i}", a, w) for i, (a, w) in enumerate(rows)],
+        "source string, avail_tokens long, weight double",
+    )
+    out = token_quota_plan(
+        df, budget=float(budget), n_rounds=len(rows)
+    ).collect()
+    total_avail = sum(a for a, _ in rows)
+    tol = 1e-4 * max(budget, 1)
+    for r in out:
+        if r.capped == 1:
+            assert r.quota == float(r.avail_tokens)
+        else:
+            assert r.quota >= -1e-9
+            assert r.quota <= r.avail_tokens + tol
+    assert sum(r.quota for r in out) <= min(budget, total_avail) + tol
+
+
+ledger_corpora = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),  # source bucket
+        st.integers(min_value=0, max_value=4),  # text id (dups likely)
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+@given(rows=ledger_corpora)
+@settings(**SETTINGS)
+def test_ledger_conservation_any_corpus(spark, rows):
+    """For ANY corpus (exact dups planted by construction) and NO near
+    -dup evidence: near stage keeps everything, exact stage keeps one
+    doc per distinct text, totals conserve."""
+    from data_engineering_for_e_commerce_logistics_spark.operators.dedup import (
+        retention_ledger,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"src{s}", f"text body number {t}")
+            for i, (s, t) in enumerate(rows)
+        ],
+        "doc_id long, source string, text string",
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    out = retention_ledger(docs, pairs).collect()
+    assert sum(r.n_docs for r in out) == len(rows)
+    assert sum(r.near_kept for r in out) == len(rows)
+    distinct_texts = len({t for _, t in rows})
+    assert sum(r.exact_kept for r in out) == distinct_texts
+    for r in out:
+        assert r.final_kept == r.exact_kept  # near keeps all
