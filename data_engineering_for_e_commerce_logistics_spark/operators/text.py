@@ -224,13 +224,17 @@ def ols_fit(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
     )
 
 
-def sql_ols_ctes(src: str, x: str, y: str) -> str:
-    """The DuckDB mirror of ``ols_fit`` as two CTE bodies ``s``/
-    ``fit`` reading from CTE ``src`` with expressions ``x``/``y``
-    (both 9dp-pre-rounded)."""
+def sql_ols_ctes(
+    src: str, x: str, y: str, names: tuple[str, str] = ("s", "fit")
+) -> str:
+    """The DuckDB mirror of ``ols_fit`` as two CTE bodies (default
+    ``s``/``fit``; pass ``names`` when one query embeds several fits)
+    reading from CTE ``src`` with expressions ``x``/``y`` (both
+    9dp-pre-rounded)."""
     from ..functions import sql_exact_round as r9
 
-    return f"""s AS (
+    s_name, fit_name = names
+    return f"""{s_name} AS (
   SELECT CAST(count(*) AS DOUBLE) AS nn,
          cast(sum(cast(({x}) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
          cast(sum(cast(({y}) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
@@ -242,7 +246,7 @@ def sql_ols_ctes(src: str, x: str, y: str) -> str:
               AS DOUBLE) AS syy
   FROM {src}
 ),
-fit AS (
+{fit_name} AS (
   SELECT CASE WHEN nn * sxx - sx * sx > 0 THEN
            {r9("(nn * sxy - sx * sy) / (nn * sxx - sx * sx)", 9)}
          END AS slope,
@@ -256,7 +260,7 @@ fit AS (
                "((nn * sxy - sx * sy) * (nn * sxy - sx * sy))"
                " / ((nn * sxx - sx * sx) * (nn * syy - sy * sy))", 9)}
          END AS r2
-  FROM s
+  FROM {s_name}
 )"""
 
 

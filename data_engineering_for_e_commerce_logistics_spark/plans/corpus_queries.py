@@ -1529,6 +1529,213 @@ SELECT 'fit', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
 FROM fit
 """
 
+# --- Token-stats suite (Zipf + Heaps off one shared aggregate) --------------
+
+
+def token_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fingerprint + Heaps growth in ONE slot off ONE shared
+    aggregate (pre-built r13): the exploded token stream folds ONCE
+    into ``(token → count, first-bucket)`` — the count column feeds
+    the Zipf ranking/fit/totals, the first-bucket column feeds the
+    Heaps curve/fit — so the two corpus-statistics specs' cells come
+    from a single wordcount exchange instead of two.  Every leg's
+    cells are bit-identical to the standalone specs
+    (parts-equivalence pinned).  Legs: 'top' (k=rank, tok, n=count),
+    'zipf_fit' / 'heaps_fit' (v1=slope, v2=intercept, v3=r2),
+    'totals' (k=n_tokens, n=vocab_size), 'curve' (k=checkpoint,
+    n=n_docs, n2=n_tokens, n3=vocab)."""
+    from pyspark.sql import Window
+
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    nib = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    base = docs.select(
+        nib.alias("b"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("__nt"),
+        F.split(F.col("text"), " ").alias("__toks"),
+    )
+    tf = (
+        base.select("b", F.explode("__toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("b").alias("fb"))
+        .cache()
+    )
+    totals = tf.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    top = tf.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(
+        ZIPF_TOP_N
+    )
+    wz = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = (
+        top.withColumn("k", F.row_number().over(wz).cast("long"))
+        .withColumn(
+            "x", exact_round(F.log(F.col("k").cast("double")), 9)
+        )
+        .withColumn(
+            "y", exact_round(F.log(F.col("c").cast("double")), 9)
+        )
+        .cache()
+    )
+    zfit = text.ols_fit(ranked, "x", "y")
+
+    doc_agg = base.groupBy("b").agg(
+        F.count(F.lit(1)).alias("nd"), F.sum("__nt").alias("nt")
+    )
+    tok_first = tf.groupBy("fb").agg(F.count(F.lit(1)).alias("nv"))
+    spine = docs.agg(F.count(F.lit(1)).alias("__n")).select(
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    )
+    wc = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        spine.join(F.broadcast(doc_agg), "b", "left")
+        .join(
+            F.broadcast(tok_first.withColumnRenamed("fb", "b")),
+            "b",
+            "left",
+        )
+        .na.fill({"nd": 0, "nt": 0, "nv": 0})
+        .select(
+            "b",
+            F.sum("nd").over(wc).alias("n_docs"),
+            F.sum("nt").over(wc).alias("n_tokens"),
+            F.sum("nv").over(wc).alias("vocab"),
+        )
+        .cache()
+    )
+    pts = curve.where(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    ).select(
+        exact_round(F.log(F.col("n_tokens").cast("double")), 9).alias("x"),
+        exact_round(F.log(F.col("vocab").cast("double")), 9).alias("y"),
+    )
+    hfit = text.ols_fit(pts, "x", "y")
+
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    nd_ = F.lit(None).cast("double")
+
+    def _leg(df, variant, **cols):
+        out = [F.lit(variant).alias("variant")]
+        for name in ("k", "tok", "n", "n2", "n3", "v1", "v2", "v3"):
+            if name in cols:
+                out.append(cols[name].alias(name))
+            elif name == "tok":
+                out.append(ns.alias(name))
+            elif name.startswith("v"):
+                out.append(nd_.alias(name))
+            else:
+                out.append(nl.alias(name))
+        return df.select(*out)
+
+    top_leg = _leg(
+        ranked, "top", k=F.col("k"), tok=F.col("tok"), n=F.col("c")
+    )
+    zfit_leg = _leg(
+        zfit, "zipf_fit",
+        v1=F.col("slope"), v2=F.col("intercept"), v3=F.col("r2"),
+    )
+    tot_leg = _leg(
+        totals, "totals", k=F.col("n_tokens"), n=F.col("vocab_size")
+    )
+    curve_leg = _leg(
+        curve, "curve",
+        k=F.col("b").cast("long"), n=F.col("n_docs"),
+        n2=F.col("n_tokens"), n3=F.col("vocab"),
+    )
+    hfit_leg = _leg(
+        hfit, "heaps_fit",
+        v1=F.col("slope"), v2=F.col("intercept"), v3=F.col("r2"),
+    )
+    return (
+        top_leg.unionByName(zfit_leg)
+        .unionByName(tot_leg)
+        .unionByName(curve_leg)
+        .unionByName(hfit_leg)
+    )
+
+
+TOKEN_STATS_SUITE_SQL = f"""
+WITH base AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 1))::INT AS b,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+         string_split(text, ' ') AS toks
+  FROM documents
+),
+tf AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c, min(b) AS fb FROM (
+    SELECT b, unnest(toks) AS tok FROM base
+  ) WHERE tok <> '' GROUP BY tok
+),
+tot AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab_size
+  FROM tf
+),
+ranked AS (
+  SELECT tok, c,
+         CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS BIGINT) AS k
+  FROM tf
+  ORDER BY c DESC, tok ASC LIMIT {ZIPF_TOP_N}
+),
+zxy AS (
+  SELECT k, tok, c,
+         {sql_exact_round("ln(CAST(k AS DOUBLE))", 9)} AS x,
+         {sql_exact_round("ln(CAST(c AS DOUBLE))", 9)} AS y
+  FROM ranked
+),
+{text.sql_ols_ctes("zxy", "x", "y", names=("zs", "zfit"))},
+doc_agg AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS nd, CAST(sum(nt) AS BIGINT) AS nt
+  FROM base GROUP BY b
+),
+tok_first AS (
+  SELECT fb AS b, CAST(count(*) AS BIGINT) AS nv FROM tf GROUP BY fb
+),
+spine AS (SELECT unnest(generate_series(0, 15)) AS b),
+curve AS (
+  SELECT s.b,
+         CAST(sum(coalesce(d.nd, 0)) OVER (ORDER BY s.b
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_docs,
+         CAST(sum(coalesce(d.nt, 0)) OVER (ORDER BY s.b
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_tokens,
+         CAST(sum(coalesce(t.nv, 0)) OVER (ORDER BY s.b
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+  FROM spine s
+  LEFT JOIN doc_agg d USING (b)
+  LEFT JOIN tok_first t USING (b)
+),
+hxy AS (
+  SELECT {sql_exact_round("ln(CAST(n_tokens AS DOUBLE))", 9)} AS x,
+         {sql_exact_round("ln(CAST(vocab AS DOUBLE))", 9)} AS y
+  FROM curve WHERE n_tokens > 0 AND vocab > 0
+),
+{text.sql_ols_ctes("hxy", "x", "y", names=("hs", "hfit"))}
+SELECT 'top' AS variant, k, tok, c AS n,
+       CAST(NULL AS BIGINT) AS n2, CAST(NULL AS BIGINT) AS n3,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2,
+       CAST(NULL AS DOUBLE) AS v3
+FROM zxy
+UNION ALL
+SELECT 'zipf_fit', NULL, NULL, NULL, NULL, NULL, slope, intercept, r2
+FROM zfit
+UNION ALL
+SELECT 'totals', n_tokens, NULL, vocab_size, NULL, NULL, NULL, NULL, NULL
+FROM tot
+UNION ALL
+SELECT 'curve', CAST(b AS BIGINT), NULL, n_docs, n_tokens, vocab,
+       NULL, NULL, NULL
+FROM curve
+UNION ALL
+SELECT 'heaps_fit', NULL, NULL, NULL, NULL, NULL, slope, intercept, r2
+FROM hfit
+"""
+
 # --- Sequence packing -------------------------------------------------------
 
 PACK_TOKEN_BUDGET = 512

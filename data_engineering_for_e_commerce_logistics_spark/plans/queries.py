@@ -123,8 +123,9 @@ one cached training chain — the classifier-slot debut vehicle), and
 ``zipf_fit_report`` (token-ranking corpus fingerprint with in-engine
 OLS; cheap-slot filler), ``vocab_growth_curve`` (Heaps-law vocabulary
 growth off 16 hash-prefix checkpoints — shares the factored
-``ols_fit`` helper with the Zipf spec and pairs with it in a future
-one-slot trade), ``dedup_retention_ledger`` (per-source
+``ols_fit`` helper with the Zipf spec; their one-slot vehicle
+``token_stats_suite`` serves both off ONE (token → count,
+first-bucket) aggregate, parts-equivalence pinned), ``dedup_retention_ledger`` (per-source
 dedup cost forensics off the registered LSH chain), and
 ``dedup_threshold_sweep`` (Jaccard-cut sensitivity off one cached
 mine) — consolidated with minhash_cluster_suite into the pre-built

@@ -121,6 +121,9 @@ def prebuilt_builders() -> dict:
         # r13 pre-build: per-source dedup retention ledger — exact +
         # near-dup keep flags intersected, doc/token retention rates
         "dedup_retention_ledger": gq.dedup_retention_ledger,
+        # r13 pre-build: the corpus-statistics trade vehicle — Zipf +
+        # Heaps off ONE (token → count, first-bucket) aggregate
+        "token_stats_suite": xc.token_stats_suite,
         # r13 pre-build: Heaps-law vocabulary growth curve — 16
         # hash-prefix checkpoints, first-occurrence attribution,
         # in-engine Heaps-exponent fit (OOV-pressure signal)
