@@ -1787,3 +1787,54 @@ def jl_project(
         / inv,
     )
     return df.select(F.col(id_col), comps.alias(proj_col))
+
+
+def occupancy_balance(
+    occ: DataFrame, cell_col: str = "bin", count_col: str = "cnt"
+) -> DataFrame:
+    """Index-balance summary over a (cell, count) occupancy frame —
+    the ANN-ops health readout: a skewed IVF index makes n_probe cost
+    unpredictable (hot cells dominate every probe) and recall lumpy
+    (vectors crowd where the quantizer is coarse).  Returns ONE row:
+
+    * ``n_cells`` / ``empty_cells`` — quantizer coverage;
+    * ``gini`` — occupancy Gini coefficient via the sorted-rank
+      identity ``Σ(2i−n−1)·c_(i) / (n·Σc)`` (0 = perfectly even,
+      → (n−1)/n = one hot cell);
+    * ``imbalance`` — max/mean occupancy (the worst-probe factor).
+
+    Exactness: the Gini numerator is an EXACT integer sum (ranks ×
+    counts); ties in the sort cannot change it (equal counts make the
+    rank coefficients sum invariant within the tie group); the two
+    ratios are single IEEE divisions, 9dp-rounded.  The frame is
+    bounded by the CELL count — windows over it are scale-free."""
+    from pyspark.sql import Window
+
+    from ..functions import exact_round
+
+    w = Window.orderBy(F.col(count_col).asc(), F.col(cell_col).asc())
+    wall = Window.partitionBy(F.lit(1))
+    r = (
+        occ.withColumn("__i", F.row_number().over(w).cast("long"))
+        .withColumn("__n", F.count(F.lit(1)).over(wall))
+        .withColumn("__tot", F.sum(count_col).over(wall))
+    )
+    return r.agg(
+        F.max("__n").alias("n_cells"),
+        F.sum(
+            F.when(F.col(count_col) == 0, 1).otherwise(0)
+        ).alias("empty_cells"),
+        exact_round(
+            F.sum(
+                (F.lit(2) * F.col("__i") - F.col("__n") - 1)
+                * F.col(count_col)
+            ).cast("double")
+            / (F.max("__n") * F.max("__tot")).cast("double"),
+            9,
+        ).alias("gini"),
+        exact_round(
+            (F.max(count_col) * F.max("__n")).cast("double")
+            / F.max("__tot").cast("double"),
+            9,
+        ).alias("imbalance"),
+    )

@@ -3944,6 +3944,112 @@ FROM agg
 """
 
 
+def ann_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index balance report (pre-built r13;
+    ``operators/similarity.py:occupancy_balance`` over the registered
+    fixed-quantizer assignment): per-cell occupancy plus the Gini /
+    max-mean-imbalance / empty-cell summary — the ANN-ops number that
+    says whether n_probe cost is predictable BEFORE queries hit a hot
+    cell (the capacity twin of ``embedding_drift_cells``' PSI, same
+    broadcast map-only assign).  Scale: one corpus pass, one
+    ≤n_cells-row summary; windows only on the bounded cell frame."""
+    from ..operators.similarity import (
+        _as_double_vec,
+        _nearest_packed,
+        _pack_rows,
+        occupancy_balance,
+    )
+
+    emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
+    )
+    packed = F.broadcast(_pack_rows(centroids, "centroid_id", "cv"))
+    occ = (
+        vecs.crossJoin(packed)
+        .select(
+            _nearest_packed(
+                F.col("v"), F.col("__packed"), "centroid_id", "cv"
+            )["id"].alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    full = (
+        centroids.select(F.col("centroid_id").alias("bin"))
+        .join(F.broadcast(occ), "bin", "left")
+        .na.fill({"cnt": 0})
+        .cache()
+    )
+    summary = occupancy_balance(full)
+    nl = F.lit(None).cast("long")
+    nd_ = F.lit(None).cast("double")
+    cells_leg = full.select(
+        F.lit("cells").alias("variant"),
+        F.col("bin").cast("long").alias("k"),
+        F.col("cnt").alias("n"),
+        nl.alias("n2"),
+        nd_.alias("v1"),
+        nd_.alias("v2"),
+    )
+    sum_leg = summary.select(
+        F.lit("summary").alias("variant"),
+        nl.alias("k"),
+        F.col("n_cells").cast("long").alias("n"),
+        F.col("empty_cells").cast("long").alias("n2"),
+        F.col("gini").alias("v1"),
+        F.col("imbalance").alias("v2"),
+    )
+    return cells_leg.unionByName(sum_leg)
+
+
+ANN_BALANCE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+      WHERE vec_id < {N_CENTROIDS}),
+occ AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT s.vec_id, s.centroid_id AS bin FROM (
+      SELECT e.vec_id, c.centroid_id,
+             row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_reduce(list_transform(list_zip(e.v, c.cv),
+                     p -> (p[1] - p[2]) * (p[1] - p[2])),
+                     (a, b) -> a + b) ASC, c.centroid_id ASC) AS rn
+      FROM e, c
+    ) s WHERE s.rn = 1
+  ) GROUP BY bin
+),
+dense AS (
+  SELECT c.centroid_id AS bin, coalesce(o.cnt, CAST(0 AS BIGINT)) AS cnt
+  FROM c LEFT JOIN occ o ON o.bin = c.centroid_id
+),
+rk AS (
+  SELECT bin, cnt,
+         CAST(row_number() OVER (ORDER BY cnt ASC, bin ASC) AS BIGINT) AS i,
+         CAST(count(*) OVER () AS BIGINT) AS n,
+         CAST(sum(cnt) OVER () AS BIGINT) AS tot
+  FROM dense
+)
+SELECT 'cells' AS variant, CAST(bin AS BIGINT) AS k, cnt AS n,
+       CAST(NULL AS BIGINT) AS n2,
+       CAST(NULL AS DOUBLE) AS v1, CAST(NULL AS DOUBLE) AS v2
+FROM dense
+UNION ALL
+SELECT 'summary', NULL, max(n), sum(CASE WHEN cnt = 0 THEN 1 ELSE 0 END),
+       {sql_exact_round(
+           "CAST(sum((2 * i - n - 1) * cnt) AS DOUBLE)"
+           " / CAST(max(n) * max(tot) AS DOUBLE)", 9)},
+       {sql_exact_round(
+           "CAST(max(cnt) * max(n) AS DOUBLE) / CAST(max(tot) AS DOUBLE)",
+           9)}
+FROM rk
+"""
+
+
 def embedding_diversity_report(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

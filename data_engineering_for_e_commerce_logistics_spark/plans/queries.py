@@ -110,7 +110,9 @@ compression health report off the trained encode chain — the
 natural second leg of the r18 ``bpe_suite`` trade), and
 ``embedding_diversity_report`` (per-label mean pairwise cosine via
 the sum-vector identity — zero pairwise work; the near-dup-collapse
-monitor), ``domain_reweight_mixture`` (DoReMi-style
+monitor), ``ann_balance_report`` (IVF occupancy Gini/imbalance — the
+n_probe-cost health twin of the drift monitor off the same map-only
+assign), ``domain_reweight_mixture`` (DoReMi-style
 multiplicative-weights domain mixture optimizer — the whole loop as
 window expressions over the K×64 bucket-LM grid),
 ``source_divergence_matrix`` (pairwise JS divergence between source

@@ -79,6 +79,10 @@ def prebuilt_builders() -> dict:
         # exact n-gram coverage mask summary (bounded 2^|S| driver
         # state; unrolled-argmax DuckDB oracle)
         "source_coverage_greedy": xc.source_coverage_greedy,
+        # r13 pre-build: IVF index balance report — occupancy Gini +
+        # max/mean imbalance + empty cells (the n_probe-cost health
+        # twin of the drift monitor's PSI, same map-only assign)
+        "ann_balance_report": gq.ann_balance_report,
         # r13 pre-build: embedding-space drift — PSI over IVF cell
         # occupancy (vector twin of hist_drift_events; map-only
         # broadcast assign, sketch-frame PSI arithmetic)
