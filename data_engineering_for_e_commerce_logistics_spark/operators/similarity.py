@@ -1838,3 +1838,148 @@ def occupancy_balance(
             9,
         ).alias("imbalance"),
     )
+
+
+def diversity_cells(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The diversity report's MERGEABLE cell form — every statistic
+    the report needs is an exact decimal sum, so a per-batch partial
+    merges by cell-wise addition (the generic streaming-sketch-loop
+    contract; see ``streaming/ingest.py:start_cms_stream``):
+
+    * ``('su', d)`` / ``('sv', d)`` — per-dimension unit/raw sums;
+    * ``('n', 0)`` — kept-row count; ``('usq', 0)`` / ``('vsq', 0)``
+      — Σ‖u‖² / Σ‖v‖².
+
+    Cell key ``(label, part, dim)``, value ``cnt`` DECIMAL(28,8).
+    Decimal addition is exact and associative, so ANY batch split of
+    the corpus merges to bit-identical cells — the invariant
+    ``diversity_from_cells(merged) ≡ diversity_report(full)`` holds
+    exactly, pinned by the streaming twin test."""
+    base = (
+        df.select(
+            F.col(group_col).alias("label"),
+            _as_double_vec(vec_col).alias("__v"),
+        )
+        .withColumn("__sq", _fold_sum(F.transform("__v", lambda x: x * x)))
+        .where(F.col("__sq") > 0)
+        .withColumn(
+            "__u",
+            F.transform("__v", lambda x: x / F.sqrt(F.col("__sq"))),
+        )
+    )
+    dim_cells = (
+        base.select(
+            "label",
+            F.posexplode("__u").alias("dim", "__ud"),
+            F.col("__v").alias("__vrow"),
+        )
+        .select("label", "dim", "__ud", F.expr("__vrow[dim]").alias("__vd"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("__ud").cast("decimal(28,8)")).alias("__su"),
+            F.sum(F.col("__vd").cast("decimal(28,8)")).alias("__sv"),
+        )
+    )
+    su = dim_cells.select(
+        "label", F.lit("su").alias("part"), F.col("dim").cast("long"),
+        F.col("__su").cast("decimal(28,8)").alias("cnt"),
+    )
+    sv = dim_cells.select(
+        "label", F.lit("sv").alias("part"), F.col("dim").cast("long"),
+        F.col("__sv").cast("decimal(28,8)").alias("cnt"),
+    )
+    rows = base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("decimal(28,8)").alias("__n"),
+        F.sum(
+            F.expr(
+                "cast(aggregate(transform(__u, x -> x * x),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+                " as decimal(28,8))"
+            )
+        ).cast("decimal(28,8)").alias("__usq"),
+        F.sum(F.col("__sq").cast("decimal(28,8)"))
+        .cast("decimal(28,8)")
+        .alias("__vsq"),
+    )
+    scalars = []
+    for part, col in (("n", "__n"), ("usq", "__usq"), ("vsq", "__vsq")):
+        scalars.append(
+            rows.select(
+                "label", F.lit(part).alias("part"),
+                F.lit(0).cast("long").alias("dim"),
+                F.col(col).alias("cnt"),
+            )
+        )
+    out = su.unionByName(sv)
+    for s in scalars:
+        out = out.unionByName(s)
+    return out
+
+
+def diversity_from_cells(cells: DataFrame, group_col: str = "label") -> DataFrame:
+    """Finish the diversity report from MERGED ``diversity_cells``
+    output — the exact arithmetic of ``diversity_report``'s final
+    stage applied to the accumulated decimal cells, so a streamed
+    corpus reports bit-identically to a batch pass."""
+    dims = (
+        cells.where(F.col("part").isin("su", "sv"))
+        .groupBy(group_col, "dim")
+        .pivot("part", ["su", "sv"])
+        .agg(F.first("cnt"))
+        .select(
+            group_col, "dim",
+            F.col("su").cast("double").alias("__su"),
+            F.col("sv").cast("double").alias("__sv"),
+        )
+    )
+    vecs = dims.groupBy(group_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("dim", "__su", "__sv"))
+        ).alias("__s")
+    ).select(
+        group_col,
+        F.transform("__s", lambda s: s["__su"]).alias("__sus"),
+        F.transform("__s", lambda s: s["__sv"]).alias("__svs"),
+    )
+    scal = (
+        cells.where(F.col("part").isin("n", "usq", "vsq"))
+        .groupBy(group_col)
+        .pivot("part", ["n", "usq", "vsq"])
+        .agg(F.first("cnt"))
+        .select(
+            group_col,
+            F.col("n").cast("long").alias("n_vecs"),
+            F.col("usq").cast("double").alias("__usq"),
+            F.col("vsq").cast("double").alias("__vsq"),
+        )
+    )
+    n_dbl = F.col("n_vecs").cast("double")
+    ssq = _fold_sum(F.transform("__sus", lambda x: x * x))
+    return (
+        scal.join(F.broadcast(vecs), group_col)
+        .select(
+            group_col,
+            "n_vecs",
+            F.when(F.col("n_vecs") < 2, F.lit(None).cast("double"))
+            .otherwise(
+                (ssq - F.col("__usq"))
+                / (F.col("n_vecs") * (F.col("n_vecs") - 1)).cast("double")
+            )
+            .alias("mean_pairwise_cos"),
+            (F.sqrt(ssq) / n_dbl).alias("mean_cos_centroid"),
+            (
+                F.col("__vsq") / n_dbl
+                - _fold_sum(
+                    F.transform(
+                        "__svs",
+                        lambda x: (x / F.col("n_vecs").cast("double"))
+                        * (x / F.col("n_vecs").cast("double")),
+                    )
+                )
+            ).alias("spread"),
+        )
+    )
