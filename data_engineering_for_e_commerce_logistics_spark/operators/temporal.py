@@ -137,3 +137,102 @@ def asof_join(
     return carried.filter(F.col("__is_left") == 1).select(
         *lcols, *[f"asof_{c}" for c in payload], "asof_time"
     )
+
+
+def event_funnel(
+    df: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered-step funnel conversion — the classic event-analytics
+    readout (view → click → purchase): a user reaches step k when the
+    steps occur in order at STRICTLY increasing timestamps, matched
+    greedily (each step binds to its earliest admissible occurrence —
+    provably the same set of users as the iterated
+    min-after-previous-step relational construction, which is the
+    DuckDB oracle's form).
+
+    Returns one row per step: ``(step, name, n_users,
+    conv_from_first, drop_from_prev)`` with the ratios 9dp-rounded
+    (NULL when the previous stage is empty).
+
+    100 TB shape: ONE shuffle on the user key — events are filtered
+    to the step types at the scan, collected per user into a sorted
+    (ts, type) array, and the greedy match is a codegen ``aggregate``
+    fold over that array; the stage counts then collapse in a single
+    conditional aggregate.  Per-user state is bounded by that user's
+    step-event count (heavy-user skew shows up here and nowhere
+    else); ties at equal timestamps do NOT advance the funnel in
+    either engine (strict inequality)."""
+    from ..functions import exact_round
+
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    ev = df.where(F.col(type_col).isin(*steps)).select(
+        F.col(user_col).alias("__u"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__t"),
+        F.col(type_col).alias("__e"),
+    )
+    per_user = ev.groupBy("__u").agg(
+        F.array_sort(F.collect_list(F.struct("__t", "__e"))).alias("__a")
+    )
+    staged = per_user.select(
+        F.aggregate(
+            F.col("__a"),
+            F.struct(
+                F.lit(0).alias("stg"),
+                F.lit(-(2**62)).cast("long").alias("last"),
+            ),
+            lambda acc, e: F.when(
+                (acc["stg"] < k)
+                & (
+                    e["__e"]
+                    == F.element_at(steps_arr, acc["stg"] + 1)
+                )
+                & (e["__t"] > acc["last"]),
+                F.struct(
+                    (acc["stg"] + 1).alias("stg"),
+                    e["__t"].alias("last"),
+                ),
+            ).otherwise(acc),
+        )["stg"].alias("__stg")
+    )
+    counts = staged.agg(
+        *[
+            F.sum(F.when(F.col("__stg") >= i + 1, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__n{i + 1}")
+            for i in range(k)
+        ]
+    )
+    rows = []
+    for i in range(1, k + 1):
+        conv = F.when(
+            F.col("__n1") > 0,
+            exact_round(
+                F.col(f"__n{i}").cast("double")
+                / F.col("__n1").cast("double"),
+                9,
+            ),
+        )
+        prev = F.col(f"__n{i - 1}") if i > 1 else F.col("__n1")
+        drop = F.when(
+            prev > 0,
+            exact_round(
+                F.col(f"__n{i}").cast("double") / prev.cast("double"), 9
+            ),
+        )
+        rows.append(
+            F.struct(
+                F.lit(i).cast("long").alias("step"),
+                F.lit(steps[i - 1]).alias("name"),
+                F.col(f"__n{i}").alias("n_users"),
+                conv.alias("conv_from_first"),
+                drop.alias("drop_from_prev"),
+            )
+        )
+    return counts.select(
+        F.explode(F.array(*rows)).alias("__r")
+    ).select("__r.*")

@@ -3091,3 +3091,75 @@ SELECT decile,
 FROM binned
 GROUP BY decile
 """
+
+# --- Ordered-step funnel conversion (pre-built r13) -------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over events (pre-built r13;
+    ``operators/temporal.py:event_funnel``): users reaching
+    view → click → purchase at strictly increasing timestamps,
+    greedily matched — ONE user-keyed shuffle, the greedy match as a
+    codegen fold over each user's sorted step events, stage counts in
+    one conditional aggregate.  The oracle is the iterated
+    min-after-previous-step relational construction (provably the
+    same user sets)."""
+    from ..operators.temporal import event_funnel
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return event_funnel(ev, FUNNEL_STEPS)
+
+
+def _funnel_sql() -> str:
+    from ..functions import sql_exact_round
+
+    s1, s2, s3 = FUNNEL_STEPS
+    r9 = sql_exact_round
+    return f"""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{s1}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+  WHERE e.event_type = '{s2}' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+  WHERE e.event_type = '{s3}' GROUP BY e.user_id
+),
+c AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+         (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+         (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3
+)
+SELECT CAST(1 AS BIGINT) AS step, '{s1}' AS name, n1 AS n_users,
+       CASE WHEN n1 > 0 THEN
+         {r9("CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)} END
+         AS conv_from_first,
+       CASE WHEN n1 > 0 THEN
+         {r9("CAST(n1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)} END
+         AS drop_from_prev
+FROM c
+UNION ALL
+SELECT 2, '{s2}', n2,
+       CASE WHEN n1 > 0 THEN
+         {r9("CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)} END,
+       CASE WHEN n1 > 0 THEN
+         {r9("CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)} END
+FROM c
+UNION ALL
+SELECT 3, '{s3}', n3,
+       CASE WHEN n1 > 0 THEN
+         {r9("CAST(n3 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)} END,
+       CASE WHEN n2 > 0 THEN
+         {r9("CAST(n3 AS DOUBLE) / CAST(n2 AS DOUBLE)", 9)} END
+FROM c
+"""
+
+
+FUNNEL_EVENTS_SQL = _funnel_sql()

@@ -121,7 +121,9 @@ bucket-LMs — crawls that write alike), ``token_quota_plan_sources``
 middle step; ``mixture_planning_suite`` pairs both chain stages off
 one cached reweight for the single-slot debut), and
 ``quality_classifier_suite`` (scored docs + reliability/ECE bins off
-one cached training chain — the classifier-slot debut vehicle), and
+one cached training chain — the classifier-slot debut vehicle),
+``funnel_events`` (ordered-step conversion — the events-side cheap
+slot; greedy fold ≡ iterated-min oracle), and
 ``zipf_fit_report`` (token-ranking corpus fingerprint with in-engine
 OLS; cheap-slot filler), ``vocab_growth_curve`` (Heaps-law vocabulary
 growth off 16 hash-prefix checkpoints — shares the factored

@@ -38,6 +38,10 @@ def prebuilt_builders() -> dict:
         # retriever-training miner; oracle reuses the RRF leg CTEs)
         "hard_negative_mining": xc.hard_negative_mining,
         "incremental_dsir_fresh": xc.incremental_dsir_fresh,
+        # r13 pre-build: ordered-step funnel conversion — greedy
+        # strict-order matching as ONE codegen fold per user, oracle =
+        # the iterated-min relational construction
+        "funnel_events": aq.funnel_events,
         # r12 pre-build: count-min sketch heavy hitters (bounded-state
         # hot keys; shared-arithmetic hash family, cell-exact oracle)
         "cms_heavy_hitters_events": aq.cms_heavy_hitters_events,
