@@ -236,3 +236,65 @@ def event_funnel(
     return counts.select(
         F.explode(F.array(*rows)).alias("__r")
     ).select("__r.*")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention matrix — the second classic
+    event-analytics readout: users cohort by the ISO week of their
+    FIRST activity, and cell (cohort_week, period) counts the cohort
+    members active ``period`` weeks later, with the retention rate
+    against the cohort's own period-0 size.
+
+    Exactness: week truncation is ISO-Monday in both engines
+    (verified), periods are exact integer week multiples, counts are
+    exact, and the rate is one 9dp-rounded division.
+
+    100 TB shape: distinct (user, week) activity → one exchange; the
+    first-week aggregate and the matrix rollup reuse the user key;
+    cohort sizes are a broadcast-sized frame (≤ weeks) joined back by
+    cohort.  No window over the corpus."""
+    from pyspark.sql import functions as F
+
+    from ..functions import exact_round
+
+    act = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc("week", F.col(ts_col).cast("timestamp"))
+            .cast("date")
+            .alias("__wk"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("__u").agg(F.min("__wk").alias("__cohort"))
+    mat = (
+        act.join(first, "__u")
+        .select(
+            "__cohort",
+            (F.datediff(F.col("__wk"), F.col("__cohort")) / 7)
+            .cast("long")
+            .alias("period"),
+        )
+        .groupBy("__cohort", "period")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    sizes = mat.where(F.col("period") == 0).select(
+        "__cohort", F.col("n_users").alias("__n0")
+    )
+    return (
+        mat.join(F.broadcast(sizes), "__cohort")
+        .select(
+            F.col("__cohort").alias("cohort_week"),
+            "period",
+            "n_users",
+            exact_round(
+                F.col("n_users").cast("double")
+                / F.col("__n0").cast("double"),
+                9,
+            ).alias("retention"),
+        )
+    )

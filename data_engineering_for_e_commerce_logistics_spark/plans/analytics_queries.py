@@ -3163,3 +3163,41 @@ FROM c
 
 
 FUNNEL_EVENTS_SQL = _funnel_sql()
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (pre-built r13;
+    ``operators/temporal.py:cohort_retention``): ISO-week cohorts by
+    first activity, per-period active counts, rates against each
+    cohort's own period-0 size.  One distinct-activity exchange +
+    user-keyed aggregates + a broadcast cohort-size join."""
+    from ..operators.temporal import cohort_retention
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return cohort_retention(ev)
+
+
+COHORT_RETENTION_SQL = """
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+first_wk AS (
+  SELECT user_id, min(wk) AS cohort FROM act GROUP BY user_id
+),
+mat AS (
+  SELECT f.cohort,
+         CAST(datediff('day', f.cohort, a.wk) / 7 AS BIGINT) AS period,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM act a JOIN first_wk f USING (user_id)
+  GROUP BY f.cohort, 2
+),
+sizes AS (
+  SELECT cohort, n_users AS n0 FROM mat WHERE period = 0
+)
+SELECT m.cohort AS cohort_week, m.period, m.n_users,
+       cast(round(cast((CAST(m.n_users AS DOUBLE) / CAST(s.n0 AS DOUBLE))
+                       as decimal(28,12)), 9) as double) AS retention
+FROM mat m JOIN sizes s USING (cohort)
+"""

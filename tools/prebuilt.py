@@ -42,6 +42,9 @@ def prebuilt_builders() -> dict:
         # strict-order matching as ONE codegen fold per user, oracle =
         # the iterated-min relational construction
         "funnel_events": aq.funnel_events,
+        # r13 pre-build: weekly cohort retention matrix — first-week
+        # cohorts, per-period active counts, broadcast size join
+        "cohort_retention_events": aq.cohort_retention_events,
         # r12 pre-build: count-min sketch heavy hitters (bounded-state
         # hot keys; shared-arithmetic hash family, cell-exact oracle)
         "cms_heavy_hitters_events": aq.cms_heavy_hitters_events,
