@@ -3177,7 +3177,7 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev)
 
 
-COHORT_RETENTION_SQL = """
+COHORT_RETENTION_EVENTS_SQL = """
 WITH act AS (
   SELECT DISTINCT user_id,
          CAST(date_trunc('week', ts) AS DATE) AS wk

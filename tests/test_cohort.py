@@ -62,7 +62,7 @@ def test_multiple_events_one_week_count_once(spark):
 def test_cohort_matches_duckdb(spark):
     spdf = aq.cohort_retention_events(spark, SF).toPandas()
     conn = duckdb_conn(SF)
-    opdf = conn.execute(aq.COHORT_RETENTION_SQL).fetchdf()
+    opdf = conn.execute(aq.COHORT_RETENTION_EVENTS_SQL).fetchdf()
     conn.close()
     assert len(spdf) > 0
     assert compare_frames(spdf, opdf, "cohort_retention_events") == []
