@@ -298,3 +298,72 @@ def cohort_retention(
             ).alias("retention"),
         )
     )
+
+
+def event_transition_matrix(
+    df: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for
+    every ordered pair of event types, the count of CONSECUTIVE
+    occurrences in some user's timeline and the row-normalized
+    transition probability ``P(next = b | current = a)`` — the
+    what-do-users-do-next readout behind funnel design.
+
+    Determinism: each user's timeline orders by ``(ts, id)`` (the
+    sessionize tiebreak), so equal timestamps cannot flip a
+    transition between engines; counts are exact and each probability
+    is one 9dp-rounded division.
+
+    100 TB shape: ONE shuffle on the user key — the timeline
+    collects into a sorted array and consecutive pairs come from a
+    ``zip_with`` of the array against its own tail (pure codegen, no
+    self-join, no window over the corpus); the pair rollup is
+    ≤ |types|² rows and the row totals broadcast back."""
+    from pyspark.sql import functions as F
+
+    from ..functions import exact_round
+
+    per_user = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.struct(
+                F.unix_micros(F.col(ts_col).cast("timestamp")).alias("t"),
+                F.col(id_col).alias("i"),
+                F.col(type_col).alias("e"),
+            ).alias("__s"),
+        )
+        .groupBy("__u")
+        .agg(F.array_sort(F.collect_list("__s")).alias("__a"))
+    )
+    pairs = per_user.select(
+        F.explode(
+            F.when(
+                F.size("__a") >= 2,
+                F.zip_with(
+                    F.slice("__a", 1, F.size("__a") - 1),
+                    F.slice("__a", 2, F.size("__a") - 1),
+                    lambda a, b: F.struct(
+                        a["e"].alias("from_type"), b["e"].alias("to_type")
+                    ),
+                ),
+            ).otherwise(F.array().cast(
+                "array<struct<from_type:string,to_type:string>>"
+            ))
+        ).alias("__p")
+    ).select("__p.*")
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("from_type").agg(F.sum("n").alias("__tot"))
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        exact_round(
+            F.col("n").cast("double") / F.col("__tot").cast("double"), 9
+        ).alias("prob"),
+    )

@@ -3201,3 +3201,41 @@ SELECT m.cohort AS cohort_week, m.period, m.n_users,
                        as decimal(28,12)), 9) as double) AS retention
 FROM mat m JOIN sizes s USING (cohort)
 """
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over events (pre-built
+    r13; ``operators/temporal.py:event_transition_matrix``): counts
+    and row-normalized probabilities of consecutive event-type pairs
+    per user timeline — one user-keyed shuffle, pairs via a codegen
+    zip of each sorted timeline against its own tail, ≤ |types|²
+    output rows."""
+    from ..operators.temporal import event_transition_matrix
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return event_transition_matrix(ev)
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type
+  FROM ordered WHERE next_type IS NOT NULL
+),
+counts AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY from_type, to_type
+),
+totals AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n,
+       cast(round(cast((CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+                       as decimal(28,12)), 9) as double) AS prob
+FROM counts c JOIN totals t USING (from_type)
+"""

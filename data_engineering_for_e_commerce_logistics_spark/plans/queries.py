@@ -124,8 +124,9 @@ one cached reweight for the single-slot debut), and
 one cached training chain — the classifier-slot debut vehicle),
 ``funnel_events`` (ordered-step conversion — the events-side cheap
 slot; greedy fold ≡ iterated-min oracle),
-``cohort_retention_events`` (weekly cohort retention matrix — pairs
-with the funnel in a future one-slot event_analytics_suite), and
+``cohort_retention_events`` (weekly cohort retention matrix) and
+``event_transitions`` (Markov behavior matrix) — funnel + cohort +
+transitions are the future one-slot events-side suite, and
 ``zipf_fit_report`` (token-ranking corpus fingerprint with in-engine
 OLS; cheap-slot filler), ``vocab_growth_curve`` (Heaps-law vocabulary
 growth off 16 hash-prefix checkpoints — shares the factored
