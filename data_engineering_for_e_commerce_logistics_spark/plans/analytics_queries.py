@@ -3239,3 +3239,82 @@ SELECT c.from_type, c.to_type, c.n,
                        as decimal(28,12)), 9) as double) AS prob
 FROM counts c JOIN totals t USING (from_type)
 """
+
+
+def event_analytics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events-side consolidation vehicle (pre-built r13): funnel
+    conversion + weekly cohort retention + the Markov transition
+    matrix off ONE cached events scan — the three product-analytics
+    readouts a session of dashboard questions actually asks, in one
+    future registry slot.  Every leg's cells are bit-identical to its
+    standalone spec (parts-equivalence pinned).  Pads: funnel →
+    (k=step, s1=name, n, v1=conv, v2=drop); cohort → (d=cohort_week,
+    k=period, n, v1=retention); transitions → (s1=from, s2=to, n,
+    v1=prob)."""
+    from ..operators.temporal import (
+        cohort_retention,
+        event_funnel,
+        event_transition_matrix,
+    )
+
+    ev = (
+        load_tables(spark, sf_dir, ("events",))["events"]
+        .select("event_id", "ts", "user_id", "event_type")
+        .cache()
+    )
+    fun = event_funnel(ev, FUNNEL_STEPS)
+    coh = cohort_retention(ev)
+    tra = event_transition_matrix(ev)
+    nl = F.lit(None).cast("long")
+    ns = F.lit(None).cast("string")
+    ndt = F.lit(None).cast("date")
+    nd_ = F.lit(None).cast("double")
+    f_leg = fun.select(
+        F.lit("funnel").alias("variant"),
+        F.col("step").alias("k"),
+        F.col("name").alias("s1"),
+        ns.alias("s2"),
+        ndt.alias("d"),
+        F.col("n_users").alias("n"),
+        F.col("conv_from_first").alias("v1"),
+        F.col("drop_from_prev").alias("v2"),
+    )
+    c_leg = coh.select(
+        F.lit("cohort").alias("variant"),
+        F.col("period").alias("k"),
+        ns.alias("s1"),
+        ns.alias("s2"),
+        F.col("cohort_week").alias("d"),
+        F.col("n_users").alias("n"),
+        F.col("retention").alias("v1"),
+        nd_.alias("v2"),
+    )
+    t_leg = tra.select(
+        F.lit("transitions").alias("variant"),
+        nl.alias("k"),
+        F.col("from_type").alias("s1"),
+        F.col("to_type").alias("s2"),
+        ndt.alias("d"),
+        F.col("n").alias("n"),
+        F.col("prob").alias("v1"),
+        nd_.alias("v2"),
+    )
+    return f_leg.unionByName(c_leg).unionByName(t_leg)
+
+
+EVENT_ANALYTICS_SUITE_SQL = f"""
+WITH fun AS MATERIALIZED ({FUNNEL_EVENTS_SQL}),
+coh AS MATERIALIZED ({COHORT_RETENTION_EVENTS_SQL}),
+tra AS MATERIALIZED ({EVENT_TRANSITIONS_SQL})
+SELECT 'funnel' AS variant, step AS k, name AS s1,
+       CAST(NULL AS VARCHAR) AS s2, CAST(NULL AS DATE) AS d,
+       n_users AS n, conv_from_first AS v1, drop_from_prev AS v2
+FROM fun
+UNION ALL
+SELECT 'cohort', period, NULL, NULL, cohort_week, n_users, retention,
+       NULL
+FROM coh
+UNION ALL
+SELECT 'transitions', NULL, from_type, to_type, NULL, n, prob, NULL
+FROM tra
+"""

@@ -91,3 +91,47 @@ def test_transitions_plan_one_user_shuffle(spark):
     assert "SortMergeJoin" not in plan
     assert "windowspecdefinition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_event_analytics_suite_equals_parts(spark):
+    """The one-scan events suite must carry all three standalone
+    specs' cells verbatim."""
+    suite = aq.event_analytics_suite(spark, SF).toPandas()
+
+    fun = aq.funnel_events(spark, SF).toPandas()
+    f = suite[suite.variant == "funnel"].rename(
+        columns={"k": "step", "s1": "name", "n": "n_users",
+                 "v1": "conv_from_first", "v2": "drop_from_prev"}
+    )[list(fun.columns)]
+    assert compare_frames(f, fun, "suite-funnel-leg") == []
+
+    coh = aq.cohort_retention_events(spark, SF).toPandas()
+    c = suite[suite.variant == "cohort"].rename(
+        columns={"k": "period", "d": "cohort_week", "n": "n_users",
+                 "v1": "retention"}
+    )[list(coh.columns)]
+    assert compare_frames(c, coh, "suite-cohort-leg") == []
+
+    tra = aq.event_transitions(spark, SF).toPandas()
+    t = suite[suite.variant == "transitions"].rename(
+        columns={"s1": "from_type", "s2": "to_type", "v1": "prob"}
+    )[list(tra.columns)]
+    assert compare_frames(t, tra, "suite-transitions-leg") == []
+
+
+def test_event_analytics_suite_matches_duckdb(spark):
+    spdf = aq.event_analytics_suite(spark, SF).toPandas()
+    conn = duckdb_conn(SF)
+    opdf = conn.execute(aq.EVENT_ANALYTICS_SUITE_SQL).fetchdf()
+    conn.close()
+    assert compare_frames(spdf, opdf, "event_analytics_suite") == []
+
+
+def test_event_analytics_suite_one_scan(spark):
+    """Plan guard: ONE cached narrow events scan serves the three
+    legs (InMemoryTableScans), no cartesian anywhere."""
+    from tests.test_plans import _plan_of
+
+    plan = _plan_of(spark, aq.event_analytics_suite)
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 3

@@ -42,6 +42,9 @@ def prebuilt_builders() -> dict:
         # strict-order matching as ONE codegen fold per user, oracle =
         # the iterated-min relational construction
         "funnel_events": aq.funnel_events,
+        # r13 pre-build: the events-side trade vehicle — funnel +
+        # cohort + transitions off ONE cached narrow events scan
+        "event_analytics_suite": aq.event_analytics_suite,
         # r13 pre-build: first-order Markov transition matrix — what
         # users do next; one user shuffle, zip-against-tail pairs
         "event_transitions": aq.event_transitions,
