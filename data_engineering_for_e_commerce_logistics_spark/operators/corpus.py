@@ -2419,3 +2419,84 @@ def greedy_from_summary(
         "sel_rank int, source string, gain bigint, covered bigint,"
         " coverage_frac double",
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    critical: float = 0.0,
+) -> DataFrame:
+    """Pearson χ² test of independence between two categorical
+    columns — the statistical corpus-QA readout ("is language
+    distribution independent of source?"): a crawl whose languages
+    skew by source needs per-source language budgets, not one global
+    mix.  Returns ONE row: ``(chi2, dof, n, verdict)`` with
+    ``verdict = chi2 > critical`` (pass the caller's critical value
+    for the chosen significance level; 0 disables).
+
+    Exactness: observed counts are exact; each cell's expected value
+    ``row·col/n`` is one IEEE division of exact ints; the per-cell
+    ``(o−e)²/e`` term is 9dp-rounded before the DECIMAL sum — bitwise
+    cross-engine.  Caveat: pre-coalesce NULL categories to a sentinel
+    — the zero-cell densify joins on the level keys, and null keys
+    match nothing in either engine.
+
+    100 TB shape: one fused hash-agg collapses the corpus to the
+    K×L contingency table; margins and the statistic are window
+    arithmetic over that bounded frame."""
+    wall = Window.partitionBy(F.lit(1))
+    obs = (
+        df.groupBy(F.col(a_col).alias("__a"), F.col(b_col).alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__o"))
+        .cache()  # three consumers: two level spines + the grid join
+    )
+    # densify: a zero-observed (a, b) combination still contributes
+    # (0 − e)²/e = e to the statistic — the table must be the FULL
+    # K×L grid, not just the observed cells
+    cells = (
+        obs.select("__a")
+        .distinct()
+        .crossJoin(F.broadcast(obs.select("__b").distinct()))
+        .join(F.broadcast(obs), ["__a", "__b"], "left")
+        .na.fill({"__o": 0})
+    )
+    g = (
+        cells.withColumn(
+            "__ra", F.sum("__o").over(Window.partitionBy("__a"))
+        )
+        .withColumn("__cb", F.sum("__o").over(Window.partitionBy("__b")))
+        .withColumn("__n", F.sum("__o").over(wall))
+        .withColumn(
+            # margins multiply as DOUBLES: the integer product
+            # row-marginal × col-marginal overflows BIGINT at corpus
+            # scale (1e12 × 1e12), and ANSI Spark would throw
+            "__e",
+            F.col("__ra").cast("double")
+            * F.col("__cb").cast("double")
+            / F.col("__n").cast("double"),
+        )
+        .withColumn(
+            "__t",
+            exact_round(
+                (F.col("__o").cast("double") - F.col("__e"))
+                * (F.col("__o").cast("double") - F.col("__e"))
+                / F.col("__e"),
+                9,
+            ),
+        )
+    )
+    return g.agg(
+        F.sum(F.col("__t").cast("decimal(28,9)"))
+        .cast("double")
+        .alias("chi2"),
+        (
+            (F.countDistinct("__a") - 1) * (F.countDistinct("__b") - 1)
+        ).cast("long").alias("dof"),
+        F.max("__n").alias("n"),
+    ).select(
+        "chi2",
+        "dof",
+        "n",
+        (F.col("chi2") > F.lit(float(critical))).alias("verdict"),
+    )

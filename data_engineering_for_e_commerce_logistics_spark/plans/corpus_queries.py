@@ -3295,3 +3295,64 @@ def __getattr__(name: str):
     if name == "CORPUS_DECON_SUITE_SQL":
         return _corpus_decon_suite_sql()
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+# --- Chi-square independence (language × source) -----------------------------
+
+# χ²(0.95, dof = (5−1)·(20−1) = 76) ≈ 97.35 (Wilson–Hilferty); the
+# verdict cell asks "does language depend on source at α = 0.05".
+CHI2_CRITICAL = 97.35
+
+
+def lang_source_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson χ² independence test, language × source (pre-built
+    r13; ``operators/corpus.py:chi_square_independence``): a crawl
+    whose languages skew by source needs per-source language budgets,
+    not one global mix — this is the one-row statistical answer.  One
+    fused hash-agg collapses the corpus to the 5×20 contingency
+    table (zero cells densified — they still contribute e to the
+    statistic); margins and the statistic are window arithmetic over
+    that bounded frame."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return corpus.chi_square_independence(
+        docs, "lang", "source", critical=CHI2_CRITICAL
+    )
+
+
+LANG_SOURCE_CHI2_SQL = f"""
+WITH obs AS (
+  SELECT lang AS a, source AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY lang, source
+),
+grid AS (
+  SELECT la.a, lb.b, coalesce(obs.o, CAST(0 AS BIGINT)) AS o
+  FROM (SELECT DISTINCT a FROM obs) la
+  CROSS JOIN (SELECT DISTINCT b FROM obs) lb
+  LEFT JOIN obs ON obs.a = la.a AND obs.b = lb.b
+),
+m AS (
+  SELECT a, b, o,
+         sum(o) OVER (PARTITION BY a) AS ra,
+         sum(o) OVER (PARTITION BY b) AS cb,
+         sum(o) OVER () AS n
+  FROM grid
+),
+t AS (
+  SELECT a, b, n,
+         {sql_exact_round(
+             "(CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)"
+             " / CAST(n AS DOUBLE))"
+             " * (CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)"
+             " / CAST(n AS DOUBLE))"
+             " / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))", 9)}
+           AS term
+  FROM m
+)
+SELECT cast(sum(cast(term AS DECIMAL(28,9))) AS DOUBLE) AS chi2,
+       CAST((count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS BIGINT)
+         AS dof,
+       CAST(max(n) AS BIGINT) AS n,
+       cast(sum(cast(term AS DECIMAL(28,9))) AS DOUBLE) > {CHI2_CRITICAL}
+         AS verdict
+FROM t
+"""
