@@ -2500,3 +2500,146 @@ def chi_square_independence(
         "n",
         (F.col("chi2") > F.lit(float(critical))).alias("verdict"),
     )
+
+
+# Poisson(1) inverse-CDF ladder: P(≤k) thresholds for k = 0..4; a
+# hash-uniform above the last threshold draws weight 5.  Literal
+# doubles, identical in both engines.
+POISSON1_CDF = (
+    0.36787944117144233,  # e^-1
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_replicates: int = 20,
+    z: float = 1.96,
+) -> DataFrame:
+    """Deterministic Poisson bootstrap — the SCALABLE bootstrap: the
+    classic resample-n-rows-n-times bootstrap needs coordinated
+    sampling, but replacing each row's replicate multiplicity with an
+    independent Poisson(1) draw gives the same asymptotics with ONE
+    corpus pass and no coordination (the standard big-data bootstrap
+    construction).  Draws are hash-derived — ``md5(id:replicate)`` →
+    uniform → inverse-CDF ladder — so the "randomness" is exact,
+    reproducible, and engine-portable (the weighted-sample ξ
+    discipline).
+
+    Returns one row: the full-sample ``estimate`` (mean of
+    ``value_col``), the bootstrap ``boot_mean``/``boot_std`` over
+    ``n_replicates`` replicate means, and the normal-approximation
+    ``ci_lo``/``ci_hi`` at ±z·σ — the error bar a corpus-level
+    number ships with.
+
+    Exactness: integer values make every replicate's Σw·x and Σw
+    EXACT integer sums; replicate means are single divisions; the
+    replicate-level moments run 9dp-rounded decimal sums over the
+    bounded B-row frame — bitwise vs the unexpanded-CTE oracle.
+
+    100 TB shape: one explode(B) per row feeding ONE hash-agg whose
+    map-side combine collapses each partition to B rows; everything
+    after is window arithmetic over the B-row frame."""
+    b_arr = F.sequence(F.lit(0), F.lit(n_replicates - 1))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col(id_col).cast("string"),
+                        F.lit(":"),
+                        F.col("__b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    w = (
+        F.when(u < POISSON1_CDF[0], 0)
+        .when(u < POISSON1_CDF[1], 1)
+        .when(u < POISSON1_CDF[2], 2)
+        .when(u < POISSON1_CDF[3], 3)
+        .when(u < POISSON1_CDF[4], 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    reps = (
+        df.select(
+            F.col(id_col), F.col(value_col).cast("long").alias("__x")
+        )
+        .select("*", F.explode(b_arr).alias("__b"))
+        .select("__b", (w * F.col("__x")).alias("__wx"), w.alias("__w"))
+        .groupBy("__b")
+        .agg(F.sum("__wx").alias("__swx"), F.sum("__w").alias("__sw"))
+        .select(
+            exact_round(
+                F.col("__swx").cast("double") / F.col("__sw").cast("double"),
+                9,
+            ).alias("__m")
+        )
+    )
+    wall = Window.partitionBy(F.lit(1))
+    stats = (
+        reps.withColumn(
+            "boot_mean",
+            exact_round(
+                F.sum(F.col("__m").cast("decimal(28,9)"))
+                .over(wall)
+                .cast("double")
+                / F.lit(float(n_replicates)),
+                9,
+            ),
+        )
+        .withColumn(
+            "__dev2",
+            exact_round(
+                (F.col("__m") - F.col("boot_mean"))
+                * (F.col("__m") - F.col("boot_mean")),
+                9,
+            ),
+        )
+        .withColumn(
+            "boot_std",
+            exact_round(
+                F.sqrt(
+                    F.sum(F.col("__dev2").cast("decimal(28,9)"))
+                    .over(wall)
+                    .cast("double")
+                    / F.lit(float(n_replicates - 1))
+                ),
+                9,
+            ),
+        )
+        .limit(1)
+        .select("boot_mean", "boot_std")
+    )
+    est = df.agg(
+        exact_round(
+            F.sum(F.col(value_col).cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("estimate")
+    )
+    return est.crossJoin(F.broadcast(stats)).select(
+        "estimate",
+        "boot_mean",
+        "boot_std",
+        exact_round(
+            F.col("boot_mean") - F.lit(float(z)) * F.col("boot_std"), 9
+        ).alias("ci_lo"),
+        exact_round(
+            F.col("boot_mean") + F.lit(float(z)) * F.col("boot_std"), 9
+        ).alias("ci_hi"),
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+    )

@@ -3356,3 +3356,96 @@ SELECT cast(sum(cast(term AS DECIMAL(28,9))) AS DOUBLE) AS chi2,
          AS verdict
 FROM t
 """
+
+
+# --- Poisson bootstrap CI (mean tokens per doc) ------------------------------
+
+BOOT_B = 20
+BOOT_Z = 1.96
+
+
+def corpus_mean_tokens_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean tokens-per-document with a deterministic Poisson-bootstrap
+    95% CI (pre-built r13; ``operators/corpus.py:
+    poisson_bootstrap_ci``): the error bar a corpus-level number
+    ships with, computed scalably — hash-derived Poisson(1) replicate
+    weights, one corpus pass, B-row statistics frame."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    v = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ntok"),
+    )
+    return corpus.poisson_bootstrap_ci(
+        v, "ntok", n_replicates=BOOT_B, z=BOOT_Z
+    )
+
+
+def _boot_sql() -> str:
+    from ..operators.corpus import POISSON1_CDF
+
+    t = POISSON1_CDF
+    b = BOOT_B
+    return f"""
+WITH v AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, x, unnest(generate_series(0, {b - 1})) AS bb FROM v
+),
+wgt AS (
+  SELECT bb,
+         CAST(CASE WHEN u < {t[0]} THEN 0
+                   WHEN u < {t[1]} THEN 1
+                   WHEN u < {t[2]} THEN 2
+                   WHEN u < {t[3]} THEN 3
+                   WHEN u < {t[4]} THEN 4
+                   ELSE 5 END AS BIGINT) AS w, x
+  FROM (
+    SELECT bb, x,
+           CAST(('0x' || substr(md5(doc_id::VARCHAR || ':' || bb::VARCHAR),
+                                1, 8))::BIGINT AS DOUBLE)
+             / 4294967296.0 AS u
+    FROM ex
+  )
+),
+reps AS (
+  SELECT {sql_exact_round(
+      "CAST(sum(w * x) AS DOUBLE) / CAST(sum(w) AS DOUBLE)", 9)} AS m
+  FROM wgt GROUP BY bb
+),
+mm AS (
+  SELECT m,
+         {sql_exact_round(
+             "cast(sum(cast(m AS DECIMAL(28,9))) OVER () AS DOUBLE)"
+             f" / {float(b)}", 9)} AS boot_mean
+  FROM reps
+),
+dev AS (
+  SELECT boot_mean,
+         {sql_exact_round("(m - boot_mean) * (m - boot_mean)", 9)} AS d2
+  FROM mm
+),
+sd AS (
+  SELECT boot_mean,
+         {sql_exact_round(
+             "sqrt(cast(sum(cast(d2 AS DECIMAL(28,9))) OVER () AS DOUBLE)"
+             f" / {float(b - 1)})", 9)} AS boot_std
+  FROM dev LIMIT 1
+),
+est AS (
+  SELECT {sql_exact_round(
+      "CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 9)}
+    AS estimate
+  FROM v
+)
+SELECT estimate, boot_mean, boot_std,
+       {sql_exact_round(f"boot_mean - {BOOT_Z} * boot_std", 9)} AS ci_lo,
+       {sql_exact_round(f"boot_mean + {BOOT_Z} * boot_std", 9)} AS ci_hi,
+       CAST({b} AS BIGINT) AS n_replicates
+FROM est, sd
+"""
+
+
+CORPUS_MEAN_TOKENS_CI_SQL = _boot_sql()

@@ -117,7 +117,9 @@ multiplicative-weights domain mixture optimizer — the whole loop as
 window expressions over the K×64 bucket-LM grid),
 ``source_divergence_matrix`` (pairwise JS divergence between source
 bucket-LMs — crawls that write alike), ``lang_source_independence``
-(Pearson χ² — does language depend on source), ``token_quota_plan_sources``
+(Pearson χ² — does language depend on source),
+``corpus_mean_tokens_ci`` (deterministic Poisson bootstrap — corpus
+numbers with error bars in one pass), ``token_quota_plan_sources``
 (water-filling budget quotas — the reweight→quota→sampler chain's
 middle step; ``mixture_planning_suite`` pairs both chain stages off
 one cached reweight for the single-slot debut), and

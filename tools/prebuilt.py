@@ -152,6 +152,9 @@ def prebuilt_builders() -> dict:
         # bucket-LMs — the distributional twin of the LSH overlap
         # matrix (crawls that write alike, not crawls that copy)
         "source_divergence_matrix": xc.source_divergence_matrix,
+        # r13 pre-build: deterministic Poisson bootstrap — corpus
+        # statistics with error bars in one pass (hash-derived draws)
+        "corpus_mean_tokens_ci": xc.corpus_mean_tokens_ci,
         # r13 pre-build: Pearson chi-square independence test — is
         # language distribution independent of source (α=0.05 verdict)
         "lang_source_independence": xc.lang_source_independence,
