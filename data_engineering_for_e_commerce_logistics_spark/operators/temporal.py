@@ -367,3 +367,90 @@ def event_transition_matrix(
             F.col("n").cast("double") / F.col("__tot").cast("double"), 9
         ).alias("prob"),
     )
+
+
+def ab_conversion_test(
+    df: DataFrame,
+    convert_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    z_critical: float = 1.96,
+) -> DataFrame:
+    """Two-proportion z-test between the md5-parity user split — the
+    experimentation readout: bucket users deterministically (the
+    hash-split discipline every A/B assignment uses), measure each
+    bucket's conversion (did the user ever emit ``convert_type``),
+    and test the rate difference against the pooled-variance normal
+    approximation.  Returns one row: per-bucket ``(n, conv, rate)``,
+    the ``z`` statistic, and ``significant = |z| > z_critical``.
+
+    Exactness: user conversion flags and bucket counts are exact
+    integers; rates, the pooled estimate, and z are a handful of IEEE
+    ops on exact ratios, 9dp-rounded — bitwise cross-engine (the md5
+    parity bucket uses the portable hash family).
+
+    100 TB shape: one user-keyed aggregate (max-flag per user,
+    map-side combined) then a 2-row rollup; nothing else."""
+    from pyspark.sql import functions as F
+
+    from ..functions import exact_round
+
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(user_col).cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    per_user = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            bucket.alias("__g"),
+            F.when(F.col(type_col) == convert_type, 1)
+            .otherwise(0)
+            .alias("__c"),
+        )
+        .groupBy("__u", "__g")
+        .agg(F.max("__c").alias("__conv"))
+    )
+    agg = per_user.groupBy().agg(
+        F.sum(F.when(F.col("__g") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(F.when(F.col("__g") == 0, F.col("__conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("__g") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(F.when(F.col("__g") == 1, F.col("__conv")).otherwise(0))
+        .cast("long")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(se > 0, exact_round((rb - ra) / se, 9))
+    return agg.select(
+        "n_a",
+        "conv_a",
+        exact_round(ra, 9).alias("rate_a"),
+        "n_b",
+        "conv_b",
+        exact_round(rb, 9).alias("rate_b"),
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(z_critical)), F.lit(False)
+        ).alias("significant"),
+    )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions import exact_round, sql_exact_sum
+from ..functions import exact_round, sql_exact_round, sql_exact_sum
 from ..operators import cleaners
 
 # --- Ordered string aggregation --------------------------------------------
@@ -3317,4 +3317,61 @@ FROM coh
 UNION ALL
 SELECT 'transitions', NULL, from_type, to_type, NULL, n, prob, NULL
 FROM tra
+"""
+
+
+AB_Z_CRITICAL = 1.96
+
+
+def ab_purchase_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between the
+    md5-parity user split (pre-built r13; ``operators/temporal.py:
+    ab_conversion_test``): the experimentation readout — one
+    user-keyed max-flag aggregate, a 2-row rollup, and the
+    pooled-variance z with an α=0.05 verdict."""
+    from ..operators.temporal import ab_conversion_test
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ab_conversion_test(ev, "purchase", z_critical=AB_Z_CRITICAL)
+
+
+AB_PURCHASE_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 2) AS g,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN g = 0 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_a,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(sum(CASE WHEN g = 1 THEN conv ELSE 0 END) AS BIGINT)
+           AS conv_b
+  FROM per_user
+),
+calc AS (
+  SELECT *,
+         CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra,
+         CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb,
+         CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+  FROM agg
+),
+zc AS (
+  SELECT *,
+         CASE WHEN sqrt(pp * (1.0 - pp)
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))) > 0
+              THEN {sql_exact_round(
+                  "(rb - ra) / sqrt(pp * (1.0 - pp)"
+                  " * (1.0 / CAST(n_a AS DOUBLE)"
+                  "    + 1.0 / CAST(n_b AS DOUBLE)))", 9)}
+         END AS z
+  FROM calc
+)
+SELECT n_a, conv_a, {sql_exact_round("ra", 9)} AS rate_a,
+       n_b, conv_b, {sql_exact_round("rb", 9)} AS rate_b,
+       z, coalesce(abs(z) > {AB_Z_CRITICAL}, FALSE) AS significant
+FROM zc
 """

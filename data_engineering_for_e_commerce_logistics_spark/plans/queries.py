@@ -130,7 +130,9 @@ slot; greedy fold ≡ iterated-min oracle),
 ``cohort_retention_events`` (weekly cohort retention matrix) and
 ``event_transitions`` (Markov behavior matrix) — consolidated with
 the funnel into the pre-built ``event_analytics_suite`` (one cached
-scan, parts-equivalence pinned; solo 1.3s vs 2.9s for the parts), and
+scan, parts-equivalence pinned; solo 1.3s vs 2.9s for the parts),
+``ab_purchase_test`` (two-proportion z-test on the md5-parity user
+split — the experimentation readout), and
 ``zipf_fit_report`` (token-ranking corpus fingerprint with in-engine
 OLS; cheap-slot filler), ``vocab_growth_curve`` (Heaps-law vocabulary
 growth off 16 hash-prefix checkpoints — shares the factored
