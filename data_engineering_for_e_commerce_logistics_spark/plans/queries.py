@@ -153,6 +153,22 @@ streaming sketch loop (``start_cms_stream`` — CMS, histogram, and
 DataSketches-HLL batch-equivalence twins) is unit-pinned like the
 rest of §2.8 (no oracle slot needed).
 
+RUNWAY PRIORITIZATION (r13 session — the pre-built runway now far
+exceeds any round's free slots): debut CONSOLIDATION VEHICLES before
+their parts — each is parts-equivalence-pinned so one slot carries a
+whole family's evidence.  The session's vehicles, cheapest slot-cost
+first: ``token_stats_suite`` (Zipf + Heaps, solo 1.2s),
+``event_analytics_suite`` (funnel + cohort + transitions, 1.3s),
+``mixture_planning_suite`` (DoReMi + water-fill, 2.5s),
+``lsh_forensics_suite`` (pairs + clusters + ledger + sweep, 4.3s —
+also retires the registered minhash_cluster_suite, net −0 slots for
+4 families), ``quality_classifier_suite`` (classifier + calibration,
+8.2s).  Cheap standalone fillers when a fraction of a slot frees:
+``ab_purchase_test`` 0.67s, ``corpus_mean_tokens_ci`` 0.79s,
+``zipf_fit_report`` 0.79s, ``lang_source_independence`` 0.93s,
+``ann_balance_report`` 1.08s, ``embedding_diversity_report`` 1.17s,
+``source_divergence_matrix`` 1.25s.
+
 Checked invariants (pytest test_bench_gate): every never-checked
 query sits inside the window, and no rows-only spec spends a
 verified slot.
