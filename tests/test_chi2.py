@@ -55,15 +55,13 @@ def test_dependence_trips_the_verdict(spark):
 
 
 def test_zero_cells_contribute_expected(spark):
-    """The (y, q) cell is never observed but e = 5·5/15 > 0 — the
-    densified table must include it or the statistic undercounts.
-    Full table [[10,0],[5,... wait: x:(p=10,q=0)? rows: x→p 10,
-    y→p 0? Use x:p=5,q=5; y:p=5,q=0 — e(y,q)=10·5/15."""
+    """The (y, q) cell is never observed, but its expected count
+    e = 5·5/15 is positive — the densified table must include it or
+    the statistic undercounts.  Table: x:(p=5, q=5), y:(p=5, q=0)."""
     rows = [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5
     out = chi_square_independence(_df(spark, rows), "a", "b").collect()[0]
     # margins: row x=10, y=5; col p=10, q=5; n=15
     # e: (x,p)=100/15, (x,q)=50/15, (y,p)=50/15, (y,q)=25/15
-    import math
     e = [100 / 15, 50 / 15, 50 / 15, 25 / 15]
     o = [5, 5, 5, 0]
     want = sum((oi - ei) ** 2 / ei for oi, ei in zip(o, e))
