@@ -3375,3 +3375,59 @@ SELECT n_a, conv_a, {sql_exact_round("ra", 9)} AS rate_a,
        z, coalesce(abs(z) > {AB_Z_CRITICAL}, FALSE) AS significant
 FROM zc
 """
+
+
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life (pre-built r13): pooled exponential-decay
+    fit over the weekly cohort retention curve — OLS of ln(retention)
+    on period (periods ≥ 1, the shared ``text.ols_fit`` machinery's
+    third consumer), reported as (slope, intercept, r2, half_life)
+    where ``half_life = −ln2/slope`` weeks (NULL when retention is
+    not decaying).  The one-number product-health summary on top of
+    the cohort matrix; everything after the cohort aggregate is
+    arithmetic on a ≤ cohorts×periods frame."""
+    from ..operators.temporal import cohort_retention
+    from ..operators.text import ols_fit
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    mat = cohort_retention(ev)
+    pts = mat.where(
+        (F.col("period") >= 1) & (F.col("retention") > 0)
+    ).select(
+        exact_round(F.col("period").cast("double"), 9).alias("x"),
+        exact_round(F.log(F.col("retention")), 9).alias("y"),
+    )
+    fit = ols_fit(pts, "x", "y")
+    ln2 = 0.6931471805599453
+    return fit.select(
+        "slope",
+        "intercept",
+        "r2",
+        F.when(
+            F.col("slope") < 0,
+            exact_round(F.lit(-ln2) / F.col("slope"), 9),
+        ).alias("half_life_weeks"),
+    )
+
+
+def _retention_decay_sql() -> str:
+    from ..operators.text import sql_ols_ctes
+
+    ln2 = 0.6931471805599453
+    return f"""
+WITH coh AS MATERIALIZED ({COHORT_RETENTION_EVENTS_SQL}),
+xy AS (
+  SELECT {sql_exact_round("CAST(period AS DOUBLE)", 9)} AS x,
+         {sql_exact_round("ln(retention)", 9)} AS y
+  FROM coh WHERE period >= 1 AND retention > 0
+),
+{sql_ols_ctes("xy", "x", "y")}
+SELECT slope, intercept, r2,
+       CASE WHEN slope < 0 THEN
+         {sql_exact_round(f"-{ln2} / slope", 9)}
+       END AS half_life_weeks
+FROM fit
+"""
+
+
+RETENTION_DECAY_SQL = _retention_decay_sql()

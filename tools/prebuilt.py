@@ -42,6 +42,9 @@ def prebuilt_builders() -> dict:
         # strict-order matching as ONE codegen fold per user, oracle =
         # the iterated-min relational construction
         "funnel_events": aq.funnel_events,
+        # r13 pre-build: retention half-life — exponential-decay OLS
+        # over the cohort curve (the ols_fit helper's third consumer)
+        "retention_decay_fit": aq.retention_decay_fit,
         # r13 pre-build: two-proportion A/B z-test on the md5-parity
         # user split — the experimentation readout next to the funnel
         "ab_purchase_test": aq.ab_purchase_test,
