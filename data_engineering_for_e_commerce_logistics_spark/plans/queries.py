@@ -165,6 +165,7 @@ also retires the registered minhash_cluster_suite, net −0 slots for
 4 families), ``quality_classifier_suite`` (classifier + calibration,
 8.2s).  Cheap standalone fillers when a fraction of a slot frees:
 ``ab_purchase_test`` 0.67s, ``corpus_mean_tokens_ci`` 0.79s,
+``retention_decay_fit`` 0.83s,
 ``zipf_fit_report`` 0.79s, ``lang_source_independence`` 0.93s,
 ``ann_balance_report`` 1.08s, ``embedding_diversity_report`` 1.17s,
 ``source_divergence_matrix`` 1.25s.
