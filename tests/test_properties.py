@@ -631,3 +631,75 @@ def test_ledger_conservation_any_corpus(spark, rows):
     assert sum(r.exact_kept for r in out) == distinct_texts
     for r in out:
         assert r.final_kept == r.exact_kept  # near keeps all
+
+
+event_timelines = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),   # user (collisions)
+        st.integers(min_value=0, max_value=50),  # second offset
+        st.sampled_from(["view", "click", "purchase", "other"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=event_timelines)
+@settings(**SETTINGS)
+def test_funnel_stages_monotone_any_timeline(spark, rows):
+    """For ANY event set: funnel stage counts are non-increasing
+    (reaching step k implies having reached step k−1), and no stage
+    exceeds the distinct-user count."""
+    from datetime import datetime
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.temporal import (
+        event_funnel,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (u, datetime(2024, 1, 1, 0, 0, s), e)
+            for u, s, e in rows
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = {
+        r.step: r.n_users
+        for r in event_funnel(df, ("view", "click", "purchase")).collect()
+    }
+    users = len({u for u, _, _ in rows})
+    assert out[1] >= out[2] >= out[3]
+    assert out[1] <= users
+
+
+@given(rows=event_timelines)
+@settings(**SETTINGS)
+def test_transition_rows_stochastic_any_timeline(spark, rows):
+    """For ANY event set: every from-type's transition probabilities
+    sum to 1 (within the 9dp rounding) and total transition count is
+    exactly Σ_user max(0, events_u − 1)."""
+    from datetime import datetime
+
+    from data_engineering_for_e_commerce_logistics_spark.operators.temporal import (
+        event_transition_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (u, i, datetime(2024, 1, 1, 0, 0, s), e)
+            for i, (u, s, e) in enumerate(rows)
+        ],
+        "user_id long, event_id long, ts timestamp, event_type string",
+    )
+    out = event_transition_matrix(df).collect()
+    per_user = {}
+    for u, _, _ in rows:
+        per_user[u] = per_user.get(u, 0) + 1
+    want_total = sum(max(0, c - 1) for c in per_user.values())
+    assert sum(r.n for r in out) == want_total
+    by_from = {}
+    for r in out:
+        by_from.setdefault(r.from_type, 0.0)
+        by_from[r.from_type] += r.prob
+    for tot in by_from.values():
+        assert abs(tot - 1.0) < 1e-6
