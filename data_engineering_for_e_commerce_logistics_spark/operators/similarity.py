@@ -1152,7 +1152,11 @@ def diversity_report(
             )
             .alias("mean_pairwise_cos"),
             (F.sqrt(ssq) / n_dbl).alias("mean_cos_centroid"),
-            (
+            # covariance-identity rounding (the decimal(28,8) sums
+            # quantize at 1e-8) can land ~-1e-7 for singleton groups;
+            # the trace is >= 0 by definition, so clamp — one IEEE max
+            # on identical doubles, mirrored in the DuckDB oracle.
+            F.greatest(
                 F.col("__vsq") / n_dbl
                 - _fold_sum(
                     F.transform(
@@ -1160,7 +1164,8 @@ def diversity_report(
                         lambda x: (x / F.col("n_vecs").cast("double"))
                         * (x / F.col("n_vecs").cast("double")),
                     )
-                )
+                ),
+                F.lit(0.0),
             ).alias("spread"),
         )
     )
@@ -1971,7 +1976,11 @@ def diversity_from_cells(cells: DataFrame, group_col: str = "label") -> DataFram
             )
             .alias("mean_pairwise_cos"),
             (F.sqrt(ssq) / n_dbl).alias("mean_cos_centroid"),
-            (
+            # covariance-identity rounding (the decimal(28,8) sums
+            # quantize at 1e-8) can land ~-1e-7 for singleton groups;
+            # the trace is >= 0 by definition, so clamp — one IEEE max
+            # on identical doubles, mirrored in the DuckDB oracle.
+            F.greatest(
                 F.col("__vsq") / n_dbl
                 - _fold_sum(
                     F.transform(
@@ -1979,7 +1988,8 @@ def diversity_from_cells(cells: DataFrame, group_col: str = "label") -> DataFram
                         lambda x: (x / F.col("n_vecs").cast("double"))
                         * (x / F.col("n_vecs").cast("double")),
                     )
-                )
+                ),
+                F.lit(0.0),
             ).alias("spread"),
         )
     )

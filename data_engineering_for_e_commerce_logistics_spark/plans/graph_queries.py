@@ -4128,11 +4128,13 @@ SELECT CAST(ra.label AS BIGINT) AS label, ra.n_vecs,
        sqrt(list_reduce(list_transform(vv.sus, x -> x * x),
                         (a, b) -> a + b))
          / CAST(ra.n_vecs AS DOUBLE) AS mean_cos_centroid,
-       ra.vsq / CAST(ra.n_vecs AS DOUBLE)
-         - list_reduce(list_transform(vv.svs,
-                x -> (x / CAST(ra.n_vecs AS DOUBLE))
-                     * (x / CAST(ra.n_vecs AS DOUBLE))),
-                (a, b) -> a + b) AS spread
+       greatest(
+         ra.vsq / CAST(ra.n_vecs AS DOUBLE)
+           - list_reduce(list_transform(vv.svs,
+                  x -> (x / CAST(ra.n_vecs AS DOUBLE))
+                       * (x / CAST(ra.n_vecs AS DOUBLE))),
+                  (a, b) -> a + b),
+         0.0) AS spread
 FROM ra JOIN vv USING (label)
 """
 
