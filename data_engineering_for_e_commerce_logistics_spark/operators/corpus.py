@@ -36,7 +36,7 @@ import functools
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import exact_round, sql_exact_sum
+from ..functions import exact_round, local_rows_df, sql_exact_sum
 from .dedup import shingles_from_tokens
 from .text import STOPWORDS, tokens_col
 
@@ -2216,7 +2216,8 @@ def prepare_training_corpus(
     )
 
     spark = docs.sparkSession
-    report = spark.createDataFrame(
+    report = local_rows_df(
+        spark,
         [(n_input, n_quality, n_span, n_exact, n_train)],
         "n_input long, n_quality long, n_span_dedup long,"
         " n_exact_dedup long, n_train long",
@@ -2282,7 +2283,8 @@ def ngram_masks(
         )
     spark = df.sparkSession
     idx = F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(s, i) for i, s in enumerate(sources)],
             f"{source_col} string, __idx int",
         )
@@ -2414,7 +2416,8 @@ def greedy_from_summary(
         rows.append(
             (rank, s, gain, covered, (covered / total) if total else 0.0)
         )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "sel_rank int, source string, gain bigint, covered bigint,"
         " coverage_frac double",

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import local_rows_df
+
 
 def _as_double_vec(col: Column | str = "embedding") -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -1720,7 +1722,8 @@ def kcenter_seed(
             ).localCheckpoint()
 
     spark = df.sparkSession
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         chosen,
         f"seed_rank int, {id_col} long, radius double, cv array<double>",
     )

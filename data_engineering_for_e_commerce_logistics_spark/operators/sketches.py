@@ -41,6 +41,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import local_rows_df
+
 # Mersenne prime modulus + public LCG constants (Numerical Recipes,
 # glibc, Knuth) — all < 2^31 so (key mod P)·a stays under 2^63.
 CMS_P = 2_147_483_647
@@ -385,7 +387,7 @@ def hist_quantile(
         "cumb", F.col("cum") - F.col("cnt")
     )
     totals = hist.groupBy(*by).agg(F.sum("cnt").alias("__n"))
-    qlist = hist.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+    qlist = local_rows_df(hist.sparkSession, [(q,) for q in qs], "q double")
     qdf = F.broadcast(
         totals.crossJoin(F.broadcast(qlist))
         .withColumn("need", F.col("q") * F.col("__n"))

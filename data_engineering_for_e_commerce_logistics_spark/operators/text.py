@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import exact_round
+from ..functions import exact_round, local_rows_df
 
 # Small in-query stopword lists per language for the n-gram/stopword
 # language-ID heuristic.  Deliberately tiny: language ID at corpus
@@ -585,7 +585,8 @@ def bpe_train(
         if rank % checkpoint_every == 0 and rank < n_merges:
             vocab = vocab.localCheckpoint(eager=False)
 
-    merges_df = spark.createDataFrame(
+    merges_df = local_rows_df(
+        spark,
         merges,
         "merge_rank int, left_sym string, right_sym string,"
         " merged string, pair_count long",

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables
-from ..functions import exact_round, sql_exact_round, sql_exact_sum
+from ..functions import exact_round, local_rows_df, sql_exact_round, sql_exact_sum
 from ..operators import cleaners
 
 # --- Ordered string aggregation --------------------------------------------
@@ -358,7 +358,8 @@ def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"l_extendedprice": [0.25, 0.5, 0.75], "l_quantity": [0.5]},
         n,
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (
                 r[("l_extendedprice", 0.25)],

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..functions import (
     exact_round,
+    local_rows_df,
     sql_exact_avg,
     sql_exact_round,
     sql_exact_sum,
@@ -3141,8 +3142,8 @@ def incremental_coverage_fresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         novelty_rows.append(
             (s, sum(r["cnt"] for r in new_summary if r["mask"] & bit))
         )
-    novelty = spark.createDataFrame(
-        novelty_rows, "source string, gain bigint"
+    novelty = local_rows_df(
+        spark, novelty_rows, "source string, gain bigint"
     ).select(
         F.lit("batch_novelty").alias("variant"),
         F.lit(None).cast("int").alias("sel_rank"),

@@ -11,6 +11,7 @@ from ..catalog import load_tables
 from ..functions import (
     exact_avg,
     exact_round,
+    local_rows_df,
     sql_exact_avg,
     sql_exact_round,
     sql_exact_sum,
@@ -72,7 +73,8 @@ def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in _PROFILE_COLS
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         records,
         "col_name string, n_rows long, n_nulls long, n_distinct long,"
         " min_value double, max_value double, avg_value double",
