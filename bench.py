@@ -319,17 +319,21 @@ def _bench_round_files(here: str = _HERE) -> list[tuple[int, str]]:
     """(round, path) for every BENCH_r*/BENCH_LOCAL_r* artifact, sorted
     ascending by round; the LOCAL file for a round sorts after the
     driver wrapper so it wins the same-round tie (its numbers come from
-    a clean run, not a possibly-loaded driver sandbox)."""
+    a clean run, not a possibly-loaded driver sandbox).  Suffixed
+    collision-avoidance files (``BENCH_LOCAL_r14_2.json`` — see
+    ``_local_bench_path``) sort after the base file of the same round,
+    so the newest run of a round wins the tie."""
     import glob
     import re
 
-    out: list[tuple[int, int, str]] = []
+    out: list[tuple[int, int, int, str]] = []
     for rank, pattern in ((0, "BENCH_r*.json"), (1, "BENCH_LOCAL_r*.json")):
         for p in glob.glob(os.path.join(here, pattern)):
-            m = re.search(r"r(\d+)", os.path.basename(p))
+            m = re.search(r"r(\d+)(?:_(\d+))?\.json$", os.path.basename(p))
             if m:
-                out.append((int(m.group(1)), rank, p))
-    return [(rnd, p) for rnd, _, p in sorted(out)]
+                seq = int(m.group(2)) if m.group(2) else 0
+                out.append((int(m.group(1)), rank, seq, p))
+    return [(rnd, p) for rnd, _, _, p in sorted(out)]
 
 
 def _prior_bench(here: str = _HERE) -> dict[str, float]:
@@ -358,6 +362,15 @@ def _prior_bench(here: str = _HERE) -> dict[str, float]:
 def _map_renames(prior: dict[str, float]) -> dict[str, float]:
     out = {}
     for name in HEADLINE:
+        # Once a consolidated query has been benched under its own
+        # name, that recording IS the baseline — only fall back to the
+        # retired parts' sum for the transition round.  (Previously the
+        # parts-only lookup silently dropped every renamed query from
+        # the gate once the parts left the artifacts: 16 of 94 queries
+        # had no baseline against an all-new-names prior.)
+        if name in prior:
+            out[name] = prior[name]
+            continue
         parts = RENAMED_FROM.get(name, [name])
         vals = [prior[p] for p in parts if p in prior]
         # a merged query only has a meaningful baseline when EVERY part
@@ -442,6 +455,62 @@ def _next_round(here: str = _HERE) -> int:
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
     ]
     return (max(rounds) + 1) if rounds else 1
+
+
+def _local_bench_path(here: str = _HERE) -> str:
+    """Collision-proof per-query history path (VERDICT r13 ask #2):
+    the driver's own bench runs (c32 then c8) land in the same round
+    as the builder's committed final bench, and round inference from
+    BENCH_r*.json made every one of them write — and overwrite —
+    ``BENCH_LOCAL_r{N}.json`` (the r13 driver runs clobbered the
+    builder's committed file and then each other).  History must be
+    append-only: if the base name exists, take the first free
+    ``BENCH_LOCAL_r{N}_{k}.json``."""
+    rnd = _next_round(here)
+    path = os.path.join(here, f"BENCH_LOCAL_r{rnd}.json")
+    k = 2
+    while os.path.exists(path):
+        path = os.path.join(here, f"BENCH_LOCAL_r{rnd}_{k}.json")
+        k += 1
+    return path
+
+
+def _vs_prior_aggregates(
+    timings: dict[str, float], prior: dict[str, float]
+) -> dict[str, float | int]:
+    """Compact per-query-comparison aggregates, computed HERE so they
+    ride the guaranteed-parseable FINAL line (VERDICT r13 ask #2: the
+    94-entry queries map can never fit the driver's 2000-char tail
+    capture — the names alone exceed it — so PERF_r13 had n_common=0
+    and no geomean; emit the aggregate the driver could not compute).
+    Geomean speedup = exp(mean(ln(prev/now))) over queries present in
+    both runs; >1 means this run is faster."""
+    import math
+
+    common = [
+        n
+        for n in timings
+        if n in prior and prior[n] > 0 and timings[n] > 0
+    ]
+    if not common:
+        return {"n_common": 0}
+    logs = [math.log(prior[n] / timings[n]) for n in common]
+    return {
+        "n_common": len(common),
+        "geomean_speedup_vs_prior": round(
+            math.exp(sum(logs) / len(logs)), 3
+        ),
+        "n_regressed_1p5x": sum(
+            1
+            for n in common
+            if prior[n] >= 0.2 and timings[n] > 1.5 * prior[n]
+        ),
+        "n_improved_1p25x": sum(
+            1
+            for n in common
+            if prior[n] >= 0.2 and timings[n] < prior[n] / 1.25
+        ),
+    }
 
 
 def main() -> None:
@@ -551,18 +620,41 @@ def main() -> None:
 
     # Full artifact → repo file (per-query history for the next round's
     # gate and for diagnosing loaded-sandbox runs from the artifact).
-    local_path = os.path.join(_HERE, f"BENCH_LOCAL_r{_next_round()}.json")
+    # Append-only: never overwrite an existing round artifact (the r13
+    # driver runs clobbered the builder's committed per-query history).
+    local_path = _local_bench_path()
     try:
         with open(local_path, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
     except OSError as exc:
         print(f"could not persist {local_path}: {exc}", file=sys.stderr)
 
-    # Full line first (human/local use), then a compact FINAL line that
-    # fits the driver's 2000-char tail capture whole, so the perf gate
-    # always has {"value": …} to parse.  The compact line carries the
-    # queries map only when it fits the budget.
+    # Full line first (human/local use), then the per-query map split
+    # across tagged chunk lines each well under the 2000-char tail
+    # capture (VERDICT r13 ask #2: one line can never carry 94 names),
+    # then a compact FINAL line — guaranteed to fit the tail whole, so
+    # the perf gate always has {"value": …} to parse — carrying the
+    # vs-prior aggregates the driver could not compute without the map.
     print(json.dumps(out))
+    items = sorted(timings.items())
+    chunk, chunks = [], []
+    for kv in items:
+        chunk.append(kv)
+        if len(json.dumps(dict(chunk))) > 1200:
+            chunks.append(dict(chunk))
+            chunk = []
+    if chunk:
+        chunks.append(dict(chunk))
+    for i, c in enumerate(chunks):
+        print(
+            json.dumps(
+                {
+                    "bench_queries_part": i + 1,
+                    "of": len(chunks),
+                    "queries": c,
+                }
+            )
+        )
     compact = {
         "metric": out["metric"],
         "value": out["value"],
@@ -573,9 +665,13 @@ def main() -> None:
         "load_avg_1m": load_avg,
         "queries_file": os.path.basename(local_path),
     }
-    with_queries = dict(compact, queries=timings)
-    line = json.dumps(with_queries)
-    print(line if len(line) <= 1500 else json.dumps(compact))
+    compact.update(_vs_prior_aggregates(timings, prior))
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never risk a truncated FINAL line
+        line = json.dumps(
+            {k: compact[k] for k in ("metric", "value", "unit", "sf")}
+        )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -7,8 +7,10 @@ from .exact import (
     sql_exact_sum,
 )
 from .local import local_rows_df
+from .spread import spread_scan
 
 __all__ = [
+    "spread_scan",
     "exact_avg",
     "exact_round",
     "exact_sum",

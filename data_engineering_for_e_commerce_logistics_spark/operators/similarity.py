@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import local_rows_df
+from ..functions import local_rows_df, spread_scan
 
 
 def _as_double_vec(col: Column | str = "embedding") -> Column:
@@ -263,8 +263,11 @@ def pq_train_encode(
         raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
     sub_d = dim // n_sub
 
-    vecs = df.select(
-        F.col(id_col), _as_double_vec(vec_col).alias("v"), *carry_cols
+    # compute-dense broadcast-scoring passes follow; spread an
+    # under-split scan so they use the whole cluster (guide §2.5 —
+    # no-op once the scan plans >= defaultParallelism splits)
+    vecs = spread_scan(
+        df.select(F.col(id_col), _as_double_vec(vec_col).alias("v"), *carry_cols)
     )
     subs = vecs.select(
         id_col,
@@ -723,7 +726,12 @@ def two_level_assign(
     zero shuffles before the caller's per-cell work."""
     import math
 
-    vecs = df.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
+    # the level-1 routing pass scores n_super supers per vector inside
+    # the scan stage — spread an under-split scan first (guide §2.5;
+    # no-op at scale)
+    vecs = spread_scan(
+        df.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
+    )
     cents = centroids.select(
         F.col(centroid_id_col).alias("__cid"),
         _as_double_vec(centroid_vec_col).alias("__cv"),
@@ -1335,8 +1343,11 @@ def incremental_semdedup(
     its batch assignment internally; looping callers must
     ``spark.catalog.clearCache()`` per batch (the packaged ingest
     loop does) — see ``incremental_pq_dedup`` for the rationale."""
-    vecs = new_vecs.select(
-        F.col(id_col), _as_double_vec(vec_col).alias("v")
+    # batch encode + same-cell cosine rivalry are compute-dense per
+    # row; spread an under-split batch scan (guide §2.5; no-op at
+    # scale, where the batch arrives in many splits)
+    vecs = spread_scan(
+        new_vecs.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
     ).withColumn(
         "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
     )
@@ -1514,7 +1525,12 @@ def incremental_pq_dedup(
         raise ValueError(f"dim={dim} not divisible by n_sub={n_sub}")
     sub_d = dim // n_sub
 
-    vecs = new_vecs.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
+    # the cell-assign + full-codebook ADC scoring passes below are
+    # compute-dense map work over the batch; spread an under-split
+    # batch scan first (guide §2.5; no-op at scale)
+    vecs = spread_scan(
+        new_vecs.select(F.col(id_col), _as_double_vec(vec_col).alias("v"))
+    )
     # packed-quantizer encode (r11): both fixed quantizers ride as ONE
     # broadcast array row each, and cell assignment + codeword scoring
     # + per-subspace argmin are all per-row EXPRESSIONS — the whole

@@ -2408,51 +2408,6 @@ GROUP BY 1, 2
 """
 
 
-def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user view→click→purchase funnel in ONE conditional
-    aggregation pass: each stage's first event time, stage reached iff
-    strictly after the previous stage's first event.  No joins, no
-    windows — a single user-key aggregate then a 1-row rollup, the
-    cheapest funnel formulation at any scale."""
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
-            "t_purchase"
-        ),
-    )
-    reached_view = F.col("t_view").isNotNull()
-    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
-    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
-    return per_user.agg(
-        F.count(F.lit(1)).alias("n_users"),
-        F.sum(reached_view.cast("long")).alias("n_view"),
-        F.sum(reached_click.cast("long")).alias("n_view_click"),
-        F.sum(reached_purchase.cast("long")).alias("n_full_funnel"),
-    )
-
-
-FUNNEL_EVENTS_SQL = """
-WITH per_user AS (
-  SELECT user_id,
-         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
-         min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
-         min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
-  FROM events GROUP BY user_id
-)
-SELECT CAST(count(*) AS BIGINT) AS n_users,
-       CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_view,
-       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
-       CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                      AND t_purchase > t_click
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-FROM per_user
-"""
-
-
 def _ntile_exact_boundaries(
     df, n: int, specs: list[tuple[str, bool]], tiebreak: str, k: int = 4
 ):
