@@ -36,7 +36,7 @@ import functools
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import exact_round, local_rows_df, sql_exact_sum
+from ..functions import exact_round, local_rows_df, spread_scan, sql_exact_sum
 from .dedup import shingles_from_tokens
 from .text import STOPWORDS, tokens_col
 
@@ -68,8 +68,10 @@ def decontaminate(
     # inside the shingle lambda is re-evaluated per element (the round-1
     # minhash lesson; here it was 3 re-splits per shingle position and
     # made this query the slowest in the bench at 7.4s → 1.x s fixed).
-    corpus_sh = corpus.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    # Shingling is the dense per-row work and runs in the scan stage —
+    # spread an under-split corpus first (guide §2.5; no-op at scale).
+    corpus_sh = spread_scan(
+        corpus.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     ).select(
         F.col(id_col),
         shingles_from_tokens("__toks", shingle_k).alias("ws"),

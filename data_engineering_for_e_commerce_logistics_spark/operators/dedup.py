@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import spread_scan
+
 # SWAR vote counting packs four per-bit ones-counts into 16-bit lanes
 # of one signed long; the top lane sits at bit 48, so per-document
 # shingle counts past 2^15 - 1 would carry across lanes (sign-bit
@@ -159,9 +161,12 @@ def minhash_signature(
     explode distinct shingles, ONE md5 per shingle row split into two
     60-bit ints, then a single hash-aggregate computing all K
     (h1 + i*h2) mod P mins — one shuffle on id_col, one md5 per
-    shingle instead of K."""
-    toks = df.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    shingle instead of K.  The shingle explode + md5 are the dense
+    per-row work and run in the scan stage, so an under-split input
+    is spread first (guide §2.5; no-op at scale) — all downstream
+    aggregates are exact integer mins, partitioning-insensitive."""
+    toks = spread_scan(
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     )
     ex = toks.select(
         F.col(id_col),
@@ -250,9 +255,11 @@ def jaccard_verify(
 
     The pair set is LSH-filtered and therefore small relative to the
     corpus → broadcast it into both shingle joins, so the (wide)
-    shingle arrays never shuffle."""
-    sh = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    shingle arrays never shuffle.  The shingle-array construction is
+    the dense per-row work and runs in the scan stage — spread an
+    under-split input first (guide §2.5; no-op at scale)."""
+    sh = spread_scan(
+        docs.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
     ).select(
         F.col(id_col), shingles_from_tokens("__toks", shingle_k).alias("sh")
     )
@@ -413,7 +420,13 @@ def simhash(
     # two 64-bit halves); bits beyond 64 would silently re-read the lo
     # half (ADVICE r03), so the contract is explicit:
     assert bits <= 64, f"simhash supports at most 64 bits, got {bits}"
-    toks = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    # shingle explode + md5 + conv are the dense per-row work and run
+    # in the scan stage — spread an under-split input first (guide
+    # §2.5; no-op at scale); the SWAR vote sums are exact integers,
+    # partitioning-insensitive
+    toks = spread_scan(
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    )
     ex = toks.select(
         F.col(id_col),
         F.explode(shingles_from_tokens("__toks", shingle_k)).alias("shingle"),

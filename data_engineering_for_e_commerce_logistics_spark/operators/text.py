@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import exact_round, local_rows_df
+from ..functions import exact_round, spread_scan, local_rows_df
 
 # Small in-query stopword lists per language for the n-gram/stopword
 # language-ID heuristic.  Deliberately tiny: language ID at corpus
@@ -37,7 +37,10 @@ def tokens_col(text: Column | str = "text") -> Column:
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting (whitespace + BPE-ish char/4 estimate) and basic
-    length stats per document."""
+    length stats per document.  Per-row map over the text — spread an
+    under-split input so it uses the whole cluster (guide §2.5; no-op
+    at scale)."""
+    df = spread_scan(df)
     toks = tokens_col(text_col)
     return df.select(
         "doc_id",
@@ -62,7 +65,12 @@ def quality_score(
     ``carry_cols`` rides extra input columns through unchanged (the
     ``pq_train_encode(carry_cols=)`` pattern) so downstream per-domain
     consumers — ``corpus.calibrate_quality_by_domain`` — don't re-join
-    the source table on doc_id."""
+    the source table on doc_id.
+
+    Regex + token-set work per row is the dense part and runs in the
+    scan stage — spread an under-split input first (guide §2.5; no-op
+    at scale)."""
+    df = spread_scan(df)
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
@@ -95,7 +103,10 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: count token hits against each
     language's stopword list; argmax with deterministic tiebreak on
     language code order.  Expressed as a single per-row expression —
-    no shuffle, no UDF."""
+    no shuffle, no UDF; spread an under-split input so the per-row
+    stopword intersections use the whole cluster (guide §2.5; no-op
+    at scale)."""
+    df = spread_scan(df)
     toks = F.array_distinct(tokens_col(text_col))
 
     def hits_for(code: str) -> Column:

@@ -2282,7 +2282,14 @@ def corpus_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver state, no broadcast of the unbounded vocabulary.  With a
     pruned top-V vocabulary the count tables become broadcast-able and
     the shuffle drops out."""
-    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    from ..functions import spread_scan
+
+    # the per-row bigram zip + explode is the dense work and runs in
+    # the scan stage — spread an under-split corpus first (guide §2.5;
+    # no-op at scale); all downstream aggregates are exact
+    docs = spread_scan(
+        load_tables(spark, sf_dir, ("documents",))["documents"]
+    )
     t = F.split(F.col("text"), " ")
     n = F.size(t)
     bgs = (
