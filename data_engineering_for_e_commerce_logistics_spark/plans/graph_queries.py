@@ -973,14 +973,24 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    # Cache the normalized edge list: every iteration (and the node
-    # derivation) otherwise re-executes the lineitem⨝orders aggregate —
-    # the dedup_clusters fixpoint lesson (measured 4.9s → ~2s at sf0.1).
+    # Cache the normalized edge list AND populate it eagerly: every
+    # iteration (and the node derivation) otherwise re-executes the
+    # lineitem⨝orders aggregate — the dedup_clusters fixpoint lesson
+    # (measured 4.9s → ~2s at sf0.1).  The eager count closes the
+    # remaining race: under AQE the independent consumers launch
+    # their query stages concurrently against a not-yet-populated
+    # cache (guide §5; solo 3.83 → 3.63s at sf0.1, and the
+    # duplicated-materialization executor time stops competing for
+    # cores at low core counts).  A window-form normalization and a
+    # localCheckpoint were both measured slower (4.7s / 6.8s solo) —
+    # the window adds a sort exchange on the iteration's critical
+    # path, the checkpoint pins the un-coalesced fan-out.
     edges_n = (
         edges.join(outw, "src")
         .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
         .cache()
     )
+    edges_n.count()  # populate the cache before the consumers race it
     nodes = (
         edges_n.select(F.col("src").alias("node"))
         .union(edges_n.select(F.col("dst").alias("node")))
