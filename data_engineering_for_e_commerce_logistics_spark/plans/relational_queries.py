@@ -149,9 +149,20 @@ FROM lineitem
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-shaped rollup: full lineitem scan → 4-group hash aggregate.
     Map-side partial aggregation collapses 60k→8 rows before shuffle."""
+    from ..functions import spread_scan
+
     li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    # the partial aggregation's decimal math runs in the scan stage,
+    # which plans ONE effective task on a single-row-group file —
+    # spread an under-split scan first (guide §2.5; no-op at scale,
+    # where the scan splits by maxPartitionBytes); every aggregate
+    # here is decimal-exact, so partitioning cannot shift a bit
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        spread_scan(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.expr(

@@ -40,7 +40,16 @@ def v_order_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # before any join — at 100 TB this turns the dominant shuffle from
     # (lineitem ⨝ full order+customer row) into (orderkey, 3 numbers).
     # Catalyst does not push aggregates below joins itself.
-    per_order = lineitem.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+    # spread the under-split scan so the partial aggregation's decimal
+    # math uses every core (guide §2.5; no-op at scale) — sums here
+    # are decimal-exact, partitioning-insensitive
+    from ..functions import spread_scan
+
+    per_order = spread_scan(
+        lineitem.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+        )
+    ).groupBy(F.col("l_orderkey").alias("order_id")).agg(
         F.count("l_linenumber").alias("item_count"),
         exact_sum("l_extendedprice").alias("total_item_price"),
         exact_sum("l_extendedprice * l_discount").alias("total_discount_value"),
