@@ -90,13 +90,18 @@ def image_features(
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            # zip over column arrays, not iterrows(): per-row Series
+            # construction dominates an iterrows loop (guide §4.2 —
+            # keep the Python-side batch work vectorized/lean)
+            for mid, mime, payload in zip(
+                pdf["media_id"], pdf["mime"], pdf["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
                 w, h, c = decoder(payload)
                 rows.append(
                     (
-                        r["media_id"],
-                        r["mime"],
+                        mid,
+                        mime,
                         len(payload),
                         hashlib.sha256(payload).hexdigest(),
                         w,
@@ -127,10 +132,11 @@ def sample_frames(
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
+            # zip over column arrays, not iterrows() (guide §4.2)
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
                 for idx in range(0, count_frames(payload), every_n):
-                    rows.append((r["media_id"], idx, payload[idx : idx + 64]))
+                    rows.append((mid, idx, payload[idx : idx + 64]))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "payload"])
 
     return df.mapInPandas(gen, FRAME_SCHEMA)
@@ -202,9 +208,10 @@ def resize_images(
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"]) if r["payload"] is not None else b""
-                rows.append((r["media_id"], width, height, resizer(payload, width, height)))
+            # zip over column arrays, not iterrows() (guide §4.2)
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload) if payload is not None else b""
+                rows.append((mid, width, height, resizer(payload, width, height)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "payload"]
             )

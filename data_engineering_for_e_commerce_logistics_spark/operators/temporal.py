@@ -201,7 +201,14 @@ def event_funnel(
     )
     counts = staged.agg(
         *[
-            F.sum(F.when(F.col("__stg") >= i + 1, 1).otherwise(0))
+            # coalesce: a batch with NO step-type events at all gives
+            # an empty per-user frame, where sum() is NULL but the
+            # oracle's count(*) construction is 0 — hypothesis-found
+            # r14 (every non-empty input sums 0/1 literals, never NULL)
+            F.coalesce(
+                F.sum(F.when(F.col("__stg") >= i + 1, 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias(f"__n{i + 1}")
             for i in range(k)

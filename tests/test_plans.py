@@ -299,11 +299,19 @@ def test_profile_and_cardinality_have_no_expand(spark):
 
 def test_text_analysis_suite_no_exchange(spark):
     """The merged text suite is four per-row expression legs under one
-    union: NO Exchange anywhere (any shuffle here would be a regression
-    — the legs are pure maps), and every leg's scan prunes to the
-    columns it needs (never the full documents table)."""
+    union: no KEYED Exchange anywhere (a hash/range shuffle here would
+    be a regression — the legs are pure maps), and every leg's scan
+    prunes to the columns it needs (never the full documents table).
+    The guarded round-robin fan-out (r14, functions/spread.py) is the
+    ONE sanctioned exchange kind: it spreads an under-split scan's
+    per-row work and vanishes at scale."""
     plan = _plan(spark, "text_analysis_suite")
-    assert "Exchange" not in plan
+    keyed = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "RoundRobinPartitioning" not in ln
+    ]
+    assert not keyed, keyed
     assert plan.count("FileScan parquet") == 4
     for seg in plan.split("ReadSchema: ")[1:]:
         rs = seg.split("\n")[0]

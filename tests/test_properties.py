@@ -17,8 +17,15 @@ from pyspark.sql import functions as F
 
 from data_engineering_for_e_commerce_logistics_spark.operators import cleaners
 
+# Default example count sized so the full suite fits the driver's
+# verify budget (r13 timed it out at ~30 min); raise via env for a
+# thorough local sweep: SPARK_GRAFT_HYPOTHESIS_MAX_EXAMPLES=50.
+import os as _os
+
 SETTINGS = dict(
-    max_examples=15,
+    max_examples=int(
+        _os.environ.get("SPARK_GRAFT_HYPOTHESIS_MAX_EXAMPLES", "8")
+    ),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

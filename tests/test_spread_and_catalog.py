@@ -49,15 +49,20 @@ def test_scan_memo_returns_same_plan_handle(spark):
 
 
 def test_scan_memo_clear_forces_fresh_listing(spark, tmp_path):
-    """A directory REWRITTEN within one session must be re-read through
-    clear_scan_cache() (the memo pins the first file listing — ADVICE
-    r13); after the clear the new file set is visible."""
+    """A file REWRITTEN within one session must be re-read through
+    clear_scan_cache() (the memo pins the first plan handle — ADVICE
+    r13); after the clear the new contents are visible.  Single-file
+    parquet, the catalog's input shape (the nano-ts sniffer reads the
+    footer of a file, not a directory)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     target = str(tmp_path / "mut.parquet")
-    spark.range(5).write.mode("overwrite").parquet(target)
+    pq.write_table(pa.table({"x": list(range(5))}), target)
     first = read_parquet_table(spark, target)
     assert first.count() == 5
     assert read_parquet_table(spark, target) is first  # memoized handle
-    spark.range(9).write.mode("overwrite").parquet(target)
+    pq.write_table(pa.table({"x": list(range(9))}), target)
     clear_scan_cache()
     fresh = read_parquet_table(spark, target)
     assert fresh is not first
@@ -78,12 +83,18 @@ def test_diversity_spread_clamp_hides_no_real_negative(spark):
     )
 
     rows = []
-    vecs = [[0.0, 0.0], [5.568359375, 5.568359375]]
-    for i in range(8):
-        rows.append((i, "g", vecs[i % 2]))
-    df = spark.createDataFrame(rows, "vec_id long, label string, embedding array<double>")
+    # duplicate-heavy, direction-diverse fixture (the report operates
+    # on UNIT-normalized vectors; zero-norm rows drop)
+    vecs = [[1.0, 0.0], [0.6, 0.8], [0.0, 1.0], [5.568359375, 5.568359375]]
+    for i in range(12):
+        rows.append((i, "g", vecs[i % 4]))
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
     out = {r["label"]: r for r in diversity_report(df).collect()}["g"]
-    vs = np.array([vecs[i % 2] for i in range(8)])
+    # spread is the RAW-vector covariance trace over the non-zero-norm
+    # rows (cosine stats are the normalized ones)
+    vs = np.array([vecs[i % 4] for i in range(12)], dtype=float)
     mean_v = vs.mean(axis=0)
     np_spread = (np.linalg.norm(vs, axis=1) ** 2).mean() - mean_v @ mean_v
     assert out["spread"] >= 0.0
