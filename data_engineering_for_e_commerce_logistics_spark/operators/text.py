@@ -56,7 +56,10 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(
-    df: DataFrame, text_col: str = "text", carry_cols: tuple = ()
+    df: DataFrame,
+    text_col: str = "text",
+    carry_cols: tuple = (),
+    spread: bool = True,
 ) -> DataFrame:
     """Heuristic document-quality score in [0,1]: length band, stopword
     presence, type-token ratio, and alphabetic purity — the standard
@@ -69,8 +72,12 @@ def quality_score(
 
     Regex + token-set work per row is the dense part and runs in the
     scan stage — spread an under-split input first (guide §2.5; no-op
-    at scale)."""
-    df = spread_scan(df)
+    at scale).  ``spread=False`` opts out for consumers whose NEXT
+    operator is itself a shuffle (e.g. the per-domain calibration
+    window): there the extra exchange costs more than the map win
+    (bench-confirmed +0.3s on quality_calibrate_domains at sf0.1)."""
+    if spread:
+        df = spread_scan(df)
     toks = tokens_col(text_col)
     n_tokens = F.size(toks)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])

@@ -249,7 +249,10 @@ def quality_calibrate_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import quality_score
 
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    scored = quality_score(docs, carry_cols=("source",))
+    # spread=False: the calibration window shuffles by source right
+    # after the score map, so the fan-out exchange would be a second,
+    # unrecouped shuffle (bench-confirmed +0.3s at sf0.1)
+    scored = quality_score(docs, carry_cols=("source",), spread=False)
     return corpus.calibrate_quality_by_domain(
         scored, keep_frac=CALIBRATE_KEEP_FRAC
     )
