@@ -41,6 +41,20 @@ def local_rows_df(
     ``rows`` is an iterable of tuples/lists positionally matching the
     schema fields; values must be plain scalars (None/bool/int/float/
     str/Decimal/datetime — whatever ``F.lit`` accepts).
+
+    Two documented divergences from ``createDataFrame`` (ADVICE r13):
+
+    * NULLABILITY — a field whose literals are all non-null comes out
+      ``nullable=False`` (createDataFrame marks everything nullable).
+      Harmless for the current consumers (unions, writes, value-level
+      oracle comparison); schema-EQUALITY assertions or parquet
+      schema merges against pre-r13 outputs would see the difference.
+    * COERCION — values are coerced with ``cast()`` rather than
+      createDataFrame's Python-type validation, so under a non-ANSI
+      session a mistyped value (a string in an int field) becomes
+      NULL silently instead of raising.  Callers pass
+      driver-computed scalars of the declared types; keep it that
+      way, or validate upstream if a value's type is ever dynamic.
     """
     st = (
         _parse_datatype_string(schema)

@@ -307,13 +307,18 @@ def _ivf_assign_from(emb: DataFrame) -> DataFrame:
     nearest-cell pick is a per-row expression — map-only, no sort
     exchange; same (dist asc, cid asc) tie-break and fold doubles as
     the former row_number window, so the oracle pairing holds."""
+    from ..functions import spread_scan
     from ..operators.similarity import (
         _as_double_vec,
         _nearest_packed,
         _pack_rows,
     )
 
-    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    # per-row packed argmin runs in the one-effective-task scan stage
+    # — spread an under-split scan first (guide §2.5; no-op at scale)
+    vecs = spread_scan(
+        emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    )
     centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
@@ -514,8 +519,15 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pack_rows,
     )
 
+    from ..functions import spread_scan
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    # per-row packed argmin passes run in the one-effective-task scan
+    # stage - spread an under-split scan first (guide 2.5; no-op at
+    # scale); the centroid means are decimal-exact
+    vecs = spread_scan(
+        emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    )
 
     def assign(vec_df: DataFrame, centroids: DataFrame, out: str) -> DataFrame:
         return (
@@ -638,8 +650,14 @@ def kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pack_rows,
     )
 
+    from ..functions import spread_scan
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v")).cache()
+    # spread the under-split scan so every iteration's per-row argmin
+    # uses the whole cluster (guide 2.5; no-op at scale)
+    vecs = spread_scan(
+        emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    ).cache()
     centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
@@ -747,8 +765,14 @@ def kmeans_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pack_rows,
     )
 
+    from ..functions import spread_scan
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v")).cache()
+    # spread the under-split scan so every iteration's per-row argmin
+    # uses the whole cluster (guide 2.5; no-op at scale)
+    vecs = spread_scan(
+        emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    ).cache()
     centroids = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("v").alias("cv")
     )
@@ -1229,9 +1253,14 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pack_rows,
     )
 
+    from ..functions import spread_scan
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    vecs = emb.select(
-        "vec_id", _as_double_vec("embedding").alias("v")
+    # the packed-broadcast assignment's per-row argmin runs in the
+    # one-effective-task scan stage — spread the under-split scan
+    # first (guide §2.5; no-op at scale)
+    vecs = spread_scan(
+        emb.select("vec_id", _as_double_vec("embedding").alias("v"))
     ).withColumn(
         "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
     )
@@ -1352,9 +1381,15 @@ def semdedup_trained_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pack_rows,
     )
 
+    from ..functions import spread_scan
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    vecs = emb.select(
-        "vec_id", _as_double_vec("embedding").alias("v")
+    # both packed-broadcast assignment passes run their per-row argmin
+    # in the one-effective-task scan stage (profiled 1977 ms single
+    # task at sf0.1) — spread the under-split scan first (guide §2.5;
+    # no-op at scale); every downstream aggregate is decimal-exact
+    vecs = spread_scan(
+        emb.select("vec_id", _as_double_vec("embedding").alias("v"))
     ).withColumn(
         "nrm", F.sqrt(_fold_sum(F.transform(F.col("v"), lambda x: x * x)))
     )
@@ -2315,8 +2350,15 @@ def ivfpq_suite(
         pq_train_encode,
     )
 
+    from ..functions import spread_scan
+
     emb = load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
-    vecs = emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    # the per-row full-cell distance ranking below runs in the
+    # one-effective-task scan stage — spread an under-split scan
+    # first (guide §2.5; no-op at scale)
+    vecs = spread_scan(
+        emb.select("vec_id", _as_double_vec("embedding").alias("v"))
+    )
     coarse = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cell"), F.col("v").alias("cv")
     )
